@@ -1,0 +1,26 @@
+package graft
+
+/** Local smoke: drives the driver contract exactly as the driver does —
+  * `SparkEntry.entry` on sf0.001 must return rows, and every `queries` key
+  * must have a matching `oracleSql` entry (keys without oracle are listed,
+  * not failed — the driver records a weaker rows-only check for those). */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session("graft-smoke")
+    val n = SparkEntry.entry(spark).count()
+    println(s"SMOKE entry rows=$n " + (if (n > 0) "OK" else "FAIL"))
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val danglingOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    println(s"SMOKE queries=${SparkEntry.queries.size} rowsOnly=${noOracle.toSeq.sorted.mkString(",")}")
+    if (danglingOracle.nonEmpty) {
+      println(s"SMOKE FAIL dangling oracle keys: ${danglingOracle.mkString(",")}")
+      sys.exit(1)
+    }
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val rows = fn(spark, sfDir).count()
+      println(f"SMOKE $name%-28s rows=$rows")
+    }
+    spark.stop()
+  }
+}

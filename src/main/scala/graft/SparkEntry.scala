@@ -1,13 +1,161 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry has a matching `oracleSql` entry in DuckDB dialect
+  * (run by the driver over the same parquet tables), with column names and
+  * output types aligned on both sides. Dialect bridges (per SURVEY §2.12):
+  * strftime for yyyyMMdd, dayofweek()+1 (DuckDB is 0=Sunday),
+  * generate_series for the date spine, SUM(int)→BIGINT casts (DuckDB sums
+  * integers to HUGEINT), decimal sums rounded then cast DOUBLE.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q17EtlStarRollup(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter" -> (Relational.q01ScanFilter _),
+    "q02_agg_rollup" -> (Relational.q02AggRollup _),
+    "q03_join_chain" -> (Relational.q03JoinChain _),
+    "q04_count_distinct" -> (Relational.q04CountDistinct _),
+    "q05_topk" -> (Relational.q05TopK _),
+    "q06_argmax_window" -> (Relational.q06ArgmaxWindow _),
+    "q07_pivot_years" -> (Relational.q07PivotYears _),
+    "q08_date_parts" -> (Relational.q08DateParts _),
+    "q09_date_spine" -> (Relational.q09DateSpine _),
+    "q10_prefix_bucket" -> (Relational.q10PrefixBucket _),
+    "q11_anti_join_orphans" -> (Relational.q11AntiJoinOrphans _),
+    "q12_null_audit" -> (Relational.q12NullAudit _),
+    "q13_union_rollup" -> (Relational.q13UnionRollup _),
+    "q14_scalar_subquery_weekly" -> (Relational.q14ScalarSubqueryWeekly _),
+    "q15_yoy_lag" -> (Relational.q15YoyLag _),
+    "q16_daily_tumbling" -> (Relational.q16DailyTumbling _),
+    "q17_etl_star_rollup" -> (Relational.q17EtlStarRollup _)
+  )
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the same
+    * parquet tables. Omit for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 30 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc,
+        |  COUNT(*) AS cnt,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 2) AS ratio_of_sums
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_chain" ->
+      """SELECT r.r_name, n.n_name, COUNT(*) AS customers,
+        |  CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+    "q04_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(*) AS orders,
+        |  COUNT(DISTINCT o_custkey) AS uniq_custs
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_topk" ->
+      """SELECT c.c_name,
+        |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_name ORDER BY revenue DESC, c.c_name LIMIT 10""".stripMargin,
+    "q06_argmax_window" ->
+      """SELECT n_name, o_orderpriority, cnt, CAST(rn AS INT) AS rn FROM (
+        |  SELECT n_name, o_orderpriority, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY cnt DESC, o_orderpriority) AS rn
+        |  FROM (SELECT n.n_name, o.o_orderpriority, COUNT(*) AS cnt
+        |        FROM orders o
+        |        JOIN customer c ON o.o_custkey = c.c_custkey
+        |        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |        GROUP BY n.n_name, o.o_orderpriority) t
+        |) s WHERE rn = 1 ORDER BY n_name""".stripMargin,
+    "q07_pivot_years" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN year(o_orderdate) = 1999 THEN 1 ELSE 0 END) AS BIGINT) AS y1999,
+        |  CAST(SUM(CASE WHEN year(o_orderdate) = 2000 THEN 1 ELSE 0 END) AS BIGINT) AS y2000,
+        |  CAST(SUM(CASE WHEN year(o_orderdate) = 2001 THEN 1 ELSE 0 END) AS BIGINT) AS y2001
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q08_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_id,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(month(o_orderdate) AS INT) AS mon,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q09_date_spine" ->
+      """SELECT CAST(unnest(generate_series(d1, d2, INTERVAL 1 DAY)) AS DATE) AS d
+        |FROM (SELECT MIN(CAST(o_orderdate AS DATE)) AS d1,
+        |             MAX(CAST(o_orderdate AS DATE)) AS d2 FROM orders)
+        |ORDER BY d""".stripMargin,
+    "q10_prefix_bucket" ->
+      """SELECT CASE WHEN p_name LIKE 'a%' OR p_name LIKE 'b%' THEN 'AB'
+        |            WHEN p_name LIKE 'c%' THEN 'C'
+        |            ELSE 'OTHER' END AS bucket,
+        |  COUNT(*) AS n
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_anti_join_orphans" ->
+      """SELECT COUNT(*) AS orphans FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)""".stripMargin,
+    "q12_null_audit" ->
+      """SELECT event_type,
+        |  CAST(ROUND(SUM(COALESCE(CAST(value AS DECIMAL(18,4)), 0)), 2) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q13_union_rollup" ->
+      """WITH unioned AS (
+        |  SELECT * FROM lineitem WHERE l_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT * FROM lineitem WHERE l_orderkey % 2 = 1
+        |)
+        |SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
+        |FROM unioned GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_scalar_subquery_weekly" ->
+      """SELECT CAST(weekofyear(o_orderdate) AS INT) AS wk, COUNT(*) AS orders
+        |FROM orders
+        |WHERE year(o_orderdate) = (SELECT MAX(year(o_orderdate)) FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_yoy_lag" ->
+      """SELECT yr, cnt,
+        |  ROUND((cnt - LAG(cnt) OVER (ORDER BY yr)) * 100.0
+        |        / NULLIF(LAG(cnt) OVER (ORDER BY yr), 0), 1) AS yoy_pct
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS cnt
+        |      FROM orders GROUP BY 1)
+        |ORDER BY yr""".stripMargin,
+    "q16_daily_tumbling" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS events,
+        |  COUNT(DISTINCT user_id) AS uniq_users,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q17_etl_star_rollup" ->
+      """SELECT CAST(l.l_shipdate AS DATE) AS d, n.n_name,
+        |  CASE WHEN p.p_name LIKE 'a%' OR p.p_name LIKE 'b%' THEN 'AB'
+        |       WHEN p.p_name LIKE 'c%' THEN 'C'
+        |       ELSE 'OTHER' END AS bucket,
+        |  COUNT(*) AS transaction_count,
+        |  COUNT(DISTINCT o.o_custkey) AS unique_user_count,
+        |  CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty,
+        |  ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 2) AS avg_qty_per_txn
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  )
 }

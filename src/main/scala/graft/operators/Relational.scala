@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** The relational operator suite (SURVEY.md §2.12, Q1–Q16) plus the flagship
+  * star-rollup (Q17) that exercises the reference's whole ETL shape
+  * (`/root/reference/src/loadAnalyticsDB.PractII.VarmaA.R:311-428` semantics,
+  * re-expressed as one declarative Spark plan).
+  *
+  * Determinism discipline (shared with the DuckDB oracle):
+  *   - every result carries a total ORDER BY over a unique key prefix;
+  *   - measure sums go through DECIMAL(18,4) so summation order can't move
+  *     the value, then ROUND(..,2) and cast to DOUBLE so output types match
+  *     the oracle exactly;
+  *   - derived ints are cast to the same width on both sides.
+  */
+object Relational {
+
+  /** Exact decimal sum — order-insensitive across partitions. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4)))
+
+  /** Round an exact decimal aggregate to 2 dp and emit as DOUBLE. */
+  private def money(c: Column): Column = round(c, 2).cast("double")
+
+  // ---------------------------------------------------------------- Q1 [S1,P1,P2]
+  /** Scan + projection + predicate; filter and 3-column projection reach the
+    * parquet reader (PushedFilters / ReadSchema). */
+  def q01ScanFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- Q2 [A1,A7,A8,O1]
+  /** Grouped rollup — the reference's core A1 aggregate shape (partial+final
+    * hash aggregate; one shuffle on the group keys). */
+  def q02AggRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        money(dsum(col("l_quantity"))).as("sum_qty"),
+        money(dsum(col("l_extendedprice"))).as("sum_base"),
+        money(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc"),
+        count(lit(1)).as("cnt"),
+        round(dsum(col("l_extendedprice")).cast("double") / count(lit(1)), 2)
+          .as("ratio_of_sums"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---------------------------------------------------------------- Q3 [J1,J5,J6]
+  /** 3-way equi-join chain (mirrors subscribers→postal2city→cities,
+    * loadAnalyticsDB R:252-260). nation/region are tiny → Catalyst picks
+    * broadcast hash joins; the only shuffle is the final group-by. */
+  def q03JoinChain(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("customers"),
+        money(dsum(col("c_acctbal"))).as("total_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // ---------------------------------------------------------------- Q4 [A2,A5]
+  /** Exact grouped COUNT DISTINCT (the declared `unique_user_count`
+    * semantic, SURVEY §5.2). */
+  def q04CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("orders"),
+        countDistinct(col("o_custkey")).as("uniq_custs"))
+      .orderBy("o_orderpriority")
+
+  // ---------------------------------------------------------------- Q5 [A6,O2]
+  /** Group + order + limit top-k → Spark plans TakeOrderedAndProject, so the
+    * full sorted result never materializes. */
+  def q05TopK(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_name"))
+      .agg(money(dsum(col("o_totalprice"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_name"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- Q6 [W1]
+  /** Argmax-per-group via row_number — the "peak day per sport" idiom
+    * (BusinessAnalysis Rmd:440-447); tie-break pinned to the key order the
+    * reference's `which.max` (first index) implies. */
+  def q06ArgmaxWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val grouped = o
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(desc("cnt"), asc("o_orderpriority"))
+    grouped
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------- Q7 [R1,A9]
+  /** Pivot long→wide (dcast sport~year analog, Rmd:126-136). Pivot values
+    * are pinned so Spark skips the extra distinct-values job; empty cells
+    * are 0 like the oracle's SUM(CASE..). */
+  def q07PivotYears(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy(col("o_orderpriority"))
+      .pivot("yr", Seq(1999, 2000, 2001))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("1999"), lit(0L)).as("y1999"),
+        coalesce(col("2000"), lit(0L)).as("y2000"),
+        coalesce(col("2001"), lit(0L)).as("y2001"))
+      .orderBy("o_orderpriority")
+
+  // ---------------------------------------------------------------- Q8 [F2]
+  /** Date-part derivation = the dim_date row build (loadAnalyticsDB
+    * R:209-218): yyyyMMdd int date_id, ISO week, Sunday=1 day-of-week. */
+  def q08DateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("date_id"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mon"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"))
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  // ---------------------------------------------------------------- Q9 [F3]
+  /** Dense date spine between min/max — `seq(by="day")` analog
+    * (loadAnalyticsDB R:204). sequence+explode keeps it in-plan (no driver
+    * loop), so the spine builds wherever the bounds row lives. */
+  def q09DateSpine(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .agg(
+        min(to_date(col("o_orderdate"))).as("d1"),
+        max(to_date(col("o_orderdate"))).as("d2"))
+      .select(explode(expr("sequence(d1, d2, interval 1 day)")).as("d"))
+      .orderBy("d")
+
+  // ---------------------------------------------------------------- Q10 [F4,J3]
+  /** Prefix-classification cascade (sport inference analog, loadAnalyticsDB
+    * R:272-285) as a native when/like expression — fully codegen'd, no UDF. */
+  def q10PrefixBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .withColumn(
+        "bucket",
+        when(col("p_name").like("a%") || col("p_name").like("b%"), "AB")
+          .when(col("p_name").like("c%"), "C")
+          .otherwise("OTHER"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  // ---------------------------------------------------------------- Q11 [J7,P3]
+  /** Anti-join orphan accounting — the reference's counted-drop quality gate
+    * (loadAnalyticsDB R:335-359). */
+  def q11AntiJoinOrphans(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    l.join(p, l("l_partkey") === p("p_partkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+  }
+
+  // ---------------------------------------------------------------- Q12 [P4,A9]
+  /** Null-fill + conditional aggregate (quality audit, loadAnalyticsDB
+    * R:366-367, 738-744). */
+  def q12NullAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        money(sum(coalesce(col("value").cast(DecimalType(18, 4)), lit(0)))).as("total_value"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("nulls"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------- Q13 [U1,S7]
+  /** Union-then-aggregate == the reference's two-source additive load
+    * (SQLite ∪ CSV, loadAnalyticsDB R:290-602): associativity of the A1
+    * aggregate means one plan replaces 24 micro-batch upserts. */
+  def q13UnionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val unioned = l.filter(col("l_orderkey") % 2 === 0)
+      .unionByName(l.filter(col("l_orderkey") % 2 === 1))
+    unioned
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        money(dsum(col("l_quantity"))).as("qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- Q14 [A11,P6]
+  /** Scalar-subquery parameterization ("most recent year", Rmd:216-227) kept
+    * fully in-plan via a broadcast 1-row aggregate join — no driver action. */
+  def q14ScalarSubqueryWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .withColumn("o_yr", year(col("o_orderdate")))
+    val mx = o.agg(max(col("o_yr")).as("max_yr"))
+    o.join(broadcast(mx), col("o_yr") === col("max_yr"))
+      .groupBy(weekofyear(col("o_orderdate")).as("wk"))
+      .agg(count(lit(1)).as("orders"))
+      .orderBy("wk")
+  }
+
+  // ---------------------------------------------------------------- Q15 [W2]
+  /** Year-over-year growth via lag window (Rmd:196-203). The unpartitioned
+    * window runs over the per-year aggregate — a handful of rows — so the
+    * single-partition sort is not a scale hazard. */
+  def q15YoyLag(spark: SparkSession, dir: String): DataFrame = {
+    val byYear = Tables(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("yr")
+    byYear
+      .withColumn("prev", lag(col("cnt"), 1).over(w))
+      .select(
+        col("yr"),
+        col("cnt"),
+        round((col("cnt") - col("prev")) * 100.0 /
+          when(col("prev") === 0, null).otherwise(col("prev")), 1)
+          .as("yoy_pct"))
+      .orderBy("yr")
+  }
+
+  // ---------------------------------------------------------------- Q16 [§2.10]
+  /** Tumbling daily event-time window, batch form. The Structured Streaming
+    * variant (graft.streaming) must produce exactly these rows on a closed
+    * input — asserted in StreamingSpec. */
+  def q16DailyTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        countDistinct(col("user_id")).as("uniq_users"),
+        money(dsum(col("value"))).as("total_value"))
+      .orderBy("day", "event_type")
+
+  // ---------------------------------------------------------------- Q17 (flagship)
+  /** The reference's whole ETL, one declarative plan on the TPC-H analog:
+    * big fact source (lineitem≈streaming_txns) enriched by broadcast dims
+    * (customer→nation ≈ user→country chain; part ≈ assets with the prefix
+    * cascade as inference fallback), rolled up to a daily
+    * (date, country, bucket) grain with exact distinct users and the stored
+    * ratio-of-sums average (loadAnalyticsDB R:369-381, 610-618).
+    * orders/customer co-shuffle on their keys; nation/part-bucket broadcast. */
+  def q17EtlStarRollup(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val p = Tables(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        when(col("p_name").like("a%") || col("p_name").like("b%"), "AB")
+          .when(col("p_name").like("c%"), "C")
+          .otherwise("OTHER").as("bucket"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(to_date(col("l_shipdate")).as("d"), col("n_name"), col("bucket"))
+      .agg(
+        count(lit(1)).as("transaction_count"),
+        countDistinct(col("o_custkey")).as("unique_user_count"),
+        money(dsum(col("l_quantity"))).as("total_qty"),
+        round(dsum(col("l_quantity")).cast("double") / count(lit(1)), 2)
+          .as("avg_qty_per_txn"))
+      .orderBy("d", "n_name", "bucket")
+  }
+}
