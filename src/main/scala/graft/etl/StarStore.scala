@@ -1,0 +1,45 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Star-schema storage: partitioned parquet replacing the reference's MySQL
+  * range partitioning (`createStarSchema.PractII.VarmaA.R:160-168`).
+  *
+  * The fact is partitioned by `year` — the analog of the reference's yearly
+  * `PARTITION BY RANGE (date_id)` — so Catalyst prunes partitions for the
+  * year-filtered analytics family (P6) and incremental merges rewrite only
+  * the affected years. The reference's 8 secondary indexes have no parquet
+  * equivalent; partition pruning + row-group min/max statistics carry their
+  * query-speed role (SURVEY §4).
+  */
+object StarStore {
+  def writeFact(fact: DataFrame, dir: String): Unit =
+    fact.write.mode(SaveMode.Overwrite).partitionBy("year")
+      .parquet(s"$dir/fact_streaming_summary")
+
+  /** Overwrite only the year partitions present in `factSlice` — the
+    * additive-upsert replacement (S7) used by the incremental/streaming
+    * path. Requires dynamic partition overwrite so untouched years keep
+    * their data. */
+  def mergeFactPartitions(factSlice: DataFrame, dir: String): Unit =
+    factSlice.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year")
+      .parquet(s"$dir/fact_streaming_summary")
+
+  def writeDims(dimDate: DataFrame, dimCountry: DataFrame,
+      dimSport: DataFrame, dir: String): Unit = {
+    dimDate.write.mode(SaveMode.Overwrite).parquet(s"$dir/dim_date")
+    dimCountry.write.mode(SaveMode.Overwrite).parquet(s"$dir/dim_country")
+    dimSport.write.mode(SaveMode.Overwrite).parquet(s"$dir/dim_sport")
+  }
+
+  def readFact(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/fact_streaming_summary")
+  def readDimDate(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/dim_date")
+  def readDimCountry(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/dim_country")
+  def readDimSport(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/dim_sport")
+}

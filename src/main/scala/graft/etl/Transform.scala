@@ -1,0 +1,98 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DateParts, SportInference}
+
+/** The enrichment + quality-gate + rollup core of the reference ETL
+  * (`loadAnalyticsDB.PractII.VarmaA.R:243-428`), as one declarative plan.
+  *
+  * The reference's driver-memory hash maps (R named vectors, R:263-264) are
+  * broadcast hash joins here; its 24 micro-batch partial aggregates folded
+  * by MySQL upserts (R:369-406) collapse into Spark's built-in
+  * partial+final hash aggregate — one shuffle on the grain keys.
+  *
+  * Scale notes: the dim side of both joins is bounded (subscribers-derived
+  * user→country map is the largest; if it outgrows the broadcast threshold
+  * AQE demotes to shuffle join and the plan still holds). The grain keys
+  * (date × country × sport) are low-cardinality, so the rollup shuffle
+  * moves pre-combined partial rows, not raw transactions.
+  */
+object Transform {
+
+  /** J1: the 3-table user→country mapping chain
+    * (subscribers ⋈ postal2city ⋈ cities, R:252-260). */
+  def userCountry(subscribers: DataFrame, postal2city: DataFrame,
+      cities: DataFrame): DataFrame =
+    subscribers
+      .join(postal2city, Seq("postal_code"))
+      .join(cities, Seq("city_id"))
+      .select(col("user_id"), col("country_id"))
+      .filter(col("user_id").isNotNull && col("country_id").isNotNull)
+      .distinct()
+
+  /** Asset→sport master, dropping NULL/empty sports (P2, R:175-176). */
+  def assetSport(assets: DataFrame): DataFrame =
+    assets
+      .filter(col("sport").isNotNull && col("sport") =!= "")
+      .select(col("asset_id"), col("sport").as("sport_master"))
+
+  /** J2/J3/F4: broadcast enrichment + inference fallback. Emits the raw
+    * columns plus `country_id`, `sport_master`, `sport` (master coalesced
+    * with the prefix inference) and parsed `event_date` — drop/keep
+    * decisions are NOT applied here so accounting can see every row. */
+  def enrich(txns: DataFrame, userCountryMap: DataFrame,
+      assetSportMap: DataFrame): DataFrame =
+    txns
+      .join(broadcast(userCountryMap), Seq("user_id"), "left")
+      .join(broadcast(assetSportMap), Seq("asset_id"), "left")
+      .withColumn("sport",
+        coalesce(col("sport_master"), SportInference.inferSport(col("asset_id"))))
+      .withColumn("event_date", to_date(col("streaming_date")))
+
+  /** P3: the referential-integrity gate — keep rows whose country, sport
+    * and date all resolved; P4: null→0 fill on the measures. */
+  def qualityGate(enriched: DataFrame): DataFrame =
+    enriched
+      .filter(col("country_id").isNotNull && col("sport").isNotNull &&
+        col("event_date").isNotNull)
+      .na.fill(0, Seq("minutes_streamed", "completed"))
+
+  /** Retention accounting (README.md:200-206) in ONE pass of conditional
+    * aggregates — no extra anti-join scans of the fact source. */
+  def accounting(enriched: DataFrame): DataFrame =
+    enriched.agg(
+      count(lit(1)).as("read"),
+      sum(when(col("country_id").isNull, 1L).otherwise(0L)).as("missing_country"),
+      sum(when(col("sport_master").isNull && col("sport").isNotNull, 1L)
+        .otherwise(0L)).as("recovered_by_inference"),
+      sum(when(col("sport").isNull, 1L).otherwise(0L)).as("missing_sport"),
+      sum(when(col("event_date").isNull, 1L).otherwise(0L)).as("missing_date"),
+      sum(when(col("country_id").isNotNull && col("sport").isNotNull &&
+        col("event_date").isNotNull, 1L).otherwise(0L)).as("valid"))
+
+  /** A1+A2+P7: the daily-grain rollup with exact distinct users (declared
+    * semantic, SURVEY §5.2) and the stored ratio-of-sums average; date
+    * parts denormalized into the fact (createStarSchema R:144-147). */
+  def rollup(valid: DataFrame): DataFrame = {
+    val grain = valid
+      .groupBy(col("event_date"), col("country_id"), col("sport").as("sport_name"))
+      .agg(
+        count(lit(1)).as("transaction_count"),
+        countDistinct(col("user_id")).as("unique_user_count"),
+        sum(col("minutes_streamed").cast("long")).as("total_minutes_streamed"),
+        sum(col("completed").cast("long")).as("completed_streams"))
+      .withColumn("avg_minutes_per_stream",
+        when(col("transaction_count") > 0,
+          round(col("total_minutes_streamed").cast("double") /
+            col("transaction_count"), 2)).otherwise(0.0))
+    DateParts.withDateParts(grain, col("event_date"))
+      .select(
+        col("date_id"), col("country_id"), col("sport_name"),
+        col("transaction_count"), col("unique_user_count"),
+        col("total_minutes_streamed"), col("completed_streams"),
+        col("avg_minutes_per_stream"),
+        col("year"), col("quarter"), col("month"), col("week"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Semantic checks of the query suite beyond the DuckDB hash-match (which
+  * the driver owns): invariants that must hold on any input. */
+class RelationalSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  test("q06 argmax yields exactly one row per group, rn always 1") {
+    val rows = Relational.q06ArgmaxWindow(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("n_name")).distinct.length == rows.length)
+    assert(rows.forall(_.getAs[Int]("rn") == 1))
+  }
+
+  test("q09 date spine is dense (count == max-min+1)") {
+    val ds = Relational.q09DateSpine(spark, dir)
+    val n = ds.count()
+    val mm = ds.agg(min("d").as("lo"), max("d").as("hi")).head()
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      mm.getDate(0).toLocalDate, mm.getDate(1).toLocalDate) + 1
+    assert(n == span)
+  }
+
+  test("q13 union rollup equals the same aggregate over the plain table") {
+    val viaUnion = Relational.q13UnionRollup(spark, dir)
+      .orderBy("l_returnflag").collect().toSeq
+    val plain = spark.read.parquet(dir + "/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2).cast("double").as("qty"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(viaUnion == plain)
+  }
+
+  test("q05 top-k is correctly ordered and bounded") {
+    val rows = Relational.q05TopK(spark, dir).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q17 flagship grain is unique and conserves transactions") {
+    val f = Relational.q17EtlStarRollup(spark, dir)
+    val dupes = f.groupBy("d", "n_name", "bucket").count()
+      .filter(col("count") > 1).count()
+    assert(dupes == 0)
+    val total = f.agg(sum("transaction_count")).head().getLong(0)
+    val source = spark.read.parquet(dir + "/lineitem.parquet").count()
+    assert(total == source) // every lineitem resolves all dims in testdata
+  }
+}
