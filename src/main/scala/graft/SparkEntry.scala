@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,7 +37,18 @@ object SparkEntry {
     "q14_scalar_subquery_weekly" -> (Relational.q14ScalarSubqueryWeekly _),
     "q15_yoy_lag" -> (Relational.q15YoyLag _),
     "q16_daily_tumbling" -> (Relational.q16DailyTumbling _),
-    "q17_etl_star_rollup" -> (Relational.q17EtlStarRollup _)
+    "q17_etl_star_rollup" -> (Relational.q17EtlStarRollup _),
+    "t01_text_stats" -> (TrainingData.t01TextStats _),
+    "t02_langid_confusion" -> (TrainingData.t02LangIdConfusion _),
+    "t03_fingerprint" -> (TrainingData.t03Fingerprint _),
+    "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
+    "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
+    "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
+    "d04_simhash" -> (TrainingData.d04Simhash _),
+    "d05_cosine_near_dup" -> (TrainingData.d05CosineNearDup _),
+    "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
+    "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
+    "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -156,6 +167,94 @@ object SparkEntry {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN part p ON l.l_partkey = p.p_partkey
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "t01_text_stats" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INT) AS n_punct,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS INT) AS n_stopwords,
+        |  CAST(length(text) AS INT) AS chars
+        |FROM documents)
+        |SELECT doc_id, n_tokens, n_punct, n_stopwords,
+        |  round(least(1.0, n_tokens/50.0)*0.4
+        |    + (CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE) ELSE 0.0 END)*0.4
+        |    + (1.0 - CASE WHEN chars > 0 THEN CAST(n_punct AS DOUBLE)/CAST(chars AS DOUBLE) ELSE 0.0 END)*0.2, 6) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "t02_langid_confusion" ->
+      """WITH s AS (SELECT lang,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|que|es|por|con|para|del|una)\b')) AS s_es,
+        |  len(regexp_extract_all(lower(text), '\b(le|les|est|dans|que|pour|une|des|du|il)\b')) AS s_fr,
+        |  len(regexp_extract_all(lower(text), '[一-龥]')) AS s_zh
+        |FROM documents),
+        |p AS (SELECT lang AS actual,
+        |  CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'unknown'
+        |       WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS predicted
+        |FROM s)
+        |SELECT actual, predicted, COUNT(*) AS n FROM p
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t03_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d01_exact_dup_groups" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  COUNT(*) AS copies, MIN(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d02_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  round(CAST(c AS DOUBLE)/(s1.sz + s2.sz - c), 4) AS jaccard
+        |FROM common
+        |JOIN sizes s1 ON d1 = s1.doc_id
+        |JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2
+        |ORDER BY d1, d2""".stripMargin,
+    "d05_cosine_near_dup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  list_aggregate(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), 'sum')
+        |   / (sqrt(list_aggregate(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), 'sum'))) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT d1, d2, round(cos, 4) AS cos FROM p
+        |WHERE cos >= 0.4 ORDER BY d1, d2""".stripMargin,
+    "s01_cosine_pairs" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings)
+        |SELECT qid, nid,
+        |  round(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
+        |   / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))), 4) AS cos
+        |FROM c, q ORDER BY qid, nid""".stripMargin,
+    "s02_topk_brute_force" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |  list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
+        |   / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))) AS cos
+        |FROM c, q WHERE qid <> nid),
+        |r AS (SELECT qid, nid, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+        |FROM s)
+        |SELECT qid, rank, nid, round(cos, 4) AS cos FROM r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
 }

@@ -1,0 +1,169 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for a training-data pipeline, each chosen for a
+  * different scale/recall trade-off:
+  *
+  *   - [[exactGroups]] — hash-groupBy, one shuffle, finds byte-identical
+  *     (modulo whitespace) copies.
+  *   - [[ngramJaccardPairs]] — exact n-gram Jaccard via an inverted-index
+  *     self-join on shingles: no O(n²) pair enumeration; cost is bounded by
+  *     shingle-bucket sizes (posting lists), the classic scalable form.
+  *   - [[minhashSignatures]]/[[minhashNearDuplicates]] — MinHash + LSH
+  *     banding: candidates meet only when a band collides, so the join is
+  *     equi-join-shaped and survives arbitrarily large corpora where even
+  *     posting lists blow up.
+  *   - [[simhash64]]/[[simhashNearDuplicates]] — 64-bit SimHash with
+  *     banded hamming search for near-identical text.
+  *
+  * Everything is expression-level Spark (explode / groupBy / equi-join);
+  * no driver-side loops, no UDFs.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+  /** Exact duplicate groups on the normalized-content fingerprint. */
+  def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper_doc_id"))
+
+  // ------------------------------------------------------------ shingles
+  /** Distinct word n-gram shingles per document. Guarded so documents
+    * shorter than n tokens produce no shingles (Spark's `sequence` would
+    * otherwise count DOWN when start > stop). */
+  def shingles(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val idx = sequence(lit(1), size(col("t")) - (n - 1))
+    val gram = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j)): _*))
+    docs
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= n, gram)
+          .otherwise(array().cast("array<string>"))).as("shingle"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------------ n-gram Jaccard
+  /** Exact Jaccard over shingle sets for every pair sharing ≥1 shingle.
+    * The self-join on `shingle` is an inverted index: a pair is generated
+    * once per common shingle and collapsed by the groupBy, so disjoint
+    * documents never meet. At very large scale, cap posting-list length by
+    * dropping shingles with document frequency above a threshold before
+    * calling this (they contribute near-zero Jaccard evidence anyway). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = shingles(docs, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / (col("s1.sz") + col("s2.sz") - col("c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------ MinHash + LSH
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * min over the document's shingles — computed as `numHashes` min-aggs in
+    * ONE pass over the exploded shingles (no per-hash shuffle). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = shingles(docs, textCol, n)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of r rows; two
+    * documents are candidates iff some band hashes equal. Equi-join shaped:
+    * scales to corpora where pairwise comparison is impossible. */
+  def lshCandidates(sigs: DataFrame, bands: Int = 16, numHashes: Int = 64): DataFrame = {
+    val r = numHashes / bands
+    val buckets = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        hash(slice(col("sig"), b * lit(r) + 1, lit(r)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+  }
+
+  /** MinHash near-duplicates: LSH candidates filtered by the signature
+    * Jaccard estimate (fraction of agreeing positions). */
+  def minhashNearDuplicates(docs: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    // bands=32 (r=2): collision prob at J=0.5 is 1-(1-0.25)^32 ≈ 1.0, at
+    // J=0.2 ≈ 0.73 — recall-biased; the estimate filter prunes false hits.
+    val est = aggregate(
+      zip_with(col("sig1"), col("sig2"), (a, b) =>
+        when(a === b, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    lshCandidates(minhashSignatures(docs, numHashes), bands, numHashes)
+      .select(col("d1"), col("d2"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------ SimHash
+  /** 64-bit SimHash over token hashes: per bit, the sign of the ±1 vote sum
+    * across tokens — 64 conditional sums in one aggregation pass. */
+  def simhash64(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    val assembled = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicates: candidates share at least one of four 16-bit
+    * chunks (guaranteeing recall for hamming distance ≤ 3), verified by
+    * exact hamming distance. */
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val sigs = simhash64(docs, textCol)
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "ck")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

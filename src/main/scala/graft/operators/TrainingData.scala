@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Query entry points for the training-data pipeline operators (text
+  * analysis, dedup, similarity search) over the `documents` and
+  * `embeddings` tables. Thresholds are pinned here so the driver's oracle
+  * and the bench run the same plans. */
+object TrainingData {
+
+  /** Token/punctuation/stopword counts + composite quality score. */
+  def t01TextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language-ID confusion: labeled lang × predicted lang counts. */
+  def t02LangIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang").as("actual"),
+        TextAnalysis.predictedLang(col("text")).as("predicted"))
+      .groupBy("actual", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+
+  /** Normalized-content fingerprint per document. */
+  def t03Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact duplicate groups (hash-groupBy dedup). */
+  def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables(spark, dir, "documents"))
+      .orderBy("fp")
+
+  /** Exact 3-gram Jaccard near-duplicate pairs (inverted-index join). */
+  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), threshold = 0.2)
+      .orderBy("d1", "d2")
+
+  /** MinHash+LSH near-duplicates (no SQL oracle: seeded xxhash64 has no
+    * DuckDB equivalent; validated against d02's exact Jaccard in tests). */
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDuplicates(Tables(spark, dir, "documents"), threshold = 0.2)
+      .orderBy("d1", "d2")
+
+  /** SimHash near-duplicates (no SQL oracle; validated in tests). */
+  def d04Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(Tables(spark, dir, "documents"), maxHamming = 6)
+      .orderBy("d1", "d2")
+
+  /** Embedding-cosine near-duplicate pairs. */
+  def d05CosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDuplicates(Tables(spark, dir, "embeddings"), threshold = 0.4)
+      .orderBy("d1", "d2")
+
+  /** All (query, corpus) cosine scores for the pinned query subset. */
+  def s01CosinePairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(Tables(spark, dir, "embeddings"), col("vec_id") < 5)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "nid")
+
+  /** Exact brute-force top-5 neighbours per query. */
+  def s02TopKBruteForce(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables(spark, dir, "embeddings"),
+      col("vec_id") < 5, k = 5)
+      .orderBy("qid", "rank")
+
+  /** SRP-LSH approximate top-5 (no SQL oracle; recall vs s02 in tests). */
+  def s03SrpAnnTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.srpBucketTopK(Tables(spark, dir, "embeddings"),
+      col("vec_id") < 5, k = 5)
+      .orderBy("qid", "rank")
+}

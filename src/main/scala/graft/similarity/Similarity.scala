@@ -1,0 +1,101 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *   - [[cosine]] — double-precision cosine as a native higher-order-
+  *     function expression (zip_with + aggregate), summed in index order so
+  *     values are bit-reproducible across engines.
+  *   - [[bruteForceTopK]] — exact top-k per query via broadcast of the
+  *     query set + per-query row_number window: the baseline, linear in
+  *     |corpus|×|queries|, and the correct choice whenever the query set is
+  *     small relative to the corpus.
+  *   - [[srpBucketTopK]] — signed-random-projection LSH: corpus and queries
+  *     hash to sign-pattern buckets, candidates meet on an equi-join, so
+  *     the scan cost per query drops from |corpus| to a bucket. The scale
+  *     path when both sides are large; recall is probabilistic and is
+  *     measured against brute force in SimilaritySpec.
+  */
+object Similarity {
+
+  /** Double-precision cosine similarity between two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val prod = zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
+    val dot = aggregate(prod, lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** All (query, corpus) cosine pairs for a broadcast query subset. */
+  def cosinePairs(emb: DataFrame, queryFilter: Column): DataFrame = {
+    val q = emb.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .join(broadcast(q))
+      .select(col("qid"), col("nid"),
+        cosine(col("qv"), col("nv")).as("cos"))
+  }
+
+  /** Exact top-k nearest neighbours (excluding self) for each query. */
+  def bruteForceTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    cosinePairs(emb, queryFilter)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Deterministic ±1 hyperplanes (Rademacher signed random projection),
+    * seeded so every run and every executor derives the same planes. */
+  private[similarity] def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** SRP bucket id: the sign pattern of `numPlanes` projections, packed
+    * into an int. Same expression applied to both sides of the join. */
+  private def srpBucket(v: Column, ps: Seq[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      val proj = aggregate(zip_with(v, planeCol, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates restricted to the query's SRP bucket.
+    * `numPlanes` trades recall for bucket size (16 planes ≈ 64 K buckets). */
+  def srpBucketTopK(emb: DataFrame, queryFilter: Column, k: Int,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      srpBucket(col("embedding"), ps).as("bucket"))
+    val q = bucketed.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+    val cand = bucketed
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("bucket"))
+      .join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("nid"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    cand
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold (brute-force
+    * form; at scale, gate by SRP bucket first — same verify expression). */
+  def cosineNearDuplicates(emb: DataFrame, threshold: Double): DataFrame =
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline: token counting,
+  * quality scoring, language ID, and content fingerprinting — all native
+  * column expressions (codegen'd, fully distributed, no UDFs), so they run
+  * unchanged over 100 TB of documents.
+  *
+  * Cross-engine discipline: every derived number comes from integer counts
+  * via IEEE double arithmetic written in the same association order as the
+  * DuckDB oracle SQL, so values hash-match exactly.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited tokens of the lower-cased text. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(trim(text)), lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of sentence/clause punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", ""))
+
+  val EnglishStopwords = "\\b(the|and|of|to|in|is|that|it|was|for)\\b"
+
+  def stopwordCount(text: Column, pattern: String = EnglishStopwords): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+
+  /** Composite quality score in [0,1]: length saturation + stopword ratio +
+    * punctuation sanity. The exact formula is arbitrary (quality scoring
+    * always is); what matters is that it is deterministic, cheap, and
+    * computed in one scan. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val stops = stopwordCount(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val chars = length(text).cast("double")
+    round(
+      least(lit(1.0), toks / 50.0) * 0.4 +
+        when(toks > 0, stops / toks).otherwise(0.0) * 0.4 +
+        (lit(1.0) - when(chars > 0, punct / chars).otherwise(0.0)) * 0.2,
+      6)
+  }
+
+  /** Content fingerprint: hash of the whitespace-normalized, lower-cased
+    * text — the exact-dedup key that survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Language ID by stopword/script evidence. Scores are per-language
+    * match counts; prediction is the argmax with alphabetical tie-break,
+    * `unknown` when no evidence. A heuristic, not a model — but the shape
+    * (N regex counts + argmax in one projection) is the scalable one. */
+  val LangPatterns: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\\b",
+    "en" -> "\\b(the|and|of|to|in|is|that|it|was|for)\\b",
+    "es" -> "\\b(el|los|las|que|es|por|con|para|del|una)\\b",
+    "fr" -> "\\b(le|les|est|dans|que|pour|une|des|du|il)\\b",
+    "zh" -> "[一-龥]")
+
+  def langScore(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+
+  def predictedLang(text: Column): Column = {
+    val scores = LangPatterns.map { case (l, p) => l -> langScore(text, p) }
+    val mx = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(mx === 0, "unknown")) { case (acc, (l, s)) =>
+      acc.when(s === mx, l)
+    }.otherwise(lit(null).cast("string"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Dedup operator semantics: the approximate paths (MinHash+LSH, SimHash)
+  * validated against exact ground truth — synthetic fixtures with known
+  * duplicates, plus recall vs the exact Jaccard join on real testdata. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base), //                       exact copy of 0
+    (2L, "  " + base.toUpperCase + "  "), // whitespace/case copy of 0
+    (3L, base.replace("pi", "PHI")), //  near-dup of 0 (one token changed)
+    (4L, "totally different words entirely here nothing shared at all " +
+      "zebra yak xylophone walrus vulture unicorn tiger snake rabbit quail"),
+    (5L, "short doc")) //               < 3 tokens → no shingles
+    .toDF("doc_id", "text")
+
+  test("exact groups collapse byte-identical and whitespace/case variants") {
+    val groups = Dedup.exactGroups(docs).collect()
+    val dupGroup = groups.filter(_.getAs[Long]("copies") == 3)
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("keeper_doc_id") == 0L)
+  }
+
+  test("shingles: short docs yield none; counts are |tokens|-2") {
+    val sh = Dedup.shingles(docs)
+    assert(sh.filter($"doc_id" === 5L).count() == 0)
+    assert(sh.filter($"doc_id" === 4L).count() == 17) // 19 tokens -> 17 shingles
+  }
+
+  test("exact ngram jaccard finds the near-dup pair with the right score") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) == 1.0) // lower-cased + trimmed before shingling
+    // one token changed in 20 kills 3 of 18 shingles: J = 15/21 ≈ 0.7143
+    assert(pairs((0L, 3L)) == 0.7143)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash+LSH recalls every exact pair with J >= 0.6 on testdata") {
+    val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(real, threshold = 0.6)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashNearDuplicates(real, threshold = 0.4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain high-jaccard pairs")
+    val missed = exact -- approx
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
+    val sigs = Dedup.simhash64(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) == sigs(2L)) // tokens lower-cased first
+    val near = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    val far = java.lang.Long.bitCount(sigs(0L) ^ sigs(4L))
+    assert(near < far, s"near=$near far=$far")
+    val nd = Dedup.simhashNearDuplicates(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 1L)) && nd.contains((0L, 2L)) && nd.contains((1L, 2L)))
+    assert(!nd.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

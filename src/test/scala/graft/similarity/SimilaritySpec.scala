@@ -1,0 +1,57 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet(sf("sf0.001") + "/embeddings.parquet")
+
+  test("cosine: unit parallel=1, orthogonal=0, antiparallel=-1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(2f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 3f), 0.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0))
+      .toDF("a", "b", "expect")
+    val got = df.select(Similarity.cosine($"a", $"b").as("c"), $"expect").collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("brute-force top-k: k rows per query, descending, self excluded") {
+    val top = Similarity.bruteForceTopK(emb, col("vec_id") < 3, k = 5).collect()
+    assert(top.length == 15)
+    top.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      assert(!rows.exists(_.getAs[Long]("nid") == qid))
+      val cs = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("SRP ANN returns a correctly-ranked subset of the brute-force scores") {
+    val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 500)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) ->
+        r.getAs[Double]("cos")).toMap
+    val ann = Similarity.srpBucketTopK(emb, col("vec_id") < 5, k = 5).collect()
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      assert(bf.contains(key))
+      assert(math.abs(bf(key) - r.getAs[Double]("cos")) < 1e-9,
+        s"ANN cosine must equal brute-force cosine for $key")
+    }
+    // every returned neighbour shares the query's bucket by construction;
+    // ranks within a query must be 1..n without gaps
+    ann.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("near-duplicate pairs are symmetric-free and above threshold") {
+    val nd = Similarity.cosineNearDuplicates(emb, threshold = 0.4).collect()
+    assert(nd.forall(r => r.getAs[Long]("d1") < r.getAs[Long]("d2")))
+    assert(nd.forall(_.getAs[Double]("cos") >= 0.4))
+  }
+}

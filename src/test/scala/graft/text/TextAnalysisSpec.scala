@@ -1,0 +1,47 @@
+package graft.text
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("token count handles leading/trailing/multiple whitespace") {
+    val n = one("  hello   big\tworld \n")
+      .select(TextAnalysis.tokenCount(col("text"))).head.getInt(0)
+    assert(n == 3)
+  }
+
+  test("quality score is bounded in [0,1] and deterministic") {
+    val q = one("the cat sat on the mat. it was good, for a cat!")
+      .select(TextAnalysis.qualityScore(col("text"))).head.getDouble(0)
+    assert(q >= 0.0 && q <= 1.0)
+    val empty = one("").select(TextAnalysis.qualityScore(col("text"))).head.getDouble(0)
+    assert(empty >= 0.0 && empty <= 1.0)
+  }
+
+  test("fingerprint is whitespace- and case-invariant") {
+    val fps = Seq("Hello  World", "hello world", "  HELLO\tWORLD ")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text"))).collect()
+      .map(_.getString(0)).toSet
+    assert(fps.size == 1)
+  }
+
+  test("language ID picks the dominant stopword evidence") {
+    val preds = Seq(
+      ("the cat and the dog sat in the house", "en"),
+      ("der hund und die katze ist nicht mit dem haus", "de"),
+      ("el perro y los gatos que es por la casa para todos", "es"),
+      ("le chien est dans la maison pour une promenade des amis", "fr"),
+      ("这 是 一个 中文 句子 测试", "zh"),
+      ("xyzzy plugh qwerty", "unknown"))
+      .toDF("text", "expect")
+      .select(TextAnalysis.predictedLang(col("text")).as("got"), col("expect"))
+      .collect()
+    preds.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(1)} got ${r.getString(0)}"))
+  }
+}
