@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.etl.{Schemas, StarStore, Transform}
+
+/** Incremental/streaming ingestion — the generalization of the reference's
+  * hand-rolled 50 K-row micro-batch loop with `ON DUPLICATE KEY UPDATE`
+  * additive merge (`loadAnalyticsDB.PractII.VarmaA.R:305-428`, SURVEY
+  * §2.10): a Structured Streaming file source over a transactions
+  * drop-directory, the SAME batch Transform (code shared, not duplicated),
+  * and a `foreachBatch` merge into the partitioned star schema.
+  *
+  * Merge contract (no transactional table format in this environment):
+  * valid enriched rows append to a year-partitioned staging store; the fact
+  * is then recomputed from staging FOR THE AFFECTED YEARS ONLY and those
+  * year partitions are dynamically overwritten. This keeps the declared
+  * exact `unique_user_count` semantic (SURVEY §5.2) — an additive fold of
+  * per-batch distinct counts would double-count across batches, the
+  * reference's acknowledged approximation — and makes late data for any
+  * past date fold into its grain row, i.e. unbounded lateness tolerance
+  * like the reference. Cost scales with the affected years' raw volume,
+  * not total history. A transactional MERGE sink can replace this by
+  * swapping [[FactMerger.mergeBatch]].
+  */
+object StreamingIngest {
+
+  /** Per-batch merge logic, usable from foreachBatch or called directly. */
+  final class FactMerger(
+      spark: SparkSession,
+      storeDir: String,
+      userCountryMap: DataFrame,
+      assetSportMap: DataFrame) extends Serializable {
+
+    private val stagingDir = s"$storeDir/staging_valid_txns"
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
+      val enriched = Transform.enrich(batch, userCountryMap, assetSportMap)
+      val valid = Transform.qualityGate(enriched)
+        .withColumn("year", year(col("event_date")))
+      valid.write.mode(SaveMode.Append).partitionBy("year").parquet(stagingDir)
+
+      // affected years: tiny driver-side list (one entry per calendar year)
+      val years = valid.select("year").distinct().collect().map(_.getInt(0))
+      if (years.nonEmpty) {
+        val raw = spark.read.parquet(stagingDir)
+          .filter(col("year").isin(years.map(Integer.valueOf): _*))
+          .drop("year")
+        StarStore.mergeFactPartitions(Transform.rollup(raw), storeDir)
+      }
+    }
+  }
+
+  /** Start the ingest stream over a drop-directory of parquet transaction
+    * files. Dimension maps are resolved once at start (the reference loads
+    * its lookup maps once per run, R:243-268). */
+  def start(spark: SparkSession, dropDir: String, storeDir: String,
+      assets: DataFrame, subscribers: DataFrame, postal2city: DataFrame,
+      cities: DataFrame, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val merger = new FactMerger(spark, storeDir,
+      Transform.userCountry(subscribers, postal2city, cities),
+      Transform.assetSport(assets))
+    spark.readStream
+      .schema(Schemas.streamingTxns)
+      .parquet(dropDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, id: Long) => merger.mergeBatch(batch, id))
+      .start()
+  }
+
+  /** Q16's streaming form: tumbling daily event-time window over the events
+    * stream. On a closed input this must produce exactly the batch rows
+    * (asserted in StreamingSpec). `watermark` bounds state for continuous
+    * runs; the default mirrors the reference's unbounded lateness. */
+  def dailyEventRollup(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val withWm = watermark.fold(events)(w => events.withWatermark("ts", w))
+    withWm
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        // exact countDistinct is not supported inside a streaming agg;
+        // HLL++ is the streaming-native answer (SURVEY §2.11 upgrade path)
+        approx_count_distinct(col("user_id")).as("approx_uniq_users"),
+        // decimal sum: result independent of micro-batch arrival order
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+          .cast("double").as("total_value"))
+      .select(col("window.start").cast("date").as("day"), col("event_type"),
+        col("events"), col("approx_uniq_users"), col("total_value"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkTestBase
+import graft.etl.{Pipeline, Schemas, StarStore}
+
+/** Streaming == batch on a closed input (SURVEY §7 M6 / Q16 contract):
+  * the stream-ingested star schema must equal the batch pipeline's, and
+  * the tumbling daily window must reproduce the batch daily rollup. */
+class StreamingSpec extends SparkTestBase {
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+  private lazy val countries = df(Schemas.countries, Row(1, "Norway"), Row(2, "Finland"))
+  private lazy val cities = df(Schemas.cities, Row(10, 1), Row(20, 2))
+  private lazy val postal2city = df(Schemas.postal2city, Row("P1", 10), Row("P2", 20))
+  private lazy val subscribers = df(Schemas.subscribers, Row("u1", "P1"), Row("u2", "P2"))
+  private lazy val assets = df(Schemas.assets,
+    Row("DEL-001", "Ice Hockey"), Row("SKJ-001", "Ski Jumping"))
+
+  // 3 "arrivals": out-of-order dates incl. a late row for an already-seen
+  // day, and a cross-year boundary — the reference's unbounded lateness.
+  private lazy val batches = Seq(
+    Seq(Row(1L, "u1", "DEL-001", "2021-12-31", 30, 1),
+      Row(2L, "u2", "SKJ-001", "2022-01-01", 40, 1)),
+    Seq(Row(3L, "u2", "DEL-001", "2022-01-02", 20, 0),
+      Row(4L, "u1", "OXXX-9", "2022-01-02", 10, 1)), // dropped by gate
+    Seq(Row(5L, "u1", "DEL-001", "2021-12-31", 50, 1), // late for day 1
+      Row(6L, "u2", "DEL-001", "2022-01-01", 25, 1)))
+
+  test("file-source stream + foreachBatch merge equals the batch pipeline") {
+    val dropDir = Files.createTempDirectory("graft_drop").toString
+    val storeDir = Files.createTempDirectory("graft_store").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+
+    // write arrivals as separate files BEFORE starting (AvailableNow
+    // processes them as micro-batches, file order unspecified — good)
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      df(Schemas.streamingTxns, rows: _*).coalesce(1)
+        .write.mode("append").parquet(dropDir)
+    }
+
+    val q = StreamingIngest.start(spark, dropDir, storeDir,
+      assets, subscribers, postal2city, cities, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = StarStore.readFact(spark, storeDir)
+      .orderBy("date_id", "country_id", "sport_name")
+      .collect().toSeq
+    val batch = Pipeline.run(spark,
+      df(Schemas.streamingTxns, batches.flatten: _*),
+      assets, subscribers, postal2city, cities, countries)
+      .fact
+      // parquet round-trip moves the partition column to the end; align
+      .select(streamed.headOption.map(_ => StarStore.readFact(spark, storeDir).columns)
+        .getOrElse(Array("date_id")).map(col).toIndexedSeq: _*)
+      .orderBy("date_id", "country_id", "sport_name")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("late data folds into an existing grain row (unbounded lateness)") {
+    // covered by the equivalence above; assert the specific grain row too:
+    // 2021-12-31 Ice Hockey Norway saw rows in arrival 1 and arrival 3.
+    val storeDir = Files.createTempDirectory("graft_store2").toString
+    val dropDir = Files.createTempDirectory("graft_drop2").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt2").toString
+    batches.foreach { rows =>
+      df(Schemas.streamingTxns, rows: _*).coalesce(1)
+        .write.mode("append").parquet(dropDir)
+    }
+    val q = StreamingIngest.start(spark, dropDir, storeDir,
+      assets, subscribers, postal2city, cities, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val row = StarStore.readFact(spark, storeDir)
+      .filter(col("date_id") === 20211231).head()
+    assert(row.getAs[Long]("transaction_count") == 2)
+    assert(row.getAs[Long]("total_minutes_streamed") == 80)
+    assert(row.getAs[Long]("unique_user_count") == 1) // u1 twice — exact, not additive
+  }
+
+  test("tumbling daily window on a stream equals the batch rollup (Q16)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsDir = sf("sf0.001")
+    // the streaming file source wants a directory; stage the events file
+    val streamDir = Files.createTempDirectory("graft_events").toString
+    Files.copy(java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val raw = spark.readStream
+      .schema(new StructType()
+        .add("event_id", "long").add("ts", "long").add("user_id", "long")
+        .add("event_type", "string").add("value", "double").add("props", "string"))
+      .parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamingIngest.dailyEventRollup(raw)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("daily_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("daily_out")
+      .select("day", "event_type", "events", "total_value")
+      .orderBy("day", "event_type").collect().toSeq
+    val batch = graft.operators.Relational.q16DailyTumbling(spark, eventsDir)
+      .select("day", "event_type", "events", "total_value")
+      .orderBy("day", "event_type").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+}
