@@ -1,23 +1,92 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Pipeline, StarStore}
+
+/** Benchmark main (driver contract): runs the query suite plus an
+  * end-to-end SportsTV ETL on `SPARK_GRAFT_SF_DIR`, printing ONE JSON line
+  * `{"metric":…,"value":total_sec,"unit":"sec","queries":{name:sec,…},"sf":…}`.
+  *
+  * Timing discipline: a warmup pass on sf0.001 first (JVM/codegen/classload
+  * noise lands there, not in the numbers), then each query materialized
+  * fully through the `noop` sink — `count()` alone would let Catalyst prune
+  * the measure columns out of the scan.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def materialize(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // ---- warmup on the smallest SF (not timed)
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try materialize(fn(spark, "/root/testdata/sf0.001"))
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- timed suite
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try materialize(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      results(name) = (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- end-to-end ETL throughput: lineitem cast as streaming_txns
+    // (deterministic column mapping), full pipeline, star schema written.
+    val t0 = System.nanoTime()
+    val li = Tables(spark, sfDir, "lineitem")
+    val txns = li.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("transaction_id"),
+      concat(lit("u"), (col("l_suppkey") % 1000).cast("string")).as("user_id"),
+      concat(
+        when(col("l_partkey") % 4 === 0, "DEL-")
+          .when(col("l_partkey") % 4 === 1, "SKJ-")
+          .when(col("l_partkey") % 4 === 2, "IHL-")
+          .otherwise("OXXX-"),
+        col("l_partkey").cast("string")).as("asset_id"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("streaming_date"),
+      (col("l_quantity").cast("int") + 1).as("minutes_streamed"),
+      (col("l_orderkey") % 2).cast("int").as("completed"))
+    val users = txns.select(col("user_id")).distinct()
+      .withColumn("postal_code", concat(lit("P"), pmod(crc32(col("user_id")), lit(50))))
+    val postal = users.select("postal_code").distinct()
+      .withColumn("city_id", pmod(crc32(col("postal_code")), lit(20)).cast("int"))
+    val cityRows = postal.select("city_id").distinct()
+      .withColumn("country_id", pmod(col("city_id"), lit(5)).cast("int"))
+    val countryRows = cityRows.select("country_id").distinct()
+      .withColumn("country", concat(lit("Country"), col("country_id")))
+    val assetRows = txns.select(col("asset_id")).distinct()
+      .withColumn("sport",
+        when(crc32(col("asset_id")) % 3 === 0, "Ice Hockey").otherwise(null))
+    val etl = Pipeline.run(spark, txns, assetRows, users, postal, cityRows, countryRows)
+    val out = java.nio.file.Files.createTempDirectory("graft_bench_star").toString
+    StarStore.writeFact(etl.fact, out)
+    val etlSec = (System.nanoTime() - t0) / 1e9
+    results("etl_sportstv") = etlSec
+    System.err.println(
+      f"[bench] etl rows=${etl.stats.read} valid=${etl.stats.valid} " +
+        f"throughput=${etl.stats.read / etlSec}%.0f rec/s")
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

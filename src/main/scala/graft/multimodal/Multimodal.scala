@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, processed
+  * partition-wise.
+  *
+  * The Spark-side plumbing here is REAL and tested — schema, per-partition
+  * iteration (one codec init per partition, the expensive part with real
+  * codecs), repartitioning by media_id so heavy decodes spread evenly, and
+  * frame fan-out shapes. The codec itself is a clearly-marked deterministic
+  * STUB ([[FakeCodec]]): no image/audio libraries exist in this
+  * environment, so decode/resize produce hash-derived bytes/features with
+  * the right shapes. Swapping in a real codec changes only FakeCodec.
+  */
+object Multimodal {
+
+  /** One media object: payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long, kind: String, content: Array[Byte],
+      width: Int, height: Int, sample_rate_hz: Int, duration_ms: Int)
+
+  final case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+
+  final case class MediaFrame(
+      media_id: Long, frame_idx: Int, ts_ms: Int, frame: Array[Byte])
+
+  /** ======== STUB ======== deterministic stand-in for the decode layer.
+    * Every function is a pure hash of its inputs: same bytes → same
+    * output, everywhere, forever — so tests and plans are exercisable
+    * without codecs. Replace with the real decoder at deployment. */
+  object FakeCodec {
+    private def mix(h0: Long, bytes: Array[Byte]): Long = {
+      var h = h0
+      var i = 0
+      while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+      h
+    }
+
+    /** STUB decode → feature vector (pretends to be an image/audio encoder). */
+    def decodeToFeatures(content: Array[Byte], dim: Int): Array[Float] = {
+      val base = mix(1469598103934665603L, content)
+      Array.tabulate(dim)(i => {
+        val h = base * (i * 2 + 1) + i
+        ((h % 2000) / 1000.0f) - 1.0f
+      })
+    }
+
+    /** STUB resize: returns a payload of plausible size for (w, h). */
+    def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val seed = mix(w.toLong * 31 + h, content)
+      Array.tabulate(math.max(16, (w * h) / 64))(i => ((seed >> (i % 8 * 8)) & 0xFF).toByte)
+    }
+
+    /** Frame timestamps for sampling every `everyMs` (real logic, no stub). */
+    def frameTimestamps(durationMs: Int, everyMs: Int): Seq[Int] =
+      0 to durationMs by everyMs
+  }
+
+  /** Feature extraction: repartition by media_id (uniform spread of heavy
+    * decodes), then one pass per partition — the shape a real codec wants
+    * (init once per partition, stream the rows). */
+  def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int = 16,
+      partitions: Int = 32): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.repartition(partitions, col("media_id")).as[MediaRow]
+      .mapPartitions { rows =>
+        // real codec: initialize decoder context here, once per partition
+        rows.map(m => MediaFeatures(m.media_id, m.kind,
+          FakeCodec.decodeToFeatures(m.content, dim)))
+      }
+  }
+
+  /** Image resize over the binary column; metadata updated alongside. */
+  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(m =>
+      m.copy(content = FakeCodec.resize(m.content, w, h), width = w, height = h)))
+  }
+
+  /** Frame sampling: one row per sampled frame — fan-out via flatMap, so a
+    * 2-hour video explodes inside the executors, never on the driver. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      everyMs: Int): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .flatMap(m => FakeCodec.frameTimestamps(m.duration_ms, everyMs)
+        .zipWithIndex.map { case (ts, i) =>
+          MediaFrame(m.media_id, i, ts, FakeCodec.resize(m.content, 32, 32))
+        })
+  }
+}

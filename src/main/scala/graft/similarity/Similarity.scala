@@ -21,25 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision cosine similarity between two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val prod = zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
-    val dot = aggregate(prod, lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Double-precision cosine similarity between two float-array columns.
+    * Built on the codegen'd [[graft.plans.FloatVectorDot]] expression;
+    * accumulation order matches the equivalent zip_with/aggregate plan, so
+    * values are bit-identical to the interpreted form (oracle-safe). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** All (query, corpus) cosine pairs for a broadcast query subset. */
+  private def dot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dot(a, b)
+
+  /** All (query, corpus) cosine pairs for a broadcast query subset. Norms
+    * are computed once per ROW (not once per pair) before the join. */
   def cosinePairs(emb: DataFrame, queryFilter: Column): DataFrame = {
     val q = emb.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
       .join(broadcast(q))
       .select(col("qid"), col("nid"),
-        cosine(col("qv"), col("nv")).as("cos"))
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
   }
 
   /** Exact top-k nearest neighbours (excluding self) for each query. */
@@ -54,18 +56,16 @@ object Similarity {
 
   /** Deterministic ±1 hyperplanes (Rademacher signed random projection),
     * seeded so every run and every executor derives the same planes. */
-  private[similarity] def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+  private[similarity] def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    Seq.fill(numPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
   }
 
   /** SRP bucket id: the sign pattern of `numPlanes` projections, packed
     * into an int. Same expression applied to both sides of the join. */
-  private def srpBucket(v: Column, ps: Seq[Array[Double]]): Column =
+  private def srpBucket(v: Column, ps: Seq[Array[Float]]): Column =
     ps.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      val proj = aggregate(zip_with(v, planeCol, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, array(p.map(lit).toIndexedSeq: _*))
       when(proj >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -91,11 +91,17 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold (brute-force
-    * form; at scale, gate by SRP bucket first — same verify expression). */
-  def cosineNearDuplicates(emb: DataFrame, threshold: Double): DataFrame =
-    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+    * form; at scale, gate by SRP bucket first — same verify expression).
+    * Norms precomputed per row; the theta-join evaluates only the codegen'd
+    * dot per pair. */
+  def cosineNearDuplicates(emb: DataFrame, threshold: Double): DataFrame = {
+    val normed = emb.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    normed.as("a").join(normed.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
+  }
 }
