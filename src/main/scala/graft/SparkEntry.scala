@@ -38,6 +38,7 @@ object SparkEntry {
     "q15_yoy_lag" -> (Relational.q15YoyLag _),
     "q16_daily_tumbling" -> (Relational.q16DailyTumbling _),
     "q17_etl_star_rollup" -> (Relational.q17EtlStarRollup _),
+    "q18_json_extract" -> (Relational.q18JsonExtract _),
     "t01_text_stats" -> (TrainingData.t01TextStats _),
     "t02_langid_confusion" -> (TrainingData.t02LangIdConfusion _),
     "t03_fingerprint" -> (TrainingData.t03Fingerprint _),
@@ -168,6 +169,13 @@ object SparkEntry {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q18_json_extract" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "t01_text_stats" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_tokens,

@@ -112,6 +112,19 @@ object Analytics {
       .orderBy("country_name")
   }
 
+  /** A12: share-of-total percentages (the Rmd's R-side `x/sum(x)*100`,
+    * Rmd:416-421), in-plan via an unpartitioned window over the per-sport
+    * aggregate — a handful of rows, so the single partition is safe. */
+  def sportShare(fact: DataFrame): DataFrame = {
+    val bySport = fact.groupBy("sport_name")
+      .agg(sum("transaction_count").as("transactions"))
+    bySport
+      .withColumn("pct_share",
+        round(col("transactions") * 100.0 /
+          sum("transactions").over(Window.partitionBy()), 1))
+      .orderBy(desc("transactions"))
+  }
+
   /** W2: year-over-year growth via lag (Rmd:196-203; README.md:229-235). */
   def yoyGrowth(fact: DataFrame): DataFrame = {
     val byYear = fact.groupBy("year")

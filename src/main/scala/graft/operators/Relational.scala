@@ -288,4 +288,20 @@ object Relational {
           .as("avg_qty_per_txn"))
       .orderBy("d", "n_name", "bucket")
   }
+
+  // ---------------------------------------------------------------- Q18 (JSON)
+  /** JSON extraction on the events props column (semi-structured payloads —
+    * beyond the reference surface, SURVEY §2.8 note). get_json_object is a
+    * native expression; the path never leaves codegen. */
+  def q18JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
 }

@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+
+import graft.SparkTestBase
+import graft.etl.{CatalogOps, Pipeline, Schemas, StarStore}
+
+/** CSV source round-trip (S3-S5) and catalog registration/verification
+  * (S10/S11): the CSV path must survive the text `completed` column and
+  * feed the same normalize step the ETL uses. */
+class SourcesSpec extends SparkTestBase {
+
+  test("csv export reads with declared schema and normalizes") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val csv = s"$dir/export.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      """transaction_id,subscriber_id,user_id,asset_id,streaming_date,streaming_start_time,minutes_streamed,device_type,quality_streamed,completed
+        |100,s1,u1,DEL-001,2022-01-01,10:00,30,mobile,HD,1
+        |101,s2,u2,SKJ-001,2022-01-02,11:00,45,tv,SD,0
+        |""".stripMargin)
+    val raw = Sources.csvExport(spark, csv)
+    assert(raw.count() == 2)
+    assert(raw.schema("completed").dataType.typeName == "string")
+    val norm = Pipeline.normalizeCsv(raw)
+    assert(norm.columns.toSeq == Schemas.streamingTxns.fieldNames.toSeq)
+    val r = norm.orderBy("transaction_id").collect()
+    assert(r.map(_.getAs[Int]("completed")).toSeq == Seq(1, 0))
+    assert(r.head.getAs[Long]("transaction_id") == 100L)
+  }
+
+  test("star catalog registers and schema-verifies a written store") {
+    def df(schema: org.apache.spark.sql.types.StructType, rows: Row*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val txns = df(Schemas.streamingTxns,
+      Row(1L, "u1", "DEL-001", "2022-01-01", 30, 1))
+    val result = Pipeline.run(spark, txns,
+      df(Schemas.assets, Row("DEL-001", "Ice Hockey")),
+      df(Schemas.subscribers, Row("u1", "P1")),
+      df(Schemas.postal2city, Row("P1", 10)),
+      df(Schemas.cities, Row(10, 1)),
+      df(Schemas.countries, Row(1, "Norway")))
+    val out = Files.createTempDirectory("graft_cat").toString
+    StarStore.writeFact(result.fact, out)
+    StarStore.writeDims(result.dimDate, result.dimCountry, result.dimSport, out)
+    CatalogOps.registerStar(spark, out)
+    CatalogOps.verifySchemas(spark)
+    assert(spark.sql(
+      "SELECT sum(transaction_count) FROM fact_streaming_summary")
+      .head.getLong(0) == 1L)
+  }
+}
