@@ -15,6 +15,19 @@ object DimBuilder {
     val bounds = txns
       .agg(min(to_date(col("streaming_date"))).as("d1"),
         max(to_date(col("streaming_date"))).as("d2"))
+    fromBoundsDf(bounds)
+  }
+
+  /** dim_date from already-known bounds (e.g. the ETL's single-pass
+    * accounting aggregate carries min/max — no extra source scan). */
+  def dimDateFromBounds(spark: SparkSession, min: java.sql.Date,
+      max: java.sql.Date): DataFrame = {
+    val bounds = spark.range(1)
+      .select(lit(min).as("d1"), lit(max).as("d2"))
+    fromBoundsDf(bounds)
+  }
+
+  private def fromBoundsDf(bounds: DataFrame): DataFrame = {
     val spine = bounds.select(
       explode(sequence(col("d1"), col("d2"), expr("interval 1 day"))).as("full_date"))
     DateParts.withDateParts(spine, col("full_date"))

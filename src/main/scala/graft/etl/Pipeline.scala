@@ -48,6 +48,8 @@ object Pipeline {
     val assetSportMap = Transform.assetSport(assets)
 
     val enriched = Transform.enrich(txns, userCountryMap, assetSportMap)
+    // one action over the source: retention stats AND the date bounds for
+    // the dim_date spine come out of the same aggregate scan
     val statsRow: Row = Transform.accounting(enriched).head()
     val stats = EtlStats(
       read = statsRow.getAs[Long]("read"),
@@ -61,7 +63,9 @@ object Pipeline {
 
     EtlResult(
       fact = fact,
-      dimDate = DimBuilder.dimDate(spark, txns),
+      dimDate = DimBuilder.dimDateFromBounds(spark,
+        statsRow.getAs[java.sql.Date]("min_date"),
+        statsRow.getAs[java.sql.Date]("max_date")),
       dimCountry = DimBuilder.dimCountry(countries),
       dimSport = DimBuilder.dimSport(assets),
       stats = stats)

@@ -60,7 +60,10 @@ object Transform {
       .na.fill(0, Seq("minutes_streamed", "completed"))
 
   /** Retention accounting (README.md:200-206) in ONE pass of conditional
-    * aggregates — no extra anti-join scans of the fact source. */
+    * aggregates — no extra anti-join scans of the fact source. The source
+    * date bounds ride along in the same pass so the dim_date spine needs no
+    * scan of its own (the reference re-scanned both sources for min/max,
+    * loadAnalyticsDB R:189-197). */
   def accounting(enriched: DataFrame): DataFrame =
     enriched.agg(
       count(lit(1)).as("read"),
@@ -70,7 +73,9 @@ object Transform {
       sum(when(col("sport").isNull, 1L).otherwise(0L)).as("missing_sport"),
       sum(when(col("event_date").isNull, 1L).otherwise(0L)).as("missing_date"),
       sum(when(col("country_id").isNotNull && col("sport").isNotNull &&
-        col("event_date").isNotNull, 1L).otherwise(0L)).as("valid"))
+        col("event_date").isNotNull, 1L).otherwise(0L)).as("valid"),
+      min(col("event_date")).as("min_date"),
+      max(col("event_date")).as("max_date"))
 
   /** A1+A2+P7: the daily-grain rollup with exact distinct users (declared
     * semantic, SURVEY §5.2) and the stored ratio-of-sums average; date
