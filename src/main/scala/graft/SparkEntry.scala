@@ -39,6 +39,7 @@ object SparkEntry {
     "q16_daily_tumbling" -> (Relational.q16DailyTumbling _),
     "q17_etl_star_rollup" -> (Relational.q17EtlStarRollup _),
     "q18_json_extract" -> (Relational.q18JsonExtract _),
+    "q19_sessionization" -> (Relational.q19Sessionization _),
     "t01_text_stats" -> (TrainingData.t01TextStats _),
     "t02_langid_confusion" -> (TrainingData.t02LangIdConfusion _),
     "t03_fingerprint" -> (TrainingData.t03Fingerprint _),
@@ -176,6 +177,22 @@ object SparkEntry {
         |  CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q19_sessionization" ->
+      """WITH x AS (SELECT user_id, value, epoch_ms(ts) AS ms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+        |  FROM events),
+        |y AS (SELECT user_id, value, ms,
+        |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new
+        |  FROM x),
+        |z AS (SELECT user_id, value, ms,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM y)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM z GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "t01_text_stats" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_tokens,

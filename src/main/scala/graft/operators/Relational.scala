@@ -304,4 +304,10 @@ object Relational {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
       .orderBy("event_type")
+
+  // ---------------------------------------------------------------- Q19 (sessions)
+  /** Gap-based sessionization of the events stream (30-minute inactivity
+    * gap) — see graft.streaming.Sessionize for the three forms. */
+  def q19Sessionization(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.batchSessions(Tables(spark, dir, "events"))
 }

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Gap-based sessionization of the events stream — the session-window
+  * operator a streaming warehouse needs beyond the reference's daily grain
+  * (the reference has nothing session-shaped; SURVEY §2.10).
+  *
+  * Three forms, one semantic:
+  *   - [[batchSessions]] — declarative: per-user lag/gap flag/running sum.
+  *     The window partitions by user, so work distributes by user key.
+  *   - [[typedSessions]] — the same via `groupByKey.flatMapGroups` (typed
+  *     KeyValueGroupedDataset path); demonstrates per-group imperative
+  *     logic when expression form gets awkward. Must equal batchSessions.
+  *   - [[statefulSessions]] — Structured Streaming `flatMapGroupsWithState`
+  *     keeping one open session per user across micro-batches; closed
+  *     sessions emit as soon as the closing event arrives.
+  */
+object Sessionize {
+
+  val DefaultGapMs: Long = 30L * 60 * 1000
+
+  /** Declarative sessionization. Output grain: (user_id, session_seq). */
+  def batchSessions(events: DataFrame, gapMs: Long = DefaultGapMs): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("is_new").over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"),
+        max(col("ms")).as("end_ms"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double")
+          .as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  final case class Event(user_id: Long, ms: Long, value: Double)
+  final case class Session(user_id: Long, session_seq: Long, n_events: Long,
+      start_ms: Long, end_ms: Long, total_value: Double)
+
+  /** Typed per-group sessionization; semantically identical to
+    * [[batchSessions]] (asserted in SessionizeSpec). Events per user are
+    * sorted in-memory — fine while per-user event counts are bounded;
+    * for unbounded users use the windowed form (external sort). */
+  def typedSessions(spark: SparkSession, events: DataFrame,
+      gapMs: Long = DefaultGapMs): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        sessionsOf(uid, it.toSeq.sortBy(_.ms), gapMs, firstSeq = 1L)
+      }
+  }
+
+  private def sessionsOf(uid: Long, sorted: Seq[Event], gapMs: Long,
+      firstSeq: Long): Iterator[Session] = {
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[Session]()
+      var seq = firstSeq
+      var start = sorted.head.ms
+      var last = sorted.head.ms
+      var n = 0L
+      var value = BigDecimal(0)
+      def close(): Unit = {
+        out += Session(uid, seq, n, start, last,
+          value.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        seq += 1
+      }
+      sorted.foreach { e =>
+        if (n > 0 && e.ms - last > gapMs) { close(); start = e.ms; n = 0; value = 0 }
+        n += 1
+        value += BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        last = e.ms
+      }
+      close()
+      out.iterator
+    }
+  }
+
+  final case class OpenSession(session_seq: Long, start_ms: Long, last_ms: Long,
+      n: Long, value: Double)
+
+  /** Streaming form: one open session per user lives in the state store;
+    * arriving events either extend it or close it (emitting the closed
+    * session) and open the next. The final open session per user emits only
+    * on state timeout — on a closed test input it stays in state, which is
+    * the honest streaming semantic (the stream never "ends"). */
+  def statefulSessions(spark: SparkSession, events: DataFrame,
+      gapMs: Long = DefaultGapMs): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = it.toSeq.sortBy(_.ms)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val open = state.getOption
+            var seq = open.map(_.session_seq).getOrElse(1L)
+            var start = open.map(_.start_ms).getOrElse(sorted.head.ms)
+            var last = open.map(_.last_ms).getOrElse(Long.MinValue)
+            var n = open.map(_.n).getOrElse(0L)
+            var value = BigDecimal(open.map(_.value).getOrElse(0.0))
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            sorted.foreach { e =>
+              if (n > 0 && e.ms - last > gapMs) {
+                out += Session(uid, seq, n, start, last,
+                  value.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                seq += 1; start = e.ms; n = 0; value = 0
+              }
+              if (n == 0) start = e.ms
+              n += 1
+              value += BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              last = e.ms
+            }
+            state.update(OpenSession(seq, start, last, n, value.toDouble))
+            out.iterator
+          }
+      }
+  }
+}
