@@ -48,6 +48,7 @@ object SparkEntry {
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
     "d04_simhash" -> (TrainingData.d04Simhash _),
     "d05_cosine_near_dup" -> (TrainingData.d05CosineNearDup _),
+    "d06_winnowing" -> (TrainingData.d06Winnowing _),
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _)

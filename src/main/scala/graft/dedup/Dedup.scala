@@ -75,6 +75,34 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  // ------------------------------------------------------------ winnowing
+  /** Near-duplicate pairs by shared winnowing fingerprints: the same
+    * inverted-index join shape as [[ngramJaccardPairs]] but over the ~1/w
+    * compressed fingerprint sets — the storage/IO-efficient exact-substring
+    * evidence path. Output: pairs with ≥ `minShared` common fingerprints
+    * and the Jaccard over fingerprint sets. */
+  def winnowingNearDuplicates(docs: DataFrame, minJaccard: Double = 0.2,
+      textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      explode(graft.text.TextAnalysis.winnowingFingerprints(col(textCol), k, w))
+        .as("fp"))
+      .distinct()
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = fp.as("a")
+      .join(fp.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / (col("s1.sz") + col("s2.sz") - col("c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ------------------------------------------------------------ MinHash + LSH
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min over the document's shingles — computed as `numHashes` min-aggs in

@@ -61,6 +61,12 @@ object TrainingData {
     Dedup.simhashNearDuplicates(Tables(spark, dir, "documents"), maxHamming = 6)
       .orderBy("d1", "d2")
 
+  /** Winnowing rolling-hash near-duplicates (no SQL oracle: xxhash64 has
+    * no DuckDB equivalent; validated against fixtures in DedupSpec). */
+  def d06Winnowing(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingNearDuplicates(Tables(spark, dir, "documents"), minJaccard = 0.2)
+      .orderBy("d1", "d2")
+
   /** Embedding-cosine near-duplicate pairs. */
   def d05CosineNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDuplicates(Tables(spark, dir, "embeddings"), threshold = 0.4)

@@ -57,6 +57,15 @@ class DedupSpec extends SparkTestBase {
     assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
   }
 
+  test("winnowing: copies share all fingerprints, near-dups most, distinct none") {
+    val pairs = Dedup.winnowingNearDuplicates(docs, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) == 1.0) // normalization: case + whitespace
+    assert(pairs((0L, 3L)) > 0.5 && pairs((0L, 3L)) < 1.0)
+    assert(!pairs.contains((0L, 4L)))
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
     val sigs = Dedup.simhash64(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
