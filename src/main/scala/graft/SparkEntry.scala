@@ -51,7 +51,8 @@ object SparkEntry {
     "d06_winnowing" -> (TrainingData.d06Winnowing _),
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
-    "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _)
+    "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
+    "s04_ivf_ann_topk" -> (TrainingData.s04IvfAnnTopK _)
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

@@ -14,11 +14,14 @@ import graft.text.TextAnalysis
   *     self-join on shingles: no O(n²) pair enumeration; cost is bounded by
   *     shingle-bucket sizes (posting lists), the classic scalable form.
   *   - [[minhashSignatures]]/[[minhashNearDuplicates]] — MinHash + LSH
-  *     banding: candidates meet only when a band collides, so the join is
-  *     equi-join-shaped and survives arbitrarily large corpora where even
-  *     posting lists blow up.
-  *   - [[simhash64]]/[[simhashNearDuplicates]] — 64-bit SimHash with
-  *     banded hamming search for near-identical text.
+  *     banding (Broder's resemblance sketches, 1997): candidates meet only
+  *     when a band collides, so the join is equi-join-shaped and survives
+  *     arbitrarily large corpora where even posting lists blow up.
+  *   - [[simhash64]]/[[simhashNearDuplicates]] — 64-bit SimHash (Charikar
+  *     2002) with banded hamming search for near-identical text.
+  *   - [[winnowingNearDuplicates]] — winnowing fingerprints (Schleimer,
+  *     Wilkerson & Aiken 2003) for shared-substring evidence at ~1/w the
+  *     storage of full shingling.
   *
   * Everything is expression-level Spark (explode / groupBy / equi-join);
   * no driver-side loops, no UDFs.

@@ -77,6 +77,32 @@ object Transform {
       min(col("event_date")).as("min_date"),
       max(col("event_date")).as("max_date"))
 
+  /** [[rollup]] variant with HLL++ approximate distinct users — the
+    * documented upgrade path (SURVEY §2.11) when exact distinct's shuffle
+    * of raw user ids is too expensive, and the only mergeable form for
+    * pure streaming aggregation. `rsd` is the relative standard deviation
+    * (default 5%, ~1.5 KB of sketch per grain row). */
+  def rollupApprox(valid: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val grain = valid
+      .groupBy(col("event_date"), col("country_id"), col("sport").as("sport_name"))
+      .agg(
+        count(lit(1)).as("transaction_count"),
+        approx_count_distinct(col("user_id"), rsd).as("unique_user_count"),
+        sum(col("minutes_streamed").cast("long")).as("total_minutes_streamed"),
+        sum(col("completed").cast("long")).as("completed_streams"))
+      .withColumn("avg_minutes_per_stream",
+        when(col("transaction_count") > 0,
+          round(col("total_minutes_streamed").cast("double") /
+            col("transaction_count"), 2)).otherwise(0.0))
+    DateParts.withDateParts(grain, col("event_date"))
+      .select(
+        col("date_id"), col("country_id"), col("sport_name"),
+        col("transaction_count"), col("unique_user_count"),
+        col("total_minutes_streamed"), col("completed_streams"),
+        col("avg_minutes_per_stream"),
+        col("year"), col("quarter"), col("month"), col("week"))
+  }
+
   /** A1+A2+P7: the daily-grain rollup with exact distinct users (declared
     * semantic, SURVEY §5.2) and the stored ratio-of-sums average; date
     * parts denormalized into the fact (createStarSchema R:144-147). */

@@ -89,4 +89,11 @@ object TrainingData {
     Similarity.srpBucketTopK(Tables(spark, dir, "embeddings"),
       col("vec_id") < 5, k = 5)
       .orderBy("qid", "rank")
+
+  /** IVF ANN top-5 (no SQL oracle: KMeans cells have no DuckDB analog;
+    * exactness at full probe + structure verified in SimilaritySpec). */
+  def s04IvfAnnTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables(spark, dir, "embeddings"),
+      col("vec_id") < 5, k = 5)
+      .orderBy("qid", "rank")
 }

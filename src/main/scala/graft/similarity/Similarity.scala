@@ -90,6 +90,59 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: KMeans partitions the corpus into `nlist`
+    * Voronoi cells; each query probes only its `nprobe` nearest cells, so
+    * per-query scan cost drops from |corpus| to nprobe/nlist of it. The
+    * other classic scale path next to SRP-LSH — better recall on clustered
+    * data, needs a (cheap, sampled) training pass. With nprobe == nlist it
+    * probes everything and MUST equal brute force exactly (asserted in
+    * SimilaritySpec). Deterministic via fixed KMeans seed. */
+  def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val spark = emb.sparkSession
+    val featured = emb.withColumn("features",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(featured)
+    val assigned = model.transform(featured)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+
+    // nprobe nearest cells per query by euclidean distance (KMeans' metric):
+    // ||q-c||² = q·q + c·c - 2 q·c, all via the codegen'd dot
+    val q = assigned.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val wCells = Window.partitionBy("qid").orderBy(asc("d2"), asc("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("d2",
+        dot(col("qv"), col("qv")) + dot(col("centroid"), col("centroid"))
+          - lit(2.0) * dot(col("qv"), col("centroid")))
+      .withColumn("cr", row_number().over(wCells))
+      .filter(col("cr") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+
+    val cand = assigned
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cell"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
+      .join(broadcast(probed), "cell")
+      .filter(col("qid") =!= col("nid"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    cand
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold (brute-force
     * form; at scale, gate by SRP bucket first — same verify expression).
     * Norms precomputed per row; the theta-join evaluates only the codegen'd

@@ -112,6 +112,25 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(norm.collect().map(_.getAs[Int]("completed")).toSet == Set(0, 1))
   }
 
+  test("approx rollup matches exact on all additive measures, distinct within rsd") {
+    val enriched = Transform.enrich(txns,
+      Transform.userCountry(subscribers, postal2city, cities),
+      Transform.assetSport(assets))
+    val valid = Transform.qualityGate(enriched)
+    val exact = Transform.rollup(valid)
+      .orderBy("date_id", "country_id", "sport_name").collect()
+    val approx = Transform.rollupApprox(valid)
+      .orderBy("date_id", "country_id", "sport_name").collect()
+    assert(exact.length == approx.length)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getAs[Long]("transaction_count") == a.getAs[Long]("transaction_count"))
+      assert(e.getAs[Long]("total_minutes_streamed") == a.getAs[Long]("total_minutes_streamed"))
+      val exactU = e.getAs[Long]("unique_user_count").toDouble
+      val approxU = a.getAs[Long]("unique_user_count").toDouble
+      assert(math.abs(approxU - exactU) <= math.max(1.0, exactU * 0.2))
+    }
+  }
+
   test("union of two sources aggregates identically to a single source (U1)") {
     val firstHalf = txns.filter(org.apache.spark.sql.functions.col("transaction_id") <= 6)
     val secondHalf = txns.filter(org.apache.spark.sql.functions.col("transaction_id") > 6)

@@ -49,6 +49,31 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF with full probe equals brute force exactly") {
+    val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    val full = Similarity.ivfTopK(emb, col("vec_id") < 5, k = 5,
+      nlist = 8, nprobe = 8)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(full == bf)
+  }
+
+  test("IVF with partial probe returns correctly-scored ranked candidates") {
+    val bfAll = Similarity.cosinePairs(emb, col("vec_id") < 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) ->
+        r.getAs[Double]("cos")).toMap
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 5, k = 5,
+      nlist = 8, nprobe = 2).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      assert(math.abs(bfAll(key) - r.getAs[Double]("cos")) < 1e-4)
+    }
+    ivf.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("near-duplicate pairs are symmetric-free and above threshold") {
     val nd = Similarity.cosineNearDuplicates(emb, threshold = 0.4).collect()
     assert(nd.forall(r => r.getAs[Long]("d1") < r.getAs[Long]("d2")))
