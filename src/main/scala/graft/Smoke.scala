@@ -17,10 +17,15 @@ object Smoke {
       sys.exit(1)
     }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val rows = fn(spark, sfDir).count()
-      println(f"SMOKE $name%-28s rows=$rows")
-    }
+    val only = args.lift(1) // optional substring filter
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(n.contains) }
+      .foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val rows = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"SMOKE $name%-28s rows=$rows%-8d sec=$sec%.1f")
+      }
     spark.stop()
   }
 }

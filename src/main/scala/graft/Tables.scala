@@ -13,6 +13,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Register every testdata table as a temp view so the SQL surface
+    * (`spark.sql("SELECT ... FROM lineitem ...")`) mirrors the reference's
+    * SQL-first style — the same names the DuckDB oracle uses. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized

@@ -82,14 +82,25 @@ object Dedup {
   /** Near-duplicate pairs by shared winnowing fingerprints: the same
     * inverted-index join shape as [[ngramJaccardPairs]] but over the ~1/w
     * compressed fingerprint sets — the storage/IO-efficient exact-substring
-    * evidence path. Output: pairs with ≥ `minShared` common fingerprints
-    * and the Jaccard over fingerprint sets. */
+    * evidence path.
+    *
+    * `maxDf` caps posting-list length: a fingerprint present in more than
+    * `maxDf` documents is corpus boilerplate, contributes ~zero Jaccard
+    * evidence, and would make the self-join quadratic in its list length
+    * (the classic hot-key blowup — on shared-vocabulary corpora a single
+    * common substring can pair half the corpus). Jaccard is computed over
+    * the capped sets, consistently on both sides of the ratio. */
   def winnowingNearDuplicates(docs: DataFrame, minJaccard: Double = 0.2,
-      textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame = {
-    val fp = docs.select(col("doc_id"),
-      explode(graft.text.TextAnalysis.winnowingFingerprints(col(textCol), k, w))
-        .as("fp"))
+      textCol: String = "text", k: Int = 8, w: Int = 4,
+      maxDf: Int = 20): DataFrame = {
+    val fpAll = docs
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.winnowingFingerprints(col(textCol), k, w))
+          .as("fp"))
       .distinct()
+    val rare = fpAll.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val fp = fpAll.join(rare, "fp")
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = fp.as("a")
       .join(fp.as("b"), col("a.fp") === col("b.fp") &&

@@ -50,26 +50,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
-  /** Winnowing document fingerprints (rolling-hash family): hash every
-    * character k-gram of the normalized text, then keep the minimum hash of
-    * each sliding window of `w` consecutive k-gram hashes. Guarantees any
-    * shared substring of length ≥ k+w-1 yields a shared fingerprint, so
-    * near-duplicates overlap heavily while storage is ~1/w of all k-grams.
-    * Pure array expressions — no UDF, fully distributed. */
-  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    // NB: sequence(1, n) counts DOWN when n < 1 — guard short inputs
-    val norm = lower(trim(regexp_replace(text, "\\s+", " ")))
-    val emptyLongs = array().cast("array<bigint>")
-    val grams = when(length(norm) >= k,
-      transform(sequence(lit(1), length(norm) - (k - 1)),
-        i => xxhash64(norm.substr(i, lit(k)))))
-      .otherwise(emptyLongs)
-    val wins = when(size(grams) >= w,
-      transform(sequence(lit(1), size(grams) - (w - 1)),
-        j => array_min(slice(grams, j, lit(w)))))
-      .otherwise(emptyLongs)
-    array_distinct(wins)
-  }
+  /** Winnowing document fingerprints (rolling-hash family, Schleimer et al.
+    * 2003): any shared substring of length ≥ k+w-1 yields a shared
+    * fingerprint, at ~1/w the storage of full k-gram shingling. Backed by
+    * the custom rolling-hash expression in graft.plans — an array-
+    * expression formulation re-evaluates the gram array per window after
+    * CollapseProject and goes O(n²) per document. */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.plans.WinnowingExpression.winnowingFingerprints(text, k, w)
 
   /** Language ID by stopword/script evidence. Scores are per-language
     * match counts; prediction is the argmax with alphabetical tie-break,

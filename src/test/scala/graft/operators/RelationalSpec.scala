@@ -43,6 +43,18 @@ class RelationalSpec extends SparkTestBase {
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("SQL surface: registered views answer the oracle's own SQL shape") {
+    graft.Tables.registerAll(spark, dir)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val viaDf = Relational.q02AggRollup(spark, dir)
+      .select("l_returnflag", "l_linestatus", "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaSql == viaDf)
+  }
+
   test("q17 flagship grain is unique and conserves transactions") {
     val f = Relational.q17EtlStarRollup(spark, dir)
     val dupes = f.groupBy("d", "n_name", "bucket").count()
