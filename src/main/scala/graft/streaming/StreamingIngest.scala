@@ -40,14 +40,19 @@ object StreamingIngest {
       val enriched = Transform.enrich(batch, userCountryMap, assetSportMap)
       val valid = Transform.qualityGate(enriched)
         .withColumn("year", year(col("event_date")))
-      valid.write.mode(SaveMode.Append).partitionBy("year").parquet(stagingDir)
+      // one directory per micro-batch, overwritten on write: a replayed
+      // batch (foreachBatch redelivers after a crash) lands in the same
+      // directory instead of double-appending — idempotent merge
+      valid.write.mode(SaveMode.Overwrite).partitionBy("year")
+        .parquet(s"$stagingDir/batch=$batchId")
 
       // affected years: tiny driver-side list (one entry per calendar year)
       val years = valid.select("year").distinct().collect().map(_.getInt(0))
       if (years.nonEmpty) {
-        val raw = spark.read.parquet(stagingDir)
+        val raw = spark.read
+          .option("basePath", stagingDir).parquet(stagingDir)
           .filter(col("year").isin(years.map(Integer.valueOf): _*))
-          .drop("year")
+          .drop("year", "batch")
         StarStore.mergeFactPartitions(Transform.rollup(raw), storeDir)
       }
     }

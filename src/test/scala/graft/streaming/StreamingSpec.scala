@@ -88,6 +88,21 @@ class StreamingSpec extends SparkTestBase {
     assert(row.getAs[Long]("unique_user_count") == 1) // u1 twice — exact, not additive
   }
 
+  test("replaying a micro-batch does not double-count (idempotent merge)") {
+    val storeDir = Files.createTempDirectory("graft_store3").toString
+    val merger = new StreamingIngest.FactMerger(spark, storeDir,
+      graft.etl.Transform.userCountry(subscribers, postal2city, cities),
+      graft.etl.Transform.assetSport(assets))
+    val b0 = df(Schemas.streamingTxns, batches.head: _*)
+    merger.mergeBatch(b0, batchId = 0L)
+    val once = StarStore.readFact(spark, storeDir)
+      .orderBy("date_id", "country_id", "sport_name").collect().toSeq
+    merger.mergeBatch(b0, batchId = 0L) // crash-replay of the same batch
+    val twice = StarStore.readFact(spark, storeDir)
+      .orderBy("date_id", "country_id", "sport_name").collect().toSeq
+    assert(once == twice)
+  }
+
   test("tumbling daily window on a stream equals the batch rollup (Q16)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val eventsDir = sf("sf0.001")
