@@ -17,16 +17,9 @@ import graft.etl.{Pipeline, StarStore}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // same factory as the engine itself — bench numbers must reflect the
+    // configuration users run (config drift here made them unrepresentative)
+    val spark = Engine.session("graft-bench")
 
     def materialize(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()

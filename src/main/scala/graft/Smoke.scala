@@ -9,6 +9,7 @@ object Smoke {
     val spark = Engine.session("graft-smoke")
     val n = SparkEntry.entry(spark).count()
     println(s"SMOKE entry rows=$n " + (if (n > 0) "OK" else "FAIL"))
+    if (n == 0) sys.exit(1) // the gate must gate
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val danglingOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     println(s"SMOKE queries=${SparkEntry.queries.size} rowsOnly=${noOracle.toSeq.sorted.mkString(",")}")

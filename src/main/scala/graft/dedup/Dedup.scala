@@ -188,15 +188,19 @@ object Dedup {
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicates: candidates share at least one of four 16-bit
-    * chunks (guaranteeing recall for hamming distance ≤ 3), verified by
-    * exact hamming distance. */
+  /** SimHash near-duplicates: the signature splits into `maxHamming + 1`
+    * chunks, so by pigeonhole any pair within the distance bound shares at
+    * least one untouched chunk (full recall guarantee), then candidates
+    * are verified by exact hamming distance. */
   def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text"): DataFrame = {
     val sigs = simhash64(docs, textCol)
+    val nChunks = maxHamming + 1
+    val width = (64 + nChunks - 1) / nChunks
     val chunks = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until nChunks).map(i =>
+        shiftright(col("simhash"), i * width)
+          .bitwiseAND((1L << math.min(width, 64 - i * width)) - 1)): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "ck")
     chunks.as("a")

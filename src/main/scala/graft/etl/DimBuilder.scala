@@ -44,10 +44,23 @@ object DimBuilder {
     * name order (SURVEY §7 risk register). The unpartitioned window is safe:
     * sport cardinality is tiny by construction. */
   def dimSport(assets: DataFrame): DataFrame =
-    assets
+    sportIds(assets
+      .filter(col("sport").isNotNull && col("sport") =!= "")
+      .select(col("sport").as("sport_name")))
+
+  /** dim_sport covering BOTH the assets master and the sports that reached
+    * the fact via prefix inference — without the inferred names, fact rows
+    * whose sport exists only by inference would have no dimension row
+    * (referential-integrity hole; the reference had this bug too, masked
+    * by its inferred sports happening to exist in the master). */
+  def dimSport(assets: DataFrame, fact: DataFrame): DataFrame =
+    sportIds(assets
       .filter(col("sport").isNotNull && col("sport") =!= "")
       .select(col("sport").as("sport_name"))
-      .distinct()
+      .unionByName(fact.select(col("sport_name"))))
+
+  private def sportIds(names: DataFrame): DataFrame =
+    names.distinct()
       .withColumn("sport_id", row_number().over(Window.orderBy("sport_name")))
       .select("sport_id", "sport_name")
 }

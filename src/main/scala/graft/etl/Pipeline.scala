@@ -67,7 +67,7 @@ object Pipeline {
         statsRow.getAs[java.sql.Date]("min_date"),
         statsRow.getAs[java.sql.Date]("max_date")),
       dimCountry = DimBuilder.dimCountry(countries),
-      dimSport = DimBuilder.dimSport(assets),
+      dimSport = DimBuilder.dimSport(assets, fact),
       stats = stats)
   }
 }

@@ -22,15 +22,20 @@ import graft.functions.{DateParts, SportInference}
 object Transform {
 
   /** J1: the 3-table user→country mapping chain
-    * (subscribers ⋈ postal2city ⋈ cities, R:252-260). */
+    * (subscribers ⋈ postal2city ⋈ cities, R:252-260). Exactly ONE country
+    * per user: a subscriber with postal codes in two countries would
+    * otherwise fan out every transaction join downstream, inflating all
+    * measures. The reference's R named-vector map silently kept whichever
+    * entry lookup hit first (order-dependent); we pin the deterministic
+    * minimum country_id. */
   def userCountry(subscribers: DataFrame, postal2city: DataFrame,
       cities: DataFrame): DataFrame =
     subscribers
       .join(postal2city, Seq("postal_code"))
       .join(cities, Seq("city_id"))
-      .select(col("user_id"), col("country_id"))
       .filter(col("user_id").isNotNull && col("country_id").isNotNull)
-      .distinct()
+      .groupBy(col("user_id"))
+      .agg(min(col("country_id")).as("country_id"))
 
   /** Asset→sport master, dropping NULL/empty sports (P2, R:175-176). */
   def assetSport(assets: DataFrame): DataFrame =
@@ -38,15 +43,18 @@ object Transform {
       .filter(col("sport").isNotNull && col("sport") =!= "")
       .select(col("asset_id"), col("sport").as("sport_master"))
 
-  /** J2/J3/F4: broadcast enrichment + inference fallback. Emits the raw
+  /** J2/J3/F4: lookup enrichment + inference fallback. Emits the raw
     * columns plus `country_id`, `sport_master`, `sport` (master coalesced
     * with the prefix inference) and parsed `event_date` — drop/keep
-    * decisions are NOT applied here so accounting can see every row. */
+    * decisions are NOT applied here so accounting can see every row.
+    * No broadcast hint: a hint is never demoted, and the user→country map
+    * scales with the subscriber base; AQE converts the join to broadcast
+    * at runtime whenever the built side turns out small. */
   def enrich(txns: DataFrame, userCountryMap: DataFrame,
       assetSportMap: DataFrame): DataFrame =
     txns
-      .join(broadcast(userCountryMap), Seq("user_id"), "left")
-      .join(broadcast(assetSportMap), Seq("asset_id"), "left")
+      .join(userCountryMap, Seq("user_id"), "left")
+      .join(assetSportMap, Seq("asset_id"), "left")
       .withColumn("sport",
         coalesce(col("sport_master"), SportInference.inferSport(col("asset_id"))))
       .withColumn("event_date", to_date(col("streaming_date")))

@@ -13,7 +13,9 @@ object Validate {
   /** Source-vs-fact conservation (R:691-721), exact rather than the
     * reference's `< 100` tolerance: every valid input row is counted once. */
   def conservation(fact: DataFrame, expectedValidRows: Long): Unit = {
-    val loaded = fact.agg(sum("transaction_count")).head.getLong(0)
+    // coalesce: sum() is NULL on an empty fact, which must compare as 0
+    val loaded = fact.agg(coalesce(sum("transaction_count"), lit(0L)))
+      .head.getLong(0)
     if (loaded != expectedValidRows)
       throw ValidationError(
         s"conservation: fact holds $loaded transactions, expected $expectedValidRows")

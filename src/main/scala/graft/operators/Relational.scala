@@ -27,6 +27,13 @@ object Relational {
   /** Round an exact decimal aggregate to 2 dp and emit as DOUBLE. */
   private def money(c: Column): Column = round(c, 2).cast("double")
 
+  /** Shared p_name classification cascade (q10 + q17 must stay in lockstep
+    * with each other and both DuckDB oracles). */
+  private def pnameBucket(c: Column): Column =
+    when(c.like("a%") || c.like("b%"), "AB")
+      .when(c.like("c%"), "C")
+      .otherwise("OTHER")
+
   // ---------------------------------------------------------------- Q1 [S1,P1,P2]
   /** Scan + projection + predicate; filter and 3-column projection reach the
     * parquet reader (PushedFilters / ReadSchema). */
@@ -164,11 +171,7 @@ object Relational {
     * R:272-285) as a native when/like expression — fully codegen'd, no UDF. */
   def q10PrefixBucket(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "part")
-      .withColumn(
-        "bucket",
-        when(col("p_name").like("a%") || col("p_name").like("b%"), "AB")
-          .when(col("p_name").like("c%"), "C")
-          .otherwise("OTHER"))
+      .withColumn("bucket", pnameBucket(col("p_name")))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
@@ -270,11 +273,7 @@ object Relational {
     val c = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
     val n = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
     val p = Tables(spark, dir, "part")
-      .select(
-        col("p_partkey"),
-        when(col("p_name").like("a%") || col("p_name").like("b%"), "AB")
-          .when(col("p_name").like("c%"), "C")
-          .otherwise("OTHER").as("bucket"))
+      .select(col("p_partkey"), pnameBucket(col("p_name")).as("bucket"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))

@@ -91,8 +91,12 @@ object Sessionize {
     }
   }
 
+  /** Open-session state. `value4` is the running total in scale-4 fixed
+    * point (ten-thousandths) — storing a Double here would lose the exact
+    * decimal accumulation the batch/typed forms use and could round a
+    * cross-batch session's total differently at a half-cent boundary. */
   final case class OpenSession(session_seq: Long, start_ms: Long, last_ms: Long,
-      n: Long, value: Double)
+      n: Long, value4: Long)
 
   /** Streaming form: one open session per user lives in the state store;
     * arriving events either extend it or close it (emitting the closed
@@ -117,20 +121,23 @@ object Sessionize {
             var start = open.map(_.start_ms).getOrElse(sorted.head.ms)
             var last = open.map(_.last_ms).getOrElse(Long.MinValue)
             var n = open.map(_.n).getOrElse(0L)
-            var value = BigDecimal(open.map(_.value).getOrElse(0.0))
+            var value4 = open.map(_.value4).getOrElse(0L)
+            def total: Double =
+              BigDecimal(value4, 4).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
             val out = scala.collection.mutable.ArrayBuffer[Session]()
             sorted.foreach { e =>
               if (n > 0 && e.ms - last > gapMs) {
-                out += Session(uid, seq, n, start, last,
-                  value.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
-                seq += 1; start = e.ms; n = 0; value = 0
+                out += Session(uid, seq, n, start, last, total)
+                seq += 1; start = e.ms; n = 0; value4 = 0
               }
               if (n == 0) start = e.ms
               n += 1
-              value += BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              value4 += BigDecimal(e.value)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).underlying
+                .unscaledValue.longValueExact
               last = e.ms
             }
-            state.update(OpenSession(seq, start, last, n, value.toDouble))
+            state.update(OpenSession(seq, start, last, n, value4))
             out.iterator
           }
       }

@@ -43,11 +43,17 @@ object StreamingIngest {
       // one directory per micro-batch, overwritten on write: a replayed
       // batch (foreachBatch redelivers after a crash) lands in the same
       // directory instead of double-appending — idempotent merge
-      valid.write.mode(SaveMode.Overwrite).partitionBy("year")
-        .parquet(s"$stagingDir/batch=$batchId")
+      val batchDir = s"$stagingDir/batch=$batchId"
+      valid.write.mode(SaveMode.Overwrite).partitionBy("year").parquet(batchDir)
 
-      // affected years: tiny driver-side list (one entry per calendar year)
-      val years = valid.select("year").distinct().collect().map(_.getInt(0))
+      // affected years: read the year= partition directories just written —
+      // re-deriving them from `valid` would run the whole enrichment twice
+      val fs = new org.apache.hadoop.fs.Path(batchDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val years = fs.listStatus(new org.apache.hadoop.fs.Path(batchDir))
+        .map(_.getPath.getName)
+        .filter(_.startsWith("year="))
+        .map(_.stripPrefix("year=").toInt)
       if (years.nonEmpty) {
         val raw = spark.read
           .option("basePath", stagingDir).parquet(stagingDir)

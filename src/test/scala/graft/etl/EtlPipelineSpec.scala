@@ -86,13 +86,23 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(dates.last.getAs[java.sql.Date]("full_date").toString == "2022-01-03")
   }
 
-  test("dim_sport ids are deterministic by name order; dim_country verbatim") {
+  test("dim_sport covers master AND inferred sports, ids by name order") {
     val sports = result.dimSport.orderBy("sport_id").collect()
       .map(r => (r.getInt(0), r.getString(1)))
-    assert(sports.toSeq == Seq((1, "Curling"), (2, "Ice Hockey"), (3, "Ski Jumping")))
+    // Inline Hockey exists only via prefix inference (row 5) — it must
+    // still get a dimension row or the fact has a referential hole
+    assert(sports.toSeq == Seq((1, "Curling"), (2, "Ice Hockey"),
+      (3, "Inline Hockey"), (4, "Ski Jumping")))
     assert(result.dimCountry.count() == 4)
     val names = result.dimCountry.collect().map(_.getAs[String]("country_name")).toSet
     assert(names.contains("Cote d'Azur")) // apostrophe survives (no SQL escaping layer)
+  }
+
+  test("a user with postal codes in two countries maps to exactly one country") {
+    val subs2 = df(Schemas.subscribers, Row("u1", "P1"), Row("u1", "P3"))
+    val map = Transform.userCountry(subs2, postal2city, cities).collect()
+    assert(map.length == 1)
+    assert(map.head.getAs[Int]("country_id") == 1) // min(1, 3) — deterministic
   }
 
   test("validation suite passes and is fatal on violation") {
