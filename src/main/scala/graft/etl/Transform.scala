@@ -47,17 +47,26 @@ object Transform {
     * columns plus `country_id`, `sport_master`, `sport` (master coalesced
     * with the prefix inference) and parsed `event_date` — drop/keep
     * decisions are NOT applied here so accounting can see every row.
-    * No broadcast hint: a hint is never demoted, and the user→country map
-    * scales with the subscriber base; AQE converts the join to broadcast
-    * at runtime whenever the built side turns out small. */
+    *
+    * `broadcastMaps` (default true) hints both lookup joins: the maps are
+    * bounded dimension lookups by design (the reference held them in
+    * driver memory), and without the hint the big-side shuffles double the
+    * ETL wall-clock. Pass false when the subscriber base outgrows executor
+    * memory — a hint is never demoted, so at that scale the caller must
+    * say so, and AQE will still promote small sides back to broadcast at
+    * runtime. */
   def enrich(txns: DataFrame, userCountryMap: DataFrame,
-      assetSportMap: DataFrame): DataFrame =
+      assetSportMap: DataFrame, broadcastMaps: Boolean = true): DataFrame = {
+    val (uc, as) =
+      if (broadcastMaps) (broadcast(userCountryMap), broadcast(assetSportMap))
+      else (userCountryMap, assetSportMap)
     txns
-      .join(userCountryMap, Seq("user_id"), "left")
-      .join(assetSportMap, Seq("asset_id"), "left")
+      .join(uc, Seq("user_id"), "left")
+      .join(as, Seq("asset_id"), "left")
       .withColumn("sport",
         coalesce(col("sport_master"), SportInference.inferSport(col("asset_id"))))
       .withColumn("event_date", to_date(col("streaming_date")))
+  }
 
   /** P3: the referential-integrity gate — keep rows whose country, sport
     * and date all resolved; P4: null→0 fill on the measures. */
