@@ -80,7 +80,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout (fork passes it through un-prefixed) AND a file — round 1's
+    // line went through sbt's [info] logger and the driver recorded
+    // parsed:null; the file is the unambiguous channel.
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -236,10 +236,12 @@ object SparkEntry {
     "d02_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+        |sh0 AS (SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
         |  FROM toks WHERE len(t) >= 3),
+        |rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= 1000),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

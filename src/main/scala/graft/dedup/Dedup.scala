@@ -56,12 +56,22 @@ object Dedup {
   /** Exact Jaccard over shingle sets for every pair sharing ≥1 shingle.
     * The self-join on `shingle` is an inverted index: a pair is generated
     * once per common shingle and collapsed by the groupBy, so disjoint
-    * documents never meet. At very large scale, cap posting-list length by
-    * dropping shingles with document frequency above a threshold before
-    * calling this (they contribute near-zero Jaccard evidence anyway). */
+    * documents never meet.
+    *
+    * `maxDf` caps posting-list length (same rationale as
+    * [[winnowingNearDuplicates]]): a shingle present in more than `maxDf`
+    * documents is corpus boilerplate, contributes near-zero Jaccard
+    * evidence, and makes the self-join quadratic in its list length — one
+    * boilerplate header shared by 1% of a 10^9-doc corpus would otherwise
+    * emit 10^13 pairs on its own. Sizes are computed over the capped sets,
+    * consistently on both sides of the ratio. The default is far above any
+    * fixture's max df (25 at sf0.1), so small-corpus results are exact. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      textCol: String = "text", n: Int = 3): DataFrame = {
-    val sh = shingles(docs, textCol, n)
+      textCol: String = "text", n: Int = 3, maxDf: Int = 1000): DataFrame = {
+    val shAll = shingles(docs, textCol, n)
+    val rare = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val sh = shAll.join(rare, "shingle")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -134,35 +144,62 @@ object Dedup {
 
   /** LSH banding: split the signature into `bands` bands of r rows; two
     * documents are candidates iff some band hashes equal. Equi-join shaped:
-    * scales to corpora where pairwise comparison is impossible. */
-  def lshCandidates(sigs: DataFrame, bands: Int = 16, numHashes: Int = 64): DataFrame = {
+    * scales to corpora where pairwise comparison is impossible.
+    *
+    * The join and the dedup `.distinct()` carry ONLY `(d1, d2)` — round 1
+    * carried both 64-element signature arrays through them, shuffling ~1 KB
+    * per candidate for a key that is two longs; callers re-attach
+    * signatures with two cheap equi-joins afterwards.
+    *
+    * `maxBucket` drops band-buckets holding more than that many documents:
+    * one hot band value (boilerplate-heavy corpora, mass-duplicated
+    * templates) otherwise goes quadratic in its bucket size — the same
+    * blowup [[winnowingNearDuplicates]] caps with `maxDf`. Run
+    * [[exactGroups]] dedup FIRST so identical documents (which collide in
+    * EVERY band by construction) never form giant buckets; the default cap
+    * is far above any fixture bucket, so small-corpus results are exact. */
+  def lshCandidates(sigs: DataFrame, bands: Int = 16, numHashes: Int = 64,
+      maxBucket: Int = 5000): DataFrame = {
     val r = numHashes / bands
     val buckets = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         hash(slice(col("sig"), b * lit(r) + 1, lit(r)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    buckets.as("a")
-      .join(buckets.as("b"),
+    val cool = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select("band", "bucket")
+    val kept = buckets.join(cool, Seq("band", "bucket"))
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
   }
 
   /** MinHash near-duplicates: LSH candidates filtered by the signature
-    * Jaccard estimate (fraction of agreeing positions). */
+    * Jaccard estimate (fraction of agreeing positions). Signatures are
+    * computed once and persisted for the run — they feed candidate
+    * generation AND both sides of the estimate re-join, and recomputing
+    * the shingle aggregation three times dominates everything else (at
+    * warehouse scale you would materialize the signature table instead;
+    * MEMORY_AND_DISK is the single-job analog). */
   def minhashNearDuplicates(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 32): DataFrame = {
     // bands=32 (r=2): collision prob at J=0.5 is 1-(1-0.25)^32 ≈ 1.0, at
     // J=0.2 ≈ 0.73 — recall-biased; the estimate filter prunes false hits.
+    val sigs = minhashSignatures(docs, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val est = aggregate(
       zip_with(col("sig1"), col("sig2"), (a, b) =>
         when(a === b, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / numHashes
-    lshCandidates(minhashSignatures(docs, numHashes), bands, numHashes)
+    lshCandidates(sigs, bands, numHashes)
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .select(col("d1"), col("d2"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }

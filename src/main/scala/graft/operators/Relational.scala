@@ -266,7 +266,10 @@ object Relational {
     * cascade as inference fallback), rolled up to a daily
     * (date, country, bucket) grain with exact distinct users and the stored
     * ratio-of-sums average (loadAnalyticsDB R:369-381, 610-618).
-    * orders/customer co-shuffle on their keys; nation/part-bucket broadcast. */
+    * orders/customer co-shuffle on their keys; nation is hint-broadcast (25
+    * rows at ANY scale factor); part is left to AQE — it grows with SF, and
+    * a forced hint is never demoted, so at 100× scale it would OOM the
+    * executors instead of falling back to a shuffle join. */
   def q17EtlStarRollup(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables(spark, dir, "lineitem")
     val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -277,7 +280,7 @@ object Relational {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(p, l("l_partkey") === p("p_partkey"))
       .groupBy(to_date(col("l_shipdate")).as("d"), col("n_name"), col("bucket"))
       .agg(
         count(lit(1)).as("transaction_count"),

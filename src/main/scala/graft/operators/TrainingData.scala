@@ -67,7 +67,10 @@ object TrainingData {
     Dedup.winnowingNearDuplicates(Tables(spark, dir, "documents"), minJaccard = 0.2)
       .orderBy("d1", "d2")
 
-  /** Embedding-cosine near-duplicate pairs. */
+  /** Embedding-cosine near-duplicate pairs — the SRP-banded gate + exact
+    * verify path (no all-pairs join in the plan); band parameters are the
+    * defaults tuned for full recall at this threshold, so the rows equal
+    * the exact all-pairs oracle. */
   def d05CosineNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDuplicates(Tables(spark, dir, "embeddings"), threshold = 0.4)
       .orderBy("d1", "d2")

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Dot product of two `array<float>` columns, accumulated in double in
   * index order — a custom Catalyst expression with whole-stage codegen.
@@ -62,9 +62,64 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Signed-random-projection band buckets of an `array<float>` vector: the
+  * vector is projected onto `bands × bandBits` seeded Rademacher (±1)
+  * hyperplanes and each band's sign pattern packs into an int, giving
+  * `bands` LSH bucket keys per vector in ONE pass (vs `bands × bandBits`
+  * separate dot-product expressions, whose literal plane arrays blow the
+  * expression tree into tens of thousands of nodes).
+  *
+  * The plane sequence is `scala.util.Random(seed)` nextBoolean in
+  * plane-major order — deterministic across runs and executors, so bucket
+  * assignments are reproducible (the near-duplicate gate's recall on a
+  * given corpus is a fixed fact, not a per-run coin flip).
+  *
+  * Evaluated interpreted ([[CodegenFallback]]): it runs once per corpus
+  * ROW (not per candidate pair), so it is not on the pairwise hot path
+  * that justified codegen for [[FloatVectorDot]]. */
+case class SrpBandBuckets(child: Expression, bandBits: Int, bands: Int,
+    dim: Int, seed: Long) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "srp_band_buckets"
+
+  @transient private lazy val planes: Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bands * bandBits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Int](bands)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += v.getFloat(i).toDouble * plane(i).toDouble
+        i += 1
+      }
+      if (acc >= 0) out(p / bandBits) |= 1 << (p % bandBits)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level API for [[FloatVectorDot]]. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVectorDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column-level API for [[SrpBandBuckets]]. */
+  def srpBandBuckets(v: Column, bandBits: Int, bands: Int, dim: Int,
+      seed: Long): Column =
+    ColumnBridge.column(SrpBandBuckets(
+      ColumnBridge.expression(v), bandBits, bands, dim, seed))
 }

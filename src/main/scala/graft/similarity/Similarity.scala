@@ -96,17 +96,30 @@ object Similarity {
     * other classic scale path next to SRP-LSH — better recall on clustered
     * data, needs a (cheap, sampled) training pass. With nprobe == nlist it
     * probes everything and MUST equal brute force exactly (asserted in
-    * SimilaritySpec). Deterministic via fixed KMeans seed. */
+    * SimilaritySpec). Deterministic via fixed KMeans/sampling seeds.
+    *
+    * The coarse quantizer trains on a bounded sample (`maxTrainRows`,
+    * classic IVF practice — FAISS trains on ~256 vectors/cell): every
+    * KMeans iteration is a full pass over its input, so fitting on the
+    * whole corpus would make the INDEX BUILD, not the queries, the
+    * dominant cost at scale. Assignment still covers the full corpus in
+    * one pass. Corpora at or below the cap train on everything (the
+    * sample job is skipped, not run at fraction 1.0). */
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, maxTrainRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val spark = emb.sparkSession
     val featured = emb.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
+    val corpusRows = featured.count()
+    val train =
+      if (corpusRows <= maxTrainRows) featured.select("features")
+      else featured.select("features")
+        .sample(withReplacement = false, maxTrainRows.toDouble / corpusRows, seed = 42L)
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").fit(featured)
+      .setFeaturesCol("features").fit(train)
     val assigned = model.transform(featured)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 
@@ -143,11 +156,57 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
-  /** Embedding near-duplicate pairs above a cosine threshold (brute-force
-    * form; at scale, gate by SRP bucket first — same verify expression).
-    * Norms precomputed per row; the theta-join evaluates only the codegen'd
-    * dot per pair. */
-  def cosineNearDuplicates(emb: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding near-duplicate pairs above a cosine threshold — the default,
+    * SRP-banded path: candidate pairs meet on an equi-join over
+    * (band, bucket) keys from [[graft.plans.SrpBandBuckets]] (an OR over
+    * `bands` AND-constructions of `bandBits` hyperplane signs), then every
+    * candidate is verified with the exact codegen'd cosine, so precision is
+    * exact and only recall is probabilistic. No all-pairs enumeration
+    * anywhere in the plan — the join is hash-shaped, not nested-loop.
+    *
+    * Parameter choice is threshold-driven. Collision probability per plane
+    * for a pair at angle θ is 1−θ/π; per band it is (1−θ/π)^bandBits, and a
+    * pair is missed with ((1−(1−θ/π)^bandBits))^bands. At production
+    * thresholds (≥0.8) wide bands (bandBits 12–16) prune candidates by
+    * orders of magnitude; near the random-pair regime (threshold ≈ 0.4,
+    * where θ/π ≈ 0.37 vs 0.5 for random) the LSH gap collapses (ρ → 1) and
+    * NO hashing scheme prunes much — the defaults here (4-bit bands × 64,
+    * seed 42) are tuned for full recall at that adversarially-low
+    * threshold, verified against the exact form on every fixture
+    * (SimilaritySpec). For large corpora raise `bandBits` toward
+    * log2(corpus / target bucket size) so per-band buckets stay bounded. */
+  def cosineNearDuplicates(emb: DataFrame, threshold: Double,
+      bandBits: Int = 4, bands: Int = 64, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val buckets = emb.select(col("vec_id"),
+      posexplode(graft.plans.VectorExpressions.srpBandBuckets(
+        col("embedding"), bandBits, bands, dim, seed)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+      .distinct()
+    val normed = emb.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    cand
+      .join(normed.select(col("vec_id").as("d1"), col("embedding").as("e1"),
+        col("nrm").as("n1")), "d1")
+      .join(normed.select(col("vec_id").as("d2"), col("embedding").as("e2"),
+        col("nrm").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Exact all-pairs form of [[cosineNearDuplicates]] — O(n²) by
+    * construction; the ground truth the gated path's recall is measured
+    * against in SimilaritySpec, and the right tool only when the corpus is
+    * small enough that n² pairs are affordable. */
+  def cosineNearDuplicatesExact(emb: DataFrame, threshold: Double): DataFrame = {
     val normed = emb.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     normed.as("a").join(normed.as("b"), col("a.vec_id") < col("b.vec_id"))

@@ -79,4 +79,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(nd.forall(r => r.getAs[Long]("d1") < r.getAs[Long]("d2")))
     assert(nd.forall(_.getAs[Double]("cos") >= 0.4))
   }
+
+  test("SRP-gated near-duplicates equal the exact all-pairs result") {
+    def asSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Double]("cos"))).toSet
+    val gated = asSet(Similarity.cosineNearDuplicates(emb, threshold = 0.4).collect())
+    val exact = asSet(Similarity.cosineNearDuplicatesExact(emb, threshold = 0.4).collect())
+    assert(exact.nonEmpty)
+    assert(gated == exact,
+      s"missed=${(exact -- gated).size} spurious=${(gated -- exact).size}")
+  }
+
+  test("gated near-duplicate plan contains no nested-loop join") {
+    val plan = Similarity.cosineNearDuplicates(emb, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
