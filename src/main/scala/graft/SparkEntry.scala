@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, TrainingData}
+import graft.operators.{AnalyticsSuite, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,12 +52,137 @@ object SparkEntry {
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
-    "s04_ivf_ann_topk" -> (TrainingData.s04IvfAnnTopK _)
+    "s04_ivf_ann_topk" -> (TrainingData.s04IvfAnnTopK _),
+    "a00_star_fact" -> (AnalyticsSuite.a00StarFact _),
+    "a01_exec_summary" -> (AnalyticsSuite.a01ExecutiveSummary _),
+    "a02_growth_year_sport" -> (AnalyticsSuite.a02GrowthYearSport _),
+    "a03_weekly_max_year" -> (AnalyticsSuite.a03WeeklyMaxYear _),
+    "a04_sport_analysis" -> (AnalyticsSuite.a04SportAnalysis _),
+    "a05_country_analysis" -> (AnalyticsSuite.a05CountryAnalysis _),
+    "a06_day_of_week" -> (AnalyticsSuite.a06DayOfWeek _),
+    "a07_peak_day_sport" -> (AnalyticsSuite.a07PeakDayBySport _),
+    "a08_sport_share" -> (AnalyticsSuite.a08SportShare _),
+    "a09_yoy_growth" -> (AnalyticsSuite.a09YoyGrowth _),
+    "a10_pivot_sport_year" -> (AnalyticsSuite.a10PivotSportYear _),
+    "a11_peak_day_country" -> (AnalyticsSuite.a11PeakDayByCountry _)
   )
+
+  /** DuckDB replica of the [[graft.etl.TpchStar]] star derivation — the
+    * WITH prefix shared by every a-query oracle, so all twelve check the
+    * same fact the Spark side materializes. Unused CTEs are free. */
+  private val starCte: String =
+    """WITH fact AS (
+      |  SELECT CAST(strftime(CAST(l.l_shipdate AS DATE), '%Y%m%d') AS INT) AS date_id,
+      |    CAST(year(CAST(l.l_shipdate AS DATE)) AS INT) AS year,
+      |    CAST(weekofyear(CAST(l.l_shipdate AS DATE)) AS INT) AS week,
+      |    c.c_nationkey AS country_id,
+      |    CASE WHEN p.p_name LIKE 'a%' OR p.p_name LIKE 'b%' THEN 'AB'
+      |         WHEN p.p_name LIKE 'c%' THEN 'C' ELSE 'OTHER' END AS sport_name,
+      |    COUNT(*) AS transaction_count,
+      |    COUNT(DISTINCT o.o_custkey) AS unique_user_count,
+      |    CAST(SUM(CAST(l.l_quantity AS INT) + 1) AS BIGINT) AS total_minutes_streamed,
+      |    CAST(SUM(l.l_orderkey % 2) AS BIGINT) AS completed_streams,
+      |    ROUND(CAST(SUM(CAST(l.l_quantity AS INT) + 1) AS DOUBLE) / COUNT(*), 2) AS avg_minutes_per_stream
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |ddate AS (
+      |  SELECT DISTINCT CAST(strftime(CAST(l_shipdate AS DATE), '%Y%m%d') AS INT) AS date_id,
+      |    CAST(dayofweek(CAST(l_shipdate AS DATE)) + 1 AS INT) AS day_of_week
+      |  FROM lineitem),
+      |dcountry AS (
+      |  SELECT n_nationkey AS country_id, n_name AS country_name FROM nation)
+      |""".stripMargin
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "a00_star_fact" -> (starCte +
+      """SELECT date_id, year, week, country_id, sport_name, transaction_count,
+        |  unique_user_count, total_minutes_streamed, completed_streams,
+        |  avg_minutes_per_stream
+        |FROM fact ORDER BY date_id, country_id, sport_name""".stripMargin),
+    "a01_exec_summary" -> (starCte +
+      """SELECT CAST(SUM(transaction_count) AS BIGINT) AS total_transactions,
+        |  CAST(SUM(total_minutes_streamed) AS BIGINT) AS total_minutes,
+        |  CAST(SUM(completed_streams) AS BIGINT) AS total_completed,
+        |  COUNT(DISTINCT date_id) AS days,
+        |  COUNT(DISTINCT country_id) AS countries,
+        |  COUNT(DISTINCT sport_name) AS sports,
+        |  MIN(year) AS first_year, MAX(year) AS last_year
+        |FROM fact""".stripMargin),
+    "a02_growth_year_sport" -> (starCte +
+      """SELECT year, sport_name,
+        |  CAST(SUM(transaction_count) AS BIGINT) AS streaming_events,
+        |  ROUND(CAST(SUM(total_minutes_streamed) AS DOUBLE) / 60.0, 1) AS total_hours
+        |FROM fact GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "a03_weekly_max_year" -> (starCte +
+      """SELECT week, CAST(SUM(transaction_count) AS BIGINT) AS transactions
+        |FROM fact WHERE year = (SELECT MAX(year) FROM fact)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "a04_sport_analysis" -> (starCte +
+      """SELECT sport_name,
+        |  CAST(SUM(transaction_count) AS BIGINT) AS transactions,
+        |  ROUND(CAST(SUM(total_minutes_streamed) AS DOUBLE) / 60.0, 1) AS total_hours,
+        |  ROUND(CAST(SUM(CAST(avg_minutes_per_stream AS DECIMAL(18,4))) AS DOUBLE)
+        |        / COUNT(avg_minutes_per_stream), 2) AS avg_of_avgs,
+        |  ROUND(CAST(SUM(total_minutes_streamed) AS DOUBLE)
+        |        / CAST(SUM(transaction_count) AS DOUBLE), 1) AS minutes_per_stream
+        |FROM fact GROUP BY 1 ORDER BY transactions DESC""".stripMargin),
+    "a05_country_analysis" -> (starCte +
+      """SELECT country_name,
+        |  CAST(SUM(transaction_count) AS BIGINT) AS transactions,
+        |  ROUND(CAST(SUM(total_minutes_streamed) AS DOUBLE) / 60.0, 1) AS total_hours,
+        |  ROUND(CAST(SUM(total_minutes_streamed) AS DOUBLE)
+        |        / CAST(SUM(transaction_count) AS DOUBLE), 1) AS minutes_per_stream
+        |FROM fact JOIN dcountry USING (country_id)
+        |GROUP BY 1 ORDER BY transactions DESC""".stripMargin),
+    "a06_day_of_week" -> (starCte +
+      """SELECT day_of_week,
+        |  CAST(SUM(transaction_count) AS BIGINT) AS transactions,
+        |  CAST(SUM(total_minutes_streamed) AS BIGINT) AS total_minutes
+        |FROM fact JOIN ddate USING (date_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "a07_peak_day_sport" -> (starCte +
+      """SELECT sport_name, day_of_week, total_minutes FROM (
+        |  SELECT sport_name, day_of_week, total_minutes,
+        |    ROW_NUMBER() OVER (PARTITION BY sport_name
+        |                       ORDER BY total_minutes DESC, day_of_week) AS rn
+        |  FROM (SELECT sport_name, day_of_week,
+        |          CAST(SUM(total_minutes_streamed) AS BIGINT) AS total_minutes
+        |        FROM fact JOIN ddate USING (date_id) GROUP BY 1, 2))
+        |WHERE rn = 1 ORDER BY sport_name""".stripMargin),
+    "a08_sport_share" -> (starCte +
+      """SELECT sport_name, transactions,
+        |  ROUND(transactions * 100.0 / SUM(transactions) OVER (), 1) AS pct_share
+        |FROM (SELECT sport_name, CAST(SUM(transaction_count) AS BIGINT) AS transactions
+        |      FROM fact GROUP BY 1)
+        |ORDER BY transactions DESC""".stripMargin),
+    "a09_yoy_growth" -> (starCte +
+      """SELECT year, transactions,
+        |  ROUND((transactions - LAG(transactions) OVER (ORDER BY year)) * 100.0
+        |        / NULLIF(LAG(transactions) OVER (ORDER BY year), 0), 1) AS yoy_pct
+        |FROM (SELECT year, CAST(SUM(transaction_count) AS BIGINT) AS transactions
+        |      FROM fact GROUP BY 1)
+        |ORDER BY year""".stripMargin),
+    "a10_pivot_sport_year" -> (starCte +
+      """SELECT sport_name,
+        |  CAST(SUM(CASE WHEN year = 1999 THEN transaction_count ELSE 0 END) AS BIGINT) AS "1999",
+        |  CAST(SUM(CASE WHEN year = 2000 THEN transaction_count ELSE 0 END) AS BIGINT) AS "2000",
+        |  CAST(SUM(CASE WHEN year = 2001 THEN transaction_count ELSE 0 END) AS BIGINT) AS "2001"
+        |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin),
+    "a11_peak_day_country" -> (starCte +
+      """SELECT country_name, day_of_week, total_minutes FROM (
+        |  SELECT country_name, day_of_week, total_minutes,
+        |    ROW_NUMBER() OVER (PARTITION BY country_name
+        |                       ORDER BY total_minutes DESC, day_of_week) AS rn
+        |  FROM (SELECT country_name, day_of_week,
+        |          CAST(SUM(total_minutes_streamed) AS BIGINT) AS total_minutes
+        |        FROM fact JOIN ddate USING (date_id) JOIN dcountry USING (country_id)
+        |        GROUP BY 1, 2))
+        |WHERE rn = 1 ORDER BY country_name""".stripMargin),
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 30 ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -3,6 +3,7 @@ package graft.etl
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** The analytics suite from the R Markdown report
   * (`reports/BusinessAnalysis.PractII.VarmaA.Rmd`, entry point 3 in SURVEY
@@ -60,7 +61,12 @@ object Analytics {
       .agg(
         sum("transaction_count").as("transactions"),
         round(sum("total_minutes_streamed") / 60.0, 1).as("total_hours"),
-        round(avg("avg_minutes_per_stream"), 2).as("avg_of_avgs"),
+        // avg-of-stored-avgs (A7's deliberate semantic) through an exact
+        // decimal sum: avg(double) folds in partition order and can drift
+        // an ulp across plans/engines; the decimal sum cannot
+        round((sum(col("avg_minutes_per_stream").cast(DecimalType(18, 4)))
+          .cast("double") / count(col("avg_minutes_per_stream"))), 2)
+          .as("avg_of_avgs"),
         round(sum("total_minutes_streamed") / sum("transaction_count")
           .cast("double"), 1).as("minutes_per_stream"))
       .orderBy(desc("transactions"))

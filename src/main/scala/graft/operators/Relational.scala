@@ -27,9 +27,10 @@ object Relational {
   /** Round an exact decimal aggregate to 2 dp and emit as DOUBLE. */
   private def money(c: Column): Column = round(c, 2).cast("double")
 
-  /** Shared p_name classification cascade (q10 + q17 must stay in lockstep
-    * with each other and both DuckDB oracles). */
-  private def pnameBucket(c: Column): Column =
+  /** Shared p_name classification cascade (q10 + q17 + the TpchStar
+    * analytics fixture must stay in lockstep with each other and all their
+    * DuckDB oracles). */
+  private[graft] def pnameBucket(c: Column): Column =
     when(c.like("a%") || c.like("b%"), "AB")
       .when(c.like("c%"), "C")
       .otherwise("OTHER")

@@ -98,47 +98,83 @@ object Sessionize {
   final case class OpenSession(session_seq: Long, start_ms: Long, last_ms: Long,
       n: Long, value4: Long)
 
+  /** Event row carrying the watermarked timestamp column through to the
+    * stateful operator (the watermark must be declared on the stream that
+    * feeds `flatMapGroupsWithState` for event-time timeouts). */
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp,
+      ms: Long, value: Double)
+
+  private def totalOf(value4: Long): Double =
+    BigDecimal(value4, 4).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Streaming form: one open session per user lives in the state store;
     * arriving events either extend it or close it (emitting the closed
-    * session) and open the next. The final open session per user emits only
-    * on state timeout — on a closed test input it stays in state, which is
-    * the honest streaming semantic (the stream never "ends"). */
+    * session) and open the next.
+    *
+    * State is bounded by an EVENT-TIME timeout: each update arms the
+    * timeout at `last event + gapMs`, so once the watermark (lagging
+    * `watermarkDelayMs` behind max event time) passes a session's gap
+    * boundary, the open session emits as final and its state is REMOVED.
+    * That emission is semantically exact, not a heuristic: the watermark
+    * guarantees no event older than it will arrive, and any later event is
+    * past the gap and would have opened a new session anyway. Without this,
+    * open-session state grows monotonically with user churn — every user
+    * who ever appeared would hold a state-store row forever.
+    *
+    * After eviction a returning user restarts at `session_seq = 1`
+    * (remembering per-user counters forever is exactly the unbounded state
+    * this timeout exists to evict); at warehouse scale the stable session
+    * identity is `(user_id, start_ms)`, which is unique regardless. */
   def statefulSessions(spark: SparkSession, events: DataFrame,
-      gapMs: Long = DefaultGapMs): Dataset[Session] = {
+      gapMs: Long = DefaultGapMs,
+      watermarkDelayMs: Long = DefaultGapMs): Dataset[Session] = {
     import spark.implicits._
     events
-      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
-      .as[Event]
+      .withWatermark("ts", s"$watermarkDelayMs milliseconds")
+      .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"),
+        col("value"))
+      .as[TimedEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
-          val sorted = it.toSeq.sortBy(_.ms)
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            val open = state.getOption
-            var seq = open.map(_.session_seq).getOrElse(1L)
-            var start = open.map(_.start_ms).getOrElse(sorted.head.ms)
-            var last = open.map(_.last_ms).getOrElse(Long.MinValue)
-            var n = open.map(_.n).getOrElse(0L)
-            var value4 = open.map(_.value4).getOrElse(0L)
-            def total: Double =
-              BigDecimal(value4, 4).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-            val out = scala.collection.mutable.ArrayBuffer[Session]()
-            sorted.foreach { e =>
-              if (n > 0 && e.ms - last > gapMs) {
-                out += Session(uid, seq, n, start, last, total)
-                seq += 1; start = e.ms; n = 0; value4 = 0
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[TimedEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is final
+            val open = state.get
+            state.remove()
+            Iterator.single(Session(uid, open.session_seq, open.n,
+              open.start_ms, open.last_ms, totalOf(open.value4)))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ms)
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val open = state.getOption
+              var seq = open.map(_.session_seq).getOrElse(1L)
+              var start = open.map(_.start_ms).getOrElse(sorted.head.ms)
+              var last = open.map(_.last_ms).getOrElse(Long.MinValue)
+              var n = open.map(_.n).getOrElse(0L)
+              var value4 = open.map(_.value4).getOrElse(0L)
+              val out = scala.collection.mutable.ArrayBuffer[Session]()
+              sorted.foreach { e =>
+                if (n > 0 && e.ms - last > gapMs) {
+                  out += Session(uid, seq, n, start, last, totalOf(value4))
+                  seq += 1; start = e.ms; n = 0; value4 = 0
+                }
+                if (n == 0) start = e.ms
+                n += 1
+                value4 += BigDecimal(e.value)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).underlying
+                  .unscaledValue.longValueExact
+                last = e.ms
               }
-              if (n == 0) start = e.ms
-              n += 1
-              value4 += BigDecimal(e.value)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).underlying
-                .unscaledValue.longValueExact
-              last = e.ms
+              state.update(OpenSession(seq, start, last, n, value4))
+              // arm the expiry; must stay ahead of the current watermark
+              // (an update landing exactly at the boundary would otherwise
+              // throw), so a boundary session times out next batch instead
+              state.setTimeoutTimestamp(
+                math.max(last + gapMs, state.getCurrentWatermarkMs + 1))
+              out.iterator
             }
-            state.update(OpenSession(seq, start, last, n, value4))
-            out.iterator
           }
       }
   }
