@@ -103,6 +103,50 @@ class StreamingSpec extends SparkTestBase {
     assert(once == twice)
   }
 
+  test("watermarked append-mode daily window finalizes windows, drops too-late rows") {
+    import org.apache.spark.sql.functions.timestamp_millis
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wm_events").toString
+    val ckpt = Files.createTempDirectory("graft_wm_ckpt").toString
+    val day = 86400000L // epoch-aligned days; ts(d, h) = day d at hour h UTC
+    def ts(d: Long, h: Long): Long = 19724L * day + d * day + h * 3600000L
+    def write(rows: (Long, Long, String, Double)*): Unit =
+      rows.toSeq.toDF("event_id", "tms", "event_type", "value")
+        .select($"event_id", timestamp_millis($"tms").as("ts"), $"event_type",
+          ($"event_id" % 3).as("user_id"), $"value")
+        .coalesce(1).write.mode("append").parquet(dir)
+    write((1L, ts(0, 10), "A", 1.0), (2L, ts(0, 11), "A", 2.0),
+      (3L, ts(1, 12), "A", 4.0))
+    val stream = spark.readStream
+      .schema(new StructType()
+        .add("event_id", "long").add("ts", "timestamp")
+        .add("event_type", "string").add("user_id", "long")
+        .add("value", "double"))
+      .parquet(dir)
+    val q = StreamingIngest.dailyEventRollup(stream, watermark = Some("1 hour"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("daily_append").start()
+    q.processAllAvailable()
+    // watermark is now day1 11:00: day0's window end (day1 00:00) has passed
+    // → day0 finalized. The day0 straggler at 09:00 is beyond-watermark and
+    // must be DROPPED, not resurrect the finalized window; day2's event
+    // advances the watermark past day1's end, finalizing day1.
+    write((4L, ts(2, 10), "A", 8.0), (5L, ts(0, 9), "A", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("daily_append")
+      .select("day", "event_type", "events", "total_value")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(
+      ("2024-01-02", "A", 2L, 3.0),  // finalized WITHOUT the late 100.0
+      ("2024-01-03", "A", 1L, 4.0)), // finalized by day2's arrival
+      s"got $rows")
+    // day2's window is still open: append emits a window exactly once,
+    // only after the watermark passes it — never early, never twice
+  }
+
   test("tumbling daily window on a stream equals the batch rollup (Q16)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val eventsDir = sf("sf0.001")
