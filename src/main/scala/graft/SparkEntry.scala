@@ -49,6 +49,7 @@ object SparkEntry {
     "d04_simhash" -> (TrainingData.d04Simhash _),
     "d05_cosine_near_dup" -> (TrainingData.d05CosineNearDup _),
     "d06_winnowing" -> (TrainingData.d06Winnowing _),
+    "d07_dedup_clusters" -> (TrainingData.d07DedupClusters _),
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
@@ -95,6 +96,24 @@ object SparkEntry {
       |dcountry AS (
       |  SELECT n_nationkey AS country_id, n_name AS country_name FROM nation)
       |""".stripMargin
+
+  /** Shared DuckDB CTE chain for the exact n-gram Jaccard pipeline
+    * (shingles → df-cap → inverted-index join) — d02 selects the scored
+    * pairs, d07 runs a recursive min-label closure over them, and both must
+    * stay in lockstep with `Dedup.ngramJaccardPairs`. */
+  private val ngramCtes: String =
+    """toks AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |  FROM toks WHERE len(t) >= 3),
+      |rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= 1000),
+      |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omit for non-SQL-expressible ops. */
@@ -359,18 +378,7 @@ object SparkEntry {
         |  COUNT(*) AS copies, MIN(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "d02_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-        |sh0 AS (SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-        |  FROM toks WHERE len(t) >= 3),
-        |rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= 1000),
-        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+      s"""WITH $ngramCtes
         |SELECT d1, d2,
         |  round(CAST(c AS DOUBLE)/(s1.sz + s2.sz - c), 4) AS jaccard
         |FROM common
@@ -378,6 +386,20 @@ object SparkEntry {
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2
         |ORDER BY d1, d2""".stripMargin,
+    "d07_dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |pairs AS (SELECT d1, d2 FROM common
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |walk AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id)
+        |SELECT id AS doc_id, MIN(label) AS cluster_id
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     "d05_cosine_near_dup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,

@@ -204,6 +204,54 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  // ------------------------------------------------------------ clusters
+  /** Duplicate-cluster resolution: the step between "near-duplicate PAIRS
+    * found" and "corpus deduplicated". Pairs form an undirected graph;
+    * each connected component is one duplicate cluster, labeled by its
+    * minimum doc_id — which is also the canonical keeper (the same
+    * min-keeper rule [[exactGroups]] uses). Output: one row per clustered
+    * document `(doc_id, cluster_id)`; unpaired documents are implicitly
+    * their own cluster and are not emitted.
+    *
+    * Algorithm: iterative min-label propagation (Pregel-style hop
+    * relaxation) — per round one equi-join + min-aggregate, all
+    * distributed; the driver only conducts and reads a 1-row convergence
+    * count. Rounds needed = graph diameter (duplicate clusters are
+    * near-cliques in practice, so a handful). Each round persists its
+    * labels and localCheckpoints to cut the growing lineage — without
+    * that, round k re-executes rounds 1..k-1. For graphs with
+    * pathological diameters the large-star/small-star variant (Kiveris
+    * et al. 2014) halves rounds to O(log n); not needed for near-dup
+    * clusters. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("nid"), col("label")),
+          edges("dst") === col("nid"))
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels.select(col("id"), col("label").as("old"))
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("label") =!= col("old")).limit(1).count() == 0L
+      labels = updated.select("id", "label")
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash over token hashes: per bit, the sign of the ±1 vote sum
     * across tokens — 64 conditional sums in one aggregation pass. */

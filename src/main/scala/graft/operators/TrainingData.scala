@@ -67,6 +67,13 @@ object TrainingData {
     Dedup.winnowingNearDuplicates(Tables(spark, dir, "documents"), minJaccard = 0.2)
       .orderBy("d1", "d2")
 
+  /** Duplicate-cluster resolution over the exact Jaccard pairs: connected
+    * components labeled by min doc_id (= the canonical keeper). */
+  def d07DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(
+      Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), threshold = 0.2))
+      .orderBy("doc_id")
+
   /** Embedding-cosine near-duplicate pairs — the SRP-banded gate + exact
     * verify path (no all-pairs join in the plan); band parameters are the
     * defaults tuned for full recall at this threshold, so the rows equal

@@ -57,6 +57,32 @@ class DedupSpec extends SparkTestBase {
     assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
   }
 
+  test("dedup clusters: transitive closure with min-id keeper labels") {
+    // chain a-b, b-c plus isolated pair x-y: {a,b,c} must share one cluster
+    // even though (a,c) was never a pair — closure, not pairwise grouping
+    val pairs = Seq((10L, 20L), (20L, 30L), (50L, 60L)).toDF("d1", "d2")
+    val got = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 50L -> 50L, 60L -> 50L))
+  }
+
+  test("dedup clusters on real pairs: every pair co-clustered, labels are members") {
+    val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(real, threshold = 0.2)
+    val clusters = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ps = pairs.select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.foreach { case (id, label) =>
+      assert(label <= id && clusters(label) == label,
+        s"cluster label $label must be its own (minimal) member")
+    }
+  }
+
   test("winnowing: copies share all fingerprints, near-dups most, distinct none") {
     val pairs = Dedup.winnowingNearDuplicates(docs, minJaccard = 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
