@@ -43,6 +43,8 @@ object SparkEntry {
     "t01_text_stats" -> (TrainingData.t01TextStats _),
     "t02_langid_confusion" -> (TrainingData.t02LangIdConfusion _),
     "t03_fingerprint" -> (TrainingData.t03Fingerprint _),
+    "t04_doc_split" -> (TrainingData.t04DocSplit _),
+    "t05_length_quantiles" -> (TrainingData.t05LengthQuantiles _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -373,6 +375,21 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_doc_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+        |FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "t05_length_quantiles" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(CAST(quantile_cont(n_chars, 0.25) AS DOUBLE), 4) AS p25,
+        |  ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS p50,
+        |  ROUND(CAST(quantile_cont(n_chars, 0.75) AS DOUBLE), 4) AS p75
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "d01_exact_dup_groups" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  COUNT(*) AS copies, MIN(doc_id) AS keeper_doc_id

@@ -40,6 +40,29 @@ object TrainingData {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Deterministic hash-based train/val/test assignment per document:
+    * a pure function of doc_id (md5 bucket), so held-out membership is
+    * stable as the corpus grows. */
+  def t04DocSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.Sampling.hashBucket(col("doc_id")).as("bucket"),
+        graft.operators.Sampling.split(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+
+  /** Per-language document-length quartiles (exact percentile — dyadic
+    * quantiles only, where linear interpolation is bit-exact across
+    * engines) plus counts: the length profile quality filters cut on. */
+  def t05LengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.75)"), 4).as("p75"))
+      .orderBy("lang")
+
   /** Exact duplicate groups (hash-groupBy dedup). */
   def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir, "documents"))

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SamplingSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read
+    .parquet(sf("sf0.001") + "/documents.parquet")
+
+  test("hash split is deterministic, total, and near the 80/10/10 cuts") {
+    val once = docs.select(col("doc_id"),
+      Sampling.split(col("doc_id")).as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val again = docs.select(col("doc_id"),
+      Sampling.split(col("doc_id")).as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == again) // pure function of the key, not of the run
+    val n = once.size.toDouble
+    val frac = once.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.80) < 0.08, s"train=${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.10) < 0.06)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.10) < 0.06)
+    // growing the corpus never moves an existing row between splits:
+    // membership depends only on doc_id, checked by the subset property
+    val subset = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), Sampling.split(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(once(id) == s) }
+  }
+
+  test("stratified sample honors per-stratum fractions, seeded-deterministic") {
+    val fractions = Map("en" -> 0.5, "de" -> 0.1)
+    val s1 = Sampling.stratified(docs, "lang", fractions, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.stratified(docs, "lang", fractions, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    val byLang = docs.filter(col("doc_id").isInCollection(s1))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // strata not in the fraction map are dropped entirely
+    assert(byLang.keySet.subsetOf(Set("en", "de")))
+    assert(math.abs(byLang("en").toDouble / totals("en") - 0.5) < 0.2)
+    assert(byLang.getOrElse("de", 0L).toDouble / totals("de") < 0.35)
+  }
+}
