@@ -36,10 +36,12 @@ object Dedup {
       .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper_doc_id"))
 
   // ------------------------------------------------------------ shingles
-  /** Distinct word n-gram shingles per document. Guarded so documents
-    * shorter than n tokens produce no shingles (Spark's `sequence` would
-    * otherwise count DOWN when start > stop). */
-  def shingles(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame = {
+  /** Exploded (doc_id, shingle) rows BEFORE set-dedup — the shared gram
+    * construction; callers choose what to dedup on (full strings for exact
+    * Jaccard, 64-bit hashes for MinHash). Guarded so documents shorter
+    * than n tokens produce no shingles (Spark's `sequence` would otherwise
+    * count DOWN when start > stop). */
+  private def shingleGrams(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     val t = TextAnalysis.tokens(col(textCol))
     val idx = sequence(lit(1), size(col("t")) - (n - 1))
     val gram = transform(idx, i =>
@@ -49,8 +51,11 @@ object Dedup {
       .select(col("doc_id"),
         explode(when(size(col("t")) >= n, gram)
           .otherwise(array().cast("array<string>"))).as("shingle"))
-      .distinct()
   }
+
+  /** Distinct word n-gram shingles per document. */
+  def shingles(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
+    shingleGrams(docs, textCol, n).distinct()
 
   // ------------------------------------------------------------ n-gram Jaccard
   /** Exact Jaccard over shingle sets for every pair sharing ≥1 shingle.
@@ -130,12 +135,22 @@ object Dedup {
   // ------------------------------------------------------------ MinHash + LSH
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min over the document's shingles — computed as `numHashes` min-aggs in
-    * ONE pass over the exploded shingles (no per-hash shuffle). */
+    * ONE pass over the exploded shingles (no per-hash shuffle).
+    *
+    * Shingles are collapsed to a single 64-bit xxhash64 BEFORE the
+    * set-dedup shuffle, so the distinct moves fixed 8-byte keys instead of
+    * full shingle strings (~4× fewer shuffle bytes) and the seeded hash
+    * family re-hashes a long, not a variable-length string, per position.
+    * Hash function i is therefore `xxhash64(xxhash64(shingle), i)`; a
+    * base-hash collision merges two shingles — noise far below MinHash's
+    * own estimation variance (and DedupSpec's recall bound guards it). */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
       textCol: String = "text", n: Int = 3): DataFrame = {
-    val sh = shingles(docs, textCol, n)
+    val sh = shingleGrams(docs, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      .distinct()
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+      min(xxhash64(col("g"), lit(i))).as(s"h$i"))
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
