@@ -45,6 +45,7 @@ object SparkEntry {
     "t03_fingerprint" -> (TrainingData.t03Fingerprint _),
     "t04_doc_split" -> (TrainingData.t04DocSplit _),
     "t05_length_quantiles" -> (TrainingData.t05LengthQuantiles _),
+    "t06_top_tokens" -> (TrainingData.t06TopTokens _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -390,6 +391,11 @@ object SparkEntry {
         |  ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS p50,
         |  ROUND(CAST(quantile_cont(n_chars, 0.75) AS DOUBLE), 4) AS p75
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t06_top_tokens" ->
+      """WITH toks AS (SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token
+        |  FROM documents)
+        |SELECT token, COUNT(*) AS n FROM toks
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "d01_exact_dup_groups" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  COUNT(*) AS copies, MIN(doc_id) AS keeper_doc_id

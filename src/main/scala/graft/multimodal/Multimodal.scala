@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing here is REAL and tested — schema, per-partition
   * iteration (one codec init per partition, the expensive part with real
   * codecs), repartitioning by media_id so heavy decodes spread evenly, and
-  * frame fan-out shapes. The codec itself is a clearly-marked deterministic
-  * STUB ([[FakeCodec]]): no image/audio libraries exist in this
-  * environment, so decode/resize produce hash-derived bytes/features with
-  * the right shapes. Swapping in a real codec changes only FakeCodec.
+  * frame fan-out shapes. The decode layer is REAL for uncompressed binary
+  * PPM images ([[PpmCodec]]: pure-JVM parse → grid-mean featurize →
+  * nearest-neighbour resize, used by [[extractPpmFeatures]] /
+  * [[resizePpmImages]]); compressed formats (JPEG/audio/video) go through
+  * the clearly-marked deterministic STUB ([[FakeCodec]]) because their
+  * codec libraries don't exist in this environment. Swapping in a real
+  * codec changes only FakeCodec.
   */
 object Multimodal {
 
@@ -71,6 +74,29 @@ object Multimodal {
         rows.map(m => MediaFeatures(m.media_id, m.kind,
           FakeCodec.decodeToFeatures(m.content, dim)))
       }
+  }
+
+  /** REAL decode path for P6 PPM payloads: per-channel grid-mean features
+    * (3·grid² floats) via the pure-JVM [[PpmCodec]] — the same
+    * partition-wise shape as [[extractFeatures]], with nothing stubbed. */
+  def extractPpmFeatures(spark: SparkSession, media: DataFrame, grid: Int = 4,
+      partitions: Int = 32): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.filter(col("kind") === "image/ppm")
+      .repartition(partitions, col("media_id")).as[MediaRow]
+      .mapPartitions(_.map(m => MediaFeatures(m.media_id, m.kind,
+        PpmCodec.gridMeanFeatures(m.content, grid))))
+  }
+
+  /** REAL resize path for P6 PPM payloads (nearest neighbour, re-encoded
+    * as P6); metadata updated alongside. */
+  def resizePpmImages(spark: SparkSession, media: DataFrame, w: Int,
+      h: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.filter(col("kind") === "image/ppm").as[MediaRow]
+      .mapPartitions(_.map(m =>
+        m.copy(content = PpmCodec.resizeNearest(m.content, w, h),
+          width = w, height = h)))
   }
 
   /** Image resize over the binary column; metadata updated alongside. */

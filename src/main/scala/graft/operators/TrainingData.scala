@@ -40,6 +40,16 @@ object TrainingData {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Exact corpus-wide top-50 tokens by frequency (ties broken by token) —
+    * the vocabulary profile boilerplate/stopword discovery reads. */
+  def t06TopTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(50)
+
   /** Deterministic hash-based train/val/test assignment per document:
     * a pure function of doc_id (md5 bucket), so held-out membership is
     * stable as the corpus grows. */

@@ -45,6 +45,29 @@ object Sessionize {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Fourth agreeing form: Spark's NATIVE `session_window` aggregation —
+    * no custom state, works in batch and streaming alike. Two convention
+    * differences vs the other three forms, handled by callers:
+    * (1) boundary: session_window splits when the inter-event gap REACHES
+    * the duration (diff >= gap) while the others split only when it
+    * exceeds it (diff > gap) — pass `gapMs + 1` to reproduce their
+    * grouping exactly (integer-ms timestamps); (2) no per-user session
+    * numbering (native windows are identified by their time range), and
+    * the window's own end is last-event + gap, so start/end here are
+    * re-derived as min/max event time for comparability. */
+  def sessionWindowSessions(events: DataFrame,
+      gapMs: Long = DefaultGapMs): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMs milliseconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double")
+          .as("total_value"))
+      .select(col("user_id"), col("n_events"), col("start_ms"), col("end_ms"),
+        col("total_value"))
+
   final case class Event(user_id: Long, ms: Long, value: Double)
   final case class Session(user_id: Long, session_seq: Long, n_events: Long,
       start_ms: Long, end_ms: Long, total_value: Double)

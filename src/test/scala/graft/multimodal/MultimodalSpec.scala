@@ -37,4 +37,58 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(_.ts_ms).sorted.toSeq == Seq(0, 250, 500, 750, 1000))
     assert(frames.map(_.frame_idx).sorted.toSeq == (0 to 4))
   }
+
+  // ---- REAL codec path: P6 PPM, hand-computable pixel values
+
+  /** 2×2 P6 image: (R,G,B) = red, green / blue, white. */
+  private def tinyPpm: Array[Byte] = PpmCodec.encode(PpmCodec.Image(2, 2,
+    Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)))
+
+  test("ppm codec: decode handles comments, roundtrips, rejects garbage") {
+    val withComment = ("P6\n# a comment line\n2 2\n255\n").getBytes("US-ASCII") ++
+      tinyPpm.drop("P6\n2 2\n255\n".length)
+    val img = PpmCodec.decode(withComment)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == PpmCodec.decode(tinyPpm).rgb.toSeq)
+    assert(PpmCodec.decode(PpmCodec.encode(img)).rgb.toSeq == img.rgb.toSeq)
+    intercept[IllegalArgumentException](PpmCodec.decode("P5 1 1 255 x".getBytes))
+    intercept[IllegalArgumentException](PpmCodec.decode("P6 9 9 255 ".getBytes))
+  }
+
+  test("ppm grid features are exact channel means, normalized") {
+    // grid=1: one cell covering all 4 pixels → mean per channel
+    val f = PpmCodec.gridMeanFeatures(tinyPpm, grid = 1)
+    val expect = Seq((255 + 0 + 0 + 255) / 4.0 / 255.0,
+      (0 + 255 + 0 + 255) / 4.0 / 255.0,
+      (0 + 0 + 255 + 255) / 4.0 / 255.0).map(_.toFloat)
+    assert(f.toSeq == expect)
+    // grid=2: one cell per pixel → exact normalized pixel values
+    val f2 = PpmCodec.gridMeanFeatures(tinyPpm, grid = 2)
+    assert(f2.toSeq == Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f, 1f, 1f, 1f))
+  }
+
+  test("ppm nearest resize picks the floor-convention source pixel") {
+    val up = PpmCodec.decode(PpmCodec.resizeNearest(tinyPpm, 4, 4))
+    assert(up.width == 4 && up.height == 4)
+    // top-left quadrant of the 4×4 output must be the red source pixel
+    assert((up.rgb(0) & 0xFF, up.rgb(1) & 0xFF, up.rgb(2) & 0xFF) == ((255, 0, 0)))
+    val down = PpmCodec.decode(PpmCodec.resizeNearest(tinyPpm, 1, 1))
+    assert(down.rgb.map(_ & 0xFF).toSeq == Seq(255, 0, 0)) // floor → (0,0)
+  }
+
+  test("real ppm pipeline: partition-wise decode over a DataFrame") {
+    val ppmMedia = Seq(
+      MediaRow(10L, "image/ppm", tinyPpm, 2, 2, 0, 0),
+      MediaRow(11L, "image", "opaque".getBytes, 8, 8, 0, 0)) // not ppm → excluded
+      .toDS().toDF()
+    val feats = extractPpmFeatures(spark, ppmMedia, grid = 1, partitions = 2)
+      .collect()
+    assert(feats.map(_.media_id).toSeq == Seq(10L))
+    assert(feats.head.features.length == 3)
+    assert(feats.head.features(0) == ((255 + 255) / 4.0 / 255.0).toFloat)
+    val resized = resizePpmImages(spark, ppmMedia, 1, 1).collect()
+    assert(resized.length == 1 && resized.head.width == 1)
+    assert(PpmCodec.decode(resized.head.content).rgb.map(_ & 0xFF).toSeq
+      == Seq(255, 0, 0))
+  }
 }

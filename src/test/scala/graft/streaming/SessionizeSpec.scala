@@ -25,6 +25,18 @@ class SessionizeSpec extends SparkTestBase {
     assert(declarative == typed)
   }
 
+  test("native session_window form groups exactly like the other forms") {
+    val batch = Sessionize.batchSessions(events)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet // drop session_seq
+    // +1 ms: session_window splits at diff >= gap, the others at diff > gap
+    val native = Sessionize.sessionWindowSessions(events, Sessionize.DefaultGapMs + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(batch.nonEmpty)
+    assert(native == batch)
+  }
+
   test("sessions are consistent: counts conserve events, bounds ordered") {
     val sessions = Sessionize.batchSessions(events)
     val total = sessions.agg(org.apache.spark.sql.functions.sum("n_events"))
