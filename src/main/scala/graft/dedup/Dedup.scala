@@ -28,6 +28,19 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  /** Persist `df`, releasing the PREVIOUS persisted frame registered under
+    * `key`: repeated invocations (test suites, bench loops, notebooks)
+    * hold at most one cached copy per key per JVM instead of leaking one
+    * per call. Unpersisting a frame another in-flight query still uses is
+    * safe — it drops the cache, not correctness. */
+  private val lastPersisted =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def persistReplacing(key: String, df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastPersisted.put(key, p)).foreach(_.unpersist(false))
+    p
+  }
+
   // ------------------------------------------------------------ exact
   /** Exact duplicate groups on the normalized-content fingerprint. */
   def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -73,7 +86,10 @@ object Dedup {
     * fixture's max df (25 at sf0.1), so small-corpus results are exact. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       textCol: String = "text", n: Int = 3, maxDf: Int = 1000): DataFrame = {
-    val shAll = shingles(docs, textCol, n)
+    // the explode+distinct is the expensive subtree and feeds the df-cap
+    // aggregate, the sizes aggregate, and both sides of the self-join —
+    // persist it once instead of recomputing per branch
+    val shAll = persistReplacing("ngram_shingles", shingles(docs, textCol, n))
     val rare = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
     val sh = shAll.join(rare, "shingle")
@@ -201,13 +217,12 @@ object Dedup {
     * generation AND both sides of the estimate re-join, and recomputing
     * the shingle aggregation three times dominates everything else (at
     * warehouse scale you would materialize the signature table instead;
-    * MEMORY_AND_DISK is the single-job analog). */
+    * the replace-on-next-call persist is the single-job analog). */
   def minhashNearDuplicates(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 32): DataFrame = {
     // bands=32 (r=2): collision prob at J=0.5 is 1-(1-0.25)^32 ≈ 1.0, at
     // J=0.2 ≈ 0.73 — recall-biased; the estimate filter prunes false hits.
-    val sigs = minhashSignatures(docs, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = persistReplacing("minhash_sigs", minhashSignatures(docs, numHashes))
     val est = aggregate(
       zip_with(col("sig1"), col("sig2"), (a, b) =>
         when(a === b, 1).otherwise(0)),
@@ -238,8 +253,7 @@ object Dedup {
     * pathological diameters the large-star/small-star variant (Kiveris
     * et al. 2014) halves rounds to O(log n); not needed for near-dup
     * clusters. */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -258,12 +272,21 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("old"),
           least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: round i materializes here
       converged = updated.filter(col("label") =!= col("old")).limit(1).count() == 0L
+      // re-binding drops the only reference to round i-1's checkpoint; its
+      // blocks are reclaimed by Spark's ContextCleaner after GC, so rounds
+      // don't accumulate storage (Dataset.unpersist can't release a
+      // localCheckpoint — it only knows cacheManager entries)
       labels = updated.select("id", "label")
       i += 1
     }
     edges.unpersist()
+    // a silent cap-exit would return a component split into several
+    // clusters — wrong answers, loudly refused instead (raise maxIter for
+    // graphs whose diameter genuinely exceeds it)
+    require(converged,
+      s"dedupClusters did not converge within $maxIter rounds — component diameter exceeds maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

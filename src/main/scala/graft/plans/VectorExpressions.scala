@@ -69,10 +69,11 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * separate dot-product expressions, whose literal plane arrays blow the
   * expression tree into tens of thousands of nodes).
   *
-  * The plane sequence is `scala.util.Random(seed)` nextBoolean in
-  * plane-major order — deterministic across runs and executors, so bucket
-  * assignments are reproducible (the near-duplicate gate's recall on a
-  * given corpus is a fixed fact, not a per-run coin flip).
+  * The plane sequence comes from [[graft.similarity.Similarity.planes]] —
+  * the one source of the seeded Rademacher convention — so it is
+  * deterministic across runs and executors and can never diverge from the
+  * SRP top-k path (the near-duplicate gate's recall on a given corpus is
+  * a fixed fact, not a per-run coin flip).
   *
   * Evaluated interpreted ([[CodegenFallback]]): it runs once per corpus
   * ROW (not per candidate pair), so it is not on the pairwise hot path
@@ -83,10 +84,8 @@ case class SrpBandBuckets(child: Expression, bandBits: Int, bands: Int,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "srp_band_buckets"
 
-  @transient private lazy val planes: Array[Array[Float]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(bands * bandBits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
-  }
+  @transient private lazy val planes: Array[Array[Float]] =
+    graft.similarity.Similarity.planes(bands * bandBits, dim, seed).toArray
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

@@ -55,8 +55,11 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplanes (Rademacher signed random projection),
-    * seeded so every run and every executor derives the same planes. */
-  private[similarity] def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {
+    * seeded so every run and every executor derives the same planes — the
+    * SINGLE source of the plane convention, shared with
+    * [[graft.plans.SrpBandBuckets]] so bucket assignments from the two
+    * SRP paths can never silently diverge. */
+  private[graft] def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f))
   }

@@ -10,15 +10,20 @@ import org.apache.spark.sql.types.DecimalType
   * operator a streaming warehouse needs beyond the reference's daily grain
   * (the reference has nothing session-shaped; SURVEY §2.10).
   *
-  * Three forms, one semantic:
+  * Four forms, one semantic (events at most `gapMs` apart share a
+  * session; SessionizeSpec asserts they agree):
   *   - [[batchSessions]] — declarative: per-user lag/gap flag/running sum.
   *     The window partitions by user, so work distributes by user key.
   *   - [[typedSessions]] — the same via `groupByKey.flatMapGroups` (typed
   *     KeyValueGroupedDataset path); demonstrates per-group imperative
   *     logic when expression form gets awkward. Must equal batchSessions.
+  *   - [[sessionWindowSessions]] — Spark's native `session_window`
+  *     aggregation (no custom state; batch or streaming), the gap-boundary
+  *     convention normalized to match the others.
   *   - [[statefulSessions]] — Structured Streaming `flatMapGroupsWithState`
   *     keeping one open session per user across micro-batches; closed
-  *     sessions emit as soon as the closing event arrives.
+  *     sessions emit as soon as the closing event arrives, open tails when
+  *     the watermark passes their gap boundary (state evicted).
   */
 object Sessionize {
 
@@ -46,19 +51,19 @@ object Sessionize {
   }
 
   /** Fourth agreeing form: Spark's NATIVE `session_window` aggregation —
-    * no custom state, works in batch and streaming alike. Two convention
-    * differences vs the other three forms, handled by callers:
-    * (1) boundary: session_window splits when the inter-event gap REACHES
-    * the duration (diff >= gap) while the others split only when it
-    * exceeds it (diff > gap) — pass `gapMs + 1` to reproduce their
-    * grouping exactly (integer-ms timestamps); (2) no per-user session
-    * numbering (native windows are identified by their time range), and
-    * the window's own end is last-event + gap, so start/end here are
-    * re-derived as min/max event time for comparability. */
+    * no custom state, works in batch and streaming alike. `gapMs` means
+    * the same thing as in the other three forms (events exactly `gapMs`
+    * apart SHARE a session): session_window itself splits when the gap is
+    * merely reached (diff >= duration), so the duration passed to it is
+    * `gapMs + 1` ms — normalized here, not at call sites. No per-user
+    * session numbering (native windows are identified by their time
+    * range), and the window's own end is last-event + gap, so start/end
+    * are re-derived as min/max event time for comparability. */
   def sessionWindowSessions(events: DataFrame,
       gapMs: Long = DefaultGapMs): DataFrame =
     events
-      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMs milliseconds"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapMs + 1} milliseconds"))
       .agg(
         count(lit(1)).as("n_events"),
         min(unix_millis(col("ts"))).as("start_ms"),

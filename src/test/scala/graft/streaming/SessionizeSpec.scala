@@ -29,8 +29,9 @@ class SessionizeSpec extends SparkTestBase {
     val batch = Sessionize.batchSessions(events)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getDouble(5))).toSet // drop session_seq
-    // +1 ms: session_window splits at diff >= gap, the others at diff > gap
-    val native = Sessionize.sessionWindowSessions(events, Sessionize.DefaultGapMs + 1)
+    // same gapMs as the other forms — the >=-vs-> boundary convention is
+    // normalized inside sessionWindowSessions
+    val native = Sessionize.sessionWindowSessions(events)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4))).toSet
     assert(batch.nonEmpty)
