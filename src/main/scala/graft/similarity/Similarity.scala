@@ -93,23 +93,65 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
-  /** IVF (inverted-file) ANN: KMeans partitions the corpus into `nlist`
-    * Voronoi cells; each query probes only its `nprobe` nearest cells, so
-    * per-query scan cost drops from |corpus| to nprobe/nlist of it. The
-    * other classic scale path next to SRP-LSH — better recall on clustered
-    * data, needs a (cheap, sampled) training pass. With nprobe == nlist it
-    * probes everything and MUST equal brute force exactly (asserted in
-    * SimilaritySpec). Deterministic via fixed KMeans/sampling seeds.
+  /** A built IVF index: cell-assigned corpus + centroid table, reusable
+    * across many top-k probes — the real usage pattern (indexes are built
+    * once and queried for their lifetime; rebuilding per query would make
+    * the build dominate). `assigned` is persisted by [[buildIvfIndex]];
+    * call [[release]] when done with the index. */
+  final case class IvfIndex private[similarity] (
+      assigned: DataFrame, centroids: DataFrame) {
+
+    /** Approximate top-k for the filtered query rows, probing each
+      * query's `nprobe` nearest cells. */
+    def topK(queryFilter: Column, k: Int, nprobe: Int = 4): DataFrame = {
+      // nprobe nearest cells per query by euclidean distance (KMeans'
+      // metric): ||q-c||² = q·q + c·c - 2 q·c, all via the codegen'd dot
+      val q = assigned.filter(queryFilter)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+      val wCells = Window.partitionBy("qid").orderBy(asc("d2"), asc("cell"))
+      val probed = q.crossJoin(broadcast(centroids))
+        .withColumn("d2",
+          dot(col("qv"), col("qv")) + dot(col("centroid"), col("centroid"))
+            - lit(2.0) * dot(col("qv"), col("centroid")))
+        .withColumn("cr", row_number().over(wCells))
+        .filter(col("cr") <= nprobe)
+        .select(col("qid"), col("qv"), col("qn"), col("cell"))
+
+      val cand = assigned
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cell"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
+        .join(broadcast(probed), "cell")
+        .filter(col("qid") =!= col("nid"))
+      val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+      cand
+        .select(col("qid"), col("nid"),
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+    }
+
+    /** Drop the cached assignment (the index is unusable afterwards). */
+    def release(): Unit = { assigned.unpersist(); () }
+  }
+
+  /** Build an IVF (inverted-file) index: KMeans partitions the corpus into
+    * `nlist` Voronoi cells; a probe then scans only nprobe/nlist of the
+    * corpus per query. The other classic scale path next to SRP-LSH —
+    * better recall on clustered data, needs a (cheap, sampled) training
+    * pass. Deterministic via fixed KMeans/sampling seeds.
     *
     * The coarse quantizer trains on a bounded sample (`maxTrainRows`,
     * classic IVF practice — FAISS trains on ~256 vectors/cell): every
     * KMeans iteration is a full pass over its input, so fitting on the
     * whole corpus would make the INDEX BUILD, not the queries, the
     * dominant cost at scale. Assignment still covers the full corpus in
-    * one pass. Corpora at or below the cap train on everything (the
-    * sample job is skipped, not run at fraction 1.0). */
-  def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, maxTrainRows: Int = 100000): DataFrame = {
+    * one pass and is persisted for the index's lifetime. Corpora at or
+    * below the cap train on everything (the sample job is skipped, not
+    * run at fraction 1.0). */
+  def buildIvfIndex(emb: DataFrame, nlist: Int = 16,
+      maxTrainRows: Int = 100000): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -125,38 +167,21 @@ object Similarity {
       .setFeaturesCol("features").fit(train)
     val assigned = model.transform(featured)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
       .toSeq.toDF("cell", "centroid")
+    IvfIndex(assigned, centroids)
+  }
 
-    // nprobe nearest cells per query by euclidean distance (KMeans' metric):
-    // ||q-c||² = q·q + c·c - 2 q·c, all via the codegen'd dot
-    val q = assigned.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
-    val wCells = Window.partitionBy("qid").orderBy(asc("d2"), asc("cell"))
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("d2",
-        dot(col("qv"), col("qv")) + dot(col("centroid"), col("centroid"))
-          - lit(2.0) * dot(col("qv"), col("centroid")))
-      .withColumn("cr", row_number().over(wCells))
-      .filter(col("cr") <= nprobe)
-      .select(col("qid"), col("qv"), col("qn"), col("cell"))
-
-    val cand = assigned
-      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cell"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
-      .join(broadcast(probed), "cell")
-      .filter(col("qid") =!= col("nid"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
-    cand
-      .select(col("qid"), col("nid"),
-        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+  /** One-shot IVF top-k (the driver-contract s04 entry): build, probe,
+    * release — results identical to probing a held [[IvfIndex]]. */
+  def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, maxTrainRows: Int = 100000): DataFrame = {
+    val idx = buildIvfIndex(emb, nlist, maxTrainRows)
+    idx.topK(queryFilter, k, nprobe)
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold — the default,
