@@ -76,6 +76,15 @@ object Dedup {
     * once per common shingle and collapsed by the groupBy, so disjoint
     * documents never meet.
     *
+    * Shingles are collapsed to a single 64-bit xxhash64 BEFORE the
+    * set-dedup shuffle and the self-join — the same slimming
+    * [[minhashSignatures]] applies: the distinct and the inverted-index
+    * join move fixed 8-byte keys instead of n-word strings. Set identity
+    * (and therefore Jaccard) is preserved modulo 64-bit collisions, which
+    * at any realistic corpus are orders of magnitude below the threshold's
+    * own resolution (a collision would need ~2^32 DISTINCT shingles inside
+    * ONE document pair's union to become likely).
+    *
     * `maxDf` caps posting-list length (same rationale as
     * [[winnowingNearDuplicates]]): a shingle present in more than `maxDf`
     * documents is corpus boilerplate, contributes near-zero Jaccard
@@ -89,13 +98,16 @@ object Dedup {
     // the explode+distinct is the expensive subtree and feeds the df-cap
     // aggregate, the sizes aggregate, and both sides of the self-join —
     // persist it once instead of recomputing per branch
-    val shAll = persistReplacing("ngram_shingles", shingles(docs, textCol, n))
-    val rare = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val sh = shAll.join(rare, "shingle")
+    val shAll = persistReplacing("ngram_shingles",
+      shingleGrams(docs, textCol, n)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+        .distinct())
+    val rare = shAll.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("g")
+    val sh = shAll.join(rare, "g")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+      .join(sh.as("b"), col("a.g") === col("b.g") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
