@@ -40,6 +40,10 @@ object SparkEntry {
     "q17_etl_star_rollup" -> (Relational.q17EtlStarRollup _),
     "q18_json_extract" -> (Relational.q18JsonExtract _),
     "q19_sessionization" -> (Relational.q19Sessionization _),
+    "q20_asof_join" -> (Relational.q20AsofJoin _),
+    "q21_range_join" -> (Relational.q21RangeJoin _),
+    "q22_rollup" -> (Relational.q22Rollup _),
+    "q23_moving_window" -> (Relational.q23MovingWindow _),
     "t01_text_stats" -> (TrainingData.t01TextStats _),
     "t02_langid_confusion" -> (TrainingData.t02LangIdConfusion _),
     "t03_fingerprint" -> (TrainingData.t03Fingerprint _),
@@ -342,6 +346,52 @@ object SparkEntry {
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
         |FROM z GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "q20_asof_join" ->
+      """WITH ord AS (SELECT o_custkey AS okey, CAST(o_orderdate AS DATE) AS od,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS day_total
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT e.event_id, e.user_id, e.d, ord.od, ord.day_total
+        |FROM e ASOF LEFT JOIN ord ON e.user_id = ord.okey AND e.d >= ord.od
+        |ORDER BY event_id""".stripMargin,
+    "q21_range_join" ->
+      """WITH ship AS (
+        |  SELECT l.l_orderkey*10 + l.l_linenumber AS ship_id, o.o_custkey AS skey,
+        |         CAST(l.l_shipdate AS DATE) AS d
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |win AS (
+        |  SELECT o_orderkey AS win_id, o_custkey AS wkey,
+        |         CAST(o_orderdate AS DATE) AS lo,
+        |         CAST(o_orderdate AS DATE) + INTERVAL 60 DAY AS hi
+        |  FROM orders)
+        |SELECT ship.ship_id, win.win_id, ship.skey, ship.d, win.lo
+        |FROM ship JOIN win ON ship.skey = win.wkey
+        |  AND ship.d >= win.lo AND ship.d < win.hi
+        |ORDER BY ship_id, win_id""".stripMargin,
+    "q22_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority,
+        |  CAST(GROUPING(year(o_orderdate)) AS INT) AS g_yr,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+        |ORDER BY g_yr, g_pri, yr, o_orderpriority""".stripMargin,
+    "q23_moving_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(l.l_shipdate AS DATE) AS d, c.c_nationkey AS country_id,
+        |         COUNT(*) AS n
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE year(l.l_shipdate) = 2000
+        |  GROUP BY 1, 2)
+        |SELECT d, country_id, n,
+        |  ROUND(AVG(n) OVER (PARTITION BY country_id ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7,
+        |  CAST(SUM(n) OVER (PARTITION BY country_id ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |FROM daily ORDER BY country_id, d""".stripMargin,
     "t01_text_stats" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_tokens,

@@ -313,4 +313,87 @@ object Relational {
     * gap) — see graft.streaming.Sessionize for the three forms. */
   def q19Sessionization(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.Sessionize.batchSessions(Tables(spark, dir, "events"))
+
+  // ---------------------------------------------------------------- Q20 (as-of)
+  /** Point-in-time enrichment: each event picks up the order-day total of
+    * the user's most recent order ON OR BEFORE the event date — the as-of
+    * join every feature-store / training-label pipeline needs ("the value
+    * as it was known then", no future leakage). The right side is
+    * pre-aggregated to one row per (customer, day) so "most recent" is
+    * well-defined. See [[Temporal.asofJoin]] for why this plans as one
+    * window pass, not a nested-loop join. */
+  def q20AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("okey"), to_date(col("o_orderdate")).as("od"))
+      .agg(money(dsum(col("o_totalprice"))).as("day_total"))
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+    Temporal.asofJoin(ev, ord, "user_id", "okey", "d", "od",
+        valueCols = Seq("od", "day_total"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- Q21 (range)
+  /** Interval containment: each shipment matched to every 60-day order
+    * window of the same customer containing its ship date — the
+    * point-in-validity-interval join (SCD lookups, campaign attribution,
+    * session-to-event assignment). See [[Temporal.rangeJoin]] for the
+    * bin-bucketed equi-join form that keeps this off the nested-loop path. */
+  def q21RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val ship = Tables(spark, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("ship_id"),
+        col("o_custkey").as("skey"), to_date(col("l_shipdate")).as("d"))
+    val win = o.select(col("o_orderkey").as("win_id"), col("o_custkey").as("wkey"),
+      to_date(col("o_orderdate")).as("lo"),
+      date_add(to_date(col("o_orderdate")), 60).as("hi"))
+    Temporal.rangeJoin(ship, win, "skey", "wkey", "d", "lo", "hi", binDays = 64)
+      .select(col("ship_id"), col("win_id"), col("skey"), col("d"), col("lo"))
+      .orderBy("ship_id", "win_id")
+  }
+
+  // ---------------------------------------------------------------- Q22 (rollup)
+  /** Multi-level subtotals in ONE pass: ROLLUP(year, priority) computes the
+    * detail rows, per-year subtotals, and the grand total in a single
+    * aggregate (the reference computes each level as a separate query;
+    * grouping sets are the warehouse-native form). GROUPING flags
+    * disambiguate subtotal rows from genuine nulls. */
+  def q22Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(year(col("o_orderdate")).as("yr"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .rollup("yr", "o_orderpriority")
+      .agg(
+        grouping("yr").cast("int").as("g_yr"),
+        grouping("o_orderpriority").cast("int").as("g_pri"),
+        count(lit(1)).as("n"),
+        money(dsum(col("o_totalprice"))).as("revenue"))
+      .select(col("yr"), col("o_orderpriority"), col("g_yr"), col("g_pri"),
+        col("n"), col("revenue"))
+      .orderBy("g_yr", "g_pri", "yr", "o_orderpriority")
+
+  // ---------------------------------------------------------------- Q23 (rolling)
+  /** Rolling time-series analytics over the daily per-country series:
+    * 7-row moving average + running cumulative total, partitioned by
+    * country so the window work distributes (one unpartitioned ORDER BY
+    * window would serialize the corpus through a single task at scale).
+    * The year predicate prunes at the scan. */
+  def q23MovingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val daily = Tables(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 2000)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(to_date(col("l_shipdate")).as("d"), col("c_nationkey").as("country_id"))
+      .agg(count(lit(1)).as("n"))
+    val byCountry = Window.partitionBy("country_id").orderBy("d")
+    daily
+      .select(col("d"), col("country_id"), col("n"),
+        round(avg("n").over(byCountry.rowsBetween(-6, 0)), 2).as("ma7"),
+        sum("n").over(byCountry.rowsBetween(Window.unboundedPreceding, 0))
+          .as("cum"))
+      .orderBy("country_id", "d")
+  }
 }
