@@ -50,6 +50,9 @@ object SparkEntry {
     "t04_doc_split" -> (TrainingData.t04DocSplit _),
     "t05_length_quantiles" -> (TrainingData.t05LengthQuantiles _),
     "t06_top_tokens" -> (TrainingData.t06TopTokens _),
+    "t07_repetition" -> (TrainingData.t07Repetition _),
+    "t08_pii_redact" -> (TrainingData.t08PiiRedact _),
+    "t09_token_shards" -> (TrainingData.t09TokenShards _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -446,6 +449,53 @@ object SparkEntry {
         |  FROM documents)
         |SELECT token, COUNT(*) AS n FROM toks
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "t07_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_extract_all(lower(trim(text)), '\S+') AS t FROM documents),
+        |flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |freq AS (SELECT doc_id, tok, COUNT(*) AS c FROM flat GROUP BY 1, 2),
+        |top AS (SELECT doc_id, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS n,
+        |    COUNT(*) AS u FROM freq GROUP BY 1),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |         ELSE CAST([] AS VARCHAR[]) END AS g2
+        |  FROM toks)
+        |SELECT t.doc_id, n AS n_tokens,
+        |  ROUND(CAST(u AS DOUBLE) / n, 4) AS distinct_ratio,
+        |  ROUND(CAST(topc AS DOUBLE) / n, 4) AS top_token_frac,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+        |  END AS dup_2gram_frac
+        |FROM top t JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "t08_pii_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '-?[0-9]+(\.[0-9]+)?', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ip,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(regexp_replace(props,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '-?[0-9]+(\.[0-9]+)?')) AS INT) AS n_num
+        |FROM events ORDER BY event_id""".stripMargin,
+    "t09_token_shards" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens, cum - n_tokens AS tok_offset,
+        |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     "d01_exact_dup_groups" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  COUNT(*) AS copies, MIN(doc_id) AS keeper_doc_id

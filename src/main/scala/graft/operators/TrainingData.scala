@@ -73,6 +73,66 @@ object TrainingData {
         round(expr("percentile(n_chars, 0.75)"), 4).as("p75"))
       .orderBy("lang")
 
+  /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1):
+    * distinct-token ratio, most-frequent-token share, duplicate-2-gram
+    * fraction — the signals that catch templated/looping text a length or
+    * stopword filter misses. Token frequencies go through explode +
+    * groupBy (the canonical distributed form — an all-tokens-in-one-array
+    * mode computation would be quadratic per doc); the 2-gram fraction is
+    * a pure array projection. */
+  def t07Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val freq = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val top = freq.groupBy("doc_id").agg(
+      max("c").as("topc"), sum("c").as("n"), count(lit(1)).as("u"))
+    val dup = docs.select(col("doc_id"),
+      TextAnalysis.dupBigramFraction(col("text")).as("dup_2gram_frac"))
+    top.join(dup, "doc_id")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(col("u").cast("double") / col("n"), 4).as("distinct_ratio"),
+        round(col("topc").cast("double") / col("n"), 4).as("top_token_frac"),
+        col("dup_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII-style redaction over the event payloads (the JSON props column is
+    * the only testdata surface with digit content): the email → IP → number
+    * cascade plus per-category counts, all native regexp expressions in one
+    * scan. Counts are taken at each cascade stage so categories never
+    * double-count (an IP's digit runs are gone before numbers are
+    * counted). */
+  def t08PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val afterEmail = regexp_replace(col("props"), TextAnalysis.EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, TextAnalysis.Ipv4Re, "<IP>")
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        TextAnalysis.redactPii(col("props")).as("redacted"),
+        regexp_count(col("props"), lit(TextAnalysis.EmailRe)).as("n_email"),
+        regexp_count(afterEmail, lit(TextAnalysis.Ipv4Re)).as("n_ip"),
+        regexp_count(afterIp, lit(TextAnalysis.NumberRe)).as("n_num"))
+      .orderBy("event_id")
+  }
+
+  /** Token-offset sharding for training: per language, documents in stable
+    * doc_id order are assigned a running token offset and a 2000-token
+    * shard id — the deterministic corpus → fixed-token-budget shard map a
+    * packing/tokenization pipeline consumes. Runs on the two-phase
+    * distributed prefix scan ([[Prefix.cumSumTwoPhase]]): language
+    * cardinality is tiny, so the per-language window form would serialize
+    * each language through one task at corpus scale. */
+  def t09TokenShards(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Prefix.cumSumTwoPhase(d, Seq("lang"), Seq("doc_id"), "n_tokens")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("tok_offset"),
+        expr("(cum - n_tokens) div 2000").as("shard"))
+      .orderBy("doc_id")
+  }
+
   /** Exact duplicate groups (hash-groupBy dedup). */
   def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir, "documents"))

@@ -59,6 +59,46 @@ object TextAnalysis {
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     graft.plans.WinnowingExpression.winnowingFingerprints(text, k, w)
 
+  // ------------------------------------------------------------- repetition
+  /** Word 2-grams of the token array — the repetition-metric unit (empty
+    * for documents under two tokens). */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Duplicate-2-gram fraction: 1 − |distinct 2-grams| / |2-grams| — the
+    * Gopher-style repetition signal (Rae et al. 2021 §A1.1: heavily
+    * templated/looping text scores high). Pure array expressions, one
+    * projection, no shuffle. 0 for documents too short to have 2-grams. */
+  def dupBigramFraction(text: Column): Column = {
+    val g = bigrams(text)
+    when(size(g) === 0, 0.0)
+      .otherwise(round(lit(1.0) -
+        size(array_distinct(g)).cast("double") / size(g), 4))
+  }
+
+  // ------------------------------------------------------------------ PII
+  /** PII-style pattern cascade: emails, then IPv4 addresses, then numbers —
+    * ordered so a broader pattern never eats a narrower one's match (an IP
+    * is four digit runs; redacting numbers first would destroy it). The
+    * same three patterns drive [[redactPii]] and the per-category counts,
+    * and the DuckDB oracle applies the identical cascade. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val NumberRe = "-?[0-9]+(\\.[0-9]+)?"
+
+  /** Text with emails → `<EMAIL>`, IPv4s → `<IP>`, numbers → `<NUM>`. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      NumberRe, "<NUM>")
+
   /** Language ID by stopword/script evidence. Scores are per-language
     * match counts; prediction is the argmax with alphabetical tie-break,
     * `unknown` when no evidence. A heuristic, not a model — but the shape

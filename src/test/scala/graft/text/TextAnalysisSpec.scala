@@ -44,4 +44,22 @@ class TextAnalysisSpec extends SparkTestBase {
     preds.foreach(r => assert(r.getString(0) == r.getString(1),
       s"expected ${r.getString(1)} got ${r.getString(0)}"))
   }
+
+  test("duplicate-2-gram fraction flags looping text, 0 for short docs") {
+    def frac(s: String) =
+      one(s).select(TextAnalysis.dupBigramFraction(col("text"))).head.getDouble(0)
+    // "a a a a": 3 bigrams, 1 distinct -> 1 - 1/3
+    assert(math.abs(frac("a a a a") - 0.6667) < 1e-9)
+    assert(frac("all words here are different") == 0.0)
+    assert(frac("solo") == 0.0) // no bigrams -> defined as 0, not 1
+    assert(frac("") == 0.0)
+  }
+
+  test("PII cascade redacts emails before IPs before bare numbers") {
+    val got = one("mail bob.smith+x@example.co.uk or 10.0.0.255 port 8080 at -3.5")
+      .select(TextAnalysis.redactPii(col("text"))).head.getString(0)
+    assert(got == "mail <EMAIL> or <IP> port <NUM> at <NUM>")
+    // an IP must not be shredded into four <NUM>s
+    assert(!got.contains("<NUM>.<NUM>"))
+  }
 }
