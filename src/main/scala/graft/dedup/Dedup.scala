@@ -31,14 +31,24 @@ object Dedup {
   /** Persist `df`, releasing the PREVIOUS persisted frame registered under
     * `key`: repeated invocations (test suites, bench loops, notebooks)
     * hold at most one cached copy per key per JVM instead of leaking one
-    * per call. Unpersisting a frame another in-flight query still uses is
-    * safe — it drops the cache, not correctness. */
+    * per call. If the previous frame computes the SAME result (plan
+    * equality — e.g. d07 re-deriving the exact shingle set d02 just
+    * built), it is returned as-is and its materialized cache is REUSED
+    * instead of being torn down and rebuilt. Unpersisting a frame another
+    * in-flight query still uses is safe — it drops the cache, not
+    * correctness. */
   private val lastPersisted =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def persistReplacing(key: String, df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastPersisted.put(key, p)).foreach(_.unpersist(false))
-    p
+    val prev = lastPersisted.get(key)
+    if (prev != null &&
+        prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) {
+      prev
+    } else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Option(lastPersisted.put(key, p)).foreach(_.unpersist(false))
+      p
+    }
   }
 
   // ------------------------------------------------------------ exact

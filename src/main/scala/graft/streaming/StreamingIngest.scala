@@ -84,6 +84,18 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming exact dedup on `keys` with BOUNDED state: duplicates
+    * arriving within `delay` of the watermark are dropped, and key state
+    * older than the watermark is evicted — the ingest-side guard a training
+    * pipeline puts in front of the corpus store (re-delivered files,
+    * at-least-once upstream queues). Unlike plain `dropDuplicates` on a
+    * stream (state grows forever), the watermark variant holds each key
+    * only for the re-delivery horizon. Rows are emitted on first arrival —
+    * no watermark-wait latency. */
+  def dedupedStream(events: DataFrame, delay: String, keys: String*): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Q16's streaming form: tumbling daily event-time window over the events
     * stream. On a closed input this must produce exactly the batch rows
     * (asserted in StreamingSpec). `watermark` bounds state for continuous

@@ -147,6 +147,44 @@ class StreamingSpec extends SparkTestBase {
     // only after the watermark passes it — never early, never twice
   }
 
+  test("streaming dedup within watermark: re-deliveries dropped, state bounded") {
+    import org.apache.spark.sql.functions.timestamp_millis
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dedup_events").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt").toString
+    val hour = 3600000L
+    val base = 19724L * 86400000L // large base: epoch-0 rows die against watermark 0
+    def write(rows: (Long, Long)*): Unit =
+      rows.toSeq.toDF("event_id", "tms")
+        .select($"event_id", timestamp_millis($"tms").as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    write((1L, base), (2L, base + hour))
+    val stream = spark.readStream
+      .schema(new StructType().add("event_id", "long").add("ts", "timestamp"))
+      .parquet(dir)
+    val q = StreamingIngest.dedupedStream(stream, "2 hours", "event_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    // batch 2: id 2 re-delivered inside the horizon -> dropped; id 3 new
+    write((2L, base + 2 * hour), (3L, base + 2 * hour))
+    q.processAllAvailable()
+    // batch 3: far-future row advances the watermark WAY past id 1's state
+    // (evicted); then a replay of id 1 at its original (now sub-watermark)
+    // timestamp arrives — late rows are discarded, so the replay still
+    // yields no duplicate downstream even though its state is long gone
+    write((4L, base + 100 * hour))
+    q.processAllAvailable()
+    write((1L, base))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").groupBy("event_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), s"got $got")
+  }
+
   test("tumbling daily window on a stream equals the batch rollup (Q16)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val eventsDir = sf("sf0.001")
