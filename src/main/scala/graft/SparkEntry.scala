@@ -64,6 +64,7 @@ object SparkEntry {
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
     "s04_ivf_ann_topk" -> (TrainingData.s04IvfAnnTopK _),
+    "s05_label_centroids" -> (TrainingData.s05LabelCentroids _),
     "a00_star_fact" -> (AnalyticsSuite.a00StarFact _),
     "a01_exec_summary" -> (AnalyticsSuite.a01ExecutiveSummary _),
     "a02_growth_year_sport" -> (AnalyticsSuite.a02GrowthYearSport _),
@@ -554,6 +555,13 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
         |FROM s)
         |SELECT qid, rank, nid, round(cos, 4) AS cos FROM r
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s05_label_centroids" ->
+      """WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS i,
+        |    embedding AS e FROM embeddings)
+        |SELECT label, CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(ROUND(CAST(e[i] AS DOUBLE), 4) AS DECIMAL(18,4)))
+        |    AS DOUBLE) / COUNT(*), 6) AS c
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -76,23 +76,47 @@ object TrainingData {
   /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1):
     * distinct-token ratio, most-frequent-token share, duplicate-2-gram
     * fraction — the signals that catch templated/looping text a length or
-    * stopword filter misses. Token frequencies go through explode +
-    * groupBy (the canonical distributed form — an all-tokens-in-one-array
-    * mode computation would be quadratic per doc); the 2-gram fraction is
-    * a pure array projection. */
+    * stopword filter misses.
+    *
+    * Shuffle-free form: per-document token frequencies need no corpus-wide
+    * explode+groupBy (which shuffles |corpus tokens| rows — the first
+    * version of this query spent 20 s there at sf0.1); sorting the token
+    * array puts equal tokens adjacent, so ONE linear fold computes the max
+    * run length (= max token frequency) and the run-boundary count
+    * (= distinct tokens). O(n log n) per document, embarrassingly parallel,
+    * zero exchanges before the final sort. Documents with no tokens are
+    * dropped (same as the inner-join semantics of the groupBy form and the
+    * oracle). */
   def t07Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val freq = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    val top = freq.groupBy("doc_id").agg(
-      max("c").as("topc"), sum("c").as("n"), count(lit(1)).as("u"))
-    val dup = docs.select(col("doc_id"),
-      TextAnalysis.dupBigramFraction(col("text")).as("dup_2gram_frac"))
-    top.join(dup, "doc_id")
-      .select(col("doc_id"), col("n").as("n_tokens"),
+    val sorted = array_sort(TextAnalysis.tokens(col("text")))
+    val acc0 = struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+      lit(0).as("mx"), lit(0).as("u"), lit(0).as("n"))
+    val folded = aggregate(sorted, acc0,
+      (a, x) => {
+        // null prev (first token) compares null === x -> null -> otherwise
+        val run1 = when(a.getField("prev") === x, a.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run1.as("run"),
+          greatest(a.getField("mx"), run1).as("mx"),
+          when(a.getField("prev") === x, a.getField("u"))
+            .otherwise(a.getField("u") + 1).as("u"),
+          (a.getField("n") + 1).as("n"))
+      },
+      a => struct(a.getField("n").as("n"), a.getField("u").as("u"),
+        a.getField("mx").as("mx")))
+    // inline(array(...)) is a Generate node — a CollapseProject BARRIER.
+    // Referencing folded's fields from a plain projection would re-inline
+    // (and re-evaluate) the whole sort+fold once PER FIELD ACCESS; through
+    // the Generate the fold runs exactly once per row.
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.dupBigramFraction(col("text")).as("dup_2gram_frac"),
+        inline(array(folded)))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
         round(col("u").cast("double") / col("n"), 4).as("distinct_ratio"),
-        round(col("topc").cast("double") / col("n"), 4).as("top_token_frac"),
+        round(col("mx").cast("double") / col("n"), 4).as("top_token_frac"),
         col("dup_2gram_frac"))
       .orderBy("doc_id")
   }
@@ -199,4 +223,9 @@ object TrainingData {
     Similarity.ivfTopK(Tables(spark, dir, "embeddings"),
       col("vec_id") < 5, k = 5)
       .orderBy("qid", "rank")
+
+  /** Per-label embedding centroids (class prototypes) in long form. */
+  def s05LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(Tables(spark, dir, "embeddings"))
+      .orderBy("label", "pos")
 }

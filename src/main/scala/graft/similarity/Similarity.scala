@@ -230,6 +230,25 @@ object Similarity {
       .select(col("d1"), col("d2"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Per-label centroids (class prototypes / cluster means) in LONG form —
+    * one row per (label, dimension). posexplode + groupBy is the
+    * distributed formulation: dimension rows shuffle once and every
+    * executor aggregates a slice, where an array-valued fold would buffer
+    * whole groups in single tasks. Elements are quantized to 4 decimals
+    * and summed EXACTLY (decimal), so the centroid is partition-order- and
+    * engine-invariant: a double can never sit exactly on a 4-dp half-way
+    * point (5·10⁻⁵ has no finite binary expansion), so the quantization
+    * itself rounds identically in every engine. */
+  def labelCentroids(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(labelCol), posexplode(col(vecCol)))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(round(col("col").cast("double"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
+          / count(lit(1)), 6).as("c"))
+
   /** Exact all-pairs form of [[cosineNearDuplicates]] — O(n²) by
     * construction; the ground truth the gated path's recall is measured
     * against in SimilaritySpec, and the right tool only when the corpus is

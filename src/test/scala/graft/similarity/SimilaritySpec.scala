@@ -91,6 +91,23 @@ class SimilaritySpec extends SparkTestBase {
       s"missed=${(exact -- gated).size} spurious=${(gated -- exact).size}")
   }
 
+  test("label centroids: one row per (label, dim), near the plain double mean") {
+    val cents = Similarity.labelCentroids(emb).collect()
+    val labels = emb.select("label").distinct().count()
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    assert(cents.length == labels * dim)
+    // quantized-exact centroid stays within quantization error of the
+    // straight double mean
+    val plain = emb.select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos").agg(avg(col("col").cast("double")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    cents.foreach { r =>
+      val want = plain((r.getInt(0), r.getInt(1)))
+      assert(math.abs(r.getDouble(3) - want) < 1e-3)
+      assert(r.getLong(2) > 0)
+    }
+  }
+
   test("gated near-duplicate plan contains no nested-loop join") {
     val plan = Similarity.cosineNearDuplicates(emb, threshold = 0.4)
       .queryExecution.executedPlan.toString
