@@ -44,6 +44,7 @@ object SparkEntry {
     "q21_range_join" -> (Relational.q21RangeJoin _),
     "q22_rollup" -> (Relational.q22Rollup _),
     "q23_moving_window" -> (Relational.q23MovingWindow _),
+    "q24_histogram" -> ((s: SparkSession, d: String) => Relational.q24Histogram(s, d)),
     "t01_text_stats" -> (TrainingData.t01TextStats _),
     "t02_langid_confusion" -> (TrainingData.t02LangIdConfusion _),
     "t03_fingerprint" -> (TrainingData.t03Fingerprint _),
@@ -396,6 +397,11 @@ object SparkEntry {
         |  CAST(SUM(n) OVER (PARTITION BY country_id ORDER BY d
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |FROM daily ORDER BY country_id, d""".stripMargin,
+    "q24_histogram" ->
+      """WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+        |SELECT CAST(LEAST(FLOOR((o_totalprice - lo) * 20 / (hi - lo)), 19) AS INT) AS bucket,
+        |  COUNT(*) AS n, MIN(o_totalprice) AS lo_val, MAX(o_totalprice) AS hi_val
+        |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin,
     "t01_text_stats" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_tokens,

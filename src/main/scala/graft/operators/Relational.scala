@@ -396,4 +396,29 @@ object Relational {
           .as("cum"))
       .orderBy("country_id", "d")
   }
+
+  // ---------------------------------------------------------------- Q24 (profile)
+  /** Equal-width histogram of a measure — the numeric-profile operator data
+    * quality dashboards run over every column. Bounds come from a broadcast
+    * 1-row min/max aggregate (two passes total — a fixed-bounds histogram
+    * is one; both are single scans + a 20-row aggregate, no collect). The
+    * bucket arithmetic is written in the exact association order the oracle
+    * uses, so IEEE doubles bucket identically in both engines; min/max per
+    * bucket are exact doubles (no summation-order hazard). */
+  def q24Histogram(spark: SparkSession, dir: String, buckets: Int = 20): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .select(
+        least(floor((col("o_totalprice") - col("lo")) * buckets /
+          (col("hi") - col("lo"))), lit((buckets - 1).toDouble))
+          .cast("int").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo_val"),
+        max(col("o_totalprice")).as("hi_val"))
+      .orderBy("bucket")
+  }
 }

@@ -1,0 +1,47 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.TrainingData
+
+/** Shard layout contract: partitioned directories, in-file doc_id order,
+  * records-per-file cap, lossless round-trip. */
+class CorpusStoreSpec extends SparkTestBase {
+
+  test("writeShards: partitioned layout, sorted files, round-trip equality") {
+    val dir = Files.createTempDirectory("graft_shards").toString
+    val shards = TrainingData.t09TokenShards(spark, sf("sf0.001"))
+    CorpusStore.writeShards(shards, dir, maxRecordsPerFile = 50)
+
+    // layout: lang=*/shard=* directories exist
+    val langDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).toSeq
+    assert(langDirs.nonEmpty)
+    val shardDirs = new java.io.File(s"$dir/${langDirs.head}").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("shard=")).toSeq
+    assert(shardDirs.nonEmpty)
+
+    // round-trip: nothing lost or duplicated
+    val back = CorpusStore.readShards(spark, dir)
+    assert(back.count() == shards.count())
+    val cols = shards.columns.map(col).toIndexedSeq
+    assert(back.select(cols: _*).exceptAll(shards).isEmpty &&
+      shards.exceptAll(back.select(cols: _*)).isEmpty)
+
+    // every parquet file respects the cap and is internally doc_id-sorted
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+      .flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids.length <= 50, s"${f.getName}: ${ids.length} rows > cap")
+      assert(ids == ids.sorted, s"${f.getName} not sorted by doc_id")
+    }
+  }
+}
