@@ -39,4 +39,25 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(finals.head, finals.tail: _*)
   }
+
+  /** Salted equi-join for a hot probe-side key joining a (small-ish) build
+    * side: the probe key is extended with a salt in [0, buckets), the build
+    * side is replicated once per salt value, and the join runs on
+    * (key, salt) — a hot key's rows spread over `buckets` reducers instead
+    * of flooding one. Results are salt-invariant (every probe row still
+    * meets every matching build row exactly once).
+    *
+    * AQE's skew-join split covers most shuffled-join skew at runtime; the
+    * explicit form remains the tool when AQE can't act — a skewed stream
+    * side in a stream-static join, deterministic partition layouts, or
+    * build sides just over the broadcast threshold. Build-side cost is
+    * `buckets`× replication: keep `buckets` at the skew factor, not
+    * higher. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      buckets: Int = 16): DataFrame = {
+    val salted = probe.withColumn("__salt", salt(buckets).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -23,6 +23,43 @@ class SkewAndBucketingSpec extends SparkTestBase {
     assert(direct == salted)
   }
 
+  test("salted join equals the plain join on a hot-keyed probe side") {
+    val probe = spark.range(0, 20000)
+      .select(
+        when($"id" % 10 < 9, "hot").otherwise(concat(lit("k"), $"id" % 7))
+          .as("key"),
+        $"id".as("pid"))
+    val build = Seq(("hot", 100), ("k0", 0), ("k3", 3), ("missing", -1))
+      .toDF("key", "bval")
+    val plain = probe.join(build, "key")
+      .select("key", "pid", "bval").as[(String, Long, Int)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(probe, build, "key", buckets = 8)
+      .select("key", "pid", "bval").as[(String, Long, Int)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("count-min sketch never underestimates; overestimate bounded by eps·N") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val eps = 0.001
+    val cms = Sketches.tokenCountSketch(docs, eps = eps)
+    val exact = docs
+      .select(explode(graft.text.TextAnalysis.tokens($"text")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n")).limit(30)
+      .as[(String, Long)].collect()
+    val total = exact.map(_._2).sum // lower bound on N is fine for the check
+    val n = docs.select(sum(graft.text.TextAnalysis.tokenCount($"text")))
+      .head.getLong(0)
+    exact.foreach { case (tok, cnt) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= cnt, s"$tok: est $est < exact $cnt")
+      assert(est <= cnt + (eps * n).ceil.toLong + 1,
+        s"$tok: est $est exceeds exact $cnt + eps*N")
+    }
+    assert(total > 0 && cms.totalCount() == n)
+  }
+
   test("bucketed-by-key join plans without an Exchange") {
     // the session catalog is fresh per JVM but the warehouse dir persists;
     // clear both so saveAsTable can't trip over a stale location
