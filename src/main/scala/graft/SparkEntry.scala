@@ -45,6 +45,7 @@ object SparkEntry {
     "q22_rollup" -> (Relational.q22Rollup _),
     "q23_moving_window" -> (Relational.q23MovingWindow _),
     "q24_histogram" -> ((s: SparkSession, d: String) => Relational.q24Histogram(s, d)),
+    "q25_scd2" -> (Relational.q25Scd2 _),
     "t01_text_stats" -> (TrainingData.t01TextStats _),
     "t02_langid_confusion" -> (TrainingData.t02LangIdConfusion _),
     "t03_fingerprint" -> (TrainingData.t03Fingerprint _),
@@ -402,6 +403,15 @@ object SparkEntry {
         |SELECT CAST(LEAST(FLOOR((o_totalprice - lo) * 20 / (hi - lo)), 19) AS INT) AS bucket,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo_val, MAX(o_totalprice) AS hi_val
         |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_scd2" ->
+      """WITH perday AS (
+        |  SELECT o_custkey AS key, CAST(o_orderdate AS DATE) AS d,
+        |         MAX(o_orderpriority) AS attr
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT key, attr, d AS valid_from,
+        |  LEAD(d) OVER (PARTITION BY key ORDER BY d) AS valid_to,
+        |  LEAD(d) OVER (PARTITION BY key ORDER BY d) IS NULL AS is_current
+        |FROM perday ORDER BY key, valid_from""".stripMargin,
     "t01_text_stats" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_tokens,

@@ -279,8 +279,13 @@ object Dedup {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with least(id, min neighbor) — exactly what round 1 would
+    // produce from identity labels, for one aggregate instead of a full
+    // join+checkpoint+convergence round (symmetrized edges ⇒ every node
+    // appears as src, so this also enumerates the nodes)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
       .localCheckpoint(true)
     var converged = false
     var i = 0

@@ -421,4 +421,25 @@ object Relational {
         max(col("o_totalprice")).as("hi_val"))
       .orderBy("bucket")
   }
+
+  // ---------------------------------------------------------------- Q25 (SCD2)
+  /** Slowly-changing-dimension type-2 build: attribute history per key
+    * becomes validity ranges — `valid_from` = change date, `valid_to` =
+    * next change (null while current) via `lead` over (key, date). The
+    * dimension-construction operator a warehouse needs the moment a "user's
+    * country" or "asset's sport" can change; the as-of join (q20) is its
+    * query-side dual. One shuffle on the key; the change-days pre-aggregate
+    * makes the range endpoints deterministic when a day has several
+    * observations (max attribute wins, pinned). */
+  def q25Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val perDay = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"), to_date(col("o_orderdate")).as("d"))
+      .agg(max(col("o_orderpriority")).as("attr"))
+    val w = Window.partitionBy("key").orderBy("d")
+    perDay
+      .select(col("key"), col("attr"), col("d").as("valid_from"),
+        lead(col("d"), 1).over(w).as("valid_to"),
+        (lead(col("d"), 1).over(w).isNull).as("is_current"))
+      .orderBy("key", "valid_from")
+  }
 }
