@@ -39,10 +39,18 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     require(valueCols.forall(!leftCols.contains(_)),
       s"valueCols ${valueCols.filter(leftCols.contains)} collide with left columns")
+    // forward ("the NEXT right row at-or-after") is backward mirrored in
+    // time: descending timestamp order; the tag still sorts right (0)
+    // before left (1) inside equal timestamps so equality stays inclusive
+    val tsOrder =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
     val lTagged = left.select(
       Seq(col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(1).as("__tag")) ++
         leftCols.map(col) ++
@@ -51,7 +59,7 @@ object Temporal {
       Seq(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__tag")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(col): _*)
-    val w = Window.partitionBy("__k").orderBy(col("__ts").asc, col("__tag").asc)
+    val w = Window.partitionBy("__k").orderBy(tsOrder, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // one Window operator: all fills share the same spec, Catalyst collapses
     val filled = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>

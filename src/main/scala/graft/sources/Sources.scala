@@ -29,6 +29,34 @@ object Sources {
   def parquetTxns(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.streamingTxns).parquet(path)
 
+  /** Tolerant CSV read with a quarantine channel: malformed rows don't
+    * abort the batch (FAILFAST) and don't vanish (the reference's silent
+    * swallow, R:478-488) — PERMISSIVE mode keeps them with the raw line in
+    * `_corrupt_record`, and the caller splits good rows from quarantined
+    * ones. At pipeline scale the quarantine frame is written next to the
+    * batch for replay/audit; dropping bad rows silently forfeits the
+    * reference's own accounting guarantees (SURVEY §5.1 counted drops).
+    *
+    * Returns (clean rows in the declared schema, quarantined raw lines).
+    * The input is persisted for the two consumers; caller unpersists. */
+  def csvWithQuarantine(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      Schemas.csvExport.fields :+ StructField("_corrupt_record", StringType))
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clean = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantined = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantined)
+  }
+
   /** JDBC operational store (S1/S2's SQLite/MySQL shape). Partitioned read:
     * numPartitions parallel range scans on `partitionColumn` replace the
     * reference's serial LIMIT/OFFSET loop. Untestable in this environment

@@ -44,4 +44,19 @@ class CorpusStoreSpec extends SparkTestBase {
       assert(ids == ids.sorted, s"${f.getName} not sorted by doc_id")
     }
   }
+
+  test("compactParquet merges a small-file store losslessly") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/store"
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "lang", "n_chars")
+    docs.repartition(24).write.parquet(dir) // deliberately fragmented
+    val wantRows = docs.count()
+    val (before, after) = Maintenance.compactParquet(spark, dir,
+      targetFileBytes = 10L * 1024 * 1024)
+    assert(before == 24, s"expected 24 input files, saw $before")
+    assert(after < before, s"no compaction: $before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == wantRows)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
 }

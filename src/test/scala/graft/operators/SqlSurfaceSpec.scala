@@ -61,6 +61,32 @@ class SqlSurfaceSpec extends SparkTestBase {
       Relational.q06ArgmaxWindow(spark, dir))
   }
 
+  test("q22 ROLLUP grouping sets: SQL equals the DataFrame plan") {
+    assertSameRows(
+      """SELECT yr, o_orderpriority,
+        |  CAST(GROUPING(yr) AS INT) AS g_yr,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM (SELECT year(o_orderdate) AS yr, o_orderpriority, o_totalprice FROM orders)
+        |GROUP BY ROLLUP(yr, o_orderpriority)
+        |ORDER BY g_yr, g_pri, yr, o_orderpriority""".stripMargin,
+      Relational.q22Rollup(spark, dir))
+  }
+
+  test("q25 SCD2 validity ranges: SQL equals the DataFrame plan") {
+    assertSameRows(
+      """WITH perday AS (
+        |  SELECT o_custkey AS key, CAST(o_orderdate AS DATE) AS d,
+        |         MAX(o_orderpriority) AS attr
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT key, attr, d AS valid_from,
+        |  LEAD(d) OVER (PARTITION BY key ORDER BY d) AS valid_to,
+        |  LEAD(d) OVER (PARTITION BY key ORDER BY d) IS NULL AS is_current
+        |FROM perday ORDER BY key, valid_from""".stripMargin,
+      Relational.q25Scd2(spark, dir))
+  }
+
   test("q17 flagship star rollup: SQL equals the DataFrame plan") {
     assertSameRows(
       """SELECT CAST(l_shipdate AS DATE) AS d, n_name,

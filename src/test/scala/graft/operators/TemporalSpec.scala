@@ -43,6 +43,23 @@ class TemporalSpec extends SparkTestBase {
       104L -> Some(20.0), 105L -> Some(99.0), 106L -> None))
   }
 
+  test("asofJoin forward: earliest right row at-or-after, inclusive") {
+    val got = Temporal.asofJoin(trades, quotes, "tkey", "qkey", "td", "qd",
+        valueCols = Seq("px"), direction = "forward")
+      .orderBy("trade_id")
+      .select("trade_id", "px")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq == Seq(
+      100L -> Some(10.0), // before first quote -> next is 01-01
+      101L -> Some(10.0), // equal ts inclusive
+      102L -> Some(20.0), // next quote is 01-10
+      103L -> Some(20.0), // equal second
+      104L -> None, //       after all quotes
+      105L -> None, //       key 2's only quote (01-05) is BEFORE this trade
+      106L -> None))
+  }
+
   test("asofJoin: plan is one window pass — no join operator at all") {
     val plan = Temporal.asofJoin(trades, quotes, "tkey", "qkey", "td", "qd",
       valueCols = Seq("px")).queryExecution.executedPlan.toString

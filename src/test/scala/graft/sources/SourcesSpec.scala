@@ -30,6 +30,23 @@ class SourcesSpec extends SparkTestBase {
     assert(r.head.getAs[Long]("transaction_id") == 100L)
   }
 
+  test("quarantine csv: malformed rows are captured, not dropped or fatal") {
+    val dir = Files.createTempDirectory("graft_qcsv").toString
+    val csv = s"$dir/export.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      """transaction_id,subscriber_id,user_id,asset_id,streaming_date,streaming_start_time,minutes_streamed,device_type,quality_streamed,completed
+        |100,s1,u1,DEL-001,2022-01-01,10:00,30,mobile,HD,1
+        |BROKEN,s9,u9,DEL-009,2022-01-03,09:00,not_a_number,tv,HD,1
+        |101,s2,u2,SKJ-001,2022-01-02,11:00,45,tv,SD,0
+        |""".stripMargin)
+    val (clean, quarantined) = Sources.csvWithQuarantine(spark, csv)
+    assert(clean.count() == 2)
+    assert(clean.orderBy("transaction_id").collect()
+      .map(_.getAs[Long]("transaction_id")).toSeq == Seq(100L, 101L))
+    val bad = quarantined.collect().map(_.getString(0))
+    assert(bad.length == 1 && bad.head.contains("not_a_number"))
+  }
+
   test("star catalog registers and schema-verifies a written store") {
     def df(schema: org.apache.spark.sql.types.StructType, rows: Row*) =
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
