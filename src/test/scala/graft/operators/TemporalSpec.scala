@@ -107,6 +107,41 @@ class TemporalSpec extends SparkTestBase {
     assert(plan.contains("Join"), s"expected an equi-join:\n$plan")
   }
 
+  test("asofJoin agrees with a driver-side reference on random data, both directions") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      // right side unique per (key, ts) by construction
+      val rightRows = (for (k <- 0 to 4) yield {
+        rnd.shuffle((0 to 60).toList).take(8).map(t => (k.toLong, t, rnd.nextInt(1000)))
+      }).flatten
+      val leftRows = Seq.fill(60)(
+        (rnd.nextLong().abs % 10000, rnd.nextInt(6).toLong, rnd.nextInt(70)))
+      val right = rightRows.toDF("rkey", "rts", "v")
+      val left = leftRows.toDF("lid", "lkey", "lts")
+
+      def reference(forward: Boolean): Map[(Long, Long, Int), Option[Int]] =
+        leftRows.map { case (id, k, t) =>
+          val cands =
+            if (forward) rightRows.filter(r => r._1 == k && r._2 >= t)
+            else rightRows.filter(r => r._1 == k && r._2 <= t)
+          val pick =
+            if (forward) cands.sortBy(_._2).headOption
+            else cands.sortBy(_._2).lastOption
+          (id, k, t) -> pick.map(_._3)
+        }.toMap
+
+      for (dir <- Seq("backward", "forward")) {
+        val got = Temporal.asofJoin(left, right, "lkey", "rkey", "lts", "rts",
+            valueCols = Seq("v"), direction = dir)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) ->
+            (if (r.isNullAt(3)) None else Some(r.getInt(3))))
+          .toMap
+        assert(got == reference(dir == "forward"), s"direction=$dir")
+      }
+    }
+  }
+
   test("rangeJoin: fixture-scale result equals the naive theta join on testdata") {
     val q21 = Relational.q21RangeJoin(spark, "/root/testdata/sf0.001")
     val o = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
