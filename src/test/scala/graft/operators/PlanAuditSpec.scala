@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Physical-plan audits: the scan/join properties that make these plans
+  * survive a 100× scale-up, locked in as assertions so a refactor that
+  * silently drops a pushdown or a broadcast fails CI, not a cluster run.
+  * String-matching executed plans is deliberate — it is what `.explain`
+  * shows and what a plan reviewer would read. */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter and projection reach the parquet scan") {
+    val p = plan("q01_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"scan reads more than the 3 projected columns:\n$p")
+  }
+
+  test("q17: nation broadcasts; lineitem scan prunes to the 4 used columns") {
+    val p = plan("q17_etl_star_rollup")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("l_shipdate")).getOrElse("")
+    assert(!scanLine.contains("l_comment") && !scanLine.contains("l_tax") &&
+      !scanLine.contains("l_discount"),
+      s"lineitem scan reads unused columns:\n$scanLine")
+  }
+
+  test("q23: year predicate is pushed to the lineitem scan") {
+    val p = plan("q23_moving_window")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"no pushed filter on the fact scan:\n$p")
+    assert(p.contains("Window"), s"expected window operator:\n$p")
+  }
+
+  test("q20/q21: no nested-loop joins anywhere in the temporal plans") {
+    Seq("q20_asof_join", "q21_range_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("NestedLoop"), s"$q degenerated to nested-loop:\n$p")
+    }
+  }
+
+  test("d05: the shipped near-dup plan has no nested-loop join") {
+    val p = plan("d05_cosine_near_dup")
+    assert(!p.contains("NestedLoop"), s"d05 regressed to all-pairs:\n$p")
+  }
+}
