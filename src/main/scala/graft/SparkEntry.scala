@@ -55,6 +55,7 @@ object SparkEntry {
     "t07_repetition" -> (TrainingData.t07Repetition _),
     "t08_pii_redact" -> (TrainingData.t08PiiRedact _),
     "t09_token_shards" -> (TrainingData.t09TokenShards _),
+    "t10_bpeish_tokens" -> (TrainingData.t10BpeishTokens _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -513,6 +514,14 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, cum - n_tokens AS tok_offset,
         |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    "t10_bpeish_tokens" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS INT) AS n_bpeish
+        |FROM documents)
+        |SELECT doc_id, n_ws, n_bpeish,
+        |  ROUND(CAST(n_bpeish AS DOUBLE) / n_ws, 4) AS subword_ratio
+        |FROM s WHERE n_ws > 0 ORDER BY doc_id""".stripMargin,
     "d01_exact_dup_groups" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  COUNT(*) AS copies, MIN(doc_id) AS keeper_doc_id

@@ -139,6 +139,19 @@ object TrainingData {
       .orderBy("event_id")
   }
 
+  /** Whitespace vs BPE-ish token budgets per document: the subword count is
+    * what an LLM's context budget actually consumes; the ratio profiles how
+    * symbol/number-heavy a corpus slice is. One projection, no shuffle. */
+  def t10BpeishTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+      .filter(col("n_ws") > 0)
+      .select(col("doc_id"), col("n_ws"), col("n_bpeish"),
+        round(col("n_bpeish").cast("double") / col("n_ws"), 4).as("subword_ratio"))
+      .orderBy("doc_id")
+
   /** Token-offset sharding for training: per language, documents in stable
     * doc_id order are assigned a running token offset and a 2000-token
     * shard id — the deterministic corpus → fixed-token-budget shard map a

@@ -20,6 +20,18 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword segmentation (GPT-2-style pretokenizer, simplified to
+    * what RE2 AND java.util.regex both support — no lookahead): runs of
+    * letters, runs of digits, runs of other non-space symbols, each with an
+    * optional leading space. Counts approximate LLM token budgets far
+    * better than whitespace words (punctuation and numbers split off). */
+  val BpeishRe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpeishRe), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
   /** Count of sentence/clause punctuation characters. */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.,!?;:]", ""))

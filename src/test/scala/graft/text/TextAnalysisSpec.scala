@@ -55,6 +55,16 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(frac("") == 0.0)
   }
 
+  test("BPE-ish tokens split punctuation and digit runs off words") {
+    val n = one("Don't panic 123!!")
+      .select(TextAnalysis.bpeishTokenCount(col("text"))).head.getInt(0)
+    // don | ' | t | _panic | _123 | !!
+    assert(n == 6)
+    val ws = one("Don't panic 123!!")
+      .select(TextAnalysis.tokenCount(col("text"))).head.getInt(0)
+    assert(ws == 3)
+  }
+
   test("PII cascade redacts emails before IPs before bare numbers") {
     val got = one("mail bob.smith+x@example.co.uk or 10.0.0.255 port 8080 at -3.5")
       .select(TextAnalysis.redactPii(col("text"))).head.getString(0)
