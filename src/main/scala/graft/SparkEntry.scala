@@ -63,6 +63,7 @@ object SparkEntry {
     "d05_cosine_near_dup" -> (TrainingData.d05CosineNearDup _),
     "d06_winnowing" -> (TrainingData.d06Winnowing _),
     "d07_dedup_clusters" -> (TrainingData.d07DedupClusters _),
+    "d08_dedup_manifest" -> (TrainingData.d08DedupManifest _),
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
@@ -549,6 +550,30 @@ object SparkEntry {
         |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id)
         |SELECT id AS doc_id, MIN(label) AS cluster_id
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d08_dedup_manifest" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |near AS (SELECT d1, d2 FROM common
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
+        |fps AS (SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM exact UNION SELECT d1, d2 FROM near),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |walk AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id),
+        |clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+        |  FROM walk GROUP BY 1)
+        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS keeper_id,
+        |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_keeper
+        |FROM documents d LEFT JOIN clusters c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "d05_cosine_near_dup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,

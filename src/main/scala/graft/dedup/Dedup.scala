@@ -317,6 +317,31 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  // ------------------------------------------------------------ manifest
+  /** The end-to-end dedup decision: combine exact-duplicate evidence
+    * (shared content fingerprint) with near-duplicate evidence (n-gram
+    * Jaccard pairs), resolve connected components, and emit one row per
+    * document with its canonical keeper — the keep/drop manifest a corpus
+    * pipeline actually ships downstream. Unclustered documents keep
+    * themselves. */
+  def dedupManifest(docs: DataFrame, threshold: Double = 0.2,
+      textCol: String = "text"): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val exactPairs = fp.as("a")
+      .join(fp.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val nearPairs = ngramJaccardPairs(docs, threshold, textCol)
+      .select("d1", "d2")
+    val clusters = dedupClusters(exactPairs.unionByName(nearPairs))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("keeper_id"))
+      .withColumn("is_keeper", col("doc_id") === col("keeper_id"))
+  }
+
   // ------------------------------------------------------------ SimHash
   /** 64-bit SimHash over token hashes: per bit, the sign of the ±1 vote sum
     * across tokens — 64 conditional sums in one aggregation pass. */

@@ -204,6 +204,12 @@ object TrainingData {
       Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), threshold = 0.2))
       .orderBy("doc_id")
 
+  /** End-to-end dedup manifest: exact + near-dup evidence resolved to one
+    * keeper per document — the corpus keep/drop decision. */
+  def d08DedupManifest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupManifest(Tables(spark, dir, "documents"), threshold = 0.2)
+      .orderBy("doc_id")
+
   /** Embedding-cosine near-duplicate pairs — the SRP-banded gate + exact
     * verify path (no all-pairs join in the plan); band parameters are the
     * defaults tuned for full recall at this threshold, so the rows equal

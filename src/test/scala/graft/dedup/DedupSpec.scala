@@ -83,6 +83,20 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("dedup manifest: exact + near evidence resolve to one keeper per doc") {
+    val got = Dedup.dedupManifest(docs, threshold = 0.2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // 0,1 byte-identical; 2 case/ws copy; 3 near-dup (J=0.71) — one cluster
+    assert(got(0L) == ((0L, true)))
+    assert(got(1L) == ((0L, false)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((0L, false)))
+    // 4 distinct, 5 too short to shingle — both keep themselves
+    assert(got(4L) == ((4L, true)))
+    assert(got(5L) == ((5L, true)))
+    assert(got.size == 6) // exactly one row per input doc
+  }
+
   test("winnowing: copies share all fingerprints, near-dups most, distinct none") {
     val pairs = Dedup.winnowingNearDuplicates(docs, minJaccard = 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
