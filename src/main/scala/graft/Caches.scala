@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Keyed persist with replace-on-change semantics: repeated invocations of
+  * an operator (test suites, bench loops, notebooks) hold at most one
+  * cached copy per key per JVM instead of leaking one per call. If the
+  * previously registered frame computes the SAME result (plan equality —
+  * e.g. one query re-deriving the exact intermediate another just built),
+  * it is returned as-is and its materialized cache is REUSED instead of
+  * being torn down and rebuilt. Unpersisting a frame another in-flight
+  * query still uses is safe — it drops the cache, not correctness. */
+object Caches {
+  private val last =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def persistReplacing(key: String, df: DataFrame): DataFrame = {
+    val prev = last.get(key)
+    if (prev != null &&
+        prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) {
+      prev
+    } else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      Option(last.put(key, p)).foreach(_.unpersist(false))
+      p
+    }
+  }
+}

@@ -56,6 +56,7 @@ object SparkEntry {
     "t08_pii_redact" -> (TrainingData.t08PiiRedact _),
     "t09_token_shards" -> (TrainingData.t09TokenShards _),
     "t10_bpeish_tokens" -> (TrainingData.t10BpeishTokens _),
+    "t11_tfidf_top_terms" -> (TrainingData.t11TfidfTopTerms _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -64,11 +65,13 @@ object SparkEntry {
     "d06_winnowing" -> (TrainingData.d06Winnowing _),
     "d07_dedup_clusters" -> (TrainingData.d07DedupClusters _),
     "d08_dedup_manifest" -> (TrainingData.d08DedupManifest _),
+    "d09_contamination" -> (TrainingData.d09Contamination _),
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
     "s04_ivf_ann_topk" -> (TrainingData.s04IvfAnnTopK _),
     "s05_label_centroids" -> (TrainingData.s05LabelCentroids _),
+    "s06_quantization" -> (TrainingData.s06QuantizationProfile _),
     "a00_star_fact" -> (AnalyticsSuite.a00StarFact _),
     "a01_exec_summary" -> (AnalyticsSuite.a01ExecutiveSummary _),
     "a02_growth_year_sport" -> (AnalyticsSuite.a02GrowthYearSport _),
@@ -574,6 +577,25 @@ object SparkEntry {
         |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_keeper
         |FROM documents d LEFT JOIN clusters c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "d09_contamination" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+        |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 <> 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+        |  FROM train JOIN bench USING (shingle) GROUP BY 1),
+        |m AS (SELECT s.doc_id, s.n_shingles,
+        |    CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap
+        |  FROM sizes s LEFT JOIN hits h USING (doc_id))
+        |SELECT doc_id, n_shingles, n_overlap,
+        |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 4) AS overlap_frac,
+        |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 4) >= 0.5 AS contaminated
+        |FROM m ORDER BY doc_id""".stripMargin,
     "d05_cosine_near_dup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
@@ -606,6 +628,39 @@ object SparkEntry {
         |FROM s)
         |SELECT qid, rank, nid, round(cos, 4) AS cos FROM r
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "t11_tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, token, tf, df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |r AS (SELECT doc_id, token, tf, df, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, token) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, token, tf, df, tfidf FROM r
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "s06_quantization" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v, CAST(len(v) AS INT) AS dim,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |q AS (SELECT vec_id, v, dim, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |    ELSE list_transform(v, x -> CAST(round(x / scale * 127) AS INT))
+        |    END AS qv
+        |  FROM s)
+        |SELECT vec_id, dim, round(scale, 6) AS scale,
+        |  CAST(list_aggregate(list_transform(qv,
+        |    x -> CAST(abs(x) AS BIGINT)), 'sum') AS BIGINT) AS q_l1,
+        |  round(list_aggregate(list_transform(range(1, dim + 1),
+        |    i -> abs(v[i] - CAST(qv[i] AS DOUBLE) * scale / 127)), 'sum')
+        |    / dim, 6) AS err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "s05_label_centroids" ->
       """WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS i,
         |    embedding AS e FROM embeddings)

@@ -28,28 +28,9 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
-  /** Persist `df`, releasing the PREVIOUS persisted frame registered under
-    * `key`: repeated invocations (test suites, bench loops, notebooks)
-    * hold at most one cached copy per key per JVM instead of leaking one
-    * per call. If the previous frame computes the SAME result (plan
-    * equality — e.g. d07 re-deriving the exact shingle set d02 just
-    * built), it is returned as-is and its materialized cache is REUSED
-    * instead of being torn down and rebuilt. Unpersisting a frame another
-    * in-flight query still uses is safe — it drops the cache, not
-    * correctness. */
-  private val lastPersisted =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def persistReplacing(key: String, df: DataFrame): DataFrame = {
-    val prev = lastPersisted.get(key)
-    if (prev != null &&
-        prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) {
-      prev
-    } else {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Option(lastPersisted.put(key, p)).foreach(_.unpersist(false))
-      p
-    }
-  }
+  // keyed replace-on-change persist — shared JVM-wide cache registry
+  private def persistReplacing(key: String, df: DataFrame): DataFrame =
+    graft.Caches.persistReplacing(key, df)
 
   // ------------------------------------------------------------ exact
   /** Exact duplicate groups on the normalized-content fingerprint. */
@@ -315,6 +296,41 @@ object Dedup {
     require(converged,
       s"dedupClusters did not converge within $maxIter rounds — component diameter exceeds maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  // ------------------------------------------------------------ contamination
+  /** Benchmark decontamination: for each training document, the fraction
+    * of its distinct n-gram shingles that appear anywhere in the benchmark
+    * corpus — the standard eval-leakage check run before training (a
+    * training doc that contains a benchmark's n-grams inflates the score).
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT 8-byte shingle
+    * hashes (eval suites are a few million n-grams even when the training
+    * corpus is 100 TB), so the semi-join broadcasts under AQE and the
+    * training side is never shuffled; if the benchmark outgrows the
+    * broadcast threshold the same plan degrades to a linear hash semi-join
+    * on fixed-width keys, not a pair blowup. Documents shorter than `n`
+    * tokens have no shingles and are absent from the output, matching
+    * [[ngramJaccardPairs]]. */
+  def contamination(train: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.5, textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    def hashedShingles(d: DataFrame): DataFrame =
+      shingleGrams(d, textCol, n)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .distinct()
+    // referenced twice (sizes + hits) — cache so shingling runs once
+    val trainSh = persistReplacing("contamTrain", hashedShingles(train))
+    val benchSh = hashedShingles(benchmark).select("h").distinct()
+    val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.join(benchSh, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 4))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
 
   // ------------------------------------------------------------ manifest

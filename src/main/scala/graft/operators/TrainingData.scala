@@ -170,6 +170,33 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Top-5 TF-IDF terms per document — the classic salience profile a
+    * keyword extractor or boilerplate detector reads. One explode+groupBy
+    * shuffle builds term frequencies; document frequency derives from the
+    * SAME cached frame (no second pass over the text); the vocabulary-sized
+    * df side joins back on `token` and the corpus count broadcasts as a
+    * 1-row frame. Ranking compares the ROUNDED score (ties broken by
+    * token), so order is stable across engines' last-ulp `ln` differences. */
+  def t11TfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val tf = graft.Caches.persistReplacing("tfidf_tf",
+      docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Exact duplicate groups (hash-groupBy dedup). */
   def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir, "documents"))
@@ -210,6 +237,18 @@ object TrainingData {
     Dedup.dedupManifest(Tables(spark, dir, "documents"), threshold = 0.2)
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: shingle-overlap fraction of each training
+    * document against a deterministic benchmark holdout (doc_id ≡ 0 mod
+    * 17) — the eval-leakage check run before training. */
+  def d09Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.contamination(
+      docs.filter(col("doc_id") % 17 =!= 0),
+      docs.filter(col("doc_id") % 17 === 0),
+      threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs — the SRP-banded gate + exact
     * verify path (no all-pairs join in the plan); band parameters are the
     * defaults tuned for full recall at this threshold, so the rows equal
@@ -247,4 +286,10 @@ object TrainingData {
   def s05LabelCentroids(spark: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Tables(spark, dir, "embeddings"))
       .orderBy("label", "pos")
+
+  /** Int8 scalar-quantization profile per embedding: scale, integer code
+    * mass, mean reconstruction error — the compression-safety audit. */
+  def s06QuantizationProfile(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizationProfile(Tables(spark, dir, "embeddings"))
+      .orderBy("vec_id")
 }

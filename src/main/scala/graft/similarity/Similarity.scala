@@ -253,6 +253,38 @@ object Similarity {
     * construction; the ground truth the gated path's recall is measured
     * against in SimilaritySpec, and the right tool only when the corpus is
     * small enough that n² pairs are affordable. */
+  /** Symmetric int8 scalar quantization profile per vector: the 4×
+    * memory-compression step an ANN index applies before sharding, plus
+    * the reconstruction-error audit that decides whether int8 is safe for
+    * the corpus. Per vector: `scale` = max |component| (so q = round(v /
+    * scale · 127) spans the full int8 range), the L1 mass of the quantized
+    * codes (an integer — an exact cross-engine fingerprint of the code
+    * assignment), and the mean absolute dequantization error, folded in
+    * index order for bit-reproducibility.
+    *
+    * Pure per-row projection — no shuffle, no state; scales to any corpus
+    * the scan scales to. Zero vectors quantize to all-zero codes. */
+  def quantizationProfile(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val asD = transform(col(vecCol), x => x.cast("double"))
+    emb.select(col(idCol), asD.as("v"))
+      .withColumn("dim", size(col("v")).cast("int"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", when(col("scale") === 0d,
+          transform(col("v"), _ => lit(0)))
+        .otherwise(transform(col("v"),
+          x => round(x / col("scale") * 127).cast("int"))))
+      .withColumn("q_l1",
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x).cast("long")))
+      .withColumn("err", round(
+        aggregate(
+          zip_with(col("v"), col("q"),
+            (x, qi) => abs(x - qi.cast("double") * col("scale") / 127)),
+          lit(0d), (a, e) => a + e) / col("dim"), 6))
+      .select(col(idCol), col("dim"), round(col("scale"), 6).as("scale"),
+        col("q_l1"), col("err"))
+  }
+
   def cosineNearDuplicatesExact(emb: DataFrame, threshold: Double): DataFrame = {
     val normed = emb.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))

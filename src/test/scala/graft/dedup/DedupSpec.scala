@@ -97,6 +97,20 @@ class DedupSpec extends SparkTestBase {
     assert(got.size == 6) // exactly one row per input doc
   }
 
+  test("contamination: overlap fraction vs a benchmark holdout") {
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val train = docs.filter($"doc_id".isin(3L, 4L, 5L))
+    val got = Dedup.contamination(train, bench, threshold = 0.5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // doc 3: one token of 20 changed -> 15 of its 18 shingles still match
+    assert(got(3L) == ((18L, 15L, 0.8333, true)))
+    // doc 4 shares nothing; doc 5 has no shingles and is absent
+    assert(got(4L) == ((17L, 0L, 0.0, false)))
+    assert(!got.contains(5L))
+    assert(got.size == 2)
+  }
+
   test("winnowing: copies share all fingerprints, near-dups most, distinct none") {
     val pairs = Dedup.winnowingNearDuplicates(docs, minJaccard = 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap

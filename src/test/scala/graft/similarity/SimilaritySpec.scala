@@ -91,6 +91,27 @@ class SimilaritySpec extends SparkTestBase {
       s"missed=${(exact -- gated).size} spurious=${(gated -- exact).size}")
   }
 
+  test("quantization profile: known codes, error bound, zero-vector safety") {
+    val df = Seq(
+      (0L, Array(1f, -0.5f, 0f)),
+      (1L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizationProfile(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    // scale 1.0 -> q = (127, round(-63.5) = -64 away from zero, 0)
+    assert(got(0L) == ((3, 1.0, 191L, 0.001312)))
+    assert(got(1L) == ((3, 0.0, 0L, 0.0)))
+    // real embeddings: per-element error can never exceed scale/254 + ulp,
+    // so the MEAN error must respect the same bound
+    val real = Similarity.quantizationProfile(emb).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (scale, err) = (r.getDouble(2), r.getDouble(4))
+      assert(err <= scale / 254 + 1e-9, s"vec ${r.getLong(0)}: err=$err scale=$scale")
+    }
+  }
+
   test("label centroids: one row per (label, dim), near the plain double mean") {
     val cents = Similarity.labelCentroids(emb).collect()
     val labels = emb.select("label").distinct().count()

@@ -65,6 +65,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(ws == 3)
   }
 
+  test("tfidf top terms: dense ranks per doc, scores non-increasing, idf sane") {
+    val got = graft.operators.TrainingData
+      .t11TfidfTopTerms(spark, sf("sf0.001")).collect()
+    assert(got.nonEmpty)
+    val nDocs = spark.read.parquet(sf("sf0.001") + "/documents.parquet").count()
+    got.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length),
+        s"doc $id ranks not dense")
+      val scores = byRank.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    got.foreach { r =>
+      val (tf, df) = (r.getAs[Long]("tf"), r.getAs[Long]("df"))
+      assert(tf >= 1 && df >= 1 && df <= nDocs)
+      // idf >= 0 always; a corpus-universal token scores exactly 0
+      assert(r.getAs[Double]("tfidf") >= 0.0)
+    }
+  }
+
   test("PII cascade redacts emails before IPs before bare numbers") {
     val got = one("mail bob.smith+x@example.co.uk or 10.0.0.255 port 8080 at -3.5")
       .select(TextAnalysis.redactPii(col("text"))).head.getString(0)
