@@ -342,12 +342,17 @@ object Dedup {
     * themselves. */
   def dedupManifest(docs: DataFrame, threshold: Double = 0.2,
       textCol: String = "text"): DataFrame = {
+    // star edges member→group-keeper, not the fp self-join: a group of k
+    // exact copies contributes k-1 edges instead of k(k-1)/2 — identical
+    // connected components, linear output even for pathological duplicate
+    // groups (the same blowup the self-join would hit on a corpus where
+    // one boilerplate page repeats a million times)
     val fp = docs.select(col("doc_id"),
       TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val exactPairs = fp.as("a")
-      .join(fp.as("b"), col("a.fp") === col("b.fp") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val keepers = fp.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+    val exactPairs = fp.join(keepers, "fp")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("d1"), col("doc_id").as("d2"))
     val nearPairs = ngramJaccardPairs(docs, threshold, textCol)
       .select("d1", "d2")
     val clusters = dedupClusters(exactPairs.unionByName(nearPairs))
