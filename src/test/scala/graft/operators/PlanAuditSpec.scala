@@ -49,4 +49,17 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("d05_cosine_near_dup")
     assert(!p.contains("NestedLoop"), s"d05 regressed to all-pairs:\n$p")
   }
+
+  test("d09: contamination check is a semi-join, never a pair-producing join") {
+    val p = plan("d09_contamination")
+    assert(p.contains("LeftSemi"), s"benchmark gate lost semi-join shape:\n$p")
+    assert(!p.contains("NestedLoop"), s"d09 degenerated to nested-loop:\n$p")
+  }
+
+  test("s06: quantization profile is shuffle-free") {
+    val p = plan("s06_quantization")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // the only allowed exchange is the final presentation ORDER BY
+    assert(exchanges <= 1, s"per-row quantization should not shuffle:\n$p")
+  }
 }
