@@ -57,6 +57,8 @@ object SparkEntry {
     "t09_token_shards" -> (TrainingData.t09TokenShards _),
     "t10_bpeish_tokens" -> (TrainingData.t10BpeishTokens _),
     "t11_tfidf_top_terms" -> (TrainingData.t11TfidfTopTerms _),
+    "t12_lm_bigram_score" -> (TrainingData.t12LmBigramScore _),
+    "t13_chunks" -> (TrainingData.t13Chunks _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -644,6 +646,39 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rank, token, tf, df, tfidf FROM r
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "t12_lm_bigram_score" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |bi AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM toks WHERE len(t) >= 2),
+        |b2 AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+        |    split_part(bg, ' ', 2) AS w2 FROM bi),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY 1, 2),
+        |uni AS (SELECT w1, COUNT(*) AS c1 FROM b2 GROUP BY 1),
+        |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM
+        |  (SELECT w1 AS w FROM b2 UNION ALL SELECT w2 FROM b2) u),
+        |scored AS (SELECT doc_id,
+        |    CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)), 4)
+        |      AS DECIMAL(18,4)) AS lp
+        |  FROM b2 JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t13_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n,
+        |    greatest(CAST(ceil(CAST(len(t) - 8 AS DOUBLE) / 56) AS INT), 1)
+        |      AS n_chunks
+        |  FROM toks WHERE len(t) >= 1),
+        |c AS (SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS chunk FROM nz),
+        |w AS (SELECT doc_id, CAST(chunk AS INT) AS chunk,
+        |    list_slice(t, chunk * 56 + 1, least(chunk * 56 + 64, n)) AS win
+        |  FROM c)
+        |SELECT doc_id, chunk, CAST(len(win) AS INT) AS n_tokens,
+        |  md5(array_to_string(win, ' ')) AS fp
+        |FROM w ORDER BY doc_id, chunk""".stripMargin,
     "s06_quantization" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

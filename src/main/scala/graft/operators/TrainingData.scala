@@ -197,6 +197,49 @@ object TrainingData {
       .orderBy("doc_id", "rank")
   }
 
+  /** Corpus-bigram language-model score per document: add-one-smoothed
+    * bigram log-probability ln((C(w1,w2)+1)/(C(w1·)+V)) averaged over the
+    * document — the KenLM-style fluency filter that separates natural text
+    * from token soup, built from the corpus itself (no external model).
+    * C(w1·) counts bigrams starting with w1; V is the corpus vocabulary.
+    *
+    * One explode builds the bigram stream (cached — it feeds the bigram
+    * counts, the unigram counts, the vocabulary, and the scoring join);
+    * the per-bigram log-probs are 4-dp-quantized and summed as DECIMAL so
+    * the average is order-independent and hash-matches the oracle. */
+  def t12LmBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bi = graft.Caches.persistReplacing("lm_bigrams",
+      docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = bi.select(col("w1").as("w"))
+      .union(bi.select(col("w2").as("w")))
+      .agg(countDistinct("w").as("v"))
+    bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        round(log((col("c12") + 1).cast("double") / (col("c1") + col("v"))), 4)
+          .cast("decimal(18,4)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-length chunking: overlapping 64-token windows (8-token
+    * overlap) per document, fingerprinted for downstream packing/dedup. */
+  def t13Chunks(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Chunking.chunkTokens(
+      Tables(spark, dir, "documents"), size = 64, overlap = 8)
+      .orderBy("doc_id", "chunk")
+
   /** Exact duplicate groups (hash-groupBy dedup). */
   def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir, "documents"))
