@@ -46,6 +46,7 @@ object SparkEntry {
     "q23_moving_window" -> (Relational.q23MovingWindow _),
     "q24_histogram" -> ((s: SparkSession, d: String) => Relational.q24Histogram(s, d)),
     "q25_scd2" -> (Relational.q25Scd2 _),
+    "q26_hopping_window" -> (Relational.q26HoppingWindow _),
     "t01_text_stats" -> (TrainingData.t01TextStats _),
     "t02_langid_confusion" -> (TrainingData.t02LangIdConfusion _),
     "t03_fingerprint" -> (TrainingData.t03Fingerprint _),
@@ -59,6 +60,7 @@ object SparkEntry {
     "t11_tfidf_top_terms" -> (TrainingData.t11TfidfTopTerms _),
     "t12_lm_bigram_score" -> (TrainingData.t12LmBigramScore _),
     "t13_chunks" -> (TrainingData.t13Chunks _),
+    "t14_source_mix" -> (TrainingData.t14SourceMix _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -646,6 +648,28 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rank, token, tf, df, tfidf FROM r
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "q26_hopping_window" ->
+      """WITH w AS (SELECT
+        |    time_bucket(INTERVAL '1 hour', ts) - k * INTERVAL '1 hour' AS win_start,
+        |    event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 6)) AS k) ks)
+        |SELECT win_start, win_start + INTERVAL '6 hours' AS win_end, event_type,
+        |  COUNT(*) AS events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "t14_source_mix" ->
+      """WITH g AS (SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(regexp_extract_all(lower(trim(text)), '\S+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+        |    MIN(n_tokens) AS min_tokens FROM g)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / tot_docs, 4) AS doc_share,
+        |  round(CAST(n_tokens AS DOUBLE) / tot_tokens, 4) AS token_share,
+        |  round(CAST(min_tokens AS DOUBLE) / n_tokens, 4) AS uniform_rate
+        |FROM g CROSS JOIN tot ORDER BY source, lang""".stripMargin,
     "t12_lm_bigram_score" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

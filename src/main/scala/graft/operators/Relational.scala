@@ -442,4 +442,14 @@ object Relational {
         (lead(col("d"), 1).over(w).isNull).as("is_current"))
       .orderBy("key", "valid_from")
   }
+
+  /** Hopping (sliding) windows over events — the batch form of the
+    * streaming trending query ([[graft.streaming.StreamingIngest
+    * .hoppingEventCounts]]); `window(length, hop)` assigns each event to
+    * its length/hop covering windows in one projection, so the plan is one
+    * expand + one grain shuffle regardless of overlap factor. */
+  def q26HoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingIngest
+      .hoppingEventCounts(Tables(spark, dir, "events"))
+      .orderBy("win_start", "event_type")
 }

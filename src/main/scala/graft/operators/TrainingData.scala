@@ -240,6 +240,26 @@ object TrainingData {
       Tables(spark, dir, "documents"), size = 64, overlap = 8)
       .orderBy("doc_id", "chunk")
 
+  /** Source-mix curation report: per (source, lang) document and token
+    * tallies, their corpus shares, and the downsampling rate that would
+    * equalize every group to the smallest group's token budget — the table
+    * a training-mix rebalancer executes. One grain shuffle; the totals join
+    * back as a broadcast 1-row frame. */
+  def t14SourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables(spark, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val tot = g.agg(sum("n_docs").as("tot_docs"),
+      sum("n_tokens").as("tot_tokens"), min("n_tokens").as("min_tokens"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("tot_docs"), 4).as("doc_share"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 4).as("token_share"),
+        round(col("min_tokens").cast("double") / col("n_tokens"), 4).as("uniform_rate"))
+      .orderBy("source", "lang")
+  }
+
   /** Exact duplicate groups (hash-groupBy dedup). */
   def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir, "documents"))

@@ -115,4 +115,21 @@ object StreamingIngest {
       .select(col("window.start").cast("date").as("day"), col("event_type"),
         col("events"), col("approx_uniq_users"), col("total_value"))
   }
+
+  /** Trending detection: hopping (sliding) event-time windows — each event
+    * lands in length/hop overlapping windows, so a burst is visible the
+    * moment its FIRST hop closes instead of a full tumbling period later.
+    * Same shape batch or streaming; with a watermark, state is bounded to
+    * (lateness + length)/hop open windows per key. */
+  def hoppingEventCounts(events: DataFrame, length: String = "6 hours",
+      hop: String = "1 hour", watermark: Option[String] = None): DataFrame = {
+    val withWm = watermark.fold(events)(w => events.withWatermark("ts", w))
+    withWm
+      .groupBy(window(col("ts"), length, hop), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("events"), col("total_value"))
+  }
 }

@@ -212,4 +212,32 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("hopping window on a stream equals the batch form (Q26)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsDir = sf("sf0.001")
+    val streamDir = Files.createTempDirectory("graft_events_hop").toString
+    Files.copy(java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val raw = spark.readStream
+      .schema(new StructType()
+        .add("event_id", "long").add("ts", "long").add("user_id", "long")
+        .add("event_type", "string").add("value", "double").add("props", "string"))
+      .parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamingIngest.hoppingEventCounts(raw)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hopping_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hopping_out")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val batch = graft.operators.Relational.q26HoppingWindow(spark, eventsDir)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    // every event lands in length/hop = 6 windows
+    assert(streamed.map(_.getAs[Long]("events")).sum ==
+      6 * spark.read.parquet(s"$eventsDir/events.parquet").count())
+    assert(streamed == batch)
+  }
 }
