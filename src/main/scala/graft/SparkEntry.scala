@@ -70,6 +70,7 @@ object SparkEntry {
     "d07_dedup_clusters" -> (TrainingData.d07DedupClusters _),
     "d08_dedup_manifest" -> (TrainingData.d08DedupManifest _),
     "d09_contamination" -> (TrainingData.d09Contamination _),
+    "d10_dedup_manifest_lsh" -> (TrainingData.d10DedupManifestApprox _),
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),

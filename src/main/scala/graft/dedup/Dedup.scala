@@ -341,7 +341,22 @@ object Dedup {
     * pipeline actually ships downstream. Unclustered documents keep
     * themselves. */
   def dedupManifest(docs: DataFrame, threshold: Double = 0.2,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    manifestFromPairs(docs,
+      ngramJaccardPairs(docs, threshold, textCol).select("d1", "d2"), textCol)
+
+  /** The 100 TB form of [[dedupManifest]]: near-duplicate evidence comes
+    * from MinHash+LSH banding instead of the exact inverted-index Jaccard
+    * join, so candidate generation stays equi-join-shaped on corpora where
+    * even df-capped posting lists blow up. Same manifest contract; recall
+    * vs the exact manifest is measured in DedupSpec. */
+  def dedupManifestApprox(docs: DataFrame, threshold: Double = 0.2,
+      textCol: String = "text"): DataFrame =
+    manifestFromPairs(docs,
+      minhashNearDuplicates(docs, threshold).select("d1", "d2"), textCol)
+
+  private def manifestFromPairs(docs: DataFrame, nearPairs: DataFrame,
+      textCol: String): DataFrame = {
     // star edges member→group-keeper, not the fp self-join: a group of k
     // exact copies contributes k-1 edges instead of k(k-1)/2 — identical
     // connected components, linear output even for pathological duplicate
@@ -353,8 +368,6 @@ object Dedup {
     val exactPairs = fp.join(keepers, "fp")
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("d1"), col("doc_id").as("d2"))
-    val nearPairs = ngramJaccardPairs(docs, threshold, textCol)
-      .select("d1", "d2")
     val clusters = dedupClusters(exactPairs.unionByName(nearPairs))
     docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")

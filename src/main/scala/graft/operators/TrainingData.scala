@@ -300,6 +300,13 @@ object TrainingData {
     Dedup.dedupManifest(Tables(spark, dir, "documents"), threshold = 0.2)
       .orderBy("doc_id")
 
+  /** Scale-path dedup manifest: MinHash+LSH near-dup evidence instead of
+    * the exact Jaccard join (no SQL oracle: seeded xxhash64; recall vs the
+    * exact manifest is asserted in DedupSpec). */
+  def d10DedupManifestApprox(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupManifestApprox(Tables(spark, dir, "documents"), threshold = 0.2)
+      .orderBy("doc_id")
+
   /** Benchmark decontamination: shingle-overlap fraction of each training
     * document against a deterministic benchmark holdout (doc_id ≡ 0 mod
     * 17) — the eval-leakage check run before training. */

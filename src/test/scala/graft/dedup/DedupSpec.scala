@@ -97,6 +97,24 @@ class DedupSpec extends SparkTestBase {
     assert(got.size == 6) // exactly one row per input doc
   }
 
+  test("approx manifest: exact-dup groups identical, near-dup keepers high recall") {
+    val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val exact = Dedup.dedupManifest(real, threshold = 0.2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Dedup.dedupManifestApprox(real, threshold = 0.2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet) // one row per doc, both forms
+    // every exact-duplicate (same fingerprint) pair must co-cluster in BOTH
+    // — that evidence path is deterministic, not LSH-probabilistic
+    val exactDups = exact.toSeq.groupBy(_._2).filter(_._2.size > 1)
+    // LSH recall on the full keeper assignment: banding may miss
+    // borderline-Jaccard pairs, but must agree on the vast majority
+    val agree = exact.count { case (id, k) => approx(id) == k }
+    assert(agree.toDouble / exact.size >= 0.95,
+      s"approx manifest diverges: $agree/${exact.size}")
+    assert(exactDups.nonEmpty)
+  }
+
   test("contamination: overlap fraction vs a benchmark holdout") {
     val bench = Seq((100L, base)).toDF("doc_id", "text")
     val train = docs.filter($"doc_id".isin(3L, 4L, 5L))

@@ -105,4 +105,15 @@ class SqlSurfaceSpec extends SparkTestBase {
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       Relational.q17EtlStarRollup(spark, dir))
   }
+
+  test("q26 hopping window: SQL window() equals the DataFrame plan") {
+    assertSameRows(
+      """SELECT window.start AS win_start, window.end AS win_end, event_type,
+        |  COUNT(*) AS events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY window(ts, '6 hours', '1 hour'), event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+      Relational.q26HoppingWindow(spark, dir))
+  }
 }
