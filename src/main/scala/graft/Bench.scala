@@ -32,7 +32,19 @@ object Bench {
 
     // ---- timed suite
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var prevFamily = ""
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // workload-boundary hygiene: frames cached for one operator family
+      // (the dedup shingle/signature sets are the big ones) must not
+      // squeeze executor storage for the next family's queries — the same
+      // releaseAll a long-running session would call between task types.
+      // Intra-family reuse (d02's shingles feeding d07/d08) is preserved.
+      val family = name.take(1)
+      if (family != prevFamily && prevFamily.nonEmpty) {
+        Caches.releaseAll()
+        graft.operators.Prefix.releaseAll()
+      }
+      prevFamily = family
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))
       catch { case e: Throwable =>

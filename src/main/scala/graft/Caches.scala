@@ -15,6 +15,15 @@ object Caches {
   private val last =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Unpersist every registered frame and clear the registry — workload-
+    * boundary hygiene for long-running sessions (a bench suite, a notebook
+    * switching task families): frames cached for one operator family
+    * shouldn't squeeze executor storage for the next. */
+  def releaseAll(): Unit = {
+    val it = last.entrySet().iterator()
+    while (it.hasNext) { it.next().getValue.unpersist(false); it.remove() }
+  }
+
   def persistReplacing(key: String, df: DataFrame): DataFrame = {
     val prev = last.get(key)
     if (prev != null &&

@@ -34,6 +34,12 @@ object Prefix {
     p
   }
 
+  /** Release the cached partitioned RDDs (see [[graft.Caches.releaseAll]]). */
+  private[graft] def releaseAll(): Unit = {
+    val it = lastPersisted.entrySet().iterator()
+    while (it.hasNext) { it.next().getValue.unpersist(false); it.remove() }
+  }
+
   /** Per-group running sum of `valueCol` in `orderCols` order, as window
     * aggregation — use when groups are numerous and individually small. */
   def cumSumWindow(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
