@@ -71,6 +71,7 @@ object SparkEntry {
     "d08_dedup_manifest" -> (TrainingData.d08DedupManifest _),
     "d09_contamination" -> (TrainingData.d09Contamination _),
     "d10_dedup_manifest_lsh" -> (TrainingData.d10DedupManifestApprox _),
+    "d11_incremental_dedup" -> (TrainingData.d11IncrementalDedup _),
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
@@ -582,6 +583,43 @@ object SparkEntry {
         |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_keeper
         |FROM documents d LEFT JOIN clusters c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "d11_incremental_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |bs AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 = 0),
+        |cs AS (SELECT doc_id AS cdoc, shingle FROM sh WHERE doc_id % 17 <> 0),
+        |bsz AS (SELECT doc_id, COUNT(*) AS bsz FROM bs GROUP BY 1),
+        |csz AS (SELECT cdoc, COUNT(*) AS csz FROM cs GROUP BY 1),
+        |common AS (SELECT bs.doc_id, cs.cdoc, COUNT(*) AS c
+        |  FROM bs JOIN cs USING (shingle) GROUP BY 1, 2),
+        |near0 AS (SELECT doc_id, cdoc,
+        |    CAST(c AS DOUBLE) / (bsz + csz - c) AS j
+        |  FROM common JOIN bsz USING (doc_id) JOIN csz USING (cdoc)
+        |  WHERE CAST(c AS DOUBLE) / (bsz + csz - c) >= 0.2),
+        |best AS (SELECT doc_id, cdoc AS near_of, round(j, 4) AS near_j,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j DESC, cdoc) AS rn
+        |  FROM near0),
+        |fps AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |exact AS (SELECT b.doc_id, MIN(c.doc_id) AS exact_of
+        |  FROM fps b JOIN fps c ON b.fp = c.fp
+        |  WHERE b.doc_id % 17 = 0 AND c.doc_id % 17 <> 0 GROUP BY 1)
+        |SELECT a.doc_id,
+        |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+        |       WHEN b2.near_of IS NOT NULL THEN 'near_dup'
+        |       ELSE 'new' END AS status,
+        |  coalesce(e.exact_of, b2.near_of) AS dup_of,
+        |  CASE WHEN e.exact_of IS NULL THEN b2.near_j END AS jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) a
+        |LEFT JOIN exact e USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, near_of, near_j FROM best WHERE rn = 1) b2
+        |  USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
     "d09_contamination" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

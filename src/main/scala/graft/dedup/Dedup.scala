@@ -61,6 +61,15 @@ object Dedup {
   def shingles(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
     shingleGrams(docs, textCol, n).distinct()
 
+  /** Distinct shingles collapsed to 8-byte hashes — the slim form every
+    * join-heavy consumer ([[contamination]], [[incrementalDedup]]) moves
+    * through shuffles instead of n-word strings. */
+  private def hashedShingleSets(docs: DataFrame, textCol: String,
+      n: Int): DataFrame =
+    shingleGrams(docs, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+      .distinct()
+
   // ------------------------------------------------------------ n-gram Jaccard
   /** Exact Jaccard over shingle sets for every pair sharing ≥1 shingle.
     * The self-join on `shingle` is an inverted index: a pair is generated
@@ -315,13 +324,11 @@ object Dedup {
   def contamination(train: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.5, textCol: String = "text",
       n: Int = 3): DataFrame = {
-    def hashedShingles(d: DataFrame): DataFrame =
-      shingleGrams(d, textCol, n)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-        .distinct()
     // referenced twice (sizes + hits) — cache so shingling runs once
-    val trainSh = persistReplacing("contamTrain", hashedShingles(train))
-    val benchSh = hashedShingles(benchmark).select("h").distinct()
+    val trainSh = persistReplacing("contamTrain",
+      hashedShingleSets(train, textCol, n).withColumnRenamed("g", "h"))
+    val benchSh = hashedShingleSets(benchmark, textCol, n)
+      .select(col("g").as("h")).distinct()
     val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = trainSh.join(benchSh, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
@@ -331,6 +338,66 @@ object Dedup {
       .withColumn("overlap_frac",
         round(col("n_overlap").cast("double") / col("n_shingles"), 4))
       .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
+
+  // ------------------------------------------------------------ incremental
+  /** Incremental dedup: classify a NEW batch of documents against an
+    * existing (already-deduplicated) corpus — the production shape for a
+    * growing corpus, where re-clustering 100 TB for a daily 0.1% increment
+    * is not an option. Per batch document:
+    *
+    *   - `exact_dup` — its normalized fingerprint exists in the corpus
+    *     (`dup_of` = smallest such corpus doc; `jaccard` null);
+    *   - `near_dup` — some corpus doc shares ≥ `threshold` n-gram Jaccard
+    *     (`dup_of` = the best-scoring corpus doc, ties to the smallest id);
+    *   - `new` — neither.
+    *
+    * The near check is the cross-corpus inverted-index join: batch
+    * shingles meet corpus shingles on an equi-join of 8-byte hashes, so
+    * cost is posting-list-bounded and scales with the BATCH size, not the
+    * corpus pair count. Batch-internal duplicates are [[dedupManifest]]'s
+    * job on the batch alone. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      threshold: Double = 0.2, textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val bfp = batch.select(col("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val cfp = corpus.select(col("doc_id").as("cdoc"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val exact = bfp.join(cfp, "fp")
+      .groupBy("doc_id").agg(min(col("cdoc")).as("exact_of"))
+
+    val bs = persistReplacing("incrBatchSh",
+      hashedShingleSets(batch, textCol, n))
+    val cs = persistReplacing("incrCorpusSh",
+      hashedShingleSets(corpus, textCol, n)
+        .select(col("doc_id").as("cdoc"), col("g")))
+    val bsz = bs.groupBy("doc_id").agg(count(lit(1)).as("bsz"))
+    val csz = cs.groupBy("cdoc").agg(count(lit(1)).as("csz"))
+    val near = bs.join(cs, "g")
+      .groupBy("doc_id", "cdoc").agg(count(lit(1)).as("c"))
+      .join(bsz, "doc_id").join(csz, "cdoc")
+      .withColumn("j",
+        col("c").cast("double") / (col("bsz") + col("csz") - col("c")))
+      .filter(col("j") >= threshold)
+    // deterministic best match: unrounded score order is identical across
+    // engines because j derives from identical integer counts
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("j"), asc("cdoc"))
+    val best = near.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cdoc").as("near_of"),
+        round(col("j"), 4).as("near_j"))
+
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("near_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"),
+        when(col("exact_of").isNull, col("near_j")).as("jaccard"))
   }
 
   // ------------------------------------------------------------ manifest

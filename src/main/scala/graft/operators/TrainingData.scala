@@ -307,6 +307,17 @@ object TrainingData {
     Dedup.dedupManifestApprox(Tables(spark, dir, "documents"), threshold = 0.2)
       .orderBy("doc_id")
 
+  /** Incremental dedup: the doc_id ≡ 0 mod 17 slice plays the daily
+    * batch; the rest is the standing corpus. */
+  def d11IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 17 =!= 0),
+      docs.filter(col("doc_id") % 17 === 0),
+      threshold = 0.2)
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: shingle-overlap fraction of each training
     * document against a deterministic benchmark holdout (doc_id ≡ 0 mod
     * 17) — the eval-leakage check run before training. */

@@ -115,6 +115,23 @@ class DedupSpec extends SparkTestBase {
     assert(exactDups.nonEmpty)
   }
 
+  test("incremental dedup classifies a batch against a standing corpus") {
+    val corpus = docs.filter($"doc_id".isin(0L, 4L, 5L))
+    val batch = docs.filter($"doc_id".isin(1L, 2L, 3L))
+      .union(Seq((6L, "completely fresh content with nothing shared anywhere " +
+        "whale violin umbrella torch sunflower river quartz planet ocean nebula"))
+        .toDF("doc_id", "text"))
+    val got = Dedup.incrementalDedup(corpus, batch, threshold = 0.2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) == (("exact_dup", Some(0L), None))) // byte-identical
+    assert(got(2L) == (("exact_dup", Some(0L), None))) // ws/case variant
+    assert(got(3L) == (("near_dup", Some(0L), Some(0.7143))))
+    assert(got(6L) == (("new", None, None)))
+    assert(got.size == 4)
+  }
+
   test("contamination: overlap fraction vs a benchmark holdout") {
     val bench = Seq((100L, base)).toDF("doc_id", "text")
     val train = docs.filter($"doc_id".isin(3L, 4L, 5L))
