@@ -72,6 +72,7 @@ object SparkEntry {
     "d09_contamination" -> (TrainingData.d09Contamination _),
     "d10_dedup_manifest_lsh" -> (TrainingData.d10DedupManifestApprox _),
     "d11_incremental_dedup" -> (TrainingData.d11IncrementalDedup _),
+    "d12_cluster_sizes" -> (TrainingData.d12ClusterSizes _),
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
@@ -583,6 +584,24 @@ object SparkEntry {
         |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_keeper
         |FROM documents d LEFT JOIN clusters c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "d12_cluster_sizes" ->
+      s"""WITH RECURSIVE $ngramCtes,
+        |pairs AS (SELECT d1, d2 FROM common
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |walk AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id),
+        |clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+        |  FROM walk GROUP BY 1),
+        |bysize AS (SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY 1)
+        |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(SUM(sz - 1) AS BIGINT) AS would_drop
+        |FROM bysize GROUP BY 1 ORDER BY 1""".stripMargin,
     "d11_incremental_dedup" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

@@ -318,6 +318,20 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Dedup QA report: distribution of near-dup cluster sizes — how many
+    * clusters of each size exist and how many rows deduplication would
+    * drop. The number a curation run eyeballs before committing a
+    * manifest. Singletons (docs in no pair) are excluded: cluster labels
+    * exist only for paired docs. */
+  def d12ClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(
+      Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), threshold = 0.2))
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz") - 1).as("would_drop"))
+      .orderBy("cluster_size")
+
   /** Benchmark decontamination: shingle-overlap fraction of each training
     * document against a deterministic benchmark holdout (doc_id ≡ 0 mod
     * 17) — the eval-leakage check run before training. */
