@@ -42,6 +42,29 @@ class ChunkingSpec extends SparkTestBase {
     }
   }
 
+  test("chunking tiling invariant holds across (size, overlap, length) sweep") {
+    val lens = Seq(1, 5, 9, 10, 11, 63, 64, 65, 100, 137)
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(j => s"t$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    for ((size, ov) <- Seq((10, 0), (10, 3), (64, 8), (5, 4), (100, 10))) {
+      val step = size - ov
+      val rows = Chunking.chunkTokens(docs, size, ov).collect()
+        .groupBy(_.getLong(0))
+      lens.zipWithIndex.foreach { case (n, i) =>
+        val r = rows(i.toLong).sortBy(_.getInt(1))
+        val expectChunks = math.max(math.ceil((n - ov).toDouble / step).toInt, 1)
+        assert(r.length == expectChunks, s"len=$n size=$size ov=$ov")
+        // tiling: sizes sum to n plus the re-counted overlaps
+        assert(r.map(_.getInt(2)).sum == n + ov * (r.length - 1),
+          s"len=$n size=$size ov=$ov")
+        // every window except possibly the last is full
+        assert(r.dropRight(1).forall(_.getInt(2) == size))
+        assert(r.last.getInt(2) <= size && r.last.getInt(2) >= 1)
+      }
+    }
+  }
+
   test("lm bigram score matches a driver-side reference model") {
     val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val got = graft.operators.TrainingData
