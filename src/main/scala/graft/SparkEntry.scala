@@ -586,10 +586,16 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     "d12_cluster_sizes" ->
       s"""WITH RECURSIVE $ngramCtes,
-        |pairs AS (SELECT d1, d2 FROM common
+        |near AS (SELECT d1, d2 FROM common
         |  JOIN sizes s1 ON d1 = s1.doc_id
         |  JOIN sizes s2 ON d2 = s2.doc_id
         |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
+        |fps AS (SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM exact UNION SELECT d1, d2 FROM near),
         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
         |  UNION ALL SELECT d2, d1 FROM pairs),
         |walk AS (
@@ -598,7 +604,10 @@ object SparkEntry {
         |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id),
         |clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
         |  FROM walk GROUP BY 1),
-        |bysize AS (SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY 1)
+        |manifest AS (SELECT d.doc_id,
+        |    coalesce(c.cluster_id, d.doc_id) AS keeper_id
+        |  FROM documents d LEFT JOIN clusters c USING (doc_id)),
+        |bysize AS (SELECT keeper_id, COUNT(*) AS sz FROM manifest GROUP BY 1)
         |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
         |  CAST(SUM(sz - 1) AS BIGINT) AS would_drop
         |FROM bysize GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -749,7 +758,7 @@ object SparkEntry {
         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
     "t13_chunks" ->
       """WITH toks AS (SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |    regexp_extract_all(lower(trim(text)), '\S+') AS t FROM documents),
         |nz AS (SELECT doc_id, t, len(t) AS n,
         |    greatest(CAST(ceil(CAST(len(t) - 8 AS DOUBLE) / 56) AS INT), 1)
         |      AS n_chunks

@@ -99,9 +99,7 @@ object Dedup {
     // aggregate, the sizes aggregate, and both sides of the self-join —
     // persist it once instead of recomputing per branch
     val shAll = persistReplacing("ngram_shingles",
-      shingleGrams(docs, textCol, n)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
-        .distinct())
+      hashedShingleSets(docs, textCol, n))
     val rare = shAll.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("g")
     val sh = shAll.join(rare, "g")
@@ -327,8 +325,10 @@ object Dedup {
     // referenced twice (sizes + hits) — cache so shingling runs once
     val trainSh = persistReplacing("contamTrain",
       hashedShingleSets(train, textCol, n).withColumnRenamed("g", "h"))
-    val benchSh = hashedShingleSets(benchmark, textCol, n)
-      .select(col("g").as("h")).distinct()
+    // membership only — ONE distinct on the bare hash (a per-doc set-dedup
+    // first would shuffle the benchmark side twice for the same result)
+    val benchSh = shingleGrams(benchmark, textCol, n)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
     val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = trainSh.join(benchSh, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
@@ -409,8 +409,8 @@ object Dedup {
     * themselves. */
   def dedupManifest(docs: DataFrame, threshold: Double = 0.2,
       textCol: String = "text"): DataFrame =
-    manifestFromPairs(docs,
-      ngramJaccardPairs(docs, threshold, textCol).select("d1", "d2"), textCol)
+    manifestFromPairs(docs, textCol)(
+      reps => ngramJaccardPairs(reps, threshold, textCol).select("d1", "d2"))
 
   /** The 100 TB form of [[dedupManifest]]: near-duplicate evidence comes
     * from MinHash+LSH banding instead of the exact inverted-index Jaccard
@@ -419,23 +419,31 @@ object Dedup {
     * vs the exact manifest is measured in DedupSpec. */
   def dedupManifestApprox(docs: DataFrame, threshold: Double = 0.2,
       textCol: String = "text"): DataFrame =
-    manifestFromPairs(docs,
-      minhashNearDuplicates(docs, threshold).select("d1", "d2"), textCol)
+    manifestFromPairs(docs, textCol)(
+      reps => minhashNearDuplicates(reps, threshold).select("d1", "d2"))
 
-  private def manifestFromPairs(docs: DataFrame, nearPairs: DataFrame,
-      textCol: String): DataFrame = {
-    // star edges member→group-keeper, not the fp self-join: a group of k
-    // exact copies contributes k-1 edges instead of k(k-1)/2 — identical
-    // connected components, linear output even for pathological duplicate
-    // groups (the same blowup the self-join would hit on a corpus where
-    // one boilerplate page repeats a million times)
+  /** Shared manifest skeleton. Exact evidence enters as star edges
+    * member→group-keeper, not an fp self-join: a group of k exact copies
+    * contributes k-1 edges instead of k(k-1)/2 — identical connected
+    * components, linear output even for pathological duplicate groups.
+    * Near evidence is computed over the fp-group REPRESENTATIVES only
+    * (one doc per exact group): exact copies have identical shingle sets,
+    * so representative pairs reach every member through the star edges —
+    * components are unchanged, and the near path (LSH banding especially,
+    * whose buckets assume exact dedup ran first) never sees a
+    * million-copy boilerplate group as a million colliding signatures. */
+  private def manifestFromPairs(docs: DataFrame, textCol: String)(
+      nearPairsFor: DataFrame => DataFrame): DataFrame = {
     val fp = docs.select(col("doc_id"),
       TextAnalysis.fingerprint(col(textCol)).as("fp"))
     val keepers = fp.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
     val exactPairs = fp.join(keepers, "fp")
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("d1"), col("doc_id").as("d2"))
-    val clusters = dedupClusters(exactPairs.unionByName(nearPairs))
+    val reps = docs.join(
+      keepers.select(col("keeper").as("doc_id")), "doc_id")
+    val clusters = dedupClusters(
+      exactPairs.unionByName(nearPairsFor(reps)))
     docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -112,14 +112,18 @@ object Multimodal {
   }
 
   /** REAL resample path for PCM WAV payloads (nearest sample, re-encoded);
-    * metadata updated alongside, duration preserved. */
+    * metadata recomputed from the RESAMPLED audio — flooring the frame
+    * count can shorten non-integer rate ratios by up to 1 ms, and metadata
+    * must agree with the payload it describes. */
   def resampleWav(spark: SparkSession, media: DataFrame,
       targetHz: Int): Dataset[MediaRow] = {
     import spark.implicits._
     media.filter(col("kind") === "audio/wav").as[MediaRow]
-      .mapPartitions(_.map(m =>
-        m.copy(content = WavCodec.resampleNearest(m.content, targetHz),
-          sample_rate_hz = targetHz)))
+      .mapPartitions(_.map { m =>
+        val out = WavCodec.resampleAudio(WavCodec.decode(m.content), targetHz)
+        m.copy(content = WavCodec.encode(out),
+          sample_rate_hz = targetHz, duration_ms = out.durationMs)
+      })
   }
 
   /** Image resize over the binary column; metadata updated alongside. */

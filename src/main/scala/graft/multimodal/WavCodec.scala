@@ -82,7 +82,10 @@ object WavCodec {
 
   /** Windowed loudness profile: mono-mix, split into `nWindows` equal
     * spans, RMS of each normalized to [0,1] — the fixed-size feature
-    * vector an audio-quality filter or a silence detector consumes. */
+    * vector an audio-quality filter or a silence detector consumes.
+    * Normalized by 32768 (|Short.MinValue|), so a full-scale NEGATIVE
+    * signal maps to exactly 1.0 and the documented range is never
+    * exceeded (÷32767 would yield 1.00003 on such input). */
   def rmsFeatures(content: Array[Byte], nWindows: Int): Array[Float] = {
     val a = decode(content)
     val n = a.frames
@@ -102,16 +105,17 @@ object WavCodec {
           acc += m * m
           f += 1
         }
-        (math.sqrt(acc / (hi - lo)) / 32767.0).toFloat
+        (math.sqrt(acc / (hi - lo)) / 32768.0).toFloat
       }
     }
   }
 
   /** Nearest-sample resample to `targetHz` (per channel, deterministic) —
     * the normalization step before feature extraction when a corpus mixes
-    * sample rates. */
-  def resampleNearest(content: Array[Byte], targetHz: Int): Array[Byte] = {
-    val a = decode(content)
+    * sample rates. The frame count floors, so for non-integer rate ratios
+    * the result can be up to one source frame shorter — read duration off
+    * the RESULT ([[Audio.durationMs]]), not the input. */
+  def resampleAudio(a: Audio, targetHz: Int): Audio = {
     val outFrames = (a.frames.toLong * targetHz / a.sampleRate).toInt
     val out = new Array[Short](outFrames * a.channels)
     var f = 0
@@ -124,6 +128,9 @@ object WavCodec {
       }
       f += 1
     }
-    encode(Audio(targetHz, a.channels, out))
+    Audio(targetHz, a.channels, out)
   }
+
+  def resampleNearest(content: Array[Byte], targetHz: Int): Array[Byte] =
+    encode(resampleAudio(decode(content), targetHz))
 }

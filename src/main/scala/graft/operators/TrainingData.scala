@@ -318,15 +318,15 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  /** Dedup QA report: distribution of near-dup cluster sizes — how many
-    * clusters of each size exist and how many rows deduplication would
-    * drop. The number a curation run eyeballs before committing a
-    * manifest. Singletons (docs in no pair) are excluded: cluster labels
-    * exist only for paired docs. */
+  /** Dedup QA report: distribution of d08-manifest cluster sizes — how
+    * many clusters of each size exist and how many rows committing the
+    * manifest would drop. Derived from the manifest itself (exact + near
+    * evidence, singletons included as size-1 clusters), so the report's
+    * would_drop tally is exactly the manifest's drop count and
+    * Σ(cluster_size · n_clusters) conserves the corpus row count. */
   def d12ClusterSizes(spark: SparkSession, dir: String): DataFrame =
-    Dedup.dedupClusters(
-      Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), threshold = 0.2))
-      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    Dedup.dedupManifest(Tables(spark, dir, "documents"), threshold = 0.2)
+      .groupBy("keeper_id").agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("sz") - 1).as("would_drop"))

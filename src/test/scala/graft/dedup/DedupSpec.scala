@@ -98,21 +98,36 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("approx manifest: exact-dup groups identical, near-dup keepers high recall") {
+    // the sf0.001 fixture has near-dups but no byte-identical copies —
+    // add exact copies of three docs so the deterministic star-edge path
+    // is genuinely exercised, not vacuously true
     val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
-    val exact = Dedup.dedupManifest(real, threshold = 0.2).collect()
+      .select($"doc_id", $"text")
+    val copies = real.filter($"doc_id".isin(0L, 1L, 2L))
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    val corpus = real.union(copies)
+    val exact = Dedup.dedupManifest(corpus, threshold = 0.2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val approx = Dedup.dedupManifestApprox(real, threshold = 0.2).collect()
+    val approx = Dedup.dedupManifestApprox(corpus, threshold = 0.2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet) // one row per doc, both forms
-    // every exact-duplicate (same fingerprint) pair must co-cluster in BOTH
-    // — that evidence path is deterministic, not LSH-probabilistic
-    val exactDups = exact.toSeq.groupBy(_._2).filter(_._2.size > 1)
+    // every exact-duplicate (same fingerprint) group must co-cluster in
+    // the APPROX manifest — that evidence path is deterministic star
+    // edges, not LSH-probabilistic
+    val fpGroups = corpus.select(
+      graft.text.TextAnalysis.fingerprint(col("text")).as("fp"), col("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).values.map(_.map(_._2).toSeq).filter(_.size > 1).toSeq
+    assert(fpGroups.nonEmpty, "fixture should contain exact duplicates")
+    fpGroups.foreach { g =>
+      assert(g.map(approx).distinct.size == 1,
+        s"exact-fp group $g split across approx clusters")
+    }
     // LSH recall on the full keeper assignment: banding may miss
     // borderline-Jaccard pairs, but must agree on the vast majority
     val agree = exact.count { case (id, k) => approx(id) == k }
     assert(agree.toDouble / exact.size >= 0.95,
       s"approx manifest diverges: $agree/${exact.size}")
-    assert(exactDups.nonEmpty)
   }
 
   test("incremental dedup classifies a batch against a standing corpus") {

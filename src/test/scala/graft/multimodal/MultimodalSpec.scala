@@ -107,12 +107,16 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](WavCodec.decode("nope".getBytes))
   }
 
-  test("wav rms features: silence window 0, constant window = A/32767") {
+  test("wav rms features: silence 0, constant A/32768, full-scale stays <= 1") {
     Seq(1, 2).foreach { ch =>
       val f = WavCodec.rmsFeatures(stepWav(ch), nWindows = 2)
       assert(f(0) == 0f, s"ch=$ch silence half")
-      assert(math.abs(f(1) - 16384.0 / 32767.0) < 1e-6, s"ch=$ch loud half")
+      assert(f(1) == 0.5f, s"ch=$ch loud half") // 16384/32768 exactly
     }
+    val fullNeg = WavCodec.encode(WavCodec.Audio(8000, 1,
+      Array.fill(64)(Short.MinValue)))
+    val f = WavCodec.rmsFeatures(fullNeg, nWindows = 1)
+    assert(f(0) == 1f) // |Short.MinValue|/32768 — the documented range cap
   }
 
   test("wav resample halves frames at half rate; duration preserved") {
@@ -135,5 +139,10 @@ class MultimodalSpec extends SparkTestBase {
     val res = resampleWav(spark, rows, 4000).collect()
     assert(res.length == 1 && res.head.sample_rate_hz == 4000)
     assert(WavCodec.decode(res.head.content).frames == 100)
+    assert(res.head.duration_ms == 25)
+    // non-integer ratio: floored frame count -> metadata tracks the payload
+    val odd = resampleWav(spark, rows, 7999).collect().head
+    assert(odd.duration_ms == WavCodec.decode(odd.content).durationMs)
+    assert(odd.duration_ms == 24)
   }
 }
