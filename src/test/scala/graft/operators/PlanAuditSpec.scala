@@ -62,4 +62,16 @@ class PlanAuditSpec extends SparkTestBase {
     // the only allowed exchange is the final presentation ORDER BY
     assert(exchanges <= 1, s"per-row quantization should not shuffle:\n$p")
   }
+
+  test("d11: incremental dedup stays equi-join-shaped") {
+    val p = plan("d11_incremental_dedup")
+    assert(!p.contains("NestedLoop"),
+      s"batch-vs-corpus check degenerated to nested-loop:\n$p")
+  }
+
+  test("t13: chunking is shuffle-free up to the presentation sort") {
+    val p = plan("t13_chunks")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"per-row chunking should not shuffle:\n$p")
+  }
 }
