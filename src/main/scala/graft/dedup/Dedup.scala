@@ -407,10 +407,28 @@ object Dedup {
     * document with its canonical keeper — the keep/drop manifest a corpus
     * pipeline actually ships downstream. Unclustered documents keep
     * themselves. */
+  /** Finished manifests, keyed per (application, input plan, parameters):
+    * a manifest is the kind of artifact a pipeline materializes once per
+    * corpus and reads many times (the cluster-size QA report, the shard
+    * writer, the drop executor all consume the SAME decision), and its
+    * closure-built plan contains run-specific checkpoints that defeat
+    * plan-equality caching — so identity is the ANALYZED INPUT plan
+    * (semanticHash), not the output plan. */
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap[(String, Int, Double, String, String), DataFrame]()
+  private def cachedManifest(docs: DataFrame, threshold: Double,
+      textCol: String, variant: String)(build: => DataFrame): DataFrame =
+    manifestCache.getOrElseUpdate(
+      (docs.sparkSession.sparkContext.applicationId,
+        docs.queryExecution.analyzed.semanticHash(), threshold, textCol, variant),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def dedupManifest(docs: DataFrame, threshold: Double = 0.2,
       textCol: String = "text"): DataFrame =
-    manifestFromPairs(docs, textCol)(
-      reps => ngramJaccardPairs(reps, threshold, textCol).select("d1", "d2"))
+    cachedManifest(docs, threshold, textCol, "exact") {
+      manifestFromPairs(docs, textCol)(
+        reps => ngramJaccardPairs(reps, threshold, textCol).select("d1", "d2"))
+    }
 
   /** The 100 TB form of [[dedupManifest]]: near-duplicate evidence comes
     * from MinHash+LSH banding instead of the exact inverted-index Jaccard
@@ -419,8 +437,10 @@ object Dedup {
     * vs the exact manifest is measured in DedupSpec. */
   def dedupManifestApprox(docs: DataFrame, threshold: Double = 0.2,
       textCol: String = "text"): DataFrame =
-    manifestFromPairs(docs, textCol)(
-      reps => minhashNearDuplicates(reps, threshold).select("d1", "d2"))
+    cachedManifest(docs, threshold, textCol, "lsh") {
+      manifestFromPairs(docs, textCol)(
+        reps => minhashNearDuplicates(reps, threshold).select("d1", "d2"))
+    }
 
   /** Shared manifest skeleton. Exact evidence enters as star edges
     * member→group-keeper, not an fp self-join: a group of k exact copies
