@@ -55,6 +55,26 @@ class RelationalSpec extends SparkTestBase {
     assert(viaSql == viaDf)
   }
 
+  test("approx_percentile tracks exact percentile within its accuracy bound") {
+    // the streaming/mergeable quantile path (t05's exact percentile can't
+    // run incrementally): with accuracy a, rank error is bounded by n/a
+    val li = graft.Tables(spark, dir, "lineitem")
+    val row = li.agg(
+      expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("exact"),
+      expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+        .as("approx"),
+      count(lit(1)).as("n"),
+      min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi")).head()
+    val exact = row.getSeq[Double](0)
+    val approx = row.getSeq[Double](1)
+    val span = row.getDouble(4) - row.getDouble(3)
+    exact.zip(approx).foreach { case (e, a) =>
+      // loose value-space sanity bound: the sketch must land in the right
+      // neighborhood (rank-space guarantees don't map directly to values)
+      assert(math.abs(e - a) <= span * 0.05, s"exact=$e approx=$a span=$span")
+    }
+  }
+
   test("q17 flagship grain is unique and conserves transactions") {
     val f = Relational.q17EtlStarRollup(spark, dir)
     val dupes = f.groupBy("d", "n_name", "bucket").count()
