@@ -27,12 +27,20 @@ import graft.etl.{Schemas, StarStore, Transform}
   */
 object StreamingIngest {
 
-  /** Per-batch merge logic, usable from foreachBatch or called directly. */
+  /** Per-batch merge logic, usable from foreachBatch or called directly.
+    * The fact store is reached only through the [[graft.etl.FactSink]]
+    * contract; `sink` defaults to the year-partitioned parquet
+    * implementation and is the seam where a transactional `MERGE` slots
+    * in. */
   final class FactMerger(
       spark: SparkSession,
       storeDir: String,
       userCountryMap: DataFrame,
-      assetSportMap: DataFrame) extends Serializable {
+      assetSportMap: DataFrame,
+      sink: graft.etl.FactSink = null) extends Serializable {
+
+    private val factSink: graft.etl.FactSink =
+      Option(sink).getOrElse(new graft.etl.ParquetFactSink(storeDir))
 
     private val stagingDir = s"$storeDir/staging_valid_txns"
 
@@ -59,7 +67,7 @@ object StreamingIngest {
           .option("basePath", stagingDir).parquet(stagingDir)
           .filter(col("year").isin(years.map(Integer.valueOf): _*))
           .drop("year", "batch")
-        StarStore.mergeFactPartitions(Transform.rollup(raw), storeDir)
+        factSink.mergePartitions(Transform.rollup(raw))
       }
     }
   }

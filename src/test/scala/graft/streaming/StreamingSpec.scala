@@ -67,6 +67,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("fact merger reaches storage only through the FactSink seam") {
+    val storeDir = Files.createTempDirectory("graft_sink_seam").toString
+    val merged = scala.collection.mutable.Buffer[Seq[Row]]()
+    val recording = new graft.etl.FactSink {
+      def writeFull(fact: org.apache.spark.sql.DataFrame): Unit =
+        fail("full rewrite must not be used for incremental merges")
+      def mergePartitions(slice: org.apache.spark.sql.DataFrame): Unit =
+        merged += slice.orderBy("date_id", "country_id", "sport_name")
+          .collect().toSeq
+      def read(s: org.apache.spark.sql.SparkSession) =
+        fail("merge path never reads")
+    }
+    val merger = new StreamingIngest.FactMerger(spark, storeDir,
+      graft.etl.Transform.userCountry(subscribers, postal2city, cities),
+      graft.etl.Transform.assetSport(assets), recording)
+    merger.mergeBatch(df(Schemas.streamingTxns, batches.head: _*), 0L)
+    // one merge call, grain rows only for the batch's two days
+    assert(merged.length == 1)
+    val dateIds = merged.head.map(_.getAs[Int]("date_id")).toSet
+    assert(dateIds == Set(20211231, 20220101))
+  }
+
   test("late data folds into an existing grain row (unbounded lateness)") {
     // covered by the equivalence above; assert the specific grain row too:
     // 2021-12-31 Ice Hockey Norway saw rows in arrival 1 and arrival 3.
