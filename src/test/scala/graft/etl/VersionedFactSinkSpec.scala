@@ -1,0 +1,86 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+
+class VersionedFactSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Int)] =
+    df.collect().map(r => (r.getAs[Int]("date_id"), r.getAs[Int]("year"),
+      r.getAs[Int]("v"))).toSet
+
+  test("commit protocol: write, copy-on-write merge, time travel, idempotent replay") {
+    val dir = Files.createTempDirectory("graft_txn_sink").toString
+    val sink = new VersionedFactSink(dir)
+    assert(sink.currentVersion == -1)
+
+    sink.writeFull(Seq((20211231, 2021, 1), (20220101, 2022, 1))
+      .toDF("date_id", "year", "v"))
+    assert(sink.currentVersion == 0)
+    assert(rows(sink.read(spark)) ==
+      Set((20211231, 2021, 1), (20220101, 2022, 1)))
+
+    // merge rewrites ONLY 2022; 2021 keeps its original data dir
+    val slice = Seq((20220101, 2022, 2), (20220102, 2022, 2))
+      .toDF("date_id", "year", "v")
+    sink.mergePartitions(slice)
+    assert(sink.currentVersion == 1)
+    assert(rows(sink.read(spark)) ==
+      Set((20211231, 2021, 1), (20220101, 2022, 2), (20220102, 2022, 2)))
+
+    // time travel: version 0 is still the pre-merge table
+    assert(rows(sink.readVersion(spark, 0)) ==
+      Set((20211231, 2021, 1), (20220101, 2022, 1)))
+
+    // replaying the same slice converges to the same content
+    sink.mergePartitions(slice)
+    assert(sink.currentVersion == 2)
+    assert(rows(sink.read(spark)) ==
+      Set((20211231, 2021, 1), (20220101, 2022, 2), (20220102, 2022, 2)))
+  }
+
+  test("readers never see uncommitted data; vacuum reclaims it and old versions") {
+    val dir = Files.createTempDirectory("graft_txn_vac").toString
+    val sink = new VersionedFactSink(dir)
+    sink.writeFull(Seq((20210101, 2021, 1)).toDF("date_id", "year", "v"))
+    sink.mergePartitions(Seq((20220101, 2022, 1)).toDF("date_id", "year", "v"))
+
+    // simulate a crashed writer: data landed, pointer swap never happened
+    val orphan = Paths.get(dir, "data", "crashed-writer", "y2030")
+    Files.createDirectories(orphan)
+    Seq((20300101, 2030, 9)).toDF("date_id", "year", "v")
+      .write.mode("overwrite").parquet(orphan.toString)
+    assert(!rows(sink.read(spark)).exists(_._2 == 2030), "orphan visible!")
+
+    val deleted = sink.vacuum(keepVersions = 1)
+    assert(deleted.exists(_.contains("crashed-writer")), s"orphan kept: $deleted")
+    // current version survives vacuum intact...
+    assert(rows(sink.read(spark)) ==
+      Set((20210101, 2021, 1), (20220101, 2022, 1)))
+    // ...while the pre-merge manifest is gone
+    intercept[IllegalArgumentException](sink.readVersion(spark, 0))
+  }
+
+  test("streaming fact merger composes with the transactional sink") {
+    val dir = Files.createTempDirectory("graft_txn_merge").toString
+    val sink = new VersionedFactSink(dir)
+    val stage = Files.createTempDirectory("graft_txn_stage").toString
+    val merger = new graft.streaming.StreamingIngest.FactMerger(spark, stage,
+      Transform.userCountry(
+        Seq(("u1", "P1")).toDF("user_id", "postal_code"),
+        Seq(("P1", 10)).toDF("postal_code", "city_id"),
+        Seq((10, 1)).toDF("city_id", "country_id")),
+      Transform.assetSport(Seq(("DEL-001", "Ice Hockey")).toDF("asset_id", "sport")),
+      sink)
+    val txns = Seq((1L, "u1", "DEL-001", "2022-01-01", 30, 1))
+      .toDF("transaction_id", "user_id", "asset_id", "streaming_date",
+        "minutes_streamed", "completed")
+    merger.mergeBatch(txns, 0L)
+    assert(sink.currentVersion == 0)
+    val fact = sink.read(spark).collect()
+    assert(fact.length == 1)
+    assert(fact.head.getAs[Long]("total_minutes_streamed") == 30L)
+  }
+}
