@@ -106,6 +106,42 @@ class SqlSurfaceSpec extends SparkTestBase {
       Relational.q17EtlStarRollup(spark, dir))
   }
 
+  test("injected SQL functions reach the custom Catalyst expressions") {
+    dir // force view registration
+    // codegen'd float-vector dot
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .head.getDouble(0)
+    assert(dot == 11.0)
+    // SQL cosine over embeddings == the Column-API cosine, bit-exact
+    val viaSql = spark.sql(
+      """SELECT vec_id, graft_dot(embedding, embedding) AS sq
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val viaCol = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      graft.plans.VectorExpressions.dot(
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("embedding")).as("sq"))
+      .orderBy("vec_id").limit(5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaCol)
+    // winnowing fingerprints: identical text -> identical fingerprint sets
+    val fps = spark.sql(
+      """SELECT graft_winnowing_fps('the quick brown fox jumps', 8, 4) AS f,
+        |       graft_winnowing_fps('the quick brown fox jumps', 8, 4) AS g""".stripMargin)
+      .head
+    assert(fps.getSeq[Long](0) == fps.getSeq[Long](1) && fps.getSeq[Long](0).nonEmpty)
+    // srp buckets: fixed shape, deterministic
+    val b = spark.sql(
+      "SELECT graft_srp_buckets(array(1.0F, -2.0F), 8, 4, 2, 42) AS b").head
+    assert(b.getSeq[Int](0).length == 4)
+    // non-literal structural params are rejected loudly, not mis-planned
+    val err = intercept[Exception](spark.sql(
+      "SELECT graft_winnowing_fps('x', CAST(rand()*8 AS INT), 4)").head)
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("q26 hopping window: SQL window() equals the DataFrame plan") {
     assertSameRows(
       """SELECT window.start AS win_start, window.end AS win_end, event_type,
