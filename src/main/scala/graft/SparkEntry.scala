@@ -61,6 +61,7 @@ object SparkEntry {
     "t12_lm_bigram_score" -> (TrainingData.t12LmBigramScore _),
     "t13_chunks" -> (TrainingData.t13Chunks _),
     "t14_source_mix" -> (TrainingData.t14SourceMix _),
+    "t15_curation_funnel" -> (TrainingData.t15CurationFunnel _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -737,6 +738,75 @@ object SparkEntry {
         |  round(CAST(n_tokens AS DOUBLE) / tot_tokens, 4) AS token_share,
         |  round(CAST(min_tokens AS DOUBLE) / n_tokens, 4) AS uniform_rate
         |FROM g CROSS JOIN tot ORDER BY source, lang""".stripMargin,
+    "t15_curation_funnel" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+        |q AS (SELECT doc_id, text FROM corpus WHERE
+        |  round(least(1.0, len(regexp_extract_all(lower(trim(text)), '\S+'))/50.0)*0.4
+        |    + (CASE WHEN len(regexp_extract_all(lower(trim(text)), '\S+')) > 0
+        |       THEN CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS DOUBLE)
+        |            / len(regexp_extract_all(lower(trim(text)), '\S+')) ELSE 0.0 END)*0.4
+        |    + (1.0 - CASE WHEN length(text) > 0
+        |       THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text)
+        |       ELSE 0.0 END)*0.2, 6) >= 0.3),
+        |toksq AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM q),
+        |sh0 AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toksq WHERE len(t) >= 3),
+        |rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) <= 1000),
+        |shq AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+        |sizesq AS (SELECT doc_id, COUNT(*) AS sz FROM shq GROUP BY 1),
+        |commonq AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |  FROM shq a JOIN shq b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near AS (SELECT d1, d2 FROM commonq
+        |  JOIN sizesq s1 ON d1 = s1.doc_id
+        |  JOIN sizesq s2 ON d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
+        |fps AS (SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM q),
+        |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT d1, d2 FROM exact UNION SELECT d1, d2 FROM near),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |walk AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id),
+        |clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+        |  FROM walk GROUP BY 1),
+        |ded AS (SELECT q.doc_id, q.text FROM q
+        |  LEFT JOIN clusters c USING (doc_id)
+        |  WHERE coalesce(c.cluster_id, q.doc_id) = q.doc_id),
+        |btoks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |bsh AS (SELECT DISTINCT
+        |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM btoks WHERE len(t) >= 3),
+        |dtoks AS (SELECT d.doc_id, string_split_regex(lower(trim(d.text)), '\s+') AS t
+        |  FROM ded d),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM dtoks WHERE len(t) >= 3),
+        |dsz AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY 1),
+        |hits AS (SELECT doc_id, COUNT(*) AS h
+        |  FROM dsh JOIN bsh USING (shingle) GROUP BY 1),
+        |contaminated AS (SELECT s.doc_id FROM dsz s LEFT JOIN hits USING (doc_id)
+        |  WHERE round(CAST(coalesce(h, 0) AS DOUBLE) / s.n, 4) >= 0.5),
+        |clean AS (SELECT d.doc_id, d.text FROM ded d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |chunks AS (SELECT greatest(CAST(ceil(
+        |    (len(regexp_extract_all(lower(trim(text)), '\S+')) - 8) / 56.0)
+        |    AS INT), 1) AS nc FROM clean)
+        |SELECT (SELECT COUNT(*) FROM corpus) AS docs,
+        |  (SELECT COUNT(*) FROM q) AS after_quality,
+        |  (SELECT COUNT(*) FROM ded) AS after_dedup,
+        |  (SELECT COUNT(*) FROM clean) AS after_decontam,
+        |  (SELECT CAST(SUM(nc) AS BIGINT) FROM chunks) AS chunks""".stripMargin,
     "t12_lm_bigram_score" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

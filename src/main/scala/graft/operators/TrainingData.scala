@@ -260,6 +260,35 @@ object TrainingData {
       .orderBy("source", "lang")
   }
 
+  /** The whole curation funnel as one oracle-checkable row: corpus size,
+    * survivors of the quality gate, of the dedup manifest, of
+    * decontamination, and the chunk count the survivors would emit —
+    * the same stage composition as [[graft.etl.CurationPipeline]], counted
+    * lazily without the shard write. The strongest single check in the
+    * suite: DuckDB must reproduce four chained operators to match it. */
+  def t15CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables(spark, dir, "documents")
+    val corpus = all.filter(col("doc_id") % 17 =!= 0)
+    val benchmark = all.filter(col("doc_id") % 17 === 0)
+    val quality = corpus
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+    val keepers = Dedup.dedupManifest(quality, threshold = 0.2)
+      .filter(col("is_keeper")).select("doc_id")
+    val deduped = quality.join(keepers, "doc_id")
+    val clean = deduped.join(
+      Dedup.contamination(deduped, benchmark, threshold = 0.5)
+        .filter(col("contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val chunkCounts = clean.select(
+      greatest(ceil((TextAnalysis.tokenCount(col("text")) - 8)
+        .cast("double") / 56).cast("int"), lit(1)).as("nc"))
+    corpus.agg(count(lit(1)).as("docs"))
+      .crossJoin(quality.agg(count(lit(1)).as("after_quality")))
+      .crossJoin(deduped.agg(count(lit(1)).as("after_dedup")))
+      .crossJoin(clean.agg(count(lit(1)).as("after_decontam")))
+      .crossJoin(chunkCounts.agg(sum(col("nc").cast("long")).as("chunks")))
+  }
+
   /** Exact duplicate groups (hash-groupBy dedup). */
   def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir, "documents"))
