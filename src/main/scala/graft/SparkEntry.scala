@@ -80,6 +80,7 @@ object SparkEntry {
     "s04_ivf_ann_topk" -> (TrainingData.s04IvfAnnTopK _),
     "s05_label_centroids" -> (TrainingData.s05LabelCentroids _),
     "s06_quantization" -> (TrainingData.s06QuantizationProfile _),
+    "s07_pq_ann_topk" -> (TrainingData.s07PqTopK _),
     "a00_star_fact" -> (AnalyticsSuite.a00StarFact _),
     "a01_exec_summary" -> (AnalyticsSuite.a01ExecutiveSummary _),
     "a02_growth_year_sport" -> (AnalyticsSuite.a02GrowthYearSport _),

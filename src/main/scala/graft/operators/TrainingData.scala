@@ -416,4 +416,12 @@ object TrainingData {
   def s06QuantizationProfile(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizationProfile(Tables(spark, dir, "embeddings"))
       .orderBy("vec_id")
+
+  /** Product-quantization ANN top-k via asymmetric distance (no SQL
+    * oracle: Spark-ML KMeans codebooks; exactness on lossless fixtures and
+    * shape on real data are asserted in SimilaritySpec). */
+  def s07PqTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables(spark, dir, "embeddings"),
+      col("vec_id") < 5, topK = 5)
+      .orderBy("qid", "rank")
 }

@@ -91,6 +91,43 @@ class SimilaritySpec extends SparkTestBase {
       s"missed=${(exact -- gated).size} spurious=${(gated -- exact).size}")
   }
 
+  test("PQ on a lossless fixture: ADC scores equal true dot products exactly") {
+    // every subvector is one of 4 well-separated patterns, and k = 4, so
+    // KMeans recovers the patterns exactly and encoding loses NOTHING —
+    // ADC must then equal the true dot product, rank for rank
+    val patterns = Array(Array(3f, 0f), Array(0f, 3f), Array(-3f, 0f), Array(0f, -3f))
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 4).flatMap(s => patterns((i + s * 7) % 4)).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, col("vec_id") < 3, topK = 5, m = 4, k = 4)
+      .collect()
+    assert(got.length == 15)
+    val byId = vecs.toMap
+    got.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(2))
+      val trueDot = byId(qid).zip(byId(nid))
+        .map { case (a, b) => a.toDouble * b.toDouble }.sum
+      assert(r.getDouble(3) == trueDot,
+        s"q$qid n$nid: adc=${r.getDouble(3)} true=$trueDot")
+    }
+    // ranking is by (approx_dot desc, vec_id) — verify it is sound
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("PQ on real embeddings: dense ranks, descending scores, self excluded") {
+    val got = Similarity.pqTopK(emb, col("vec_id") < 3, topK = 5).collect()
+    assert(got.length == 15)
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      assert(!rows.exists(_.getLong(2) == qid))
+    }
+  }
+
   test("quantization profile: known codes, error bound, zero-vector safety") {
     val df = Seq(
       (0L, Array(1f, -0.5f, 0f)),
