@@ -15,6 +15,12 @@ object Caches {
   private val last =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  // modules with their own cache registries (keyed differently than this
+  // one) register a release hook so releaseAll() really releases ALL
+  private val hooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+  def onReleaseAll(hook: () => Unit): Unit = { hooks.add(hook); () }
+
   /** Unpersist every registered frame and clear the registry — workload-
     * boundary hygiene for long-running sessions (a bench suite, a notebook
     * switching task families): frames cached for one operator family
@@ -22,6 +28,7 @@ object Caches {
   def releaseAll(): Unit = {
     val it = last.entrySet().iterator()
     while (it.hasNext) { it.next().getValue.unpersist(false); it.remove() }
+    hooks.forEach(h => h())
   }
 
   def persistReplacing(key: String, df: DataFrame): DataFrame = {

@@ -142,6 +142,49 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Shared DuckDB CTE chain for the dedup MANIFEST (d08/d12): exact
+    * evidence from fingerprint groups, near evidence computed over the
+    * fp-group REPRESENTATIVES only — in lockstep with
+    * `Dedup.manifestFromPairs`, including the df-cap being counted over
+    * representatives (counting it over all docs would diverge at the cap
+    * boundary on duplicate-heavy corpora). */
+  private val manifestCtes: String =
+    """fps AS (SELECT doc_id,
+      |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents),
+      |rep AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+      |rtoks AS (SELECT d.doc_id,
+      |    string_split_regex(lower(trim(d.text)), '\s+') AS t
+      |  FROM documents d JOIN rep USING (doc_id)),
+      |rsh0 AS (SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |  FROM rtoks WHERE len(t) >= 3),
+      |rrare AS (SELECT shingle FROM rsh0 GROUP BY 1 HAVING COUNT(*) <= 1000),
+      |rsh AS (SELECT rsh0.doc_id, rsh0.shingle FROM rsh0 JOIN rrare USING (shingle)),
+      |rsizes AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY 1),
+      |rcommon AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+      |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |near AS (SELECT d1, d2 FROM rcommon
+      |  JOIN rsizes s1 ON d1 = s1.doc_id
+      |  JOIN rsizes s2 ON d2 = s2.doc_id
+      |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
+      |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |mpairs AS (SELECT d1, d2 FROM exact UNION SELECT d1, d2 FROM near),
+      |medges AS (SELECT d1 AS src, d2 AS dst FROM mpairs
+      |  UNION ALL SELECT d2, d1 FROM mpairs),
+      |mwalk AS (
+      |  SELECT src AS id, src AS label FROM medges
+      |  UNION
+      |  SELECT e.src AS id, w.label FROM mwalk w JOIN medges e ON e.dst = w.id),
+      |mclusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+      |  FROM mwalk GROUP BY 1),
+      |manifest AS (SELECT d.doc_id,
+      |    coalesce(c.cluster_id, d.doc_id) AS keeper_id
+      |  FROM documents d LEFT JOIN mclusters c USING (doc_id))""".stripMargin
+
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -563,52 +606,11 @@ object SparkEntry {
         |SELECT id AS doc_id, MIN(label) AS cluster_id
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     "d08_dedup_manifest" ->
-      s"""WITH RECURSIVE $ngramCtes,
-        |near AS (SELECT d1, d2 FROM common
-        |  JOIN sizes s1 ON d1 = s1.doc_id
-        |  JOIN sizes s2 ON d2 = s2.doc_id
-        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
-        |fps AS (SELECT doc_id,
-        |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-        |  FROM documents),
-        |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-        |pairs AS (SELECT d1, d2 FROM exact UNION SELECT d1, d2 FROM near),
-        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-        |  UNION ALL SELECT d2, d1 FROM pairs),
-        |walk AS (
-        |  SELECT src AS id, src AS label FROM edges
-        |  UNION
-        |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id),
-        |clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
-        |  FROM walk GROUP BY 1)
-        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS keeper_id,
-        |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_keeper
-        |FROM documents d LEFT JOIN clusters c USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $manifestCtes
+        |SELECT doc_id, keeper_id, doc_id = keeper_id AS is_keeper
+        |FROM manifest ORDER BY doc_id""".stripMargin,
     "d12_cluster_sizes" ->
-      s"""WITH RECURSIVE $ngramCtes,
-        |near AS (SELECT d1, d2 FROM common
-        |  JOIN sizes s1 ON d1 = s1.doc_id
-        |  JOIN sizes s2 ON d2 = s2.doc_id
-        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
-        |fps AS (SELECT doc_id,
-        |  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-        |  FROM documents),
-        |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-        |pairs AS (SELECT d1, d2 FROM exact UNION SELECT d1, d2 FROM near),
-        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-        |  UNION ALL SELECT d2, d1 FROM pairs),
-        |walk AS (
-        |  SELECT src AS id, src AS label FROM edges
-        |  UNION
-        |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id),
-        |clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
-        |  FROM walk GROUP BY 1),
-        |manifest AS (SELECT d.doc_id,
-        |    coalesce(c.cluster_id, d.doc_id) AS keeper_id
-        |  FROM documents d LEFT JOIN clusters c USING (doc_id)),
+      s"""WITH RECURSIVE $manifestCtes,
         |bysize AS (SELECT keeper_id, COUNT(*) AS sz FROM manifest GROUP BY 1)
         |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
         |  CAST(SUM(sz - 1) AS BIGINT) AS would_drop
@@ -750,7 +752,12 @@ object SparkEntry {
         |    + (1.0 - CASE WHEN length(text) > 0
         |       THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)/length(text)
         |       ELSE 0.0 END)*0.2, 6) >= 0.3),
-        |toksq AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM q),
+        |fps AS (SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM q),
+        |repq AS (SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+        |toksq AS (SELECT q.doc_id,
+        |    string_split_regex(lower(trim(q.text)), '\s+') AS t
+        |  FROM q JOIN repq USING (doc_id)),
         |sh0 AS (SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
@@ -765,8 +772,6 @@ object SparkEntry {
         |  JOIN sizesq s1 ON d1 = s1.doc_id
         |  JOIN sizesq s2 ON d2 = s2.doc_id
         |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
-        |fps AS (SELECT doc_id,
-        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM q),
         |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2
         |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
         |pairs AS (SELECT d1, d2 FROM exact UNION SELECT d1, d2 FROM near),

@@ -407,21 +407,37 @@ object Dedup {
     * document with its canonical keeper — the keep/drop manifest a corpus
     * pipeline actually ships downstream. Unclustered documents keep
     * themselves. */
-  /** Finished manifests, keyed per (application, input plan, parameters):
-    * a manifest is the kind of artifact a pipeline materializes once per
+  /** Finished manifests, keyed by (parameters, ANALYZED INPUT plan): a
+    * manifest is the kind of artifact a pipeline materializes once per
     * corpus and reads many times (the cluster-size QA report, the shard
     * writer, the drop executor all consume the SAME decision), and its
     * closure-built plan contains run-specific checkpoints that defeat
-    * plan-equality caching — so identity is the ANALYZED INPUT plan
-    * (semanticHash), not the output plan. */
-  private val manifestCache =
-    scala.collection.concurrent.TrieMap[(String, Int, Double, String, String), DataFrame]()
+    * output-plan-equality caching — so identity is the input. A hit is
+    * confirmed with `sameResult` on the stored input plan (a hash alone
+    * could collide and silently serve another corpus's manifest).
+    * Staleness semantics equal Spark's own `.persist`: cached results
+    * outlive in-place rewrites of the underlying files until released —
+    * [[graft.Caches.releaseAll]] clears this registry too (hook below). */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (Double, String, String),
+    List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]()
+  graft.Caches.onReleaseAll { () =>
+    manifestCache.values.forEach(_.foreach(_._2.unpersist(false)))
+    manifestCache.clear()
+  }
   private def cachedManifest(docs: DataFrame, threshold: Double,
       textCol: String, variant: String)(build: => DataFrame): DataFrame =
-    manifestCache.getOrElseUpdate(
-      (docs.sparkSession.sparkContext.applicationId,
-        docs.queryExecution.analyzed.semanticHash(), threshold, textCol, variant),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    manifestCache.synchronized {
+      val key = (threshold, textCol, variant)
+      val plan = docs.queryExecution.analyzed
+      val entries = manifestCache.getOrDefault(key, Nil)
+      entries.find(_._1.sameResult(plan)).map(_._2).getOrElse {
+        val built = build
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        manifestCache.put(key, (plan, built) :: entries)
+        built
+      }
+    }
 
   def dedupManifest(docs: DataFrame, threshold: Double = 0.2,
       textCol: String = "text"): DataFrame =

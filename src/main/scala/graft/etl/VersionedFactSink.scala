@@ -37,21 +37,36 @@ final class VersionedFactSink(dir: String) extends FactSink {
   private def latestPtr = Paths.get(dir, "_latest")
 
   // ---------------------------------------------------------- manifest IO
-  // manifest format: one "year<TAB>path" line per year (stable order)
-  private def writeManifest(v: Int, m: Map[Int, String]): Path = {
+  // list a directory with the stream closed (Files.list leaks an fd
+  // per call otherwise — vacuum loops would exhaust the ulimit)
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  // manifest format: "#schema<TAB>ddl" header (so an EMPTY version — a
+  // truncate to zero rows — stays readable), then one "year<TAB>path"
+  // line per year (stable order)
+  private def writeManifest(v: Int, schemaDdl: String,
+      m: Map[Int, String]): Path = {
     Files.createDirectories(versionsDir)
-    val body = m.toSeq.sorted.map { case (y, p) => s"$y\t$p" }.mkString("\n")
+    val body = (s"#schema\t$schemaDdl" +:
+      m.toSeq.sorted.map { case (y, p) => s"$y\t$p" }).mkString("\n")
     Files.write(versionsDir.resolve(f"v$v%05d.json"),
       body.getBytes(StandardCharsets.UTF_8))
   }
 
-  private def readManifest(v: Int): Map[Int, String] = {
+  private def readManifest(v: Int): (String, Map[Int, String]) = {
     val p = versionsDir.resolve(f"v$v%05d.json")
     require(Files.exists(p), s"version $v does not exist under $dir")
-    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).map { l =>
-        val Array(y, path) = l.split("\t", 2); y.toInt -> path
-      }.toMap
+    val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+    val schema = lines.headOption.filter(_.startsWith("#schema\t"))
+      .map(_.stripPrefix("#schema\t")).getOrElse("")
+    val years = lines.filterNot(_.startsWith("#")).map { l =>
+      val Array(y, path) = l.split("\t", 2); y.toInt -> path
+    }.toMap
+    (schema, years)
   }
 
   /** The committed version, or -1 for an empty table. */
@@ -75,28 +90,34 @@ final class VersionedFactSink(dir: String) extends FactSink {
   private def writeSlice(slice: DataFrame): Map[Int, String] = {
     val uuid = java.util.UUID.randomUUID().toString
     val base = s"$dir/data/$uuid"
-    val years = slice.select("year").distinct().collect()
-      .map(_.getInt(0)).sorted
-    years.map { y =>
-      val p = s"$base/y$y"
-      slice.filter(col("year") === y)
-        .write.mode(SaveMode.ErrorIfExists).parquet(p)
-      y -> p
-    }.toMap
+    // the input plan would otherwise re-execute once per year plus once
+    // for the distinct — cache it for the duration of the write
+    val s = slice.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val years = s.select("year").distinct().collect()
+        .map(_.getInt(0)).sorted
+      years.map { y =>
+        val p = s"$base/y$y"
+        s.filter(col("year") === y)
+          .write.mode(SaveMode.ErrorIfExists).parquet(p)
+        y -> p
+      }.toMap
+    } finally { s.unpersist(); () }
   }
 
   // ---------------------------------------------------------- FactSink
   def writeFull(fact: DataFrame): Unit = synchronized {
     val v = currentVersion + 1
-    writeManifest(v, writeSlice(fact))
+    writeManifest(v, fact.schema.toDDL, writeSlice(fact))
     publish(v)
   }
 
   def mergePartitions(factSlice: DataFrame): Unit = synchronized {
     val prev = if (currentVersion < 0) Map.empty[Int, String]
-      else readManifest(currentVersion)
+      else readManifest(currentVersion)._2
     val v = currentVersion + 1
-    writeManifest(v, prev ++ writeSlice(factSlice)) // copy-on-write by year
+    writeManifest(v, factSlice.schema.toDDL,
+      prev ++ writeSlice(factSlice)) // copy-on-write by year
     publish(v)
   }
 
@@ -105,7 +126,15 @@ final class VersionedFactSink(dir: String) extends FactSink {
   /** Time travel: read any still-retained published version. */
   def readVersion(spark: SparkSession, v: Int): DataFrame = {
     require(v >= 0, s"no committed version under $dir")
-    spark.read.parquet(readManifest(v).values.toSeq.sorted: _*)
+    val (schemaDdl, years) = readManifest(v)
+    if (years.nonEmpty) spark.read.parquet(years.values.toSeq.sorted: _*)
+    else {
+      // an empty version (truncate to zero rows) is a valid table state,
+      // not a bricked one — reconstruct it from the recorded schema
+      require(schemaDdl.nonEmpty, s"version $v is empty and has no schema")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    }
   }
 
   /** Drop manifests older than `keepVersions` and delete every data dir no
@@ -116,30 +145,31 @@ final class VersionedFactSink(dir: String) extends FactSink {
     require(keepVersions >= 1, "must retain at least the current version")
     if (cur < 0) return Seq.empty
     val keepFrom = math.max(0, cur - keepVersions + 1)
-    val retained = (keepFrom to cur)
-      .flatMap(v => readManifest(v).values).toSet
+    // walk the manifests that actually EXIST (earlier vacuums with a
+    // smaller horizon may already have deleted some inside the window)
+    val existing = listDir(versionsDir)
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
+    val retained = existing.filter(_ >= keepFrom)
+      .flatMap(v => readManifest(v)._2.values).toSet
     // manifests below the horizon go first, so a concurrent reader can't
     // resolve a version whose data is about to disappear
-    Files.list(versionsDir).iterator().asScala
-      .filter(_.getFileName.toString < f"v$keepFrom%05d.json")
-      .toSeq.foreach(Files.delete)
+    existing.filter(_ < keepFrom)
+      .foreach(v => Files.delete(versionsDir.resolve(f"v$v%05d.json")))
     val dataRoot = Paths.get(dir, "data")
     if (!Files.exists(dataRoot)) return Seq.empty
-    val doomed = Files.list(dataRoot).iterator().asScala
-      .flatMap(u => Files.list(u).iterator().asScala)
-      .filter(p => !retained.contains(p.toString))
-      .toSeq
+    val doomed = listDir(dataRoot)
+      .flatMap(listDir)
+      .filterNot(p => retained.contains(p.toString))
     doomed.foreach(deleteRecursively)
     // remove emptied uuid dirs
-    Files.list(dataRoot).iterator().asScala.toSeq
-      .filter(u => !Files.list(u).iterator().hasNext)
-      .foreach(Files.delete)
+    listDir(dataRoot).filter(u => listDir(u).isEmpty).foreach(Files.delete)
     doomed.map(_.toString)
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.delete(p)
   }
 }

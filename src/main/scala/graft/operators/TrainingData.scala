@@ -280,8 +280,8 @@ object TrainingData {
         .filter(col("contaminated")).select("doc_id"),
       Seq("doc_id"), "left_anti")
     val chunkCounts = clean.select(
-      greatest(ceil((TextAnalysis.tokenCount(col("text")) - 8)
-        .cast("double") / 56).cast("int"), lit(1)).as("nc"))
+      graft.text.Chunking.chunkCount(
+        TextAnalysis.tokenCount(col("text")), size = 64, overlap = 8).as("nc"))
     corpus.agg(count(lit(1)).as("docs"))
       .crossJoin(quality.agg(count(lit(1)).as("after_quality")))
       .crossJoin(deduped.agg(count(lit(1)).as("after_dedup")))

@@ -298,11 +298,14 @@ object Similarity {
       (0 until m).map(i => array_to_vector(
         slice(col("embedding"), i * dsub + 1, dsub).cast("array<double>"))
         .as(s"f$i")): _*)
-    val coded = models.zipWithIndex
-      .foldLeft(featured) { case (df, (model, _)) => model.transform(df) }
-      .select(col("vec_id"),
-        array((0 until m).map(i => col(s"c$i")): _*).as("code"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registered in the shared cache registry (replace-on-change, freed by
+    // Caches.releaseAll) so the cache outlives this call — the returned
+    // index's frame is lazy and must stay cached until the CALLER's action
+    val coded = graft.Caches.persistReplacing("pq_codes",
+      models.zipWithIndex
+        .foldLeft(featured) { case (df, (model, _)) => model.transform(df) }
+        .select(col("vec_id"),
+          array((0 until m).map(i => col(s"c$i")): _*).as("code")))
 
     val books = models.map(_.clusterCenters.map(_.toArray.map(_.toFloat)))
     PqIndex(coded, books.toArray)
@@ -318,8 +321,7 @@ object Similarity {
   def pqTopK(emb: DataFrame, queryFilter: Column, topK: Int, m: Int = 8,
       k: Int = 16, maxTrainRows: Int = 100000): DataFrame = {
     val idx = buildPqIndex(emb, m, k, maxTrainRows)
-    try {
-      val dsub = idx.codebooks(0)(0).length
+    val dsub = idx.codebooks(0)(0).length
       val queries = emb.filter(queryFilter)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
@@ -352,7 +354,9 @@ object Similarity {
         .filter(col("rank") <= topK)
         .select(col("qid"), col("rank"), col("vec_id").as("nid"),
           round(col("approx_dot"), 4).as("approx_dot"))
-    } finally idx.release()
+    // no release here: the result is LAZY and still references the codes
+    // frame — releasing before the caller's action would throw the cache
+    // away unused; the shared registry reclaims it at workload boundaries
   }
 
   /** Symmetric int8 scalar quantization profile per vector: the 4×

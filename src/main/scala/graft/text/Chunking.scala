@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Context-length chunking: split each document into overlapping
@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Number of windows `chunkTokens` emits for a document of `nTokens`
+    * tokens — THE formula, shared with every count-only consumer (the
+    * curation funnel) so the two can never drift. */
+  def chunkCount(nTokens: Column, size: Int = 64, overlap: Int = 8): Column = {
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    greatest(ceil((nTokens - overlap).cast("double") / (size - overlap))
+      .cast("int"), lit(1))
+  }
+
   /** One row per (doc, window): 0-based chunk index, the window's token
     * count, and an md5 fingerprint of the window text (the id a packing
     * or chunk-level dedup step joins on). */
@@ -27,9 +37,7 @@ object Chunking {
       .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("t"))
       .filter(size_(col("t")) >= 1)
     toks
-      .withColumn("n_chunks",
-        greatest(ceil((size_(col("t")) - overlap).cast("double") / step)
-          .cast("int"), lit(1)))
+      .withColumn("n_chunks", chunkCount(size_(col("t")), size, overlap))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk"))
       .withColumn("w", slice(col("t"), col("chunk") * step + 1, lit(size)))

@@ -34,7 +34,10 @@ class CurationPipelineSpec extends SparkTestBase {
     val docsOut = shards.select("doc_id").distinct().count()
     assert(docsOut == stats.afterDecontam)
 
-    // the pipeline is deterministic end to end
+    // the pipeline is deterministic end to end — release every cache
+    // (including the manifest registry) first, so the second run actually
+    // recomputes every stage instead of proving cache stability
+    graft.Caches.releaseAll()
     val again = CurationPipeline.run(spark, corpus, benchmark, out)
     assert(again == stats)
   }

@@ -63,6 +63,32 @@ class VersionedFactSinkSpec extends SparkTestBase {
     intercept[IllegalArgumentException](sink.readVersion(spark, 0))
   }
 
+  test("vacuum with a wider horizon than an earlier vacuum still works") {
+    val dir = Files.createTempDirectory("graft_txn_vac2").toString
+    val sink = new VersionedFactSink(dir)
+    (1 to 6).foreach(i =>
+      sink.mergePartitions(Seq((20200000 + i, 2020, i)).toDF("date_id", "year", "v")))
+    sink.vacuum(keepVersions = 1) // deletes manifests v0..v4
+    sink.mergePartitions(Seq((20210101, 2021, 7)).toDF("date_id", "year", "v"))
+    // horizon now spans versions already deleted by the earlier vacuum —
+    // must walk the manifests that EXIST, not assume a dense range
+    val deleted = sink.vacuum(keepVersions = 5)
+    assert(rows(sink.read(spark)).map(_._3).max == 7)
+    assert(deleted.isEmpty || deleted.forall(!_.contains("y2021")))
+  }
+
+  test("an empty truncate leaves a readable empty table, not a bricked one") {
+    val dir = Files.createTempDirectory("graft_txn_empty").toString
+    val sink = new VersionedFactSink(dir)
+    sink.writeFull(Seq((20210101, 2021, 1)).toDF("date_id", "year", "v"))
+    sink.writeFull(Seq.empty[(Int, Int, Int)].toDF("date_id", "year", "v"))
+    val empty = sink.read(spark)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("date_id", "year", "v"))
+    // and time travel to the non-empty version still works
+    assert(rows(sink.readVersion(spark, 0)) == Set((20210101, 2021, 1)))
+  }
+
   test("streaming fact merger composes with the transactional sink") {
     val dir = Files.createTempDirectory("graft_txn_merge").toString
     val sink = new VersionedFactSink(dir)
