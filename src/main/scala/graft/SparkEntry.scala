@@ -47,6 +47,7 @@ object SparkEntry {
     "q24_histogram" -> ((s: SparkSession, d: String) => Relational.q24Histogram(s, d)),
     "q25_scd2" -> (Relational.q25Scd2 _),
     "q26_hopping_window" -> (Relational.q26HoppingWindow _),
+    "q27_customer_churn" -> (Relational.q27CustomerChurn _),
     "t01_text_stats" -> (TrainingData.t01TextStats _),
     "t02_langid_confusion" -> (TrainingData.t02LangIdConfusion _),
     "t03_fingerprint" -> (TrainingData.t03Fingerprint _),
@@ -728,6 +729,22 @@ object SparkEntry {
         |  COUNT(*) AS events,
         |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "q27_customer_churn" ->
+      """WITH prev AS (SELECT o_custkey, COUNT(*) AS n_prev FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |    AND quarter(CAST(o_orderdate AS DATE)) = 1 GROUP BY 1),
+        |nxt AS (SELECT o_custkey, COUNT(*) AS n_next FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        |    AND quarter(CAST(o_orderdate AS DATE)) = 2 GROUP BY 1),
+        |j AS (SELECT coalesce(p.o_custkey, n.o_custkey) AS k, n_prev, n_next
+        |  FROM prev p FULL OUTER JOIN nxt n ON p.o_custkey = n.o_custkey)
+        |SELECT CASE WHEN n_prev IS NULL THEN 'acquired'
+        |            WHEN n_next IS NULL THEN 'churned'
+        |            ELSE 'retained' END AS status,
+        |  COUNT(*) AS customers,
+        |  CAST(SUM(coalesce(n_prev, 0)) AS BIGINT) AS orders_prev,
+        |  CAST(SUM(coalesce(n_next, 0)) AS BIGINT) AS orders_next
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "t14_source_mix" ->
       """WITH g AS (SELECT source, lang, COUNT(*) AS n_docs,
         |    CAST(SUM(len(regexp_extract_all(lower(trim(text)), '\S+')))

@@ -452,4 +452,30 @@ object Relational {
     graft.streaming.StreamingIngest
       .hoppingEventCounts(Tables(spark, dir, "events"))
       .orderBy("win_start", "event_type")
+
+  /** Year-over-year customer reconciliation — the FULL OUTER join audit
+    * (who was acquired, who churned, who stayed) every subscription
+    * business runs between period snapshots. Both sides pre-aggregate to
+    * one row per customer BEFORE the join, so the full-outer matches on a
+    * deduplicated key and stays a plain shuffle join at any scale. */
+  def q27CustomerChurn(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    // quarter-over-quarter: at every SF plenty of customers order in only
+    // one of the two windows, so all three statuses are populated
+    def perCust(q: Int, n: String) =
+      o.filter(year(col("o_orderdate")) === 1995 &&
+          quarter(col("o_orderdate")) === q)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as(n))
+    perCust(1, "n_prev")
+      .join(perCust(2, "n_next"), Seq("o_custkey"), "full_outer")
+      .withColumn("status",
+        when(col("n_prev").isNull, "acquired")
+          .when(col("n_next").isNull, "churned")
+          .otherwise("retained"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("customers"),
+        sum(coalesce(col("n_prev"), lit(0L))).as("orders_prev"),
+        sum(coalesce(col("n_next"), lit(0L))).as("orders_next"))
+      .orderBy("status")
+  }
 }
