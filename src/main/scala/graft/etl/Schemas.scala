@@ -14,6 +14,14 @@ import org.apache.spark.sql.types._
 object Schemas {
 
   // ---- operational sources -------------------------------------------------
+  /** Document stream for corpus ingest (the `documents` testdata shape). */
+  val documents: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   val streamingTxns: StructType = StructType(Seq(
     StructField("transaction_id", LongType),
     StructField("user_id", StringType),

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+class CorpusIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+    "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val other = "entirely different words live here walrus vulture " +
+    "unicorn tiger snake rabbit quail panda otter newt mole lynx koala"
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+
+  test("only new documents are admitted; replay cannot double-admit") {
+    val corpusDir = Files.createTempDirectory("graft_corpus").toString
+    val m = new CorpusIngest.Merger(spark, corpusDir)
+
+    // batch 0: two exact copies + one distinct -> keepers 0 and 2 seed
+    m.mergeBatch(docs((0L, base), (1L, base), (2L, other)), 0L)
+    assert(m.corpus().select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(0L, 2L))
+
+    // batch 1: exact copy of corpus doc, near-dup of corpus doc, one new
+    val fresh = "completely fresh content whale violin umbrella torch " +
+      "sunflower river quartz planet ocean nebula comet glacier meadow"
+    val b1 = docs(
+      (10L, base), //                    exact dup of corpus doc 0
+      (11L, base.replace("pi", "PHI")), // near-dup of corpus doc 0
+      (12L, fresh))
+    m.mergeBatch(b1, 1L)
+    assert(m.corpus().select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(0L, 2L, 12L))
+
+    // replaying batch 1 (crash redelivery) overwrites, never duplicates
+    m.mergeBatch(docs((10L, base), (11L, base.replace("pi", "PHI")),
+      (12L, fresh)), 1L)
+    val after = m.corpus().collect()
+    assert(after.map(_.getAs[Long]("doc_id")).toSet == Set(0L, 2L, 12L))
+    assert(after.length == 3)
+  }
+
+  test("file-source stream admits across micro-batches") {
+    val dropDir = Files.createTempDirectory("graft_corpus_drop").toString
+    val corpusDir = Files.createTempDirectory("graft_corpus_out").toString
+    val ckpt = Files.createTempDirectory("graft_corpus_ckpt").toString
+    docs((0L, base), (1L, base)).coalesce(1)
+      .write.mode("append").parquet(dropDir)
+    docs((2L, base), (3L, other)).coalesce(1)
+      .write.mode("append").parquet(dropDir)
+
+    val q = CorpusIngest.start(spark, dropDir, corpusDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = new CorpusIngest.Merger(spark, corpusDir)
+      .corpus().select("doc_id").collect().map(_.getLong(0)).toSet
+    // one copy of `base` text survives (whichever batch landed first) and
+    // `other` is admitted; no duplicate text ever enters the corpus
+    assert(ids.contains(3L))
+    assert((ids - 3L).size == 1, s"corpus kept duplicate texts: $ids")
+  }
+}
