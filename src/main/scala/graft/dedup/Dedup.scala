@@ -360,23 +360,38 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       threshold: Double = 0.2, textCol: String = "text",
       n: Int = 3): DataFrame = {
+    val cs = persistReplacing("incrCorpusSh",
+      hashedShingleSets(corpus, textCol, n))
+    incrementalDedupAgainstIndex(
+      corpus.select(col("doc_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp")),
+      cs.join(cs.groupBy("doc_id").agg(count(lit(1)).as("csz")), "doc_id")
+        .select(col("doc_id").as("cdoc"), col("g"), col("csz")),
+      batch, threshold, textCol, n)
+  }
+
+  /** Index form of [[incrementalDedup]] — the per-batch cost model a
+    * CONTINUOUS ingest needs: the corpus side arrives as its materialized
+    * dedup index (fingerprints + size-annotated shingle postings, both
+    * maintained incrementally by the admitter), so classifying a batch
+    * scans the compact 8-byte-keyed index instead of re-tokenizing and
+    * re-shingling the entire text corpus on every micro-batch. */
+  def incrementalDedupAgainstIndex(corpusFps: DataFrame,
+      corpusPostings: DataFrame, batch: DataFrame,
+      threshold: Double = 0.2, textCol: String = "text",
+      n: Int = 3): DataFrame = {
     val bfp = batch.select(col("doc_id"),
       TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val cfp = corpus.select(col("doc_id").as("cdoc"),
-      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val cfp = corpusFps.select(col("doc_id").as("cdoc"), col("fp"))
     val exact = bfp.join(cfp, "fp")
       .groupBy("doc_id").agg(min(col("cdoc")).as("exact_of"))
 
     val bs = persistReplacing("incrBatchSh",
       hashedShingleSets(batch, textCol, n))
-    val cs = persistReplacing("incrCorpusSh",
-      hashedShingleSets(corpus, textCol, n)
-        .select(col("doc_id").as("cdoc"), col("g")))
     val bsz = bs.groupBy("doc_id").agg(count(lit(1)).as("bsz"))
-    val csz = cs.groupBy("cdoc").agg(count(lit(1)).as("csz"))
-    val near = bs.join(cs, "g")
-      .groupBy("doc_id", "cdoc").agg(count(lit(1)).as("c"))
-      .join(bsz, "doc_id").join(csz, "cdoc")
+    val near = bs.join(corpusPostings, "g")
+      .groupBy("doc_id", "cdoc", "csz").agg(count(lit(1)).as("c"))
+      .join(bsz, "doc_id")
       .withColumn("j",
         col("c").cast("double") / (col("bsz") + col("csz") - col("c")))
       .filter(col("j") >= threshold)
@@ -398,6 +413,19 @@ object Dedup {
           .otherwise(lit("new")).as("status"),
         coalesce(col("exact_of"), col("near_of")).as("dup_of"),
         when(col("exact_of").isNull, col("near_j")).as("jaccard"))
+  }
+
+  /** The (doc_id, fp) and (doc_id, g, sz) index rows for `docs` — what a
+    * continuous admitter persists per admitted batch so future batches
+    * classify against the index, not the raw text. */
+  def indexRows(docs: DataFrame, textCol: String = "text",
+      n: Int = 3): (DataFrame, DataFrame) = {
+    val fps = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val sh = hashedShingleSets(docs, textCol, n)
+    val postings = sh
+      .join(sh.groupBy("doc_id").agg(count(lit(1)).as("sz")), "doc_id")
+    (fps, postings)
   }
 
   // ------------------------------------------------------------ manifest

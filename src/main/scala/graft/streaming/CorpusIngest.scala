@@ -12,35 +12,39 @@ import graft.dedup.Dedup
   * NEW documents are admitted, so the corpus stays deduplicated by
   * construction instead of requiring periodic re-clustering.
   *
+  * The corpus ships with its own MATERIALIZED dedup index — fingerprints
+  * and size-annotated shingle postings, appended per admitted batch — so
+  * classification scans the compact 8-byte-keyed index instead of
+  * re-tokenizing and re-shingling the entire text corpus on every
+  * micro-batch (the cost model that survives a 100 TB corpus with a
+  * 0.1% daily increment).
+  *
   * Per micro-batch:
   *  1. batch-internal exact dedup (fingerprint keepers — micro-batches
   *     are small, so the expensive near-dup machinery is reserved for the
   *     corpus check);
-  *  2. [[Dedup.incrementalDedup]] against the standing corpus — cost
-  *     scales with the batch, never corpus pair counts;
-  *  3. docs with verdict `new` append under a per-batch directory,
-  *     OVERWRITTEN on write — a replayed batch (foreachBatch redelivers
-  *     after a crash) lands in the same directory instead of
-  *     double-appending, the same idempotence discipline as
-  *     [[StreamingIngest.FactMerger]].
+  *  2. [[Dedup.incrementalDedupAgainstIndex]] over the index, EXCLUDING
+  *     the batch's own partitions — a replayed batch (foreachBatch
+  *     redelivers after a crash) would otherwise classify its prior
+  *     admissions as duplicates of themselves and silently delete them;
+  *  3. docs with verdict `new` (plus their index rows) land under
+  *     per-batch directories, OVERWRITTEN on write, so replays converge
+  *     instead of double-appending.
   */
 object CorpusIngest {
 
   final class Merger(spark: SparkSession, corpusDir: String,
       threshold: Double = 0.2) extends Serializable {
 
+    private def part(sub: String) = s"$corpusDir/$sub"
+
     def corpus(): DataFrame =
-      spark.read.option("basePath", corpusDir).parquet(corpusDir)
+      spark.read.option("basePath", part("docs")).parquet(part("docs"))
         .drop("batch")
 
-    // the corpus as batch `batchId` must see it: WITHOUT its own prior
-    // output — a replayed batch (foreachBatch redelivers after a crash)
-    // would otherwise classify its own admissions as duplicates of
-    // themselves and overwrite the partition with nothing, silently
-    // DELETING the documents it admitted the first time
-    private def corpusExcluding(batchId: Long): Option[DataFrame] =
+    private def readExcluding(sub: String, batchId: Long): Option[DataFrame] =
       try {
-        val c = spark.read.option("basePath", corpusDir).parquet(corpusDir)
+        val c = spark.read.option("basePath", part(sub)).parquet(part(sub))
           .filter(col("batch") =!= batchId).drop("batch")
         c.head(1) // force: empty/missing dirs must fall to the None arm
         Some(c)
@@ -51,19 +55,30 @@ object CorpusIngest {
       val keepers = Dedup.exactGroups(batch)
         .select(col("keeper_doc_id").as("doc_id"))
       val distinctBatch = batch.join(keepers, "doc_id")
-      // 2. classify against the standing corpus; 3. admit the new
-      val admitted = corpusExcluding(batchId) match {
-        case Some(c) =>
-          distinctBatch.join(
-            Dedup.incrementalDedup(c, distinctBatch, threshold)
-              .filter(col("status") === "new").select("doc_id"),
-            "doc_id")
-        case None => distinctBatch // first batch seeds the corpus
-      }
-      // safe to write lazily: the corpus read excludes batch=`batchId`,
-      // so the write target and the files the plan reads are disjoint
+      // 2. classify against the standing INDEX; 3. admit the new
+      val admitted =
+        (readExcluding("fps", batchId), readExcluding("shingles", batchId)) match {
+          case (Some(fps), Some(postings)) =>
+            distinctBatch.join(
+              Dedup.incrementalDedupAgainstIndex(fps,
+                postings.select(col("doc_id").as("cdoc"), col("g"), col("sz").as("csz")),
+                distinctBatch, threshold)
+                .filter(col("status") === "new").select("doc_id"),
+              "doc_id")
+          case _ => distinctBatch // first batch seeds the corpus
+        }
+      // safe to write lazily: every read excludes batch=`batchId`, so the
+      // write targets and the files the plan reads are disjoint
       admitted.write.mode(SaveMode.Overwrite)
-        .parquet(s"$corpusDir/batch=$batchId")
+        .parquet(s"${part("docs")}/batch=$batchId")
+      // 4. extend the index with exactly what was admitted — read back the
+      // committed batch so the index derives from the same rows readers see
+      val committed = spark.read.parquet(s"${part("docs")}/batch=$batchId")
+      val (fps, postings) = Dedup.indexRows(committed)
+      fps.write.mode(SaveMode.Overwrite)
+        .parquet(s"${part("fps")}/batch=$batchId")
+      postings.write.mode(SaveMode.Overwrite)
+        .parquet(s"${part("shingles")}/batch=$batchId")
     }
   }
 

@@ -45,6 +45,15 @@ class CorpusIngestSpec extends SparkTestBase {
     val after = m.corpus().collect()
     assert(after.map(_.getAs[Long]("doc_id")).toSet == Set(0L, 2L, 12L))
     assert(after.length == 3)
+
+    // the materialized index tracks the corpus exactly: one fingerprint
+    // per admitted doc, postings only for admitted docs
+    val fps = spark.read.parquet(s"$corpusDir/fps")
+    assert(fps.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(0L, 2L, 12L))
+    val postings = spark.read.parquet(s"$corpusDir/shingles")
+    assert(postings.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L, 2L, 12L))
   }
 
   test("file-source stream admits across micro-batches") {
