@@ -48,7 +48,12 @@ object CorpusIngest {
           .filter(col("batch") =!= batchId).drop("batch")
         c.head(1) // force: empty/missing dirs must fall to the None arm
         Some(c)
-      } catch { case _: Exception => None }
+      } catch {
+        // ONLY "no corpus yet" maps to the seed arm — a corrupt or
+        // unreadable index must fail the batch loudly, not silently admit
+        // everything undeduplicated
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
 
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
       // 1. within-batch exact keepers (one per normalized fingerprint)
