@@ -360,13 +360,10 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       threshold: Double = 0.2, textCol: String = "text",
       n: Int = 3): DataFrame = {
-    val cs = persistReplacing("incrCorpusSh",
-      hashedShingleSets(corpus, textCol, n))
-    incrementalDedupAgainstIndex(
-      corpus.select(col("doc_id"),
-        TextAnalysis.fingerprint(col(textCol)).as("fp")),
-      cs.join(cs.groupBy("doc_id").agg(count(lit(1)).as("csz")), "doc_id")
-        .select(col("doc_id").as("cdoc"), col("g"), col("csz")),
+    val (fps, postings) = indexRows(corpus, textCol, n, "incrCorpusSh")
+    incrementalDedupAgainstIndex(fps,
+      postings.select(col("doc_id").as("cdoc"), col("g"),
+        col("sz").as("csz")),
       batch, threshold, textCol, n)
   }
 
@@ -417,12 +414,16 @@ object Dedup {
 
   /** The (doc_id, fp) and (doc_id, g, sz) index rows for `docs` — what a
     * continuous admitter persists per admitted batch so future batches
-    * classify against the index, not the raw text. */
-  def indexRows(docs: DataFrame, textCol: String = "text",
-      n: Int = 3): (DataFrame, DataFrame) = {
+    * classify against the index, not the raw text. THE single source of
+    * the index-row construction ([[incrementalDedup]] derives its corpus
+    * side from here too, so the two can never drift). The shingle frame
+    * feeds both the postings and the size aggregate — cached under
+    * `cacheKey` so the text is tokenized once. */
+  def indexRows(docs: DataFrame, textCol: String = "text", n: Int = 3,
+      cacheKey: String = "indexRowsSh"): (DataFrame, DataFrame) = {
     val fps = docs.select(col("doc_id"),
       TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val sh = hashedShingleSets(docs, textCol, n)
+    val sh = persistReplacing(cacheKey, hashedShingleSets(docs, textCol, n))
     val postings = sh
       .join(sh.groupBy("doc_id").agg(count(lit(1)).as("sz")), "doc_id")
     (fps, postings)

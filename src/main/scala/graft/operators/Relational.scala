@@ -453,7 +453,7 @@ object Relational {
       .hoppingEventCounts(Tables(spark, dir, "events"))
       .orderBy("win_start", "event_type")
 
-  /** Year-over-year customer reconciliation — the FULL OUTER join audit
+  /** Quarter-over-quarter customer reconciliation — the FULL OUTER join audit
     * (who was acquired, who churned, who stayed) every subscription
     * business runs between period snapshots. Both sides pre-aggregate to
     * one row per customer BEFORE the join, so the full-outer matches on a

@@ -20,9 +20,10 @@ import graft.dedup.Dedup
   * 0.1% daily increment).
   *
   * Per micro-batch:
-  *  1. batch-internal exact dedup (fingerprint keepers — micro-batches
-  *     are small, so the expensive near-dup machinery is reserved for the
-  *     corpus check);
+  *  1. batch-internal dedup: exact fingerprint keepers, then greedy
+  *     near-dedup (the smaller doc_id of every near-pair survives) — the
+  *     same page crawled twice in one batch cannot slip in as a permanent
+  *     near-dup pair;
   *  2. [[Dedup.incrementalDedupAgainstIndex]] over the index, EXCLUDING
   *     the batch's own partitions — a replayed batch (foreachBatch
   *     redelivers after a crash) would otherwise classify its prior
@@ -42,24 +43,58 @@ object CorpusIngest {
       spark.read.option("basePath", part("docs")).parquet(part("docs"))
         .drop("batch")
 
+    // the reader sees the index as of the batch's admission decision:
+    // every partition EXCEPT the batch's own. A missing dir means "no
+    // corpus yet" (first batch seeds); any OTHER failure — corrupt files,
+    // an index rewritten without batch= partitions — must fail the batch
+    // loudly, not silently admit everything undeduplicated.
+    private def fs(path: String) = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
     private def readExcluding(sub: String, batchId: Long): Option[DataFrame] =
-      try {
-        val c = spark.read.option("basePath", part(sub)).parquet(part(sub))
-          .filter(col("batch") =!= batchId).drop("batch")
-        c.head(1) // force: empty/missing dirs must fall to the None arm
-        Some(c)
-      } catch {
-        // ONLY "no corpus yet" maps to the seed arm — a corrupt or
-        // unreadable index must fail the batch loudly, not silently admit
-        // everything undeduplicated
-        case _: org.apache.spark.sql.AnalysisException => None
+      if (!fs(part(sub)).exists(new org.apache.hadoop.fs.Path(part(sub))))
+        None
+      else Some(
+        spark.read.option("basePath", part(sub)).parquet(part(sub))
+          .filter(col("batch") =!= batchId).drop("batch"))
+
+    // highest batch id ever committed — a stream restarted against a FRESH
+    // checkpoint re-numbers batches from 0, and without this guard its
+    // batch 0 would Overwrite (destroy) the original seed partition
+    private def maxBatchMarker =
+      new org.apache.hadoop.fs.Path(s"$corpusDir/_max_batch")
+    private def maxCommitted: Long = {
+      val f = fs(corpusDir)
+      if (!f.exists(maxBatchMarker)) -1L
+      else {
+        val in = f.open(maxBatchMarker)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
       }
+    }
 
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
-      // 1. within-batch exact keepers (one per normalized fingerprint)
+      // read ONCE up front: the marker rewrite at the end truncates the
+      // file first, so a later re-read mid-method would see it empty
+      val highWater = maxCommitted
+      // Structured Streaming only ever replays the LATEST uncommitted
+      // batch; a batchId BELOW the recorded high-water mark means a new
+      // stream (fresh checkpoint) is pointed at an existing corpus
+      require(batchId >= highWater,
+        s"batch $batchId below the corpus high-water mark $highWater — " +
+          s"a fresh-checkpoint stream must not overwrite $corpusDir; use a " +
+          "new corpus dir or restore the original checkpoint")
+      // 1. within-batch dedup: exact keepers (one per fingerprint), then
+      // greedy near-dedup — of every near-pair, the smaller doc_id
+      // survives, so a page crawled twice in one batch can't enter the
+      // corpus as a permanent near-dup pair
       val keepers = Dedup.exactGroups(batch)
         .select(col("keeper_doc_id").as("doc_id"))
-      val distinctBatch = batch.join(keepers, "doc_id")
+      val exactDistinct = graft.Caches.persistReplacing("ingestBatch",
+        batch.join(keepers, "doc_id"))
+      val nearLosers = Dedup.ngramJaccardPairs(exactDistinct, threshold)
+        .select(col("d2").as("doc_id")).distinct()
+      val distinctBatch = exactDistinct.join(nearLosers, Seq("doc_id"), "left_anti")
       // 2. classify against the standing INDEX; 3. admit the new
       val admitted =
         (readExcluding("fps", batchId), readExcluding("shingles", batchId)) match {
@@ -84,6 +119,9 @@ object CorpusIngest {
         .parquet(s"${part("fps")}/batch=$batchId")
       postings.write.mode(SaveMode.Overwrite)
         .parquet(s"${part("shingles")}/batch=$batchId")
+      val out = fs(corpusDir).create(maxBatchMarker, true)
+      try out.write(math.max(batchId, highWater).toString.getBytes("UTF-8"))
+      finally out.close()
     }
   }
 

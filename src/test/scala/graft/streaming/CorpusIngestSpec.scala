@@ -56,6 +56,27 @@ class CorpusIngestSpec extends SparkTestBase {
       .map(_.getLong(0)).toSet == Set(0L, 2L, 12L))
   }
 
+  test("within-batch near-duplicates collapse to the smaller doc id") {
+    val corpusDir = Files.createTempDirectory("graft_corpus_nb").toString
+    val m = new CorpusIngest.Merger(spark, corpusDir)
+    // no standing corpus: the batch itself contains a near-dup pair
+    m.mergeBatch(docs((20L, base), (21L, base.replace("pi", "PHI"))), 0L)
+    assert(m.corpus().select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(20L))
+  }
+
+  test("a fresh-checkpoint stream cannot overwrite an existing corpus") {
+    val corpusDir = Files.createTempDirectory("graft_corpus_hw").toString
+    val m = new CorpusIngest.Merger(spark, corpusDir)
+    m.mergeBatch(docs((0L, base)), 5L)
+    val err = intercept[IllegalArgumentException](
+      m.mergeBatch(docs((9L, other)), 0L)) // restarted stream renumbers from 0
+    assert(err.getMessage.contains("high-water mark"))
+    // the legitimate replay of the LATEST batch still works
+    m.mergeBatch(docs((0L, base)), 5L)
+    assert(m.corpus().count() == 1)
+  }
+
   test("file-source stream admits across micro-batches") {
     val dropDir = Files.createTempDirectory("graft_corpus_drop").toString
     val corpusDir = Files.createTempDirectory("graft_corpus_out").toString
