@@ -142,6 +142,24 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("INTERSECT/EXCEPT plans agree with the q27 churn statuses") {
+    val churn = Relational.q27CustomerChurn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def custs(q: Int) =
+      s"""SELECT o_custkey FROM orders
+         |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+         |  AND quarter(CAST(o_orderdate AS DATE)) = $q""".stripMargin
+    // INTERSECT == retained, EXCEPT both ways == churned / acquired —
+    // Spark plans these as (left-)semi/anti joins; counts must agree with
+    // the full-outer formulation exactly
+    val retained = spark.sql(s"${custs(1)} INTERSECT ${custs(2)}").count()
+    val churned = spark.sql(s"${custs(1)} EXCEPT ${custs(2)}").count()
+    val acquired = spark.sql(s"${custs(2)} EXCEPT ${custs(1)}").count()
+    assert(retained == churn.getOrElse("retained", 0L))
+    assert(churned == churn.getOrElse("churned", 0L))
+    assert(acquired == churn.getOrElse("acquired", 0L))
+  }
+
   test("q26 hopping window: SQL window() equals the DataFrame plan") {
     assertSameRows(
       """SELECT window.start AS win_start, window.end AS win_end, event_type,
