@@ -63,6 +63,7 @@ object SparkEntry {
     "t13_chunks" -> (TrainingData.t13Chunks _),
     "t14_source_mix" -> (TrainingData.t14SourceMix _),
     "t15_curation_funnel" -> (TrainingData.t15CurationFunnel _),
+    "t16_chunk_dups" -> (TrainingData.t16ChunkDups _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -830,6 +831,22 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM ded) AS after_dedup,
         |  (SELECT COUNT(*) FROM clean) AS after_decontam,
         |  (SELECT CAST(SUM(nc) AS BIGINT) FROM chunks) AS chunks""".stripMargin,
+    "t16_chunk_dups" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_extract_all(lower(trim(text)), '\S+') AS t FROM documents),
+        |nz AS (SELECT doc_id, t, len(t) AS n,
+        |    greatest(CAST(ceil(CAST(len(t) - 8 AS DOUBLE) / 56) AS INT), 1)
+        |      AS n_chunks
+        |  FROM toks WHERE len(t) >= 1),
+        |c AS (SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS chunk FROM nz),
+        |w AS (SELECT doc_id,
+        |    md5(array_to_string(
+        |      list_slice(t, chunk * 56 + 1, least(chunk * 56 + 64, n)), ' '))
+        |      AS fp
+        |  FROM c)
+        |SELECT fp, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM w GROUP BY fp HAVING COUNT(*) > 1
+        |ORDER BY n_chunks DESC, fp LIMIT 50""".stripMargin,
     "t12_lm_bigram_score" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

@@ -289,6 +289,20 @@ object TrainingData {
       .crossJoin(chunkCounts.agg(sum(col("nc").cast("long")).as("chunks")))
   }
 
+  /** Chunk-level duplicate profile: window fingerprints repeated across
+    * the corpus — the boilerplate signal document-level dedup misses (two
+    * different pages sharing one copied section collide here, not in d01).
+    * Top-50 most-repeated chunks with their document spread. */
+  def t16ChunkDups(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Chunking.chunkTokens(
+      Tables(spark, dir, "documents"), size = 64, overlap = 8)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_chunks") > 1)
+      .orderBy(desc("n_chunks"), asc("fp"))
+      .limit(50)
+
   /** Exact duplicate groups (hash-groupBy dedup). */
   def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir, "documents"))
