@@ -70,4 +70,55 @@ object Pipeline {
       dimSport = DimBuilder.dimSport(assets, fact),
       stats = stats)
   }
+
+  /** Result of the SINGLE-PASS form: the accounting and dim-date bounds
+    * arrive as observed metrics of the fact's own materialization —
+    * call `finish()` AFTER an action on `fact` (a write, a collect). */
+  final case class ObservedEtl(
+      fact: DataFrame, dimCountry: DataFrame, dimSport: DataFrame,
+      finish: () => (EtlStats, DataFrame))
+
+  /** [[run]] without the separate accounting scan: the retention counters
+    * and date bounds are attached to the enriched stream as an
+    * `observe()` side-aggregate, so the source is read ONCE — the rollup's
+    * own pass computes them for free. Same numbers as [[run]] (asserted in
+    * EtlPipelineSpec); the trade is ergonomic: stats exist only after the
+    * caller materializes the fact. */
+  def runSinglePass(spark: SparkSession, txns: DataFrame, assets: DataFrame,
+      subscribers: DataFrame, postal2city: DataFrame, cities: DataFrame,
+      countries: DataFrame): ObservedEtl = {
+    val userCountryMap = Transform.userCountry(subscribers, postal2city, cities)
+    val assetSportMap = Transform.assetSport(assets)
+    val obs = new org.apache.spark.sql.Observation("etl_stats")
+    val enriched = Transform.enrich(txns, userCountryMap, assetSportMap)
+      .observe(obs,
+        count(lit(1)).as("read"),
+        sum(when(col("country_id").isNull, 1L).otherwise(0L)).as("missing_country"),
+        sum(when(col("sport_master").isNull && col("sport").isNotNull, 1L)
+          .otherwise(0L)).as("recovered_by_inference"),
+        sum(when(col("sport").isNull, 1L).otherwise(0L)).as("missing_sport"),
+        sum(when(col("event_date").isNull, 1L).otherwise(0L)).as("missing_date"),
+        sum(when(col("country_id").isNotNull && col("sport").isNotNull &&
+          col("event_date").isNotNull, 1L).otherwise(0L)).as("valid"),
+        min(col("event_date")).as("min_date"),
+        max(col("event_date")).as("max_date"))
+    val fact = Transform.rollup(Transform.qualityGate(enriched))
+    ObservedEtl(
+      fact = fact,
+      dimCountry = DimBuilder.dimCountry(countries),
+      dimSport = DimBuilder.dimSport(assets, fact),
+      finish = () => {
+        val m = obs.get
+        val stats = EtlStats(
+          read = m("read").asInstanceOf[Long],
+          missingCountry = m("missing_country").asInstanceOf[Long],
+          recoveredByInference = m("recovered_by_inference").asInstanceOf[Long],
+          missingSport = m("missing_sport").asInstanceOf[Long],
+          missingDate = m("missing_date").asInstanceOf[Long],
+          valid = m("valid").asInstanceOf[Long])
+        (stats, DimBuilder.dimDateFromBounds(spark,
+          m("min_date").asInstanceOf[java.sql.Date],
+          m("max_date").asInstanceOf[java.sql.Date]))
+      })
+  }
 }

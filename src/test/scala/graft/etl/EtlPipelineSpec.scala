@@ -55,6 +55,18 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(s.dropped == 5)
   }
 
+  test("single-pass (observed) ETL produces identical stats, fact, and dims") {
+    val obs = Pipeline.runSinglePass(
+      spark, txns, assets, subscribers, postal2city, cities, countries)
+    val factRows = obs.fact.orderBy("date_id", "country_id", "sport_name")
+      .collect().toSeq // the one action — metrics exist after this
+    val (stats, dimDate) = obs.finish()
+    assert(stats == result.stats)
+    assert(factRows == result.fact
+      .orderBy("date_id", "country_id", "sport_name").collect().toSeq)
+    assert(dimDate.collect().toSet == result.dimDate.collect().toSet)
+  }
+
   test("fact grain and measures match golden values") {
     val fact = result.fact.collect()
       .map(r => (r.getAs[Int]("date_id"), r.getAs[Int]("country_id"),
