@@ -89,26 +89,34 @@ object Pipeline {
       countries: DataFrame): ObservedEtl = {
     val userCountryMap = Transform.userCountry(subscribers, postal2city, cities)
     val assetSportMap = Transform.assetSport(assets)
-    val obs = new org.apache.spark.sql.Observation("etl_stats")
+    // auto-generated observation name: two runSinglePass results must stay
+    // composable in one query (duplicate observed-metrics names are
+    // rejected at analysis time)
+    val obs = org.apache.spark.sql.Observation()
     val enriched = Transform.enrich(txns, userCountryMap, assetSportMap)
-      .observe(obs,
-        count(lit(1)).as("read"),
-        sum(when(col("country_id").isNull, 1L).otherwise(0L)).as("missing_country"),
-        sum(when(col("sport_master").isNull && col("sport").isNotNull, 1L)
-          .otherwise(0L)).as("recovered_by_inference"),
-        sum(when(col("sport").isNull, 1L).otherwise(0L)).as("missing_sport"),
-        sum(when(col("event_date").isNull, 1L).otherwise(0L)).as("missing_date"),
-        sum(when(col("country_id").isNotNull && col("sport").isNotNull &&
-          col("event_date").isNotNull, 1L).otherwise(0L)).as("valid"),
-        min(col("event_date")).as("min_date"),
-        max(col("event_date")).as("max_date"))
+      .observe(obs, Transform.accountingAggs.head,
+        Transform.accountingAggs.tail: _*)
     val fact = Transform.rollup(Transform.qualityGate(enriched))
     ObservedEtl(
       fact = fact,
       dimCountry = DimBuilder.dimCountry(countries),
       dimSport = DimBuilder.dimSport(assets, fact),
       finish = () => {
-        val m = obs.get
+        // bounded wait, not a bare get: after the contract's action the
+        // metrics are already resolved and this returns immediately;
+        // calling finish() BEFORE any action on `fact` must fail with a
+        // diagnosis, not block forever on the observation's promise
+        val m = try {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.DurationInt
+          Await.result(Future(obs.get), 10.seconds)
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new IllegalArgumentException(
+              "finish() called before the fact was materialized — run an " +
+                "action (write/collect) on ObservedEtl.fact first")
+        }
         val stats = EtlStats(
           read = m("read").asInstanceOf[Long],
           missingCountry = m("missing_country").asInstanceOf[Long],

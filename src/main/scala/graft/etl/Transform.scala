@@ -81,18 +81,23 @@ object Transform {
     * date bounds ride along in the same pass so the dim_date spine needs no
     * scan of its own (the reference re-scanned both sources for min/max,
     * loadAnalyticsDB R:189-197). */
+  /** THE accounting aggregate list — shared by the standalone pass
+    * ([[accounting]]) and the observed single-pass form
+    * (`Pipeline.runSinglePass`), so the two can never drift. */
+  val accountingAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("read"),
+    sum(when(col("country_id").isNull, 1L).otherwise(0L)).as("missing_country"),
+    sum(when(col("sport_master").isNull && col("sport").isNotNull, 1L)
+      .otherwise(0L)).as("recovered_by_inference"),
+    sum(when(col("sport").isNull, 1L).otherwise(0L)).as("missing_sport"),
+    sum(when(col("event_date").isNull, 1L).otherwise(0L)).as("missing_date"),
+    sum(when(col("country_id").isNotNull && col("sport").isNotNull &&
+      col("event_date").isNotNull, 1L).otherwise(0L)).as("valid"),
+    min(col("event_date")).as("min_date"),
+    max(col("event_date")).as("max_date"))
+
   def accounting(enriched: DataFrame): DataFrame =
-    enriched.agg(
-      count(lit(1)).as("read"),
-      sum(when(col("country_id").isNull, 1L).otherwise(0L)).as("missing_country"),
-      sum(when(col("sport_master").isNull && col("sport").isNotNull, 1L)
-        .otherwise(0L)).as("recovered_by_inference"),
-      sum(when(col("sport").isNull, 1L).otherwise(0L)).as("missing_sport"),
-      sum(when(col("event_date").isNull, 1L).otherwise(0L)).as("missing_date"),
-      sum(when(col("country_id").isNotNull && col("sport").isNotNull &&
-        col("event_date").isNotNull, 1L).otherwise(0L)).as("valid"),
-      min(col("event_date")).as("min_date"),
-      max(col("event_date")).as("max_date"))
+    enriched.agg(accountingAggs.head, accountingAggs.tail: _*)
 
   /** [[rollup]] variant with HLL++ approximate distinct users — the
     * documented upgrade path (SURVEY §2.11) when exact distinct's shuffle

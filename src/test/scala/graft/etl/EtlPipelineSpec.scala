@@ -58,6 +58,9 @@ class EtlPipelineSpec extends SparkTestBase {
   test("single-pass (observed) ETL produces identical stats, fact, and dims") {
     val obs = Pipeline.runSinglePass(
       spark, txns, assets, subscribers, postal2city, cities, countries)
+    // misuse diagnoses instead of hanging: finish() before any action
+    val premature = intercept[IllegalArgumentException](obs.finish())
+    assert(premature.getMessage.contains("materialized"))
     val factRows = obs.fact.orderBy("date_id", "country_id", "sport_name")
       .collect().toSeq // the one action — metrics exist after this
     val (stats, dimDate) = obs.finish()
