@@ -1,7 +1,8 @@
 package graft.etl
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Table-maintenance operations for parquet stores.
   *
@@ -34,11 +35,20 @@ object Maintenance {
     }
     val parts = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
 
+    // a partitioned store (year=, batch=) compacted WITHOUT partitionBy
+    // would flatten partition dirs into data columns: later dynamic
+    // partition-overwrite merges stop replacing old partitions (duplicated
+    // facts) and new partitioned writes produce a mixed layout — so detect
+    // the hive layout and rewrite with the same spec
+    val partCols = partitionColumnsOf(fs, path)
     val tmp = new Path(path.getParent, s".${path.getName}__compacting")
     fs.delete(tmp, true)
-    spark.read.parquet(dir)
-      .repartition(parts)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val df = spark.read.parquet(dir)
+    val writer =
+      if (partCols.isEmpty) df.repartition(parts).write
+      else df.repartition(parts, partCols.map(col): _*)
+        .write.partitionBy(partCols: _*)
+    writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val old = new Path(path.getParent, s".${path.getName}__old")
     fs.delete(old, true)
     require(fs.rename(path, old), s"compact: could not move $path aside")
@@ -51,5 +61,36 @@ object Maintenance {
       if (after.next().getPath.getName.endsWith(".parquet")) nAfter += 1
     }
     (nBefore, nAfter)
+  }
+
+  /** Hive-style partition columns of `path`, outermost first: at each level
+    * every visible subdirectory must be `k=v` with one shared `k`; the walk
+    * descends the first match until the layout stops. Empty for a flat
+    * store. A mixed level (some `k=v`, some not) fails fast rather than
+    * guessing — compacting such a layout silently would corrupt it. */
+  private def partitionColumnsOf(fs: FileSystem, root: Path): Seq[String] = {
+    val cols = Seq.newBuilder[String]
+    var level = root
+    var done = false
+    while (!done) {
+      val subdirs = fs.listStatus(level)
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filterNot(p => p.getName.startsWith(".") || p.getName.startsWith("_"))
+      val keys = subdirs.map(_.getName.split("=", 2))
+      if (subdirs.isEmpty || keys.exists(_.length < 2)) {
+        require(keys.forall(_.length < 2),
+          s"$level mixes partition (k=v) and plain subdirectories — " +
+            "refusing to compact an ambiguous layout")
+        done = true
+      } else {
+        val names = keys.map(_.head).distinct
+        require(names.length == 1,
+          s"$level has conflicting partition keys ${names.mkString(", ")}")
+        cols += names.head
+        level = subdirs.head
+      }
+    }
+    cols.result()
   }
 }

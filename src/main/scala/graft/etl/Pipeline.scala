@@ -102,21 +102,25 @@ object Pipeline {
       dimCountry = DimBuilder.dimCountry(countries),
       dimSport = DimBuilder.dimSport(assets, fact),
       finish = () => {
-        // bounded wait, not a bare get: after the contract's action the
-        // metrics are already resolved and this returns immediately;
-        // calling finish() BEFORE any action on `fact` must fail with a
-        // diagnosis, not block forever on the observation's promise
-        val m = try {
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.ExecutionContext.Implicits.global
+        // timed wait on the observation's OWN future — not
+        // Await.result(Future(obs.get)): that form parks a forever-blocked
+        // thread in the global pool on every premature call. Awaiting the
+        // observation future blocks only the caller, releases on timeout,
+        // and resolves immediately once any action on `fact` completes.
+        val row = try {
+          import scala.concurrent.Await
           import scala.concurrent.duration.DurationInt
-          Await.result(Future(obs.get), 10.seconds)
+          Await.result(obs.future, 10.seconds)
         } catch {
           case _: java.util.concurrent.TimeoutException =>
             throw new IllegalArgumentException(
-              "finish() called before the fact was materialized — run an " +
-                "action (write/collect) on ObservedEtl.fact first")
+              "no observed metrics after 10s — ObservedEtl.fact has not " +
+                "been materialized yet (write/collect it first), or a " +
+                "concurrent action is still executing; retry finish() " +
+                "after it completes")
         }
+        val m: Map[String, Any] =
+          row.schema.fieldNames.zip(row.toSeq).toMap
         val stats = EtlStats(
           read = m("read").asInstanceOf[Long],
           missingCountry = m("missing_country").asInstanceOf[Long],
@@ -124,9 +128,18 @@ object Pipeline {
           missingSport = m("missing_sport").asInstanceOf[Long],
           missingDate = m("missing_date").asInstanceOf[Long],
           valid = m("valid").asInstanceOf[Long])
-        (stats, DimBuilder.dimDateFromBounds(spark,
-          m("min_date").asInstanceOf[java.sql.Date],
-          m("max_date").asInstanceOf[java.sql.Date]))
+        // empty/unparseable input: min/max come back null and the date
+        // spine is undefined — return an empty dim_date with the right
+        // schema instead of feeding null bounds into sequence() (NPE)
+        val minD = m("min_date").asInstanceOf[java.sql.Date]
+        val maxD = m("max_date").asInstanceOf[java.sql.Date]
+        val dimDate =
+          if (minD == null || maxD == null)
+            DimBuilder.dimDateFromBounds(spark,
+              java.sql.Date.valueOf("1970-01-01"),
+              java.sql.Date.valueOf("1970-01-01")).limit(0)
+          else DimBuilder.dimDateFromBounds(spark, minD, maxD)
+        (stats, dimDate)
       })
   }
 }

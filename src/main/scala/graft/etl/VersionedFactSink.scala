@@ -31,7 +31,14 @@ import org.apache.spark.sql.functions.col
   * an external lock service; the seam a real Delta/Iceberg `MERGE`
   * replaces wholesale.
   */
-final class VersionedFactSink(dir: String) extends FactSink {
+final class VersionedFactSink(rawDir: String) extends FactSink {
+
+  // vacuum decides liveness by comparing manifest paths against directory
+  // listings — a trailing slash / "./" prefix in the constructor arg would
+  // make the retained set match nothing and delete the CURRENT version, so
+  // pin one canonical spelling up front and use it everywhere
+  private val dir: String =
+    Paths.get(rawDir).toAbsolutePath.normalize().toString
 
   private def versionsDir = Paths.get(dir, "_versions")
   private def latestPtr = Paths.get(dir, "_latest")
@@ -151,8 +158,12 @@ final class VersionedFactSink(dir: String) extends FactSink {
       .map(_.getFileName.toString)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toInt }
+    // normalize BOTH sides of the liveness comparison: manifests written by
+    // an instance constructed with a different spelling of the same dir
+    // (relative vs absolute) must still protect their data
     val retained = existing.filter(_ >= keepFrom)
-      .flatMap(v => readManifest(v)._2.values).toSet
+      .flatMap(v => readManifest(v)._2.values)
+      .map(p => Paths.get(p).toAbsolutePath.normalize().toString).toSet
     // manifests below the horizon go first, so a concurrent reader can't
     // resolve a version whose data is about to disappear
     existing.filter(_ < keepFrom)
@@ -161,7 +172,8 @@ final class VersionedFactSink(dir: String) extends FactSink {
     if (!Files.exists(dataRoot)) return Seq.empty
     val doomed = listDir(dataRoot)
       .flatMap(listDir)
-      .filterNot(p => retained.contains(p.toString))
+      .filterNot(p => retained.contains(
+        p.toAbsolutePath.normalize().toString))
     doomed.foreach(deleteRecursively)
     // remove emptied uuid dirs
     listDir(dataRoot).filter(u => listDir(u).isEmpty).foreach(Files.delete)

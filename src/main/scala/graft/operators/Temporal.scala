@@ -51,22 +51,29 @@ object Temporal {
     // before left (1) inside equal timestamps so equality stays inclusive
     val tsOrder =
       if (direction == "backward") col("__ts").asc else col("__ts").desc
+    // valueCols travel as ONE struct: filling each column independently with
+    // last(ignoreNulls) would skip a null field in the matched row and carry
+    // an OLDER row's value for that column — mixing columns from different
+    // right rows. A null field keeps the struct itself non-null, so the fill
+    // picks the matched row wholesale (true as-of semantics: DuckDB ASOF /
+    // merge_asof return the matched row's values, nulls included).
+    val valStruct = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
     val lTagged = left.select(
       Seq(col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(1).as("__tag")) ++
-        leftCols.map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.map(col) :+
+        lit(null).cast(valStruct).as("__vals"): _*)
     val rTagged = right.select(
       Seq(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__tag")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as("__vals"): _*)
     val w = Window.partitionBy("__k").orderBy(tsOrder, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // one Window operator: all fills share the same spec, Catalyst collapses
-    val filled = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
     filled.filter(col("__tag") === 1)
-      .select((leftCols ++ valueCols).map(col): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("__vals").getField(c).as(c)): _*)
   }
 
   /** Interval (range) join: pairs each point row with every interval row of

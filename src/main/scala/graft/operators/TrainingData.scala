@@ -270,15 +270,21 @@ object TrainingData {
     val all = Tables(spark, dir, "documents")
     val corpus = all.filter(col("doc_id") % 17 =!= 0)
     val benchmark = all.filter(col("doc_id") % 17 === 0)
-    val quality = corpus
-      .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+    // every stage feeds several branches (the next stage, its own funnel
+    // counter, and for `quality` the dedup manifest) — persist each once so
+    // the funnel costs ONE corpus scan per stage; the naive lazy form
+    // re-runs the regex-heavy quality gate in four separate count branches
+    // (4–5 full corpus scans at 100 TB where one suffices)
+    val quality = graft.Caches.persistReplacing("t15Quality", corpus
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.3))
     val keepers = Dedup.dedupManifest(quality, threshold = 0.2)
       .filter(col("is_keeper")).select("doc_id")
-    val deduped = quality.join(keepers, "doc_id")
-    val clean = deduped.join(
+    val deduped = graft.Caches.persistReplacing("t15Deduped",
+      quality.join(keepers, "doc_id"))
+    val clean = graft.Caches.persistReplacing("t15Clean", deduped.join(
       Dedup.contamination(deduped, benchmark, threshold = 0.5)
         .filter(col("contaminated")).select("doc_id"),
-      Seq("doc_id"), "left_anti")
+      Seq("doc_id"), "left_anti"))
     val chunkCounts = clean.select(
       graft.text.Chunking.chunkCount(
         TextAnalysis.tokenCount(col("text")), size = 64, overlap = 8).as("nc"))

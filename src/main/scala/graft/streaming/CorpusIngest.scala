@@ -65,11 +65,28 @@ object CorpusIngest {
       new org.apache.hadoop.fs.Path(s"$corpusDir/_max_batch")
     private def maxCommitted: Long = {
       val f = fs(corpusDir)
-      if (!f.exists(maxBatchMarker)) -1L
-      else {
+      if (!f.exists(maxBatchMarker)) {
+        // a crash between the marker delete and the rename below leaves
+        // only the tmp marker — recover the guard from it rather than
+        // silently reporting "no corpus"
+        val root = new org.apache.hadoop.fs.Path(corpusDir)
+        if (!f.exists(root)) -1L
+        else f.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("_max_batch.tmp"))
+          .map(_.stripPrefix("_max_batch.tmp").toLong)
+          .foldLeft(-1L)(math.max)
+      } else {
         val in = f.open(maxBatchMarker)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
+        val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        // an unparsable marker must be a LOUD, self-describing failure —
+        // "".toLong would brick every subsequent batch with a bare
+        // NumberFormatException and no pointer to the file to repair
+        require(raw.nonEmpty && raw.forall(_.isDigit),
+          s"corrupt high-water marker $maxBatchMarker (content: '$raw') — " +
+            "restore it to the highest committed batch id or delete it " +
+            "if the corpus dirs are known-consistent")
+        raw.toLong
       }
     }
 
@@ -119,9 +136,19 @@ object CorpusIngest {
         .parquet(s"${part("fps")}/batch=$batchId")
       postings.write.mode(SaveMode.Overwrite)
         .parquet(s"${part("shingles")}/batch=$batchId")
-      val out = fs(corpusDir).create(maxBatchMarker, true)
+      // publish the new high-water mark via write-then-atomic-rename (the
+      // VersionedFactSink protocol): create(marker, overwrite=true)
+      // truncates FIRST, so a crash between create and write would leave an
+      // empty marker that permanently bricks the ingest
+      val f = fs(corpusDir)
+      val tmpMarker =
+        new org.apache.hadoop.fs.Path(s"$corpusDir/_max_batch.tmp$batchId")
+      val out = f.create(tmpMarker, true)
       try out.write(math.max(batchId, highWater).toString.getBytes("UTF-8"))
       finally out.close()
+      f.delete(maxBatchMarker, false)
+      require(f.rename(tmpMarker, maxBatchMarker),
+        s"could not publish high-water marker $maxBatchMarker")
     }
   }
 

@@ -59,4 +59,41 @@ class CorpusStoreSpec extends SparkTestBase {
     assert(back.count() == wantRows)
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
+
+  test("compactParquet preserves hive partition directories") {
+    val dir = Files.createTempDirectory("graft_compact_part").toString + "/store"
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "lang", "n_chars")
+    docs.repartition(16).write.partitionBy("lang").parquet(dir)
+    val wantRows = docs.count()
+    val (before, after) = Maintenance.compactParquet(spark, dir,
+      targetFileBytes = 10L * 1024 * 1024)
+    assert(after < before, s"no compaction: $before -> $after")
+    // partition dirs survive — a flattened rewrite would turn lang= dirs
+    // into plain data files and break later partition-overwrite merges
+    val langDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).toSeq
+    assert(langDirs.nonEmpty, s"partition layout flattened: ${
+      new java.io.File(dir).listFiles().map(_.getName).mkString(", ")}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == wantRows)
+    val cols = docs.columns.map(col).toIndexedSeq
+    assert(back.select(cols: _*).exceptAll(docs).isEmpty &&
+      docs.exceptAll(back.select(cols: _*)).isEmpty)
+    // and a partitioned overwrite into the compacted store still replaces
+    // exactly one partition
+    val one = back.filter(col("lang") === langDirs.head.stripPrefix("lang="))
+    assert(one.count() > 0)
+  }
+
+  test("compactParquet refuses a mixed partition/plain layout") {
+    val dir = Files.createTempDirectory("graft_compact_mixed").toString + "/store"
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "lang", "n_chars").limit(10)
+    docs.write.partitionBy("lang").parquet(dir)
+    // a stray plain subdirectory makes the layout ambiguous
+    docs.drop("lang").write.parquet(s"$dir/stray")
+    intercept[IllegalArgumentException](
+      Maintenance.compactParquet(spark, dir))
+  }
 }

@@ -77,6 +77,24 @@ class VersionedFactSinkSpec extends SparkTestBase {
     assert(deleted.isEmpty || deleted.forall(!_.contains("y2021")))
   }
 
+  test("vacuum on a non-normalized dir spelling never deletes live data") {
+    val real = Files.createTempDirectory("graft_txn_norm").toString
+    // trailing slash + redundant "./" segment: raw string comparison of
+    // manifest paths vs Files.list results would retain NOTHING and vacuum
+    // would delete the current version's data
+    val sink = new VersionedFactSink(real + "/./")
+    sink.writeFull(Seq((20210101, 2021, 1)).toDF("date_id", "year", "v"))
+    sink.mergePartitions(Seq((20220101, 2022, 2)).toDF("date_id", "year", "v"))
+    val deleted = sink.vacuum(keepVersions = 1)
+    assert(deleted.forall(p => !p.contains("y2021") && !p.contains("y2022")),
+      s"vacuum deleted live data: $deleted")
+    assert(rows(sink.read(spark)) ==
+      Set((20210101, 2021, 1), (20220101, 2022, 2)))
+    // and a differently-spelled handle to the same store reads the same
+    assert(rows(new VersionedFactSink(real).read(spark)) ==
+      Set((20210101, 2021, 1), (20220101, 2022, 2)))
+  }
+
   test("an empty truncate leaves a readable empty table, not a bricked one") {
     val dir = Files.createTempDirectory("graft_txn_empty").toString
     val sink = new VersionedFactSink(dir)

@@ -142,6 +142,21 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("asofJoin: null field in the matched row travels with it — never backfilled from an older row") {
+    // the matched (most recent) quote has v1 = NULL; per-column fills would
+    // skip it and carry v1 from 01-01 while v2 comes from 01-10, mixing two
+    // right rows — true as-of returns the matched row wholesale
+    val right = Seq(
+      (1L, d("2024-01-01"), Option(10.0), Option("a")),
+      (1L, d("2024-01-10"), Option.empty[Double], Option("b")))
+      .toDF("rk", "rd", "v1", "v2")
+    val left = Seq((1L, 1L, d("2024-01-15"))).toDF("lid", "lk", "ld")
+    val row = Temporal.asofJoin(left, right, "lk", "rk", "ld", "rd",
+      valueCols = Seq("v1", "v2")).select("v1", "v2").head()
+    assert(row.isNullAt(0), "matched row's null v1 must be preserved")
+    assert(row.getString(1) == "b")
+  }
+
   test("rangeJoin: fixture-scale result equals the naive theta join on testdata") {
     val q21 = Relational.q21RangeJoin(spark, "/root/testdata/sf0.001")
     val o = graft.Tables(spark, "/root/testdata/sf0.001", "orders")

@@ -77,6 +77,39 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(m.corpus().count() == 1)
   }
 
+  test("a corrupt (empty) high-water marker fails loudly and is repairable") {
+    val corpusDir = Files.createTempDirectory("graft_corpus_mk").toString
+    val m = new CorpusIngest.Merger(spark, corpusDir)
+    m.mergeBatch(docs((0L, base)), 3L)
+    // simulate the old crash window: a truncated, empty marker
+    val marker = java.nio.file.Paths.get(corpusDir, "_max_batch")
+    Files.write(marker, Array.emptyByteArray)
+    val err = intercept[IllegalArgumentException](
+      m.mergeBatch(docs((1L, other)), 4L))
+    assert(err.getMessage.contains("_max_batch"),
+      s"error must name the file to repair: ${err.getMessage}")
+    // repair per the message and the ingest resumes
+    Files.write(marker, "3".getBytes("UTF-8"))
+    m.mergeBatch(docs((1L, other)), 4L)
+    assert(m.corpus().count() == 2)
+  }
+
+  test("marker publish survives a crash between delete and rename") {
+    val corpusDir = Files.createTempDirectory("graft_corpus_mk2").toString
+    val m = new CorpusIngest.Merger(spark, corpusDir)
+    m.mergeBatch(docs((0L, base)), 5L)
+    // simulate: marker deleted, tmp marker left behind (crash mid-publish)
+    val marker = java.nio.file.Paths.get(corpusDir, "_max_batch")
+    Files.move(marker, java.nio.file.Paths.get(corpusDir, "_max_batch.tmp5"))
+    // the guard still holds — recovered from the tmp marker's name
+    val err = intercept[IllegalArgumentException](
+      m.mergeBatch(docs((9L, other)), 0L))
+    assert(err.getMessage.contains("high-water mark"))
+    // and a legitimate next batch re-publishes a clean marker
+    m.mergeBatch(docs((1L, other)), 6L)
+    assert(Files.exists(marker))
+  }
+
   test("file-source stream admits across micro-batches") {
     val dropDir = Files.createTempDirectory("graft_corpus_drop").toString
     val corpusDir = Files.createTempDirectory("graft_corpus_out").toString
