@@ -67,13 +67,16 @@ object SparkEntry {
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
+    "d03a_lsh_recall" -> (TrainingData.d03aLshRecall _),
     "d04_simhash" -> (TrainingData.d04Simhash _),
     "d05_cosine_near_dup" -> (TrainingData.d05CosineNearDup _),
     "d06_winnowing" -> (TrainingData.d06Winnowing _),
+    "d06a_winnow_recall" -> (TrainingData.d06aWinnowRecall _),
     "d07_dedup_clusters" -> (TrainingData.d07DedupClusters _),
     "d08_dedup_manifest" -> (TrainingData.d08DedupManifest _),
     "d09_contamination" -> (TrainingData.d09Contamination _),
     "d10_dedup_manifest_lsh" -> (TrainingData.d10DedupManifestApprox _),
+    "d10a_manifest_agreement" -> (TrainingData.d10aManifestAgreement _),
     "d11_incremental_dedup" -> (TrainingData.d11IncrementalDedup _),
     "d12_cluster_sizes" -> (TrainingData.d12ClusterSizes _),
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
@@ -593,6 +596,32 @@ object SparkEntry {
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2
         |ORDER BY d1, d2""".stripMargin,
+    // AUDIT oracles for the approximate dedup paths (d03/d06/d10 have no
+    // SQL-expressible form — seeded xxhash64 / rolling hashes): DuckDB
+    // recomputes the EXACT side and claims full agreement, so the driver's
+    // hash compare enforces that the approximate path's recall (and for
+    // d03a, precision) holds on the corpus — a divergent pair or keeper
+    // fails the row hash.
+    "d03a_lsh_recall" ->
+      s"""WITH $ngramCtes,
+        |ep AS (SELECT d1, d2 FROM common
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2)
+        |SELECT COUNT(*) AS n_exact, COUNT(*) AS n_lsh, COUNT(*) AS n_both
+        |FROM ep""".stripMargin,
+    "d06a_winnow_recall" ->
+      s"""WITH $ngramCtes,
+        |ep AS (SELECT d1, d2 FROM common
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2)
+        |SELECT COUNT(*) AS n_exact, COUNT(*) AS n_recovered
+        |FROM ep""".stripMargin,
+    "d10a_manifest_agreement" ->
+      s"""WITH RECURSIVE $manifestCtes
+        |SELECT COUNT(*) AS n_docs, COUNT(*) AS n_agree
+        |FROM manifest""".stripMargin,
     "d07_dedup_clusters" ->
       s"""WITH RECURSIVE $ngramCtes,
         |pairs AS (SELECT d1, d2 FROM common

@@ -325,6 +325,23 @@ object TrainingData {
     Dedup.minhashNearDuplicates(Tables(spark, dir, "documents"), threshold = 0.2)
       .orderBy("d1", "d2")
 
+  /** Audit row for d03: the MinHash+LSH pair set measured against the
+    * exact Jaccard pairs DuckDB can recompute — (n_exact, n_lsh, n_both)
+    * in one hash-checkable row. The oracle claims n_lsh = n_both =
+    * n_exact: at this threshold the banding parameters are recall-complete
+    * and the estimate filter admits no false pairs, so any divergence
+    * (a missed pair, a spurious pair) fails the driver's hash compare —
+    * cross-engine evidence for the approximate path that seeded xxhash64
+    * signatures themselves cannot have. */
+  def d03aLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2).select("d1", "d2")
+    val lsh = Dedup.minhashNearDuplicates(docs, threshold = 0.2).select("d1", "d2")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(exact.join(lsh, Seq("d1", "d2")).agg(count(lit(1)).as("n_both")))
+  }
+
   /** SimHash near-duplicates (no SQL oracle; validated in tests). */
   def d04Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDuplicates(Tables(spark, dir, "documents"), maxHamming = 6)
@@ -335,6 +352,21 @@ object TrainingData {
   def d06Winnowing(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowingNearDuplicates(Tables(spark, dir, "documents"), minJaccard = 0.2)
       .orderBy("d1", "d2")
+
+  /** Audit row for d06: winnowing's recall of the exact Jaccard pairs —
+    * (n_exact, n_recovered), oracle claims n_recovered = n_exact (every
+    * true near-pair shares runs long enough for the winnowing guarantee).
+    * Recall only: winnowing legitimately flags extra pairs whose sampled-
+    * fingerprint Jaccard clears the bar while full 3-gram Jaccard doesn't,
+    * so precision is not claimed. */
+  def d06aWinnowRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2).select("d1", "d2")
+    val win = Dedup.winnowingNearDuplicates(docs, minJaccard = 0.2).select("d1", "d2")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(exact.join(win, Seq("d1", "d2"))
+        .agg(count(lit(1)).as("n_recovered")))
+  }
 
   /** Duplicate-cluster resolution over the exact Jaccard pairs: connected
     * components labeled by min doc_id (= the canonical keeper). */
@@ -355,6 +387,22 @@ object TrainingData {
   def d10DedupManifestApprox(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupManifestApprox(Tables(spark, dir, "documents"), threshold = 0.2)
       .orderBy("doc_id")
+
+  /** Audit row for d10: keeper agreement between the LSH-evidence manifest
+    * and the exact manifest DuckDB recomputes via its recursive CTE —
+    * (n_docs, n_agree), oracle claims full agreement. Any document the
+    * approximate path assigns to a different cluster keeper fails the
+    * hash compare. */
+  def d10aManifestAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val e = Dedup.dedupManifest(docs, threshold = 0.2)
+      .select(col("doc_id"), col("keeper_id").as("k_exact"))
+    val l = Dedup.dedupManifestApprox(docs, threshold = 0.2)
+      .select(col("doc_id"), col("keeper_id").as("k_lsh"))
+    e.join(l, "doc_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("k_exact") === col("k_lsh"), 1L).otherwise(0L)).as("n_agree"))
+  }
 
   /** Incremental dedup: the doc_id ≡ 0 mod 17 slice plays the daily
     * batch; the rest is the standing corpus. */
