@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * frame fan-out shapes. The decode layer is REAL for uncompressed binary
   * PPM images ([[PpmCodec]]: pure-JVM parse → grid-mean featurize →
   * nearest-neighbour resize, used by [[extractPpmFeatures]] /
-  * [[resizePpmImages]]); compressed formats (JPEG/audio/video) go through
-  * the clearly-marked deterministic STUB ([[FakeCodec]]) because their
-  * codec libraries don't exist in this environment. Swapping in a real
-  * codec changes only FakeCodec.
+  * [[resizePpmImages]]), for compressed images (JPEG/PNG/BMP/GIF via the
+  * JDK's own ImageIO — [[ImageIoCodec]], used by [[extractImageFeatures]]
+  * / [[resizeCompressedImages]]), and for PCM WAV audio ([[WavCodec]]).
+  * Compressed AUDIO/VIDEO (MP3/H.264) go through the clearly-marked
+  * deterministic STUB ([[FakeCodec]]) because their codec libraries don't
+  * exist in this environment. Swapping in a real codec changes only
+  * FakeCodec.
   */
 object Multimodal {
 
@@ -97,6 +100,32 @@ object Multimodal {
       .mapPartitions(_.map(m =>
         m.copy(content = PpmCodec.resizeNearest(m.content, w, h),
           width = w, height = h)))
+  }
+
+  /** REAL decode path for compressed images (JPEG/PNG/BMP/GIF) via the
+    * JDK's ImageIO ([[ImageIoCodec]]) — same grid-mean feature contract and
+    * core as [[extractPpmFeatures]], so identical pixels give identical
+    * features regardless of container. Nothing stubbed. */
+  def extractImageFeatures(spark: SparkSession, media: DataFrame, grid: Int = 4,
+      partitions: Int = 32): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.filter(col("kind").isin("image/jpeg", "image/png", "image/bmp", "image/gif"))
+      .repartition(partitions, col("media_id")).as[MediaRow]
+      .mapPartitions(_.map(m => MediaFeatures(m.media_id, m.kind,
+        ImageIoCodec.gridMeanFeatures(m.content, grid))))
+  }
+
+  /** REAL resize path for compressed images: nearest-neighbour on decoded
+    * pixels, re-encoded PNG (lossless — reproducible artifacts), metadata
+    * and kind updated alongside. */
+  def resizeCompressedImages(spark: SparkSession, media: DataFrame, w: Int,
+      h: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.filter(col("kind").isin("image/jpeg", "image/png", "image/bmp", "image/gif"))
+      .as[MediaRow]
+      .mapPartitions(_.map(m =>
+        m.copy(content = ImageIoCodec.resizeNearest(m.content, w, h),
+          kind = "image/png", width = w, height = h)))
   }
 
   /** REAL decode path for PCM WAV payloads: windowed-RMS loudness features

@@ -61,8 +61,14 @@ object PpmCodec {
   /** Real featurization: per-channel mean over a grid×grid tiling,
     * normalized to [0,1] — 3·grid² features in raster order (cell-major,
     * then R,G,B). The classic cheap visual descriptor. */
-  def gridMeanFeatures(content: Array[Byte], grid: Int): Array[Float] = {
-    val img = decode(content)
+  def gridMeanFeatures(content: Array[Byte], grid: Int): Array[Float] =
+    gridMean(decode(content), grid)
+
+  /** [[gridMeanFeatures]] on an already-decoded image — the shared core,
+    * so every decoder ([[PpmCodec]], [[ImageIoCodec]]) featurizes
+    * identically: the same pixels give the same features regardless of
+    * the container format they arrived in. */
+  def gridMean(img: Image, grid: Int): Array[Float] = {
     val out = new Array[Float](3 * grid * grid)
     val counts = new Array[Int](grid * grid)
     val sums = new Array[Long](3 * grid * grid)
@@ -97,8 +103,11 @@ object PpmCodec {
 
   /** Real nearest-neighbour resize: source pixel (x·w/w2, y·h/h2), the
     * floor convention, re-encoded as P6. */
-  def resizeNearest(content: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
-    val img = decode(content)
+  def resizeNearest(content: Array[Byte], w2: Int, h2: Int): Array[Byte] =
+    encode(resizeNearestImage(decode(content), w2, h2))
+
+  /** Nearest-neighbour resize on a decoded image — shared by all codecs. */
+  def resizeNearestImage(img: Image, w2: Int, h2: Int): Image = {
     val out = new Array[Byte](w2 * h2 * 3)
     var y = 0
     while (y < h2) {
@@ -113,6 +122,6 @@ object PpmCodec {
       }
       y += 1
     }
-    encode(Image(w2, h2, out))
+    Image(w2, h2, out)
   }
 }

@@ -336,17 +336,20 @@ object Similarity {
           }
         }
       }
-      val qids = queries.map(_._1).toSeq
+      // each query's m×k table rides the broadcast frame as DATA, not as
+      // one literal expression: a typedlit of ALL tables grows the
+      // generated code O(|queries|·m·k) and becomes the bottleneck at
+      // thousands of queries, while a per-row array column keeps codegen
+      // constant-size and the broadcast a few KB per query
       val qdf = emb.sparkSession.createDataFrame(
-        qids.zipWithIndex.map { case (q, i) => (q, i + 1) })
-        .toDF("qid", "qidx")
-      val litTables = typedlit(tables)
+        queries.toSeq.zip(tables).map { case ((q, _), t) => (q, t) })
+        .toDF("qid", "qtab")
       val scored = idx.codes.crossJoin(broadcast(qdf))
         .filter(col("qid") =!= col("vec_id"))
         .withColumn("approx_dot",
           aggregate(sequence(lit(1), lit(m)), lit(0.0d), (acc, i) =>
             acc + element_at(
-              element_at(element_at(litTables, col("qidx")), i),
+              element_at(col("qtab"), i),
               element_at(col("code"), i) + 1)))
       val w = Window.partitionBy("qid")
         .orderBy(desc("approx_dot"), asc("vec_id"))

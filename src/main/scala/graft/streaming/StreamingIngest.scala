@@ -78,13 +78,18 @@ object StreamingIngest {
   def start(spark: SparkSession, dropDir: String, storeDir: String,
       assets: DataFrame, subscribers: DataFrame, postal2city: DataFrame,
       cities: DataFrame, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val merger = new FactMerger(spark, storeDir,
       Transform.userCountry(subscribers, postal2city, cities),
       Transform.assetSport(assets))
-    spark.readStream
+    val reader = spark.readStream
       .schema(Schemas.streamingTxns)
-      .parquet(dropDir)
+    // bounds each micro-batch (AvailableNow honors source read limits) —
+    // a closed input then drains as several batches, exercising the merge
+    // path the way a live stream would instead of as one giant batch
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dropDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -92,6 +92,58 @@ class MultimodalSpec extends SparkTestBase {
       == Seq(255, 0, 0))
   }
 
+  // ---- REAL codec path: compressed images via the JDK's ImageIO
+
+  /** The tiny 2×2 fixture (red, green / blue, white) as PNG bytes. */
+  private def tinyPng: Array[Byte] =
+    ImageIoCodec.encodePng(PpmCodec.decode(tinyPpm))
+
+  test("imageio codec: PNG decode reproduces the exact pixels (golden)") {
+    val img = ImageIoCodec.decode(tinyPng)
+    assert(img.width == 2 && img.height == 2)
+    // PNG is lossless: decoded RGB must equal the PPM source exactly
+    assert(img.rgb.toSeq == PpmCodec.decode(tinyPpm).rgb.toSeq)
+    // identical pixels → identical features, whatever the container
+    assert(ImageIoCodec.gridMeanFeatures(tinyPng, grid = 2).toSeq ==
+      PpmCodec.gridMeanFeatures(tinyPpm, grid = 2).toSeq)
+    intercept[IllegalArgumentException](
+      ImageIoCodec.decode("not an image".getBytes))
+  }
+
+  test("imageio codec: JPEG decodes through the same core within lossy tolerance") {
+    // encode the fixture as JPEG via the JDK (encoder-dependent bytes, so
+    // assert approximate pixel recovery, not a byte golden)
+    val bi = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bi.setRGB(0, 0, 0xFF0000); bi.setRGB(1, 0, 0x00FF00)
+    bi.setRGB(0, 1, 0x0000FF); bi.setRGB(1, 1, 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "jpg", out)
+    val f = ImageIoCodec.gridMeanFeatures(out.toByteArray, grid = 1)
+    val expect = PpmCodec.gridMeanFeatures(tinyPpm, grid = 1)
+    f.zip(expect).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 0.25, s"jpeg decode too far off: $got vs $want")
+    }
+  }
+
+  test("real compressed-image pipeline: featurize + resize over a DataFrame") {
+    val rows = Seq(
+      MediaRow(30L, "image/png", tinyPng, 2, 2, 0, 0),
+      MediaRow(31L, "image", "opaque".getBytes, 8, 8, 0, 0)) // excluded
+      .toDS().toDF()
+    val feats = extractImageFeatures(spark, rows, grid = 2, partitions = 2)
+      .collect()
+    assert(feats.map(_.media_id).toSeq == Seq(30L))
+    assert(feats.head.features.toSeq ==
+      PpmCodec.gridMeanFeatures(tinyPpm, grid = 2).toSeq)
+    val res = resizeCompressedImages(spark, rows, 4, 4).collect()
+    assert(res.length == 1 && res.head.kind == "image/png"
+      && res.head.width == 4 && res.head.height == 4)
+    // PNG re-encode is lossless: decoded resize equals the PPM-side resize
+    assert(ImageIoCodec.decode(res.head.content).rgb.toSeq ==
+      PpmCodec.decode(PpmCodec.resizeNearest(tinyPpm, 4, 4)).rgb.toSeq)
+  }
+
   // 100 frames of silence then 100 frames of constant amplitude 16384
   private def stepWav(channels: Int = 1): Array[Byte] = {
     val frames = Array.fill(100)(0.toShort) ++ Array.fill(100)(16384.toShort)

@@ -74,4 +74,30 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 1, s"per-row chunking should not shuffle:\n$p")
   }
+
+  test("persisted star: a year filter prunes to the matching year= partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_star_prune").toString
+    graft.etl.StarStore.writeFact(
+      Seq((20210101, 2021, 10L), (20220101, 2022, 20L), (20230101, 2023, 30L))
+        .toDF("date_id", "year", "total_minutes_streamed"), dir)
+    val filtered = graft.etl.StarStore.readFact(spark, dir)
+      .filter(col("year") === 2022)
+    val p = filtered.queryExecution.executedPlan.toString
+    // the year predicate must land in PartitionFilters (directory pruning),
+    // not just as a post-scan Filter — at 100 TB this is the difference
+    // between reading one year and reading the whole fact
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("year") && !pf.matches(".*PartitionFilters: \\[\\s*\\].*"),
+      s"year filter not pushed to partition pruning:\n$p")
+    // and the scan really selects ONE of the three year directories
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, scanned ${scans.head.selectedPartitions.partitionCount}")
+    assert(filtered.select("total_minutes_streamed").as[Long].collect().toSeq == Seq(20L))
+  }
 }

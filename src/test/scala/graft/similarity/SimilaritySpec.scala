@@ -119,6 +119,32 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("PQ at 100+ queries: exact on the lossless fixture, plan free of the per-query literal blowup") {
+    val patterns = Array(Array(3f, 0f), Array(0f, 3f), Array(-3f, 0f), Array(0f, -3f))
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, (0 until 4).flatMap(s => patterns((i + s * 7) % 4)).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val many = Similarity.pqTopK(df, col("vec_id") < 100, topK = 5, m = 4, k = 4)
+    val got = many.collect()
+    assert(got.length == 500)
+    val byId = vecs.toMap
+    got.foreach { r =>
+      val trueDot = byId(r.getLong(0)).zip(byId(r.getLong(2)))
+        .map { case (a, b) => a.toDouble * b.toDouble }.sum
+      assert(r.getDouble(3) == trueDot)
+    }
+    // the ADC tables must travel as broadcast DATA, not as one literal
+    // expression per query: the plan may not grow with the query count
+    // (the old typedlit form embedded O(|queries|·m·k) doubles in the
+    // expression tree and its generated code)
+    val few = Similarity.pqTopK(df, col("vec_id") < 2, topK = 5, m = 4, k = 4)
+    val lenMany = many.queryExecution.executedPlan.treeString.length
+    val lenFew = few.queryExecution.executedPlan.treeString.length
+    assert(lenMany < lenFew * 3,
+      s"plan grows with query count: $lenFew chars for 2 queries, $lenMany for 100")
+  }
+
   test("PQ on real embeddings: dense ranks, descending scores, self excluded") {
     val got = Similarity.pqTopK(emb, col("vec_id") < 3, topK = 5).collect()
     assert(got.length == 15)
