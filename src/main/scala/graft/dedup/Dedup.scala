@@ -109,14 +109,18 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
-    common
+    // the OUTPUT is tiny (near-dup pairs) but costs the whole inverted-index
+    // self-join — persist it so every consumer that re-derives the same
+    // pair set (cluster resolution, the recall audits, the manifest) pays
+    // the join once per input, not once per consumer
+    persistReplacing("ngram_pairs", common
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
       .select(col("d1"), col("d2"),
         (col("c").cast("double") / (col("s1.sz") + col("s2.sz") - col("c")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard")))
   }
 
   // ------------------------------------------------------------ winnowing
@@ -148,14 +152,15 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
-    common
+    // tiny output, expensive join — same rationale as ngramJaccardPairs
+    persistReplacing("winnow_pairs", common
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
       .select(col("d1"), col("d2"),
         (col("c").cast("double") / (col("s1.sz") + col("s2.sz") - col("c")))
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard")))
   }
 
   // ------------------------------------------------------------ MinHash + LSH
@@ -237,11 +242,12 @@ object Dedup {
       zip_with(col("sig1"), col("sig2"), (a, b) =>
         when(a === b, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / numHashes
-    lshCandidates(sigs, bands, numHashes)
+    // tiny output, banded-join cost — same rationale as ngramJaccardPairs
+    persistReplacing("minhash_pairs", lshCandidates(sigs, bands, numHashes)
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .select(col("d1"), col("d2"), est.as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+      .filter(col("est_jaccard") >= threshold))
   }
 
   // ------------------------------------------------------------ clusters
@@ -326,9 +332,12 @@ object Dedup {
     val trainSh = persistReplacing("contamTrain",
       hashedShingleSets(train, textCol, n).withColumnRenamed("g", "h"))
     // membership only — ONE distinct on the bare hash (a per-doc set-dedup
-    // first would shuffle the benchmark side twice for the same result)
-    val benchSh = shingleGrams(benchmark, textCol, n)
-      .select(xxhash64(col("shingle")).as("h")).distinct()
+    // first would shuffle the benchmark side twice for the same result);
+    // cached: several consumers gate different train sets against the SAME
+    // benchmark (the standalone check, the curation funnel)
+    val benchSh = persistReplacing("contamBench",
+      shingleGrams(benchmark, textCol, n)
+        .select(xxhash64(col("shingle")).as("h")).distinct())
     val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = trainSh.join(benchSh, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
