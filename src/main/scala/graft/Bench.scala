@@ -13,8 +13,92 @@ import graft.etl.{Pipeline, StarStore}
   * noise lands there, not in the numbers), then each query materialized
   * fully through the `noop` sink — `count()` alone would let Catalyst prune
   * the measure columns out of the scan.
+  *
+  * The ETL and stream-ingest bodies are factored out so [[Time]] can rep
+  * them in isolation: single-run numbers on this box swing ±20–30%, so a
+  * regression claim needs `runMain graft.Time etl_sportstv <dir> 3`, not
+  * one bench reading.
   */
 object Bench {
+
+  /** The deterministic lineitem→streaming_txns mapping plus the derived
+    * dimension frames — the synthetic SportsTV operational source every
+    * ETL/stream measurement runs against. */
+  final case class SportsTvInputs(
+      txns: DataFrame, assets: DataFrame, users: DataFrame,
+      postal: DataFrame, cities: DataFrame, countries: DataFrame)
+
+  def sportsTvInputs(spark: SparkSession, sfDir: String): SportsTvInputs = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val txns = li.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("transaction_id"),
+      concat(lit("u"), (col("l_suppkey") % 1000).cast("string")).as("user_id"),
+      concat(
+        when(col("l_partkey") % 4 === 0, "DEL-")
+          .when(col("l_partkey") % 4 === 1, "SKJ-")
+          .when(col("l_partkey") % 4 === 2, "IHL-")
+          .otherwise("OXXX-"),
+        col("l_partkey").cast("string")).as("asset_id"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("streaming_date"),
+      (col("l_quantity").cast("int") + 1).as("minutes_streamed"),
+      (col("l_orderkey") % 2).cast("int").as("completed"))
+    val users = txns.select(col("user_id")).distinct()
+      .withColumn("postal_code", concat(lit("P"), pmod(crc32(col("user_id")), lit(50))))
+    val postal = users.select("postal_code").distinct()
+      .withColumn("city_id", pmod(crc32(col("postal_code")), lit(20)).cast("int"))
+    val cityRows = postal.select("city_id").distinct()
+      .withColumn("country_id", pmod(col("city_id"), lit(5)).cast("int"))
+    val countryRows = cityRows.select("country_id").distinct()
+      .withColumn("country", concat(lit("Country"), col("country_id")))
+    val assetRows = txns.select(col("asset_id")).distinct()
+      .withColumn("sport",
+        when(crc32(col("asset_id")) % 3 === 0, "Ice Hockey").otherwise(null))
+    SportsTvInputs(txns, assetRows, users, postal, cityRows, countryRows)
+  }
+
+  /** One timed end-to-end ETL: enrich → gate → rollup → partitioned star
+    * write, accounting riding the fact write as observed metrics (source
+    * scanned once). Returns (rows_read, seconds). */
+  def etlOnce(spark: SparkSession, sfDir: String): (Long, Double) = {
+    val in = sportsTvInputs(spark, sfDir)
+    val t0 = System.nanoTime()
+    val etl = Pipeline.runSinglePass(
+      spark, in.txns, in.assets, in.users, in.postal, in.cities, in.countries)
+    val out = java.nio.file.Files.createTempDirectory("graft_bench_star").toString
+    StarStore.writeFact(etl.fact, out)
+    val (stats, _) = etl.finish()
+    val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(
+      f"[bench] etl rows=${stats.read} valid=${stats.valid} " +
+        f"sec=$sec%.1f throughput=${stats.read / sec}%.0f rec/s")
+    (stats.read, sec)
+  }
+
+  /** One timed streaming-ingest drain: a quarter of the txns through the
+    * micro-batch merge path (closed input, AvailableNow, 2 files per
+    * trigger → several real micro-batches, each running enrich → gate →
+    * staged write → affected-year fact recompute). Returns (rows, sec). */
+  def streamIngestOnce(spark: SparkSession, sfDir: String): (Long, Double) = {
+    val in = sportsTvInputs(spark, sfDir)
+    val streamTxns = in.txns.filter(col("transaction_id") % 4 === 0)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_bench_drop").toString
+    streamTxns.repartition(6).write.mode(SaveMode.Overwrite).parquet(dropDir)
+    val nStream = spark.read.parquet(dropDir).count()
+    val streamStore = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
+    val t1 = System.nanoTime()
+    val q = graft.streaming.StreamingIngest.start(
+      spark, dropDir, streamStore, in.assets, in.users, in.postal, in.cities,
+      ckpt, maxFilesPerTrigger = Some(2))
+    q.processAllAvailable()
+    q.stop()
+    val sec = (System.nanoTime() - t1) / 1e9
+    System.err.println(
+      f"[bench] stream_ingest rows=$nStream sec=$sec%.1f " +
+        f"throughput=${nStream / sec}%.0f rec/s")
+    (nStream, sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // same factory as the engine itself — bench numbers must reflect the
@@ -53,68 +137,9 @@ object Bench {
       results(name) = (System.nanoTime() - t0) / 1e9
     }
 
-    // ---- end-to-end ETL throughput: lineitem cast as streaming_txns
-    // (deterministic column mapping), full pipeline, star schema written.
-    val t0 = System.nanoTime()
-    val li = Tables(spark, sfDir, "lineitem")
-    val txns = li.select(
-      (col("l_orderkey") * 10 + col("l_linenumber")).as("transaction_id"),
-      concat(lit("u"), (col("l_suppkey") % 1000).cast("string")).as("user_id"),
-      concat(
-        when(col("l_partkey") % 4 === 0, "DEL-")
-          .when(col("l_partkey") % 4 === 1, "SKJ-")
-          .when(col("l_partkey") % 4 === 2, "IHL-")
-          .otherwise("OXXX-"),
-        col("l_partkey").cast("string")).as("asset_id"),
-      date_format(col("l_shipdate"), "yyyy-MM-dd").as("streaming_date"),
-      (col("l_quantity").cast("int") + 1).as("minutes_streamed"),
-      (col("l_orderkey") % 2).cast("int").as("completed"))
-    val users = txns.select(col("user_id")).distinct()
-      .withColumn("postal_code", concat(lit("P"), pmod(crc32(col("user_id")), lit(50))))
-    val postal = users.select("postal_code").distinct()
-      .withColumn("city_id", pmod(crc32(col("postal_code")), lit(20)).cast("int"))
-    val cityRows = postal.select("city_id").distinct()
-      .withColumn("country_id", pmod(col("city_id"), lit(5)).cast("int"))
-    val countryRows = cityRows.select("country_id").distinct()
-      .withColumn("country", concat(lit("Country"), col("country_id")))
-    val assetRows = txns.select(col("asset_id")).distinct()
-      .withColumn("sport",
-        when(crc32(col("asset_id")) % 3 === 0, "Ice Hockey").otherwise(null))
-    // single-pass form: retention accounting rides the fact write as
-    // observed metrics — the source is scanned once, not twice
-    val etl = Pipeline.runSinglePass(
-      spark, txns, assetRows, users, postal, cityRows, countryRows)
-    val out = java.nio.file.Files.createTempDirectory("graft_bench_star").toString
-    StarStore.writeFact(etl.fact, out)
-    val (stats, _) = etl.finish()
-    val etlSec = (System.nanoTime() - t0) / 1e9
-    results("etl_sportstv") = etlSec
-    System.err.println(
-      f"[bench] etl rows=${stats.read} valid=${stats.valid} " +
-        f"throughput=${stats.read / etlSec}%.0f rec/s")
-
-    // ---- streaming ingest throughput: a quarter of the txns drained
-    // through the micro-batch merge path (closed input, AvailableNow,
-    // 2 files per trigger → several real micro-batches, each running
-    // enrich → gate → staged write → affected-year fact recompute) — the
-    // incremental path gets a tracked rec/s, not just the batch ETL
-    val streamTxns = txns.filter(col("transaction_id") % 4 === 0)
-    val dropDir = java.nio.file.Files.createTempDirectory("graft_bench_drop").toString
-    streamTxns.repartition(6).write.mode(SaveMode.Overwrite).parquet(dropDir)
-    val nStream = spark.read.parquet(dropDir).count()
-    val streamStore = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
-    val t1 = System.nanoTime()
-    val q = graft.streaming.StreamingIngest.start(
-      spark, dropDir, streamStore, assetRows, users, postal, cityRows,
-      ckpt, maxFilesPerTrigger = Some(2))
-    q.processAllAvailable()
-    q.stop()
-    val streamSec = (System.nanoTime() - t1) / 1e9
-    results("stream_ingest") = streamSec
-    System.err.println(
-      f"[bench] stream_ingest rows=$nStream sec=$streamSec%.1f " +
-        f"throughput=${nStream / streamSec}%.0f rec/s")
+    // ---- end-to-end ETL throughput + streaming-ingest drain
+    results("etl_sportstv") = etlOnce(spark, sfDir)._2
+    results("stream_ingest") = streamIngestOnce(spark, sfDir)._2
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

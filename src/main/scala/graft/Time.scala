@@ -2,7 +2,9 @@ package graft
 
 /** Times selected queries in isolation (same noop-sink materialization as
   * [[Bench]]) — the per-query iteration loop while optimizing, without the
-  * full-suite wall time.
+  * full-suite wall time. The pseudo-queries `etl_sportstv` and
+  * `stream_ingest` rep the two end-to-end bench bodies: single runs on
+  * this box swing ±20–30%, so regression claims need reps.
   *
   * Usage: runMain graft.Time <query>[,query…] [sfDir] [reps]
   */
@@ -13,14 +15,30 @@ object Time {
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(1)
+
+    def runOnce(name: String, d: String): Double = name match {
+      case "etl_sportstv"  => Bench.etlOnce(spark, d)._2
+      case "stream_ingest" => Bench.streamIngestOnce(spark, d)._2
+      case q =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, d)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+    }
+
     // warmup on the smallest SF so classload/codegen lands outside timings
-    names.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
-      .write.mode("overwrite").format("noop").save())
+    names.foreach(n => runOnce(n, "/root/testdata/sf0.001"))
+    val timings = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
     for (_ <- 1 to reps; name <- names) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
-      println(f"[time] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val sec = runOnce(name, dir)
+      timings(name) :+= sec
+      println(f"[time] $name $sec%.2f s")
+    }
+    if (reps > 1) names.foreach { n =>
+      val ts = timings(n)
+      println(f"[time] $n summary min=${ts.min}%.2f s " +
+        f"median=${ts.sorted.apply(ts.size / 2)}%.2f s max=${ts.max}%.2f s")
     }
     spark.stop()
   }
