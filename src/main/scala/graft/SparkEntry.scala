@@ -64,6 +64,7 @@ object SparkEntry {
     "t14_source_mix" -> (TrainingData.t14SourceMix _),
     "t15_curation_funnel" -> (TrainingData.t15CurationFunnel _),
     "t16_chunk_dups" -> (TrainingData.t16ChunkDups _),
+    "t17_quality_rules" -> (TrainingData.t17QualityRules _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "d10a_manifest_agreement" -> (TrainingData.d10aManifestAgreement _),
     "d11_incremental_dedup" -> (TrainingData.d11IncrementalDedup _),
     "d12_cluster_sizes" -> (TrainingData.d12ClusterSizes _),
+    "d13_exact_ngram_decontam" -> (TrainingData.d13ExactNgramDecontam _),
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
@@ -683,6 +685,49 @@ object SparkEntry {
         |LEFT JOIN (SELECT doc_id, near_of, near_j FROM best WHERE rn = 1) b2
         |  USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,
+    "t17_quality_rules" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INT) AS nonspace,
+        |  CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'),
+        |    w -> regexp_matches(w, '[a-z]'))) AS INT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS INT) AS n_stopwords
+        |FROM documents),
+        |r AS (SELECT doc_id, lang, n_words,
+        |    round(CAST(nonspace AS DOUBLE) / n_words, 4) AS mean_word_len,
+        |    round(CAST(n_alpha AS DOUBLE) / n_words, 4) AS frac_alpha_words,
+        |    n_stopwords
+        |  FROM s WHERE n_words > 0)
+        |SELECT doc_id, lang, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+        |  n_words >= 50 AND n_words <= 100000 AS ok_length,
+        |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_word_len,
+        |  frac_alpha_words >= 0.8 AS ok_alpha,
+        |  n_stopwords >= 2 AS ok_stop,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |    AND frac_alpha_words >= 0.8 AND n_stopwords >= 2 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "d13_exact_ngram_decontam" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t)-11, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |        || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+        |        || ' ' || t[i+7] || ' ' || t[i+8] || ' ' || t[i+9]
+        |        || ' ' || t[i+10] || ' ' || t[i+11] || ' ' || t[i+12])) AS shingle
+        |  FROM toks WHERE len(t) >= 13),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+        |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 <> 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+        |  FROM train JOIN bench USING (shingle) GROUP BY 1),
+        |m AS (SELECT s.doc_id, s.n_shingles,
+        |    CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap
+        |  FROM sizes s LEFT JOIN hits h USING (doc_id))
+        |SELECT doc_id, n_shingles, n_overlap,
+        |  n_overlap >= 1 AS contaminated
+        |FROM m ORDER BY doc_id""".stripMargin,
     "d09_contamination" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

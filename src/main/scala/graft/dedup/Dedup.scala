@@ -328,14 +328,16 @@ object Dedup {
   def contamination(train: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.5, textCol: String = "text",
       n: Int = 3): DataFrame = {
-    // referenced twice (sizes + hits) — cache so shingling runs once
-    val trainSh = persistReplacing("contamTrain",
+    // referenced twice (sizes + hits) — cache so shingling runs once; keys
+    // carry the gram width so a 3-gram consumer (d09, the funnel) and a
+    // 13-gram consumer (d13) don't evict each other's frames
+    val trainSh = persistReplacing(s"contamTrain_n$n",
       hashedShingleSets(train, textCol, n).withColumnRenamed("g", "h"))
     // membership only — ONE distinct on the bare hash (a per-doc set-dedup
     // first would shuffle the benchmark side twice for the same result);
     // cached: several consumers gate different train sets against the SAME
     // benchmark (the standalone check, the curation funnel)
-    val benchSh = persistReplacing("contamBench",
+    val benchSh = persistReplacing(s"contamBench_n$n",
       shingleGrams(benchmark, textCol, n)
         .select(xxhash64(col("shingle")).as("h")).distinct())
     val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

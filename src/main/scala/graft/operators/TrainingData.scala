@@ -309,6 +309,35 @@ object TrainingData {
       .orderBy(desc("n_chunks"), asc("fp"))
       .limit(50)
 
+  /** Gopher-style quality-rule flags per document (Rae et al. 2021 §A1.1,
+    * the word-level subset — this corpus has no line structure): word
+    * count in [50, 100000], mean word length in [3, 10], ≥80% of words
+    * containing a letter, ≥2 English stopwords, and the conjunction as the
+    * `keep` decision a curation gate executes. One projection per document,
+    * no shuffle — the filter shape that runs unchanged over 100 TB. The
+    * alpha and stopword rules are English-centric by design (zh documents
+    * fail them), which is exactly how these filters behave in production
+    * English-corpus pipelines. */
+  def t17QualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val okLength = col("n_words") >= 50 && col("n_words") <= 100000
+    val okMeanLen = col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0
+    val okAlpha = col("frac_alpha_words") >= 0.8
+    val okStop = col("n_stopwords") >= 2
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+        TextAnalysis.alphaWordFraction(col("text")).as("frac_alpha_words"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stopwords"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        col("mean_word_len"), col("frac_alpha_words"), col("n_stopwords"),
+        okLength.as("ok_length"), okMeanLen.as("ok_mean_word_len"),
+        okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
+        (okLength && okMeanLen && okAlpha && okStop).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Exact duplicate groups (hash-groupBy dedup). */
   def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir, "documents"))
@@ -438,6 +467,24 @@ object TrainingData {
       docs.filter(col("doc_id") % 17 =!= 0),
       docs.filter(col("doc_id") % 17 === 0),
       threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Exact 13-gram decontamination (the GPT-3 appendix-C form: a training
+    * document is contaminated if it shares ANY exact 13-gram with the
+    * benchmark, no Jaccard threshold) — the companion to [[d09Contamination]]'s
+    * fraction-based check. Same scale shape: the benchmark collapses to
+    * distinct 8-byte hashes and broadcasts; the training side never
+    * shuffles. Documents under 13 tokens have no 13-grams and are absent,
+    * matching the oracle. */
+  def d13ExactNgramDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.contamination(
+      docs.filter(col("doc_id") % 17 =!= 0),
+      docs.filter(col("doc_id") % 17 === 0),
+      threshold = 1.0, n = 13)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap") >= 1).as("contaminated"))
       .orderBy("doc_id")
   }
 

@@ -57,6 +57,22 @@ object TextAnalysis {
       6)
   }
 
+  // ------------------------------------------------------ quality rules
+  /** Mean word length: non-whitespace characters / whitespace tokens —
+    * one regex strip instead of a per-token array fold (the total length
+    * of all tokens IS the non-space character count). Gopher §A1.1 gates
+    * this to [3, 10]; callers guard the zero-token case. */
+  def meanWordLen(text: Column): Column =
+    round(length(regexp_replace(text, "\\s+", "")).cast("double") /
+      tokenCount(text), 4)
+
+  /** Fraction of words containing at least one ASCII letter (post-lower) —
+    * Gopher's ≥0.8-alphabetic rule; symbol/number soup scores low. */
+  def alphaWordFraction(text: Column): Column = {
+    val t = tokens(text)
+    round(size(filter(t, w => w.rlike("[a-z]"))).cast("double") / size(t), 4)
+  }
+
   /** Content fingerprint: hash of the whitespace-normalized, lower-cased
     * text — the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =

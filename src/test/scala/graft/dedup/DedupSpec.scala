@@ -161,6 +161,23 @@ class DedupSpec extends SparkTestBase {
     assert(got.size == 2)
   }
 
+  test("exact 13-gram decontamination: any shared 13-gram flags, 12 does not") {
+    // base has 20 tokens; a doc sharing its first 13 tokens collides on
+    // exactly one 13-gram; one sharing only 12 consecutive tokens cannot
+    val toks = base.split(" ")
+    val share13 = toks.take(13).mkString(" ") +
+      " padding words so the doc has enough tokens to shingle"
+    val share12 = toks.take(12).mkString(" ") +
+      " padding words so the doc has enough tokens to shingle too"
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val train = Seq((1L, share13), (2L, share12)).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, bench, threshold = 1.0, n = 13)
+      .select(col("doc_id"), col("n_overlap"), (col("n_overlap") >= 1).as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((0L, false)))
+  }
+
   test("winnowing: copies share all fingerprints, near-dups most, distinct none") {
     val pairs = Dedup.winnowingNearDuplicates(docs, minJaccard = 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap

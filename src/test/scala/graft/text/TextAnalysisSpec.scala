@@ -55,6 +55,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(frac("") == 0.0)
   }
 
+  test("mean word length is nonspace chars over words") {
+    // "ab cde f" -> 6 nonspace chars / 3 words = 2.0
+    val m = one(" ab  cde\tf ")
+      .select(TextAnalysis.meanWordLen(col("text"))).head.getDouble(0)
+    assert(m == 2.0)
+  }
+
+  test("alpha-word fraction counts words containing a letter") {
+    // "abc 123 a1 !!" -> 2 of 4 words contain [a-z]
+    val f = one("abc 123 a1 !!")
+      .select(TextAnalysis.alphaWordFraction(col("text"))).head.getDouble(0)
+    assert(f == 0.5)
+    val zh = one("这是 中文 句子")
+      .select(TextAnalysis.alphaWordFraction(col("text"))).head.getDouble(0)
+    assert(zh == 0.0) // CJK-only words carry no ASCII letter
+  }
+
   test("BPE-ish tokens split punctuation and digit runs off words") {
     val n = one("Don't panic 123!!")
       .select(TextAnalysis.bpeishTokenCount(col("text"))).head.getInt(0)
