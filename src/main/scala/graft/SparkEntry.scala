@@ -65,6 +65,7 @@ object SparkEntry {
     "t15_curation_funnel" -> (TrainingData.t15CurationFunnel _),
     "t16_chunk_dups" -> (TrainingData.t16ChunkDups _),
     "t17_quality_rules" -> (TrainingData.t17QualityRules _),
+    "t18_rebalance_sample" -> (TrainingData.t18RebalanceSample _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -707,6 +708,23 @@ object SparkEntry {
         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
         |    AND frac_alpha_words >= 0.8 AND n_stopwords >= 2 AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    "t18_rebalance_sample" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS n_tok,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS b
+        |  FROM documents),
+        |g AS (SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS grp_tokens
+        |  FROM d GROUP BY 1, 2),
+        |m AS (SELECT MIN(grp_tokens) AS min_tokens FROM g),
+        |r AS (SELECT g.*, (min_tokens * 1000000) // grp_tokens AS cut FROM g, m)
+        |SELECT r.source, r.lang, r.n_docs, r.grp_tokens,
+        |  CAST(SUM(CASE WHEN d.b < r.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(r.cut AS DOUBLE) / 1000000, 4) AS target_rate,
+        |  round(CAST(SUM(CASE WHEN d.b < r.cut THEN 1 ELSE 0 END) AS DOUBLE) / r.n_docs, 4) AS realized_rate
+        |FROM d JOIN r USING (source, lang)
+        |GROUP BY 1, 2, 3, 4, r.cut
+        |ORDER BY 1, 2""".stripMargin,
     "d13_exact_ngram_decontam" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

@@ -25,6 +25,14 @@ object Sampling {
     (conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 100)
       .cast("int")
 
+  /** [[hashBucket]] at micro resolution: 0–999999, for per-group sampling
+    * rates as fine as 1e-6 — the grain a source-mix rebalancer needs when
+    * one web crawl outweighs a curated source 10⁵:1. Same engine-portable
+    * md5-prefix construction. */
+  def fineHashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000
+
   /** train/val/test label with the given percentage cut points. */
   def split(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     val b = hashBucket(key)

@@ -309,6 +309,36 @@ object TrainingData {
       .orderBy(desc("n_chunks"), asc("fp"))
       .limit(50)
 
+  /** EXECUTE t14's rebalance plan: deterministically downsample every
+    * (source, lang) group to the smallest group's token budget via the
+    * engine-portable md5 micro-bucket — doc kept iff its bucket falls
+    * under the group's cut, so membership is a pure function of doc_id
+    * (reproducible anywhere, stable as the corpus grows; a seeded rand()
+    * sample is neither). Cuts are exact integer arithmetic
+    * (min_tokens·10⁶ div grp_tokens), no float rounding divergence.
+    * Two passes over a slim 4-column projection (group budgets need the
+    * global min before per-row decisions — inherent); the per-group rate
+    * frame broadcasts. Emits per-group kept counts vs target rate. */
+  def t18RebalanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("b", Sampling.fineHashBucket(col("doc_id")))
+    val g = d.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("grp_tokens"))
+    val m = g.agg(min("grp_tokens").as("min_tokens"))
+    val r = g.crossJoin(broadcast(m))
+      .withColumn("cut", expr("min_tokens * 1000000 div grp_tokens"))
+    d.join(broadcast(r), Seq("source", "lang"))
+      .groupBy("source", "lang", "n_docs", "grp_tokens", "cut")
+      .agg(sum(when(col("b") < col("cut"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("lang"), col("n_docs"), col("grp_tokens"),
+        col("n_kept"),
+        round(col("cut").cast("double") / 1000000, 4).as("target_rate"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4).as("realized_rate"))
+      .orderBy("source", "lang")
+  }
+
   /** Gopher-style quality-rule flags per document (Rae et al. 2021 §A1.1,
     * the word-level subset — this corpus has no line structure): word
     * count in [50, 100000], mean word length in [3, 10], ≥80% of words

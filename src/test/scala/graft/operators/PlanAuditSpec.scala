@@ -75,6 +75,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges <= 1, s"per-row chunking should not shuffle:\n$p")
   }
 
+  test("t17: quality-rule gate is shuffle-free up to the presentation sort") {
+    val p = plan("t17_quality_rules")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"per-row rule flags should not shuffle:\n$p")
+  }
+
+  test("d13: 13-gram decontamination keeps the semi-join shape") {
+    val p = plan("d13_exact_ngram_decontam")
+    assert(p.contains("LeftSemi"), s"benchmark gate lost semi-join shape:\n$p")
+    assert(!p.contains("NestedLoop"), s"d13 degenerated to nested-loop:\n$p")
+  }
+
+  test("t18: the per-group rate frame broadcasts back onto the corpus") {
+    val p = plan("t18_rebalance_sample")
+    // the (source, lang) rate join must be a broadcast HASH join — the
+    // corpus side never shuffles for it. (A BroadcastNestedLoopJoin also
+    // appears and is correct: it is the deliberate 1-row global-min
+    // crossJoin that builds the rate frame, same shape as t14/a-queries.)
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate frame should broadcast-hash-join onto the corpus:\n$p")
+  }
+
   test("persisted star: a year filter prunes to the matching year= partitions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
