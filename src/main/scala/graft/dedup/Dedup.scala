@@ -550,8 +550,16 @@ object Dedup {
 
   /** SimHash near-duplicates: the signature splits into `maxHamming + 1`
     * chunks, so by pigeonhole any pair within the distance bound shares at
-    * least one untouched chunk (full recall guarantee), then candidates
-    * are verified by exact hamming distance. */
+    * least one untouched chunk (full recall guarantee AT the hamming
+    * radius), then candidates are verified by exact hamming distance.
+    *
+    * Scope note (measured, locked in DedupSpec): the hamming radius is a
+    * reliable near-identical test only for documents long enough for the
+    * signature to concentrate — with ~40 tokens each bit is a small ±1
+    * vote sum and one token swap flips several bits (a J=0.976 pair of
+    * 42-token docs measured at hamming 7). For short-document corpora
+    * prefer [[minhashNearDuplicates]], whose banding probability depends
+    * on the Jaccard itself, not the feature count. */
   def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text"): DataFrame = {
     val sigs = simhash64(docs, textCol)

@@ -200,4 +200,41 @@ class DedupSpec extends SparkTestBase {
     assert(nd.contains((0L, 1L)) && nd.contains((0L, 2L)) && nd.contains((1L, 2L)))
     assert(!nd.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("simhash recall on testdata: complete at J>=0.8, graceful below") {
+    // no parameter-backed guarantee maps Jaccard to a Hamming bound
+    // (unlike MinHash banding), so this is MEASURED recall on the fixed
+    // corpus — the empirical evidence behind d04's rows-only driver
+    // entry. SimHash's contract is NEAR-IDENTICAL text: at J >= 0.8
+    // recall must be complete; at J >= 0.6 it degrades, but the missed
+    // pairs must sit just outside the radius (signal, not noise — a
+    // random unrelated pair is at hamming ~32 of 64).
+    val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(real, threshold = 0.6)
+      .select("d1", "d2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sim = Dedup.simhashNearDuplicates(real, maxHamming = 6)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Dedup.simhash64(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // short docs are SimHash's known weak spot: with ~40 features each of
+    // the 64 bits is a small weighted sum, so one token swap flips several
+    // bits (measured here: a J=0.976 pair of 42-token docs at hamming 7).
+    // The completeness claim is therefore scoped to docs long enough for
+    // the signature to concentrate.
+    val nTok = real.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")
+        .trim.split("\\s+").length).toMap
+    val strong = exact.filter { case ((a, b), j) =>
+      j >= 0.8 && nTok(a) >= 60 && nTok(b) >= 60 }.keySet
+    assert(strong.nonEmpty && (strong -- sim).isEmpty,
+      s"simhash missed near-identical long-doc pairs: ${strong -- sim}")
+    val all = exact.keySet
+    val recall = (all & sim).size.toDouble / all.size
+    assert(recall >= 0.85, s"J>=0.6 recall $recall below floor")
+    (all -- sim).foreach { case (a, b) =>
+      val h = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      assert(h <= 12, s"missed pair ($a,$b) at hamming $h — noise, not near-miss")
+    }
+  }
 }
