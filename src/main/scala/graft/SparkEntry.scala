@@ -66,6 +66,7 @@ object SparkEntry {
     "t16_chunk_dups" -> (TrainingData.t16ChunkDups _),
     "t17_quality_rules" -> (TrainingData.t17QualityRules _),
     "t18_rebalance_sample" -> (TrainingData.t18RebalanceSample _),
+    "t19_sequence_pack" -> (TrainingData.t19SequencePack _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -725,6 +726,27 @@ object SparkEntry {
         |FROM d JOIN r USING (source, lang)
         |GROUP BY 1, 2, 3, 4, r.cut
         |ORDER BY 1, 2""".stripMargin,
+    "t19_sequence_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(trim(text)), '\S+')) > 0),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_off
+        |  FROM d),
+        |s AS (SELECT doc_id, n_tokens, start_off,
+        |    start_off // 2048 AS seq_first,
+        |    (start_off + n_tokens - 1) // 2048 AS seq_last
+        |  FROM c),
+        |e AS (SELECT s.*, u.seq_id
+        |  FROM s, UNNEST(generate_series(s.seq_first, s.seq_last)) AS u(seq_id))
+        |SELECT seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN seq_id = seq_first THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
+        |  CAST(SUM(LEAST((seq_id+1)*2048, start_off + n_tokens)
+        |    - GREATEST(seq_id*2048, start_off)) AS BIGINT) AS n_tokens_filled,
+        |  ROUND(CAST(SUM(LEAST((seq_id+1)*2048, start_off + n_tokens)
+        |    - GREATEST(seq_id*2048, start_off)) AS BIGINT) / 2048.0, 4) AS fill_ratio
+        |FROM e GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "d13_exact_ngram_decontam" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

@@ -569,4 +569,48 @@ object TrainingData {
     Similarity.pqTopK(Tables(spark, dir, "embeddings"),
       col("vec_id") < 5, topK = 5)
       .orderBy("qid", "rank")
+
+  /** Sequence-packing manifest: documents concatenated in global doc_id
+    * order and cut into fixed `seqLen`-token training sequences (the
+    * standard "concat-and-chunk" LLM pretraining layout — docs straddle
+    * boundaries rather than being padded). One row per sequence: how many
+    * docs touch it, how many START in it (the rest straddle in from the
+    * previous sequence), and its token fill (only the final sequence may
+    * be partial).
+    *
+    * Scale shape: the global running offset is ONE total order — the
+    * degenerate case for a window scan (every row through a single task) —
+    * so it runs on [[Prefix.cumSumTwoPhase]] with an empty group key. The
+    * explode fans each doc out to the sequences it overlaps (factor
+    * ≈ 1 + doc_tokens/seqLen, ~1.5 for web corpora at 2048), then one
+    * hash groupBy on seq_id. No step holds more than a partition slice. */
+  def sequencePackManifest(docs: DataFrame, seqLen: Long): DataFrame = {
+    val d = docs
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    Prefix.cumSumTwoPhase(d, Seq.empty, Seq("doc_id"), "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_off"))
+      .withColumn("seq_first", expr(s"start_off div ${seqLen}L"))
+      .withColumn("seq_last",
+        expr(s"(start_off + n_tokens - 1) div ${seqLen}L"))
+      .select(col("n_tokens"), col("start_off"), col("seq_first"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("seq_id") === col("seq_first"), 1L).otherwise(0L))
+          .as("n_starting"),
+        sum(least((col("seq_id") + 1) * seqLen, col("start_off") + col("n_tokens"))
+          - greatest(col("seq_id") * seqLen, col("start_off")))
+          .as("n_tokens_filled"))
+      .withColumn("fill_ratio",
+        round(col("n_tokens_filled") / seqLen.toDouble, 4))
+      .orderBy("seq_id")
+  }
+
+  /** Driver entry: 2048-token sequences over the documents corpus. */
+  def t19SequencePack(spark: SparkSession, dir: String): DataFrame =
+    sequencePackManifest(Tables(spark, dir, "documents"), 2048L)
 }
