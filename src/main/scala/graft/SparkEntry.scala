@@ -67,6 +67,8 @@ object SparkEntry {
     "t17_quality_rules" -> (TrainingData.t17QualityRules _),
     "t18_rebalance_sample" -> (TrainingData.t18RebalanceSample _),
     "t19_sequence_pack" -> (TrainingData.t19SequencePack _),
+    "t20_importance_weights" -> (TrainingData.t20ImportanceWeights _),
+    "t21_source_cap" -> ((s, d) => TrainingData.t21SourceCap(s, d)),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -83,6 +85,7 @@ object SparkEntry {
     "d11_incremental_dedup" -> (TrainingData.d11IncrementalDedup _),
     "d12_cluster_sizes" -> (TrainingData.d12ClusterSizes _),
     "d13_exact_ngram_decontam" -> (TrainingData.d13ExactNgramDecontam _),
+    "d14_containment" -> (TrainingData.d14Containment _),
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
@@ -90,6 +93,7 @@ object SparkEntry {
     "s05_label_centroids" -> (TrainingData.s05LabelCentroids _),
     "s06_quantization" -> (TrainingData.s06QuantizationProfile _),
     "s07_pq_ann_topk" -> (TrainingData.s07PqTopK _),
+    "s08_knn_label_agreement" -> (TrainingData.s08KnnLabelAgreement _),
     "a00_star_fact" -> (AnalyticsSuite.a00StarFact _),
     "a01_exec_summary" -> (AnalyticsSuite.a01ExecutiveSummary _),
     "a02_growth_year_sport" -> (AnalyticsSuite.a02GrowthYearSport _),
@@ -600,6 +604,16 @@ object SparkEntry {
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2
         |ORDER BY d1, d2""".stripMargin,
+    "d14_containment" ->
+      s"""WITH $ngramCtes
+        |SELECT d1, d2,
+        |  round(CAST(c AS DOUBLE)/least(s1.sz, s2.sz), 4) AS containment,
+        |  round(CAST(c AS DOUBLE)/(s1.sz + s2.sz - c), 4) AS jaccard
+        |FROM common
+        |JOIN sizes s1 ON d1 = s1.doc_id
+        |JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE CAST(c AS DOUBLE)/least(s1.sz, s2.sz) >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
     // AUDIT oracles for the approximate dedup paths (d03/d06/d10 have no
     // SQL-expressible form — seeded xxhash64 / rolling hashes): DuckDB
     // recomputes the EXACT side and claims full agreement, so the driver's
@@ -726,6 +740,31 @@ object SparkEntry {
         |FROM d JOIN r USING (source, lang)
         |GROUP BY 1, 2, 3, 4, r.cut
         |ORDER BY 1, 2""".stripMargin,
+    "t20_importance_weights" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, COUNT(*) AS n_raw,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_raw) AS BIGINT) AS nr,
+        |    CAST(SUM(n_tgt) AS BIGINT) AS nt, COUNT(*) AS v FROM counts),
+        |ratio AS (SELECT tok,
+        |    CAST(round(ln((CAST(n_tgt + 1 AS DOUBLE) / (nt + v))
+        |      / (CAST(n_raw + 1 AS DOUBLE) / (nr + v))), 6) AS DECIMAL(18,6)) AS llr
+        |  FROM counts, tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(CAST(SUM(llr) AS DOUBLE) / COUNT(*), 4) AS dsir_score
+        |FROM toks JOIN ratio USING (tok)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t21_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
     "t19_sequence_pack" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS n_tokens
@@ -819,6 +858,25 @@ object SparkEntry {
         |FROM s)
         |SELECT qid, rank, nid, round(cos, 4) AS cos FROM r
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s08_knn_label_agreement" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS q_label,
+        |             CAST(embedding AS DOUBLE[]) qv
+        |           FROM embeddings WHERE vec_id < 200),
+        |c AS (SELECT vec_id AS nid, label AS n_label,
+        |        CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+        |s AS (SELECT qid, q_label, nid, n_label,
+        |  list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
+        |   / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))) AS cos
+        |FROM c, q WHERE qid <> nid),
+        |r AS (SELECT qid, q_label, n_label,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |FROM s)
+        |SELECT q_label AS label, COUNT(DISTINCT qid) AS n_queries,
+        |  CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  round(CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / (COUNT(DISTINCT qid) * 5), 4) AS agree_rate
+        |FROM r WHERE rank <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
     "t11_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token

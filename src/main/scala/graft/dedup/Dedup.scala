@@ -123,6 +123,45 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard")))
   }
 
+  /** Containment near-duplicate pairs: |A∩B| / min(|A|,|B|) over the same
+    * hashed shingle sets as [[ngramJaccardPairs]]. Containment is the
+    * partial-copy detector symmetric Jaccard misses — a short document
+    * pasted verbatim inside a much longer one scores ~1.0 here while its
+    * Jaccard (÷ by the UNION) can sit far below any dedup threshold
+    * (Broder 1997 distinguishes resemblance from containment for exactly
+    * this case). Identical inverted-index join shape and `maxDf`
+    * boilerplate cap; the only change is the denominator, so the pair
+    * generation cost is shared via the `ngram_shingles`/`ngram_pairs`-style
+    * persists when both run in one session. Emits both scores so a
+    * curation policy can distinguish "same page" (high Jaccard) from
+    * "one contains the other" (high containment, low Jaccard). */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      textCol: String = "text", n: Int = 3, maxDf: Int = 1000): DataFrame = {
+    val shAll = persistReplacing("ngram_shingles",
+      hashedShingleSets(docs, textCol, n))
+    val rare = shAll.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("g")
+    val sh = shAll.join(rare, "g")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.g") === col("b.g") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("c").cast("double") / least(col("s1.sz"), col("s2.sz")))
+          .as("containment"),
+        (col("c").cast("double") / (col("s1.sz") + col("s2.sz") - col("c")))
+          .as("jaccard"))
+      .filter(col("containment") >= threshold)
+      .select(col("d1"), col("d2"),
+        round(col("containment"), 4).as("containment"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ------------------------------------------------------------ winnowing
   /** Near-duplicate pairs by shared winnowing fingerprints: the same
     * inverted-index join shape as [[ngramJaccardPairs]] but over the ~1/w

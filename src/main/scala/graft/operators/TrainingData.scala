@@ -613,4 +613,81 @@ object TrainingData {
   /** Driver entry: 2048-token sequences over the documents corpus. */
   def t19SequencePack(spark: SparkSession, dir: String): DataFrame =
     sequencePackManifest(Tables(spark, dir, "documents"), 2048L)
+
+  /** Containment (partial-copy) near-duplicate pairs — the asymmetric
+    * complement to d02's symmetric Jaccard (see
+    * [[graft.dedup.Dedup.containmentPairs]]). Threshold 0.6: a pair where
+    * ≥60% of the smaller document's shingles appear in the larger one. */
+  def d14Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables(spark, dir, "documents"), threshold = 0.6)
+      .orderBy("d1", "d2")
+
+  /** kNN label-agreement eval over a 200-query sample (k=5). */
+  def s08KnnLabelAgreement(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelAgreement(Tables(spark, dir, "embeddings"),
+      col("vec_id") < 200, k = 5)
+
+  /** DSIR-flavoured importance weights (Xie et al. 2023, hashed-ngram
+    * importance resampling, simplified to smoothed unigram LMs — the
+    * feature hashing exists to bound vocabulary, which the add-one
+    * smoothing over the observed vocab already does here): per document,
+    * the mean log-likelihood ratio of its tokens under a target-domain
+    * unigram LM (`source = 'src0'` stands in for the curated target) vs
+    * the raw-corpus LM. Positive ⇒ the doc looks more like the target
+    * than the average corpus doc; ranking by this score and keeping the
+    * top mass IS importance resampling for pretraining-data selection.
+    *
+    * Scale shape: one token explode feeds BOTH distributions (the target
+    * tally rides the same aggregate as the raw tally — target ⊆ corpus,
+    * so a `when(source=target)` conditional sum avoids a second scan);
+    * the vocab-sized ratio frame joins back to the exploded tokens on the
+    * token key (plain equi-join — vocab is ≪ corpus but can exceed
+    * broadcast limits at 100 TB, so no broadcast hint: AQE picks one when
+    * it fits). Per-token ratios are rounded to 6 dp and summed as
+    * DECIMAL(18,6) — exact, order-invariant arithmetic, so the score
+    * hash-matches any engine regardless of partition order. */
+  def t20ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Caches.persistReplacing("t20Toks",
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok")))
+    val counts = toks.groupBy("tok").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_tgt"))
+    val tot = counts.agg(sum("n_raw").as("nr"), sum("n_tgt").as("nt"),
+      count(lit(1)).as("v"))
+    val ratio = counts.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(log(((col("n_tgt") + 1).cast("double") / (col("nt") + col("v")))
+          / ((col("n_raw") + 1).cast("double") / (col("nr") + col("v")))), 6)
+          .cast("decimal(18,6)").as("llr"))
+    toks.join(ratio, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("llr").as("sum_llr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_llr").cast("double") / col("n_tokens"), 4)
+          .as("dsir_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source document cap (C4/RefinedWeb-style per-domain quota): keep
+    * at most `cap` documents per source, chosen by the engine-portable md5
+    * micro-bucket (then doc_id) — membership is a pure function of the
+    * document, reproducible anywhere and stable under corpus growth
+    * (docs only leave a source's quota when a smaller-bucket doc arrives,
+    * never because partitioning changed). The rank runs over a slim
+    * 2-column projection; at 100 TB the per-source sort is the classic
+    * per-group top-K — bounded output (cap·n_sources rows), skew-safe
+    * because the window sorts WITHIN each source's partitions after a
+    * hash exchange on a low-cardinality key whose groups are independent. */
+  def t21SourceCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(Sampling.fineHashBucket(col("doc_id")), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .orderBy("source", "rn")
+  }
 }

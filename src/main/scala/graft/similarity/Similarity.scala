@@ -54,6 +54,37 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Neighbor-label agreement — the standard intrinsic eval of an
+    * embedding space (does cosine proximity predict the label?): for each
+    * query vector, its exact top-`k` cosine neighbours (excluding self)
+    * are fetched and the fraction sharing the query's label is aggregated
+    * per label. High agreement ⇒ the space clusters by label and
+    * label-centroid routing ([[labelCentroids]], IVF cells) is trustworthy;
+    * a label with low agreement is where ANN recall will degrade first.
+    *
+    * Built on [[bruteForceTopK]] (same broadcast-queries × corpus scan —
+    * one pass, no shuffle on the corpus side); the tiny q·k pair frame is
+    * broadcast back against the label projection, so the corpus is never
+    * shuffled. At 100 TB the eval runs over a sampled query set (the
+    * `queryFilter`), which is how kNN-recall evals are run in practice. */
+  def knnLabelAgreement(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val nbrLabels = emb.select(col("vec_id").as("nid"), col("label").as("n_label"))
+    val qryLabels = emb.select(col("vec_id").as("qid"), col("label").as("q_label"))
+    val pairs = bruteForceTopK(emb, queryFilter, k).select("qid", "nid")
+    // both label lookups broadcast the tiny q·k side, so the corpus-sized
+    // label projection is scanned (twice, 2 columns) but never shuffled
+    val withNbr = nbrLabels.join(broadcast(pairs), "nid")
+    qryLabels.join(broadcast(withNbr), "qid")
+      .groupBy(col("q_label").as("label"))
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("label"), col("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") / (col("n_queries") * k), 4)
+          .as("agree_rate"))
+      .orderBy("label")
+  }
+
   /** Deterministic ±1 hyperplanes (Rademacher signed random projection),
     * seeded so every run and every executor derives the same planes — the
     * SINGLE source of the plane convention, shared with

@@ -46,6 +46,29 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment flags a partial copy that symmetric Jaccard misses") {
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val partial = Seq(
+      (10L, base), //                    20 tokens -> 18 shingles
+      (11L, base + " " + filler), //     10's shingles are a subset of 11's
+      (12L, filler)) //                  shares filler with 11, not with 10
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(partial, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("containment"), r.getAs[Double]("jaccard"))).toMap
+    // every shingle of 10 appears in 11: containment 1.0, but the union
+    // denominator dilutes Jaccard far below any dedup threshold
+    val (c1011, j1011) = pairs((10L, 11L))
+    assert(c1011 == 1.0)
+    assert(j1011 < 0.3)
+    // the same asymmetry holds for the suffix copy (12 in 11)
+    assert(pairs((11L, 12L))._1 > 0.9)
+    // disjoint docs never pair
+    assert(!pairs.contains((10L, 12L)))
+    // cross-check: containment >= jaccard always (min <= union)
+    pairs.values.foreach { case (c, j) => assert(c >= j) }
+  }
+
   test("minhash+LSH recalls every exact pair with J >= 0.6 on testdata") {
     val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(real, threshold = 0.6)

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Data-selection operators: DSIR importance weights (t20) and the
+  * per-source document cap (t21). */
+class CurationSelectSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // a corpus whose target domain (src0) speaks a distinct vocabulary, so
+  // importance scores must separate the domains cleanly
+  private lazy val mixDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("curation_sel").toString
+    val docs = (
+      (0 until 10).map(i => (i.toLong, "alpha beta gamma alpha beta", "en", "src0")) ++
+      (10 until 20).map(i => (i.toLong, "delta epsilon zeta delta zeta", "en", "src1")) ++
+      Seq((20L, "alpha beta gamma", "en", "src1"))) // src1 doc in target voice
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("importance weights rank target-domain language above the rest") {
+    val out = TrainingData.t20ImportanceWeights(spark, mixDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("dsir_score"))).toMap
+    assert(out.size == 21) // every doc scored, token counts intact
+    assert(out(0L)._1 == 5)
+    val tgt = (0L until 10L).map(out(_)._2)
+    val oth = (10L until 20L).map(out(_)._2)
+    // target-vocabulary docs score strictly positive, the disjoint
+    // domain strictly negative — the resampling ranking is separable
+    assert(tgt.forall(_ > 0), s"target scores: $tgt")
+    assert(oth.forall(_ < 0), s"other scores: $oth")
+    // a doc is scored by its CONTENT, not its source label: the src1 doc
+    // written in target vocabulary must score with the target cluster
+    assert(out(20L)._2 > 0)
+    // identical text ⇒ identical score (pure function of content)
+    assert(tgt.distinct.size == 1)
+  }
+
+  test("source cap keeps at most N per source, deterministically") {
+    val real = sf("sf0.001")
+    val out = TrainingData.t21SourceCap(spark, real, cap = 3).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (s, rows) =>
+      assert(rows.length <= 3, s"source $s over cap")
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rows.length))
+    }
+    // deterministic: a second run picks the same documents
+    val again = TrainingData.t21SourceCap(spark, real, cap = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == again)
+    // monotone under cap growth: the cap-3 winners are a subset of the
+    // cap-5 winners (quota selection is a prefix of one fixed order, so
+    // raising the quota never evicts a previously kept doc)
+    val wider = TrainingData.t21SourceCap(spark, real, cap = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet.subsetOf(wider))
+  }
+}

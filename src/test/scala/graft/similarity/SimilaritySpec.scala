@@ -49,6 +49,39 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("knn label agreement is 1.0 on perfectly separated clusters") {
+    val sep = Seq(
+      (0L, Array(1f, 0.00f), 0), (1L, Array(1f, 0.01f), 0),
+      (2L, Array(1f, 0.02f), 0),
+      (3L, Array(0.00f, 1f), 1), (4L, Array(0.01f, 1f), 1),
+      (5L, Array(0.02f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAgreement(sep, col("vec_id") < 6, k = 2)
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Double]("agree_rate"))).toMap
+    assert(out(0) == ((3L, 1.0)))
+    assert(out(1) == ((3L, 1.0)))
+  }
+
+  test("knn label agreement detects a mislabeled point") {
+    // vec 2 sits in cluster A's direction but carries label 1: its own
+    // neighbours are label-0 (0 hits), and it pollutes every other
+    // query's neighbour list with a wrong label
+    val sep = Seq(
+      (0L, Array(1f, 0.0f), 0), (1L, Array(1f, 0.1f), 0),
+      (2L, Array(1f, 0.2f), 1),
+      (3L, Array(0.0f, 1f), 1), (4L, Array(0.1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAgreement(sep, col("vec_id") < 5, k = 2)
+      .collect().map(r => r.getAs[Int]("label") ->
+        r.getAs[Double]("agree_rate")).toMap
+    // label-0 queries 0,1: each sees {the other label-0, vec 2} → 1 of 2
+    assert(out(0) == 0.5)
+    // label-1: vec 2's neighbours are 1,0 (0 hits); 3 and 4 each see
+    // {the other true label-1, vec 2} (2 hits) → (0+2+2)/6 ≈ 0.6667
+    assert(out(1) == 0.6667)
+  }
+
   test("IVF with full probe equals brute force exactly") {
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 5)
       .orderBy("qid", "rank").collect().toSeq
