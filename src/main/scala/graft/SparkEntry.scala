@@ -43,6 +43,7 @@ object SparkEntry {
     "q20_asof_join" -> (Relational.q20AsofJoin _),
     "q21_range_join" -> (Relational.q21RangeJoin _),
     "q22_rollup" -> (Relational.q22Rollup _),
+    "q28_cube" -> (Relational.q28Cube _),
     "q23_moving_window" -> (Relational.q23MovingWindow _),
     "q24_histogram" -> ((s: SparkSession, d: String) => Relational.q24Histogram(s, d)),
     "q25_scd2" -> (Relational.q25Scd2 _),
@@ -444,6 +445,17 @@ object SparkEntry {
         |FROM ship JOIN win ON ship.skey = win.wkey
         |  AND ship.d >= win.lo AND ship.d < win.hi
         |ORDER BY ship_id, win_id""".stripMargin,
+    "q28_cube" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS yr,
+        |  CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+        |  CAST(GROUPING(year(o.o_orderdate)) AS INT) AS g_yr,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY CUBE(n.n_name, year(o.o_orderdate))
+        |ORDER BY g_nation, g_yr, nation, yr""".stripMargin,
     "q22_rollup" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority,
         |  CAST(GROUPING(year(o_orderdate)) AS INT) AS g_yr,

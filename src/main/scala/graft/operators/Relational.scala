@@ -373,6 +373,40 @@ object Relational {
         col("n"), col("revenue"))
       .orderBy("g_yr", "g_pri", "yr", "o_orderpriority")
 
+  // ---------------------------------------------------------------- Q28 (cube)
+  /** Full grouping-sets lattice over a JOINED input: CUBE(nation, year)
+    * computes detail, both one-dimension margins, and the grand total in
+    * one aggregate — the cross-tab every BI layer asks the warehouse for.
+    * The nation dim broadcasts onto the orders↔customer join; the cube
+    * itself is one grain shuffle (Spark expands the 4 grouping sets
+    * map-side, so the input is scanned once, not once per set — the same
+    * single-pass argument as q22's ROLLUP, which this completes).
+    *
+    * Expressed through `groupingSets` with the explicit 4-set lattice:
+    * `Dataset.cube` (string or Column form) trips Spark 4.1's
+    * DetectAmbiguousSelfJoin false-positive whenever the cube's child
+    * contains a join (the Expand re-references join-side attrs);
+    * `groupingSets` plans the identical Aggregate+Expand without the
+    * spurious ambiguity. */
+  def q28Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("nation"), col("yr")), Seq(col("nation")),
+          Seq(col("yr")), Seq()),
+        col("nation"), col("yr"))
+      .agg(
+        grouping("nation").cast("int").as("g_nation"),
+        grouping("yr").cast("int").as("g_yr"),
+        count(lit(1)).as("n"),
+        money(dsum(col("o_totalprice"))).as("revenue"))
+      .orderBy("g_nation", "g_yr", "nation", "yr")
+
   // ---------------------------------------------------------------- Q23 (rolling)
   /** Rolling time-series analytics over the daily per-country series:
     * 7-row moving average + running cumulative total, partitioned by

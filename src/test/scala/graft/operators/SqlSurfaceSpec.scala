@@ -74,6 +74,32 @@ class SqlSurfaceSpec extends SparkTestBase {
       Relational.q22Rollup(spark, dir))
   }
 
+  test("q28 CUBE lattice: SQL equals the DataFrame plan, margins reconcile") {
+    assertSameRows(
+      """SELECT n_name AS nation, yr,
+        |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |  CAST(GROUPING(yr) AS INT) AS g_yr,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM (SELECT n_name, year(o_orderdate) AS yr, o_totalprice
+        |      FROM orders
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY CUBE(n_name, yr)
+        |ORDER BY g_nation, g_yr, nation, yr""".stripMargin,
+      Relational.q28Cube(spark, dir))
+    // the lattice must reconcile: every margin's n sums to the grand total
+    val rows = Relational.q28Cube(spark, dir).collect()
+    def tot(gn: Int, gy: Int) = rows
+      .filter(r => r.getAs[Int]("g_nation") == gn && r.getAs[Int]("g_yr") == gy)
+      .map(_.getAs[Long]("n")).sum
+    val grand = tot(1, 1)
+    assert(grand > 0)
+    assert(tot(0, 0) == grand) // detail cells
+    assert(tot(0, 1) == grand) // per-nation margin
+    assert(tot(1, 0) == grand) // per-year margin
+  }
+
   test("q25 SCD2 validity ranges: SQL equals the DataFrame plan") {
     assertSameRows(
       """WITH perday AS (
