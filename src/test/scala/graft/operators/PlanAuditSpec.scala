@@ -97,6 +97,38 @@ class PlanAuditSpec extends SparkTestBase {
       s"rate frame should broadcast-hash-join onto the corpus:\n$p")
   }
 
+  test("d14: containment pairs keep the inverted-index equi-join shape") {
+    val p = plan("d14_containment")
+    assert(!p.contains("NestedLoop"), s"d14 degenerated to all-pairs:\n$p")
+  }
+
+  test("s08: label agreement broadcasts the pair frame, never shuffles the corpus") {
+    val p = plan("s08_knn_label_agreement")
+    assert(p.contains("BroadcastHashJoin"),
+      s"label lookups should broadcast the q*k pair frame:\n$p")
+    // the ONE BroadcastNestedLoopJoin is the brute-force scan itself
+    // (broadcast queries × corpus with the self-exclusion predicate — the
+    // intended shape, same as s01/s02); the label joins must not add more
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"label lookups degenerated to nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"s08 has a real cartesian:\n$p")
+  }
+
+  test("t20: the only nested-loop is the deliberate 1-row totals crossJoin") {
+    val p = plan("t20_importance_weights")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"unexpected extra nested-loop joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"t20 has a real cartesian:\n$p")
+  }
+
+  test("t21: source cap reads only the two needed columns") {
+    val p = plan("t21_source_cap")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("doc_id")).getOrElse("")
+    assert(scanLine.contains("source") && !scanLine.contains("text"),
+      s"cap rank should never move document text:\n$scanLine")
+  }
+
   test("persisted star: a year filter prunes to the matching year= partitions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
