@@ -70,6 +70,7 @@ object SparkEntry {
     "t19_sequence_pack" -> (TrainingData.t19SequencePack _),
     "t20_importance_weights" -> (TrainingData.t20ImportanceWeights _),
     "t21_source_cap" -> ((s, d) => TrainingData.t21SourceCap(s, d)),
+    "t22_temperature_mix" -> (TrainingData.t22TemperatureMix _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -769,6 +770,30 @@ object SparkEntry {
         |  round(CAST(SUM(llr) AS DOUBLE) / COUNT(*), 4) AS dsir_score
         |FROM toks JOIN ratio USING (tok)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t22_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS n_tok,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS b
+        |  FROM documents),
+        |g AS (SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS grp_tokens,
+        |    CAST(round(sqrt(CAST(SUM(n_tok) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS rt
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(grp_tokens) AS BIGINT) AS nn,
+        |    SUM(rt) AS z FROM g),
+        |r AS (SELECT g.*, nn,
+        |    CAST(rt AS DOUBLE) / CAST(z AS DOUBLE) AS temp_share,
+        |    least(1.0, (CAST(rt AS DOUBLE) / CAST(z AS DOUBLE)) * nn / grp_tokens) AS rate
+        |  FROM g, tot),
+        |rc AS (SELECT r.*, CAST(floor(rate * 1000000) AS BIGINT) AS cut FROM r)
+        |SELECT rc.lang, rc.n_docs, rc.grp_tokens,
+        |  round(CAST(rc.grp_tokens AS DOUBLE) / rc.nn, 4) AS raw_share,
+        |  round(rc.temp_share, 4) AS temp_share,
+        |  round(rc.rate, 4) AS sample_rate,
+        |  CAST(SUM(CASE WHEN d.b < rc.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM d JOIN rc USING (lang)
+        |GROUP BY 1, 2, 3, 4, 5, 6
+        |ORDER BY 1""".stripMargin,
     "t21_source_cap" ->
       """WITH r AS (SELECT doc_id, source,
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY

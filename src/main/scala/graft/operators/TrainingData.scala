@@ -670,6 +670,46 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Temperature-sampled language mixing (the multilingual-pretraining
+    * rebalance of mT5/XLM-R: sample languages ∝ p^α instead of p, lifting
+    * low-resource languages without flattening the mix): per language,
+    * the temperature share q_l = √n_l / Σ√n_m (α = 0.5 — chosen because
+    * √ is an IEEE-correctly-rounded primitive in every engine, unlike
+    * pow(x, 0.3), so the cut replays bit-identically anywhere), the
+    * document sampling rate min(1, q_l·N/n_l) (capped — this operator
+    * only downsamples; upsampling is a repetition decision for the data
+    * loader), and the realized keep count under the same md5 micro-bucket
+    * rule as t18. Σ√n_m is summed as rounded DECIMAL so the normalizer is
+    * order-invariant — a 1-ulp drift there would flip cut boundaries.
+    * Same two-pass shape as t18: per-group budgets need the global
+    * normalizer before per-row decisions; the rate frame broadcasts. */
+  def t22TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("b", Sampling.fineHashBucket(col("doc_id")))
+    val g = d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("grp_tokens"))
+      .withColumn("rt",
+        round(sqrt(col("grp_tokens").cast("double")), 6).cast("decimal(18,6)"))
+    val tot = g.agg(sum("grp_tokens").as("nn"), sum("rt").as("z"))
+    val r = g.crossJoin(broadcast(tot))
+      .withColumn("temp_share",
+        col("rt").cast("double") / col("z").cast("double"))
+      .withColumn("rate",
+        least(lit(1.0), col("temp_share") * col("nn") / col("grp_tokens")))
+      .withColumn("cut", floor(col("rate") * 1000000).cast("long"))
+    d.join(broadcast(r), Seq("lang"))
+      .groupBy("lang", "n_docs", "grp_tokens", "nn", "temp_share", "rate", "cut")
+      .agg(sum(when(col("b") < col("cut"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("grp_tokens"),
+        round(col("grp_tokens").cast("double") / col("nn"), 4).as("raw_share"),
+        round(col("temp_share"), 4).as("temp_share"),
+        round(col("rate"), 4).as("sample_rate"),
+        col("n_kept"))
+      .orderBy("lang")
+  }
+
   /** Per-source document cap (C4/RefinedWeb-style per-domain quota): keep
     * at most `cap` documents per source, chosen by the engine-portable md5
     * micro-bucket (then doc_id) — membership is a pure function of the

@@ -42,6 +42,29 @@ class CurationSelectSpec extends SparkTestBase {
     assert(tgt.distinct.size == 1)
   }
 
+  test("temperature mix lifts low-resource languages monotonically") {
+    val rows = TrainingData.t22TemperatureMix(spark, sf("sf0.001")).collect()
+    assert(rows.length >= 3)
+    // α=0.5 sampling rate is strictly decreasing in corpus size: the
+    // biggest language is downsampled hardest, the smallest least
+    val bySize = rows.sortBy(_.getAs[Long]("grp_tokens"))
+    val rates = bySize.map(_.getAs[Double]("sample_rate"))
+    rates.zip(rates.tail).foreach { case (small, big) => assert(small >= big) }
+    // the dominant language must actually be cut; shares stay a simplex
+    assert(rates.last < 1.0)
+    val shares = rows.map(_.getAs[Double]("temp_share")).sum
+    assert(math.abs(shares - 1.0) < 0.001)
+    // temperature compresses the mix: the big language's temp share sits
+    // below its raw share, the smallest language's above
+    val big = bySize.last
+    assert(big.getAs[Double]("temp_share") < big.getAs[Double]("raw_share"))
+    val small = bySize.head
+    assert(small.getAs[Double]("temp_share") > small.getAs[Double]("raw_share"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("source cap keeps at most N per source, deterministically") {
     val real = sf("sf0.001")
     val out = TrainingData.t21SourceCap(spark, real, cap = 3).collect()
