@@ -96,6 +96,7 @@ object SparkEntry {
     "s06_quantization" -> (TrainingData.s06QuantizationProfile _),
     "s07_pq_ann_topk" -> (TrainingData.s07PqTopK _),
     "s08_knn_label_agreement" -> (TrainingData.s08KnnLabelAgreement _),
+    "s09_centroid_distance" -> (TrainingData.s09CentroidDistance _),
     "a00_star_fact" -> (AnalyticsSuite.a00StarFact _),
     "a01_exec_summary" -> (AnalyticsSuite.a01ExecutiveSummary _),
     "a02_growth_year_sport" -> (AnalyticsSuite.a02GrowthYearSport _),
@@ -914,6 +915,27 @@ object SparkEntry {
         |  round(CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
         |    / (COUNT(DISTINCT qid) * 5), 4) AS agree_rate
         |FROM r WHERE rank <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s09_centroid_distance" ->
+      """WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS i,
+        |    embedding AS e FROM embeddings),
+        |cpos AS (SELECT label, i,
+        |    ROUND(CAST(SUM(CAST(ROUND(CAST(e[i] AS DOUBLE), 4) AS DECIMAL(18,4)))
+        |      AS DOUBLE) / COUNT(*), 6) AS c
+        |  FROM x GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY i) AS centroid
+        |  FROM cpos GROUP BY 1),
+        |v AS (SELECT emb.label, CAST(emb.embedding AS DOUBLE[]) AS v, ct.centroid
+        |  FROM embeddings emb JOIN cent ct USING (label)),
+        |s AS (SELECT label, round(
+        |    list_aggregate(list_transform(range(1, len(v)+1), i -> v[i]*centroid[i]), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(range(1, len(centroid)+1), i -> centroid[i]*centroid[i]), 'sum'))), 6) AS cos
+        |  FROM v)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  round(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS mean_cos,
+        |  MIN(cos) AS min_cos,
+        |  CAST(SUM(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "t11_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token

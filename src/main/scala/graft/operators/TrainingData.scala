@@ -627,6 +627,11 @@ object TrainingData {
     Similarity.knnLabelAgreement(Tables(spark, dir, "embeddings"),
       col("vec_id") < 200, k = 5)
 
+  /** Per-label centroid-distance outlier profile (see
+    * [[graft.similarity.Similarity.centroidDistanceProfile]]). */
+  def s09CentroidDistance(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroidDistanceProfile(Tables(spark, dir, "embeddings"))
+
   /** DSIR-flavoured importance weights (Xie et al. 2023, hashed-ngram
     * importance resampling, simplified to smoothed unigram LMs — the
     * feature hashing exists to bound vocabulary, which the add-one

@@ -280,6 +280,50 @@ object Similarity {
             .cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double")
           / count(lit(1)), 6).as("c"))
 
+  /** Per-label centroid-distance profile — the outlier signal
+    * embedding-curation pipelines prune on (a vector far from its own
+    * label's centroid is a mislabel, an encoder failure, or genuinely
+    * hard data; SemDeDup-style semantic pruning keys on exactly this
+    * distance): for each label, the count, mean and minimum cosine of
+    * its members to the label centroid, plus how many members fall below
+    * `lowCos`. Complements [[knnLabelAgreement]]: agreement says whether
+    * neighbourhoods respect labels, this says how tight each label's
+    * cluster is and which labels carry pruning candidates.
+    *
+    * Scale shape: centroids derive from [[labelCentroids]] (one grain
+    * shuffle over the exploded components) and collapse to |labels| rows
+    * that broadcast back onto the corpus — the corpus itself is scanned
+    * once and never shuffled; the final profile is a |labels|-row
+    * aggregate. Determinism: the dot products fold in array-index order
+    * (higher-order `aggregate`, same order DuckDB's list sum uses),
+    * per-vector cosines round to 6 dp before the DECIMAL mean, and the
+    * outlier comparison runs on the rounded value so cut boundaries
+    * cannot drift by an ulp between engines. */
+  def centroidDistanceProfile(emb: DataFrame, lowCos: Double = 0.5): DataFrame = {
+    val sorted = array_sort(collect_list(struct(col("pos"), col("c"))))
+    val cent = labelCentroids(emb)
+      .groupBy("label")
+      .agg(transform(sorted, s => s.getField("c")).as("centroid"))
+    val dotCol = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val v = emb
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .join(broadcast(cent), "label")
+    val cos = round(
+      dotCol(col("v"), col("centroid")) /
+        (sqrt(dotCol(col("v"), col("v"))) *
+          sqrt(dotCol(col("centroid"), col("centroid")))), 6)
+    v.select(col("label"), cos.as("cos"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("cos").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 4).as("mean_cos"),
+        min(col("cos")).as("min_cos"),
+        sum(when(col("cos") < lowCos, 1L).otherwise(0L)).as("n_low"))
+      .orderBy("label")
+  }
+
   /** Exact all-pairs form of [[cosineNearDuplicates]] — O(n²) by
     * construction; the ground truth the gated path's recall is measured
     * against in SimilaritySpec, and the right tool only when the corpus is

@@ -82,6 +82,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(1) == 0.6667)
   }
 
+  test("centroid distance profile: tight clusters score ~1, a planted outlier drags min_cos") {
+    val sep = Seq(
+      (0L, Array(1f, 0.00f), 0), (1L, Array(1f, 0.01f), 0),
+      (2L, Array(1f, 0.02f), 0),
+      (3L, Array(0.00f, 1f), 1), (4L, Array(0.01f, 1f), 1),
+      (5L, Array(1f, 0.02f), 1)) // outlier: points at cluster 0's direction
+      .toDF("vec_id", "embedding", "label")
+    // 0.7 gate: the outlier drags label 1's centroid toward cluster 0, so
+    // the CLEAN members' cosines also sag (to ~0.89) — the gate must sit
+    // below them but above the outlier's ~0.47
+    val out = Similarity.centroidDistanceProfile(sep, lowCos = 0.7)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    // label 0 is tight: every member hugs its centroid
+    assert(out(0).getAs[Long]("n_vecs") == 3)
+    assert(out(0).getAs[Double]("min_cos") > 0.99)
+    assert(out(0).getAs[Long]("n_low") == 0)
+    // label 1 contains the planted outlier: its min collapses and exactly
+    // one member falls below the gate; the clean members keep the mean up
+    assert(out(1).getAs[Double]("min_cos") < 0.8)
+    assert(out(1).getAs[Long]("n_low") == 1)
+    assert(out(1).getAs[Double]("mean_cos") > out(1).getAs[Double]("min_cos"))
+  }
+
   test("IVF with full probe equals brute force exactly") {
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 5)
       .orderBy("qid", "rank").collect().toSeq
