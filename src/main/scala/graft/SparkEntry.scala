@@ -44,6 +44,8 @@ object SparkEntry {
     "q21_range_join" -> (Relational.q21RangeJoin _),
     "q22_rollup" -> (Relational.q22Rollup _),
     "q28_cube" -> (Relational.q28Cube _),
+    "q29_spend_deciles" -> (Relational.q29SpendDeciles _),
+    "t23_source_dup_report" -> (TrainingData.t23SourceDupReport _),
     "q23_moving_window" -> (Relational.q23MovingWindow _),
     "q24_histogram" -> ((s: SparkSession, d: String) => Relational.q24Histogram(s, d)),
     "q25_scd2" -> (Relational.q25Scd2 _),
@@ -458,6 +460,18 @@ object SparkEntry {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY CUBE(n.n_name, year(o.o_orderdate))
         |ORDER BY g_nation, g_yr, nation, yr""".stripMargin,
+    "q29_spend_deciles" ->
+      """WITH s AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT o_custkey, spend,
+        |    CAST(NTILE(10) OVER (ORDER BY spend, o_custkey) AS INT) AS decile
+        |  FROM s)
+        |SELECT decile, COUNT(*) AS n_customers,
+        |  CAST(ROUND(SUM(spend), 2) AS DOUBLE) AS total_spend,
+        |  CAST(ROUND(MIN(spend), 2) AS DOUBLE) AS min_spend,
+        |  CAST(ROUND(MAX(spend), 2) AS DOUBLE) AS max_spend
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q22_rollup" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority,
         |  CAST(GROUPING(year(o_orderdate)) AS INT) AS g_yr,
@@ -672,6 +686,16 @@ object SparkEntry {
       s"""WITH RECURSIVE $manifestCtes
         |SELECT doc_id, keeper_id, doc_id = keeper_id AS is_keeper
         |FROM manifest ORDER BY doc_id""".stripMargin,
+    "t23_source_dup_report" ->
+      s"""WITH RECURSIVE $manifestCtes,
+        |j AS (SELECT m.doc_id, m.keeper_id, d.source
+        |  FROM manifest m JOIN documents d USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id = keeper_id THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+        |  CAST(SUM(CASE WHEN doc_id = keeper_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  round(CAST(SUM(CASE WHEN doc_id = keeper_id THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS dup_rate
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "d12_cluster_sizes" ->
       s"""WITH RECURSIVE $manifestCtes,
         |bysize AS (SELECT keeper_id, COUNT(*) AS sz FROM manifest GROUP BY 1)

@@ -407,6 +407,36 @@ object Relational {
         money(dsum(col("o_totalprice"))).as("revenue"))
       .orderBy("g_nation", "g_yr", "nation", "yr")
 
+  // ---------------------------------------------------------------- Q29 (deciles)
+  /** Customer-spend decile profile: NTILE(10) over per-customer totals,
+    * then per-decile counts and spend mass — the segmentation table
+    * marketing/BI reads off the warehouse. Spend is summed as
+    * DECIMAL(18,4) so the rank order is exact and engine-independent
+    * (a double sum's partition-order drift could flip adjacent ranks);
+    * ties break on the customer key.
+    *
+    * Scale shape: the global NTILE is a total order, but over the
+    * PRE-AGGREGATED customer frame (orders of magnitude smaller than the
+    * fact input — the aggregate does the data reduction before the sort).
+    * At extreme customer cardinality the same table comes from bucketing
+    * on sketch-derived decile boundaries ([[Sketches]]) instead of an
+    * exact global sort; this entry is the exact form. */
+  def q29SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("spend"), col("o_custkey"))
+    Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("spend"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        money(sum(col("spend"))).as("total_spend"),
+        money(min(col("spend"))).as("min_spend"),
+        money(max(col("spend"))).as("max_spend"))
+      .orderBy("decile")
+  }
+
   // ---------------------------------------------------------------- Q23 (rolling)
   /** Rolling time-series analytics over the daily per-country series:
     * 7-row moving average + running cumulative total, partitioned by

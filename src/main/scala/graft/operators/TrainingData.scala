@@ -488,6 +488,28 @@ object TrainingData {
         sum(col("sz") - 1).as("would_drop"))
       .orderBy("cluster_size")
 
+  /** Per-source duplication report: the dedup manifest joined back to
+    * document provenance — which sources are duplicate factories and what
+    * fraction of each survives the manifest. The table a curation owner
+    * reads before deciding crawl or licensing changes. Reuses the cached
+    * d08 manifest (plan-equal `Caches` hit when both run in a session);
+    * the join adds one broadcast of the slim (doc_id, source) projection
+    * cost — at scale the manifest side shuffles on doc_id instead, still
+    * one equi-join. */
+  def t23SourceDupReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.dedupManifest(docs, threshold = 0.2)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_keeper"), 1L).otherwise(0L)).as("n_keepers"),
+        sum(when(col("is_keeper"), 0L).otherwise(1L)).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_keepers"), col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("n_docs"), 4).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** Benchmark decontamination: shingle-overlap fraction of each training
     * document against a deterministic benchmark holdout (doc_id ≡ 0 mod
     * 17) — the eval-leakage check run before training. */

@@ -65,6 +65,24 @@ class CurationSelectSpec extends SparkTestBase {
     }
   }
 
+  test("source dup report reconciles with the manifest's totals") {
+    val real = sf("sf0.001")
+    val report = TrainingData.t23SourceDupReport(spark, real).collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      assert(r.getAs[Long]("n_keepers") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // per-source drops sum to the corpus-wide manifest drop count
+    val totalDropped = report.map(_.getAs[Long]("n_dropped")).sum
+    val manifestDropped = graft.dedup.Dedup.dedupManifest(
+      spark.read.parquet(s"$real/documents.parquet"), threshold = 0.2)
+      .filter(!col("is_keeper")).count()
+    assert(totalDropped == manifestDropped)
+  }
+
   test("source cap keeps at most N per source, deterministically") {
     val real = sf("sf0.001")
     val out = TrainingData.t21SourceCap(spark, real, cap = 3).collect()

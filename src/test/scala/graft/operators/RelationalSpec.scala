@@ -75,6 +75,23 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("q29 spend deciles: balanced buckets, monotone spend bands, conserved mass") {
+    val rows = Relational.q29SpendDeciles(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    // NTILE balance: bucket sizes differ by at most 1
+    val sizes = rows.map(_.getAs[Long]("n_customers"))
+    assert(sizes.max - sizes.min <= 1)
+    // deciles are spend-ordered: each band sits at or above the previous max
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getAs[Double]("min_spend") >= lo.getAs[Double]("max_spend"))
+    }
+    // mass conservation vs the source at cent precision
+    val total = rows.map(_.getAs[Double]("total_spend")).sum
+    val src = spark.read.parquet(dir + "/orders.parquet")
+      .agg(sum(col("o_totalprice"))).head().getDouble(0)
+    assert(math.abs(total - src) < 1.0)
+  }
+
   test("q17 flagship grain is unique and conserves transactions") {
     val f = Relational.q17EtlStarRollup(spark, dir)
     val dupes = f.groupBy("d", "n_name", "bucket").count()
