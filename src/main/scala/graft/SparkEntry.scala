@@ -46,6 +46,7 @@ object SparkEntry {
     "q28_cube" -> (Relational.q28Cube _),
     "q29_spend_deciles" -> (Relational.q29SpendDeciles _),
     "t23_source_dup_report" -> (TrainingData.t23SourceDupReport _),
+    "t24_selection_funnel" -> (TrainingData.t24SelectionFunnel _),
     "q23_moving_window" -> (Relational.q23MovingWindow _),
     "q24_histogram" -> ((s: SparkSession, d: String) => Relational.q24Histogram(s, d)),
     "q25_scd2" -> (Relational.q25Scd2 _),
@@ -819,6 +820,32 @@ object SparkEntry {
         |FROM d JOIN rc USING (lang)
         |GROUP BY 1, 2, 3, 4, 5, 6
         |ORDER BY 1""".stripMargin,
+    "t24_selection_funnel" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS n_tok,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS b
+        |  FROM documents),
+        |ranked AS (SELECT d.*,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY b, doc_id) AS rn
+        |  FROM d),
+        |capped AS (SELECT * FROM ranked WHERE rn <= 15),
+        |g AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS grp_tokens,
+        |    CAST(round(sqrt(CAST(SUM(n_tok) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS rt
+        |  FROM capped GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(grp_tokens) AS BIGINT) AS nn, SUM(rt) AS z FROM g),
+        |r AS (SELECT lang,
+        |    CAST(floor(least(1.0, (CAST(rt AS DOUBLE) / CAST(z AS DOUBLE))
+        |      * nn / grp_tokens) * 1000000) AS BIGINT) AS cut
+        |  FROM g, tot),
+        |base AS (SELECT source, lang, COUNT(*) AS n_docs FROM d GROUP BY 1, 2),
+        |surv AS (SELECT source, lang, COUNT(*) AS after_cap,
+        |    CAST(SUM(CASE WHEN b < cut THEN 1 ELSE 0 END) AS BIGINT) AS after_temp
+        |  FROM capped JOIN r USING (lang) GROUP BY 1, 2)
+        |SELECT base.source, base.lang, base.n_docs,
+        |  coalesce(surv.after_cap, 0) AS after_cap,
+        |  coalesce(surv.after_temp, 0) AS after_temp
+        |FROM base LEFT JOIN surv USING (source, lang)
+        |ORDER BY 1, 2""".stripMargin,
     "t21_source_cap" ->
       """WITH r AS (SELECT doc_id, source,
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY

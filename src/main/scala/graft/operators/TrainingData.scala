@@ -737,6 +737,51 @@ object TrainingData {
       .orderBy("lang")
   }
 
+  /** The SELECTION funnel composed end to end — the companion to t15's
+    * cleaning funnel, for the other half of curation (not "is this doc
+    * good" but "how much of each slice do we take"): per (source, lang),
+    * documents surviving (1) the per-source quota (t21's md5-order cap,
+    * here 15) and then (2) temperature-sampled language mixing (t22's
+    * α=0.5 cut, recomputed over the quota survivors — rates must reflect
+    * what the quota left, not the raw corpus). One row per group with the
+    * population at each stage; DuckDB must reproduce the chained window
+    * rank + √-share cut to match, which makes this the hardest selection
+    * check in the suite. Same scale shapes as its parts: a slim-projection
+    * rank, one re-aggregation for the post-quota language budgets, and a
+    * broadcast rate frame — the corpus text is never read at all. */
+  def t24SelectionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(Sampling.fineHashBucket(col("doc_id")), col("doc_id"))
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("b", Sampling.fineHashBucket(col("doc_id")))
+    val capped = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 15)
+    val g = capped.groupBy("lang").agg(sum("n_tok").as("grp_tokens"))
+      .withColumn("rt",
+        round(sqrt(col("grp_tokens").cast("double")), 6).cast("decimal(18,6)"))
+    val tot = g.agg(sum("grp_tokens").as("nn"), sum("rt").as("z"))
+    val r = g.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        least(lit(1.0), (col("rt").cast("double") / col("z").cast("double"))
+          * col("nn") / col("grp_tokens")))
+      .withColumn("cut", floor(col("rate") * 1000000).cast("long"))
+      .select("lang", "cut")
+    // LEFT join: a (source, lang) cell the quota emptied entirely still
+    // belongs in the funnel — with zero survivors, not a missing row
+    d.groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+      .join(
+        capped.join(broadcast(r), Seq("lang"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("after_cap"),
+            sum(when(col("b") < col("cut"), 1L).otherwise(0L)).as("after_temp")),
+        Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("after_cap", "after_temp"))
+      .orderBy("source", "lang")
+  }
+
   /** Per-source document cap (C4/RefinedWeb-style per-domain quota): keep
     * at most `cap` documents per source, chosen by the engine-portable md5
     * micro-bucket (then doc_id) — membership is a pure function of the

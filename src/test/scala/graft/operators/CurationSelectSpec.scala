@@ -65,6 +65,26 @@ class CurationSelectSpec extends SparkTestBase {
     }
   }
 
+  test("selection funnel: monotone stages, quota honored per source") {
+    val rows = TrainingData.t24SelectionFunnel(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, cap, temp) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("after_cap"), r.getAs[Long]("after_temp"))
+      assert(cap <= n, s"cap stage grew: $r")
+      assert(temp <= cap, s"temperature stage grew: $r")
+    }
+    // the per-source quota binds across languages: ≤15 per source total
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      val kept = rs.map(_.getAs[Long]("after_cap")).sum
+      assert(kept <= 15, s"source $s over quota: $kept")
+    }
+    // every (source, lang) cell of the corpus appears, even if emptied
+    val base = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("source", "lang").distinct().count()
+    assert(rows.length.toLong == base)
+  }
+
   test("source dup report reconciles with the manifest's totals") {
     val real = sf("sf0.001")
     val report = TrainingData.t23SourceDupReport(spark, real).collect()

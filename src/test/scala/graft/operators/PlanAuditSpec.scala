@@ -129,6 +129,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"cap rank should never move document text:\n$scanLine")
   }
 
+  test("t22/t24: the language rate frames broadcast back onto the corpus") {
+    Seq("t22_temperature_mix", "t24_selection_funnel").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q rate frame should broadcast-hash-join onto the corpus:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a real cartesian:\n$p")
+    }
+  }
+
   test("persisted star: a year filter prunes to the matching year= partitions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
