@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * [[resizePpmImages]]), for compressed images (JPEG/PNG/BMP/GIF via the
   * JDK's own ImageIO — [[ImageIoCodec]], used by [[extractImageFeatures]]
   * / [[resizeCompressedImages]]), and for PCM WAV audio ([[WavCodec]]).
-  * Compressed AUDIO/VIDEO (MP3/H.264) go through the clearly-marked
+  * Video CONTAINERS are real too: [[Mp4Meta]] parses the ISO-BMFF box
+  * tree for duration/track dimensions ([[probeMp4Metadata]]). Compressed
+  * AUDIO/VIDEO FRAME decode (MP3/H.264) goes through the clearly-marked
   * deterministic STUB ([[FakeCodec]]) because their codec libraries don't
   * exist in this environment. Swapping in a real codec changes only
   * FakeCodec.
@@ -160,6 +162,27 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(_.map(m =>
       m.copy(content = FakeCodec.resize(m.content, w, h), width = w, height = h)))
+  }
+
+  /** REAL metadata probe for MP4/MOV payloads ([[Mp4Meta]]): duration and
+    * video-track dimensions re-derived from the CONTAINER instead of
+    * trusting ingest-supplied columns — the validation step a media
+    * pipeline runs first, because downstream sampling plans budget by
+    * these numbers (a wrong duration mis-sizes the frame fan-out).
+    * Partition-wise like every codec path; frame decode remains the
+    * documented stub, container arithmetic does not need it. */
+  def probeMp4Metadata(spark: SparkSession, media: DataFrame,
+      partitions: Int = 32): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.filter(col("kind") === "video/mp4")
+      .repartition(partitions, col("media_id")).as[MediaRow]
+      .mapPartitions(_.map { m =>
+        val info = Mp4Meta.parse(m.content)
+        val v = info.videoTracks.headOption
+        m.copy(duration_ms = info.durationMs.toInt,
+          width = v.map(_.width).getOrElse(m.width),
+          height = v.map(_.height).getOrElse(m.height))
+      })
   }
 
   /** Frame sampling: one row per sampled frame — fan-out via flatMap, so a

@@ -197,4 +197,52 @@ class MultimodalSpec extends SparkTestBase {
     assert(odd.duration_ms == WavCodec.decode(odd.content).durationMs)
     assert(odd.duration_ms == 24)
   }
+
+  // ---- hand-assembled minimal ISO-BMFF file: ftyp + moov(mvhd, trak(tkhd, mdia(hdlr)))
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+    b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+    b.array()
+  }
+  private def tinyMp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    val ftyp = box("ftyp", "isom0000isom".getBytes("US-ASCII"))
+    val mvhd = { // version 0: ver/flags, creation, modification, timescale, duration
+      val b = java.nio.ByteBuffer.allocate(4 + 4 + 4 + 4 + 4 + 80)
+      b.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      box("mvhd", b.array())
+    }
+    val tkhd = { // version 0: 20 bytes of times/ids, 52 bytes to dims, w/h 16.16
+      val b = java.nio.ByteBuffer.allocate(4 + 20 + 52 + 8)
+      b.position(4 + 20 + 52)
+      b.putInt(w << 16).putInt(h << 16)
+      box("tkhd", b.array())
+    }
+    val hdlr = { // ver/flags, pre_defined, handler_type, 12 reserved
+      val b = java.nio.ByteBuffer.allocate(4 + 4 + 4 + 12)
+      b.position(8); b.put("vide".getBytes("US-ASCII"))
+      box("hdlr", b.array())
+    }
+    val trak = box("trak", tkhd ++ box("mdia", hdlr))
+    ftyp ++ box("moov", mvhd ++ trak)
+  }
+
+  test("mp4 metadata probe reads duration and video dims from the container") {
+    // 90 kHz clock (the MPEG standard timescale), 3.5 s of it
+    val payload = tinyMp4(timescale = 90000, duration = 315000, w = 1280, h = 720)
+    val info = Mp4Meta.parse(payload)
+    assert(info.durationMs == 3500)
+    assert(info.timescale == 90000L)
+    assert(info.videoTracks == Seq(Mp4Meta.Track("video", 1280, 720)))
+    // the DataFrame path overrides ingest-supplied metadata with the truth
+    val rows = Seq(
+      MediaRow(30L, "video/mp4", payload, 0, 0, 0, 999), // lying metadata
+      MediaRow(31L, "video", "not-bmff".getBytes, 1, 1, 0, 1)) // excluded by kind
+      .toDS().toDF()
+    val probed = probeMp4Metadata(spark, rows, partitions = 2).collect()
+    assert(probed.map(_.media_id).toSeq == Seq(30L))
+    assert(probed.head.duration_ms == 3500)
+    assert(probed.head.width == 1280 && probed.head.height == 720)
+    // garbage fails loudly, not with half-parsed numbers
+    intercept[IllegalArgumentException](Mp4Meta.parse("mp3junk!!".getBytes))
+  }
 }
