@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   * [[resizePpmImages]]), for compressed images (JPEG/PNG/BMP/GIF via the
   * JDK's own ImageIO — [[ImageIoCodec]], used by [[extractImageFeatures]]
   * / [[resizeCompressedImages]]), and for PCM WAV audio ([[WavCodec]]).
-  * Video CONTAINERS are real too: [[Mp4Meta]] parses the ISO-BMFF box
-  * tree for duration/track dimensions ([[probeMp4Metadata]]). Compressed
-  * AUDIO/VIDEO FRAME decode (MP3/H.264) goes through the clearly-marked
-  * deterministic STUB ([[FakeCodec]]) because their codec libraries don't
-  * exist in this environment. Swapping in a real codec changes only
-  * FakeCodec.
+  * Compressed-media CONTAINERS are real too: [[Mp4Meta]] parses the
+  * ISO-BMFF box tree for duration/track dimensions
+  * ([[probeMp4Metadata]]) and [[Mp3Meta]] walks MPEG audio frame headers
+  * for duration/rate/bitrate ([[probeMp3Metadata]]). Only the FRAME
+  * decode of compressed audio/video (MP3 subbands, H.264) goes through
+  * the clearly-marked deterministic STUB ([[FakeCodec]]) because those
+  * codec libraries don't exist in this environment. Swapping in a real
+  * codec changes only FakeCodec.
   */
 object Multimodal {
 
@@ -182,6 +184,22 @@ object Multimodal {
         m.copy(duration_ms = info.durationMs.toInt,
           width = v.map(_.width).getOrElse(m.width),
           height = v.map(_.height).getOrElse(m.height))
+      })
+  }
+
+  /** REAL metadata probe for MP3 payloads ([[Mp3Meta]]): duration, sample
+    * rate and mean bitrate re-derived from the frame headers (ID3v2
+    * skipped, VBR summed frame-by-frame) — same contract and shape as
+    * [[probeMp4Metadata]]; subband decode stays the documented stub. */
+  def probeMp3Metadata(spark: SparkSession, media: DataFrame,
+      partitions: Int = 32): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio/mp3")
+      .repartition(partitions, col("media_id")).as[MediaRow]
+      .mapPartitions(_.map { m =>
+        val info = Mp3Meta.parse(m.content)
+        m.copy(duration_ms = info.durationMs.toInt,
+          sample_rate_hz = info.sampleRateHz)
       })
   }
 

@@ -245,4 +245,42 @@ class MultimodalSpec extends SparkTestBase {
     // garbage fails loudly, not with half-parsed numbers
     intercept[IllegalArgumentException](Mp4Meta.parse("mp3junk!!".getBytes))
   }
+
+  // ---- hand-assembled MP3: ID3v2 prefix + N MPEG-1 Layer III frames
+  private def mp3Frame(kbps: Int, padding: Int): Array[Byte] = {
+    // sync(11) version=3(2) layer=01(2) noCRC(1) | brIdx(4) srIdx=00->44100(2) pad(1) priv(1) | mode=11 mono(2)...
+    val brIdx = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+      .indexOf(kbps)
+    val frameLen = 144 * kbps * 1000 / 44100 + padding
+    val f = Array.fill[Byte](frameLen)(0x55)
+    f(0) = 0xFF.toByte
+    f(1) = 0xFB.toByte // 1111 1011: MPEG1, Layer III, no CRC
+    f(2) = ((brIdx << 4) | (0 << 2) | (padding << 1)).toByte
+    f(3) = 0xC0.toByte // mono
+    f
+  }
+  private def tinyMp3(nFrames: Int): Array[Byte] = {
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 12) ++
+      Array.fill[Byte](12)(1) // 12-byte synchsafe-sized tag body
+    id3 ++ (1 to nFrames).flatMap(i => mp3Frame(128, i % 2)).toArray
+  }
+
+  test("mp3 metadata probe reads duration/rate/bitrate from frame headers") {
+    val payload = tinyMp3(nFrames = 38) // 38 * 1152 / 44100 ≈ 992.6 ms
+    val info = Mp3Meta.parse(payload)
+    assert(info.frames == 38)
+    assert(info.sampleRateHz == 44100)
+    assert(info.bitrateKbps == 128)
+    assert(info.channels == 1)
+    assert(info.durationMs == 38L * 1152 * 1000 / 44100)
+    val rows = Seq(
+      MediaRow(40L, "audio/mp3", payload, 0, 0, 0, 0),
+      MediaRow(41L, "audio/wav", stepWav(), 0, 0, 8000, 25)) // excluded by kind
+      .toDS().toDF()
+    val probed = probeMp3Metadata(spark, rows, partitions = 2).collect()
+    assert(probed.map(_.media_id).toSeq == Seq(40L))
+    assert(probed.head.duration_ms == 992)
+    assert(probed.head.sample_rate_hz == 44100)
+    intercept[IllegalArgumentException](Mp3Meta.parse("RIFFnope".getBytes))
+  }
 }
