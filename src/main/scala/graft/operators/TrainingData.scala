@@ -757,8 +757,12 @@ object TrainingData {
       .select(col("doc_id"), col("source"), col("lang"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
       .withColumn("b", Sampling.fineHashBucket(col("doc_id")))
-    val capped = d.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 15)
+    // the capped frame feeds BOTH the language budgets and the survivor
+    // counts — persist it so the rank (the expensive subtree) runs once,
+    // not once per branch (same rule as t15's stage persists)
+    val capped = graft.Caches.persistReplacing("t24Capped",
+      d.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 15))
     val g = capped.groupBy("lang").agg(sum("n_tok").as("grp_tokens"))
       .withColumn("rt",
         round(sqrt(col("grp_tokens").cast("double")), 6).cast("decimal(18,6)"))
