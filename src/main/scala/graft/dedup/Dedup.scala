@@ -102,7 +102,10 @@ object Dedup {
       hashedShingleSets(docs, textCol, n))
     val rare = shAll.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("g")
-    val sh = shAll.join(rare, "g")
+    // the df-capped set feeds the sizes aggregate AND both sides of the
+    // self-join — persist it so the cap join over the cached shingles
+    // runs once, not three times
+    val sh = persistReplacing("ngram_sh_capped", shAll.join(rare, "g"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.g") === col("b.g") &&
@@ -141,7 +144,9 @@ object Dedup {
       hashedShingleSets(docs, textCol, n))
     val rare = shAll.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("g")
-    val sh = shAll.join(rare, "g")
+    // same persist as [[ngramJaccardPairs]] — plan-equal, so whichever of
+    // the two runs first materializes it and the other reuses it
+    val sh = persistReplacing("ngram_sh_capped", shAll.join(rare, "g"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.g") === col("b.g") &&

@@ -678,9 +678,12 @@ object TrainingData {
       Tables(spark, dir, "documents")
         .select(col("doc_id"), col("source"),
           explode(TextAnalysis.tokens(col("text"))).as("tok")))
-    val counts = toks.groupBy("tok").agg(
-      count(lit(1)).as("n_raw"),
-      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_tgt"))
+    // the vocab tally feeds BOTH the 1-row totals and the ratio frame —
+    // persist it so the corpus-wide token aggregation runs once
+    val counts = graft.Caches.persistReplacing("t20Counts",
+      toks.groupBy("tok").agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_tgt")))
     val tot = counts.agg(sum("n_raw").as("nr"), sum("n_tgt").as("nt"),
       count(lit(1)).as("v"))
     val ratio = counts.crossJoin(broadcast(tot))
