@@ -95,6 +95,7 @@ object SparkEntry {
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
     "s04_ivf_ann_topk" -> (TrainingData.s04IvfAnnTopK _),
+    "s04a_ivf_full_probe" -> (TrainingData.s04aIvfFullProbe _),
     "s05_label_centroids" -> (TrainingData.s05LabelCentroids _),
     "s06_quantization" -> (TrainingData.s06QuantizationProfile _),
     "s07_pq_ann_topk" -> (TrainingData.s07PqTopK _),
@@ -147,6 +148,23 @@ object SparkEntry {
     * (shingles → df-cap → inverted-index join) — d02 selects the scored
     * pairs, d07 runs a recursive min-label closure over them, and both must
     * stay in lockstep with `Dedup.ngramJaccardPairs`. */
+  /** Exact cosine top-5 for the 5-query contract — the oracle for s02
+    * (brute force) AND s04a (IVF at full probe, exact by construction). */
+  private val bruteTopkSql: String =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+      |s AS (SELECT qid, nid,
+      |  list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
+      |   / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+      |    * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))) AS cos
+      |FROM c, q WHERE qid <> nid),
+      |r AS (SELECT qid, nid, cos,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+      |FROM s)
+      |SELECT qid, rank, nid, round(cos, 4) AS cos FROM r
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   private val ngramCtes: String =
     """toks AS (SELECT doc_id,
       |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
@@ -933,20 +951,11 @@ object SparkEntry {
         |   / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
         |    * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))), 4) AS cos
         |FROM c, q ORDER BY qid, nid""".stripMargin,
-    "s02_topk_brute_force" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv
-        |           FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
-        |s AS (SELECT qid, nid,
-        |  list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
-        |   / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
-        |    * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))) AS cos
-        |FROM c, q WHERE qid <> nid),
-        |r AS (SELECT qid, nid, cos,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
-        |FROM s)
-        |SELECT qid, rank, nid, round(cos, 4) AS cos FROM r
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s02_topk_brute_force" -> bruteTopkSql,
+    // IVF with every cell probed is exact by construction → the SAME
+    // brute-force oracle hash-verifies the full IVF pipeline (quantizer,
+    // routing, per-cell scan); s04 keeps the production nprobe setting
+    "s04a_ivf_full_probe" -> bruteTopkSql,
     "s08_knn_label_agreement" ->
       """WITH q AS (SELECT vec_id AS qid, label AS q_label,
         |             CAST(embedding AS DOUBLE[]) qv

@@ -573,6 +573,17 @@ object TrainingData {
       col("vec_id") < 5, k = 5)
       .orderBy("qid", "rank")
 
+  /** IVF at FULL probe: every cell visited ⇒ exact by construction, so
+    * the whole IVF pipeline (sampled-KMeans quantizer, cell routing, the
+    * per-cell scan) becomes hash-checkable against the same DuckDB
+    * brute-force oracle as s02 — the audit row that turns "IVF is tested"
+    * into "IVF is oracle-verified with the approximation dial at exact".
+    * s04 keeps the production nprobe<nlist setting as the rows-only entry. */
+  def s04aIvfFullProbe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables(spark, dir, "embeddings"),
+      col("vec_id") < 5, k = 5, nlist = 8, nprobe = 8)
+      .orderBy("qid", "rank")
+
   /** Per-label embedding centroids (class prototypes) in long form. */
   def s05LabelCentroids(spark: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(Tables(spark, dir, "embeddings"))
