@@ -138,6 +138,19 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("sweep: no query in the whole contract plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin over a broadcast 1-row totals frame is a
+    // deliberate pattern (shares, scalar subqueries, brute-force ANN);
+    // CartesianProductExec — a full shuffle-side cross join — is never
+    // intended and would be a cluster-killer at any scale. Planning every
+    // query here means a future operator cannot introduce one unnoticed.
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("persisted star: a year filter prunes to the matching year= partitions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
