@@ -1,0 +1,80 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout optimization: Z-order (Morton-order) file clustering.
+  *
+  * At 100 TB the scan is the query cost, and the scan's cost is decided by
+  * how much the reader can SKIP: parquet keeps min/max statistics per file
+  * and row group, so a filter prunes exactly when the data is laid out so
+  * that each file covers a narrow range of the filtered column. Sorting
+  * clusters one column perfectly and later columns not at all; interleaving
+  * the bits of several columns (the Morton curve — the same layout behind
+  * Delta/Iceberg OPTIMIZE ZORDER) gives every interleaved column
+  * locality ∝ 2^-bits, so filters on ANY of them prune.
+  *
+  * Everything here is plain Column arithmetic over one pass of the data —
+  * no UDF, no driver-side loop: one tiny min/max aggregate per key (the
+  * only action), then bucketize → interleave → range-partition on the
+  * z-value → sort within partitions → write. The range partitioner splits
+  * the curve into `numFiles` contiguous segments, so file boundaries ARE
+  * curve boundaries and per-file min/max windows stay tight. */
+object Layout {
+
+  /** Morton z-value of `cols`, each normalized to `bits` buckets over its
+    * [min, max] range (mins/maxs are 1-row-aggregate results, passed in so
+    * the caller controls the one action). Bit `b` of bucket `j` lands at
+    * position `b * n + j` — the canonical interleave. */
+  private[etl] def zValue(cols: Seq[Column], mins: Seq[Double],
+      maxs: Seq[Double], bits: Int): Column = {
+    val n = cols.size
+    val buckets = cols.zipWithIndex.map { case (c, j) =>
+      val lo = mins(j)
+      val span = math.max(maxs(j) - lo, java.lang.Double.MIN_NORMAL)
+      least(lit((1 << bits) - 1), greatest(lit(0),
+        floor((c.cast("double") - lo) / span * ((1 << bits) - 1)).cast("int")))
+    }
+    (for (b <- 0 until bits; j <- 0 until n) yield
+      (shiftright(buckets(j), b).bitwiseAND(1).cast("long") * (1L << (b * n + j))): Column)
+      .reduce(_ + _)
+  }
+
+  /** Rewrite `inDir` into `outDir` as `numFiles` files z-ordered on
+    * `clusterCols` (numeric or date/timestamp — anything castable to
+    * double preserving order). Row content is unchanged; only placement
+    * moves. Use on a star's fact partition (or any large scan target)
+    * whose queries filter on more than one dimension key. */
+  def clusterBy(spark: SparkSession, inDir: String, outDir: String,
+      clusterCols: Seq[String], numFiles: Int, bits: Int = 8): Unit = {
+    val df = spark.read.parquet(inDir)
+    val statExprs = clusterCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    val stats = df.agg(statExprs.head, statExprs.tail: _*).head()
+    val mins = clusterCols.indices.map(i => stats.getDouble(2 * i))
+    val maxs = clusterCols.indices.map(i => stats.getDouble(2 * i + 1))
+    df.withColumn("__z",
+        zValue(clusterCols.map(col), mins, maxs, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
+  /** Per-file [min, max] of `keyCol` across the files of a parquet dir —
+    * the clustering-quality audit: tight, mostly-disjoint windows mean
+    * min/max pruning works; windows spanning the global range mean the
+    * layout defeats it. Reads footer-sized amounts per file. */
+  def fileRanges(spark: SparkSession, dir: String,
+      keyCol: String): Seq[(String, Double, Double)] = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    files.toSeq.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(keyCol).cast("double")), max(col(keyCol).cast("double")))
+        .head()
+      (f, r.getDouble(0), r.getDouble(1))
+    }
+  }
+}

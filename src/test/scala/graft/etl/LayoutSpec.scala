@@ -1,0 +1,65 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Z-order clustering: content preservation and the property that pays
+  * for it — per-file min/max windows tight on EVERY clustered key, which
+  * is what parquet stat pruning consumes. */
+class LayoutSpec extends SparkTestBase {
+
+  private def avgCoverage(ranges: Seq[(String, Double, Double)],
+      globalLo: Double, globalHi: Double): Double = {
+    val span = globalHi - globalLo
+    ranges.map { case (_, lo, hi) => (hi - lo) / span }.sum / ranges.size
+  }
+
+  test("clusterBy preserves content and tightens per-file ranges on both keys") {
+    val in = sf("sf0.001") + "/lineitem.parquet"
+    val outZ = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val outR = java.nio.file.Files.createTempDirectory("graft_random").toString
+    Layout.clusterBy(spark, in, outZ, Seq("l_partkey", "l_suppkey"), numFiles = 8)
+    // the anti-layout baseline: same file count, hash-scattered rows
+    spark.read.parquet(in).repartition(8)
+      .write.mode("overwrite").parquet(outR)
+
+    // content unchanged: same rows, checked by an order-free checksum
+    def checksum(dir: String): (Long, java.math.BigDecimal) = {
+      val df = spark.read.parquet(dir)
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    assert(checksum(outZ) == checksum(in))
+
+    // pruning quality: clustered files cover a small slice of each key's
+    // global range; hash-scattered files cover essentially all of it
+    Seq("l_partkey", "l_suppkey").foreach { key =>
+      val g = spark.read.parquet(in)
+        .agg(min(col(key).cast("double")), max(col(key).cast("double"))).head()
+      val covZ = avgCoverage(Layout.fileRanges(spark, outZ, key), g.getDouble(0), g.getDouble(1))
+      val covR = avgCoverage(Layout.fileRanges(spark, outR, key), g.getDouble(0), g.getDouble(1))
+      // 8 files on a 2-key z-curve: expect ≲ 60% coverage per key per file;
+      // random placement sits at ~100%. Factor-of-evidence, not knife-edge.
+      assert(covZ < 0.7, s"$key: z-ordered coverage $covZ not tight")
+      assert(covZ < covR * 0.75, s"$key: z $covZ vs random $covR — no win")
+    }
+  }
+
+  test("zValue interleaves bits so both keys share locality") {
+    import spark.implicits._
+    // 4 corner points of a 2-D grid: z-values must order corners so that
+    // nearby (x, y) pairs get nearby z — the defining Morton property
+    val df = Seq((0, 0), (0, 255), (255, 0), (255, 255)).toDF("x", "y")
+    val z = df.select(Layout.zValue(Seq(col("x"), col("y")),
+      Seq(0.0, 0.0), Seq(255.0, 255.0), bits = 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z(0) == 0L)
+    // (0,255) → odd bits set? x is index 0 (even positions), y index 1
+    assert(z(1) == 0xAAAAL)
+    assert(z(2) == 0x5555L)
+    assert(z(3) == 0xFFFFL)
+  }
+}
