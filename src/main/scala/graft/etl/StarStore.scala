@@ -13,16 +13,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * query-speed role (SURVEY §4).
   */
 object StarStore {
+  /** Within each year partition, rows are sorted by `date_id` before the
+    * write, so every file's row groups carry tight date_id min/max windows
+    * — sub-year date-range scans (weekly/monthly analytics) prune at the
+    * row-group level on top of P6's directory-level year pruning. The
+    * reference leaned on a (date_id) secondary index for the same access
+    * path; a sorted layout is the parquet-native equivalent and costs only
+    * a per-partition sort at write time. */
   def writeFact(fact: DataFrame, dir: String): Unit =
-    fact.write.mode(SaveMode.Overwrite).partitionBy("year")
+    fact.sortWithinPartitions("year", "date_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("year")
       .parquet(s"$dir/fact_streaming_summary")
 
   /** Overwrite only the year partitions present in `factSlice` — the
     * additive-upsert replacement (S7) used by the incremental/streaming
     * path. Requires dynamic partition overwrite so untouched years keep
-    * their data. */
+    * their data. Same sorted-within-year layout as [[writeFact]]. */
   def mergeFactPartitions(factSlice: DataFrame, dir: String): Unit =
-    factSlice.write.mode(SaveMode.Overwrite)
+    factSlice.sortWithinPartitions("year", "date_id")
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year")
       .parquet(s"$dir/fact_streaming_summary")

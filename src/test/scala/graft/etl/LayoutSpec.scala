@@ -48,6 +48,26 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("star fact files are date-sorted within year partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_star_sort").toString
+    val fact = (1 to 500).map { i =>
+      (20210101 + (i * 37) % 300, 2021, i.toLong)
+    }.toDF("date_id", "year", "total_minutes_streamed").repartition(4)
+    StarStore.writeFact(fact, dir)
+    val files = new java.io.File(s"$dir/fact_streaming_summary/year=2021")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.getPath).select("date_id")
+        .collect().map(_.getInt(0))
+      // within a file, date_id must be non-decreasing — the property that
+      // gives row groups tight min/max windows for sub-year range scans
+      assert(ids.zip(ids.tail).forall { case (a, b) => a <= b },
+        s"${f.getName} not date-sorted")
+    }
+  }
+
   test("zValue interleaves bits so both keys share locality") {
     import spark.implicits._
     // 4 corner points of a 2-D grid: z-values must order corners so that
