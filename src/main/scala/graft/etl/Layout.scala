@@ -62,6 +62,53 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
+  /** Write `df` with parquet BLOOM FILTERS on `bloomCols` — the pruning
+    * primitive for point lookups on high-cardinality, scatter-valued keys
+    * (user ids, asset ids) where min/max windows are useless because every
+    * file spans the whole domain and z-ordering them would waste curve
+    * bits. Readers (Spark included) consult the bloom before touching a
+    * row group: an equality probe skips every group that definitely lacks
+    * the key. `ndv` sizes the filters (expected distinct values per file).
+    * Complements [[clusterBy]]: z-order for range/multi-key locality,
+    * blooms for needle-in-haystack equality.
+    *
+    * Dictionary encoding is disabled FOR THE BLOOM COLUMNS ONLY:
+    * parquet-mr deliberately skips the bloom when a chunk is fully
+    * dictionary-encoded (the dictionary already answers membership
+    * exactly) — but dictionaries only form on low-cardinality chunks,
+    * and low-cardinality keys are precisely the ones that should NOT get
+    * a bloom. Forcing plain encoding keeps the layout honest for the
+    * high-cardinality point-lookup keys this exists for. */
+  def writeWithBloom(df: DataFrame, outDir: String, bloomCols: Seq[String],
+      numFiles: Int, ndv: Long = 100000L): Unit = {
+    val w = df.repartition(numFiles)
+      .write.mode(SaveMode.Overwrite)
+    bloomCols.foreach { c =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      w.option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+      w.option(s"parquet.enable.dictionary#$c", "false")
+    }
+    w.parquet(outDir)
+  }
+
+  /** Which columns of a parquet file carry a bloom filter — the audit for
+    * [[writeWithBloom]], read from the column-chunk metadata via the
+    * parquet-hadoop footer API (no data pages touched). */
+  def bloomColumns(spark: SparkSession, file: String): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try {
+      reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        .filter(_.getBloomFilterOffset >= 0)
+        .map(_.getPath.toDotString).distinct.toSeq
+    } finally reader.close()
+  }
+
   /** Per-file [min, max] of `keyCol` across the files of a parquet dir —
     * the clustering-quality audit: tight, mostly-disjoint windows mean
     * min/max pruning works; windows spanning the global range mean the

@@ -68,6 +68,23 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("bloom-filtered write carries blooms on exactly the requested columns") {
+    val in = sf("sf0.001") + "/lineitem.parquet"
+    val out = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    Layout.writeWithBloom(spark.read.parquet(in), out,
+      Seq("l_orderkey", "l_partkey"), numFiles = 2, ndv = 10000L)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val cols = Layout.bloomColumns(spark, f)
+      assert(cols.toSet == Set("l_orderkey", "l_partkey"),
+        s"$f blooms: $cols")
+    }
+    // content survives the rewrite
+    assert(spark.read.parquet(out).count() == spark.read.parquet(in).count())
+  }
+
   test("zValue interleaves bits so both keys share locality") {
     import spark.implicits._
     // 4 corner points of a 2-D grid: z-values must order corners so that
