@@ -21,7 +21,9 @@ def canon(rows, cols):
         for i in idx:
             v = r[i]
             if isinstance(v, float):
-                v = round(v, 6)
+                # + 0.0 folds -0.0 into 0.0: Spark's BigDecimal round has no
+                # signed zero while DuckDB keeps it, and repr distinguishes
+                v = round(v, 6) + 0.0
             rr.append(repr(v))
         out.append("|".join(rr))
     out.sort()

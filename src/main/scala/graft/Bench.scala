@@ -59,19 +59,32 @@ object Bench {
   /** One timed end-to-end ETL: enrich → gate → rollup → partitioned star
     * write, accounting riding the fact write as observed metrics (source
     * scanned once). Returns (rows_read, seconds). */
+  /** Recursively delete a measurement's scratch dir — rep loops
+    * ([[Time]]) would otherwise leave one star copy per rep on /tmp. */
+  private def rmTree(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    if (Files.exists(root))
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+  }
+
   def etlOnce(spark: SparkSession, sfDir: String): (Long, Double) = {
     val in = sportsTvInputs(spark, sfDir)
     val t0 = System.nanoTime()
     val etl = Pipeline.runSinglePass(
       spark, in.txns, in.assets, in.users, in.postal, in.cities, in.countries)
     val out = java.nio.file.Files.createTempDirectory("graft_bench_star").toString
-    StarStore.writeFact(etl.fact, out)
-    val (stats, _) = etl.finish()
-    val sec = (System.nanoTime() - t0) / 1e9
-    System.err.println(
-      f"[bench] etl rows=${stats.read} valid=${stats.valid} " +
-        f"sec=$sec%.1f throughput=${stats.read / sec}%.0f rec/s")
-    (stats.read, sec)
+    try {
+      StarStore.writeFact(etl.fact, out)
+      val (stats, _) = etl.finish()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[bench] etl rows=${stats.read} valid=${stats.valid} " +
+          f"sec=$sec%.1f throughput=${stats.read / sec}%.0f rec/s")
+      (stats.read, sec)
+    } finally rmTree(out)
   }
 
   /** One timed streaming-ingest drain: a quarter of the txns through the
@@ -82,21 +95,23 @@ object Bench {
     val in = sportsTvInputs(spark, sfDir)
     val streamTxns = in.txns.filter(col("transaction_id") % 4 === 0)
     val dropDir = java.nio.file.Files.createTempDirectory("graft_bench_drop").toString
-    streamTxns.repartition(6).write.mode(SaveMode.Overwrite).parquet(dropDir)
-    val nStream = spark.read.parquet(dropDir).count()
     val streamStore = java.nio.file.Files.createTempDirectory("graft_bench_stream").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
-    val t1 = System.nanoTime()
-    val q = graft.streaming.StreamingIngest.start(
-      spark, dropDir, streamStore, in.assets, in.users, in.postal, in.cities,
-      ckpt, maxFilesPerTrigger = Some(2))
-    q.processAllAvailable()
-    q.stop()
-    val sec = (System.nanoTime() - t1) / 1e9
-    System.err.println(
-      f"[bench] stream_ingest rows=$nStream sec=$sec%.1f " +
-        f"throughput=${nStream / sec}%.0f rec/s")
-    (nStream, sec)
+    try {
+      streamTxns.repartition(6).write.mode(SaveMode.Overwrite).parquet(dropDir)
+      val nStream = spark.read.parquet(dropDir).count()
+      val t1 = System.nanoTime()
+      val q = graft.streaming.StreamingIngest.start(
+        spark, dropDir, streamStore, in.assets, in.users, in.postal, in.cities,
+        ckpt, maxFilesPerTrigger = Some(2))
+      q.processAllAvailable()
+      q.stop()
+      val sec = (System.nanoTime() - t1) / 1e9
+      System.err.println(
+        f"[bench] stream_ingest rows=$nStream sec=$sec%.1f " +
+          f"throughput=${nStream / sec}%.0f rec/s")
+      (nStream, sec)
+    } finally Seq(dropDir, streamStore, ckpt).foreach(rmTree)
   }
 
   def main(args: Array[String]): Unit = {

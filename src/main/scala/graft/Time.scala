@@ -36,9 +36,14 @@ object Time {
       println(f"[time] $name $sec%.2f s")
     }
     if (reps > 1) names.foreach { n =>
-      val ts = timings(n)
+      val ts = timings(n).sorted
+      // true median: mean of the two middles on even counts — taking the
+      // upper middle would report the MAX as "median" for reps=2
+      val med =
+        if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2
       println(f"[time] $n summary min=${ts.min}%.2f s " +
-        f"median=${ts.sorted.apply(ts.size / 2)}%.2f s max=${ts.max}%.2f s")
+        f"median=$med%.2f s max=${ts.max}%.2f s")
     }
     spark.stop()
   }

@@ -29,6 +29,11 @@ object Layout {
   private[etl] def zValue(cols: Seq[Column], mins: Seq[Double],
       maxs: Seq[Double], bits: Int): Column = {
     val n = cols.size
+    // Java's long shift wraps mod 64 — positions past bit 62 would alias
+    // into low bits and silently scramble the curve, so refuse instead
+    require(n * bits <= 63,
+      s"z-value needs $n*$bits=${n * bits} bits; at most 63 fit a long — " +
+        "lower `bits` or cluster on fewer columns")
     val buckets = cols.zipWithIndex.map { case (c, j) =>
       val lo = mins(j)
       val span = math.max(maxs(j) - lo, java.lang.Double.MIN_NORMAL)
@@ -40,6 +45,21 @@ object Layout {
       .reduce(_ + _)
   }
 
+  /** Order-preserving numeric view of a column: dates as days since
+    * epoch, timestamps (tz or ntz) as seconds since epoch — Spark forbids
+    * a direct CAST(date AS double), so the docstring's "date/timestamp"
+    * promise needs this bridge. Everything else passes through. */
+  private def epochBridge(c: Column,
+      t: org.apache.spark.sql.types.DataType): Column = t match {
+    case org.apache.spark.sql.types.DateType =>
+      datediff(c, to_date(lit("1970-01-01")))
+    case org.apache.spark.sql.types.TimestampType =>
+      unix_timestamp(c)
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      unix_timestamp(c.cast("timestamp"))
+    case _ => c
+  }
+
   /** Rewrite `inDir` into `outDir` as `numFiles` files z-ordered on
     * `clusterCols` (numeric or date/timestamp — anything castable to
     * double preserving order). Row content is unchanged; only placement
@@ -48,14 +68,19 @@ object Layout {
   def clusterBy(spark: SparkSession, inDir: String, outDir: String,
       clusterCols: Seq[String], numFiles: Int, bits: Int = 8): Unit = {
     val df = spark.read.parquet(inDir)
+    // dates can't CAST to double directly; bridge order-preservingly
+    // through days/seconds-since-epoch so the docstring's "date/timestamp"
+    // promise actually holds
+    val numeric: Map[String, Column] =
+      clusterCols.map(c => c -> epochBridge(col(c), df.schema(c).dataType)).toMap
     val statExprs = clusterCols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"min_$c"),
-      max(col(c).cast("double")).as(s"max_$c")))
+      min(numeric(c).cast("double")).as(s"min_$c"),
+      max(numeric(c).cast("double")).as(s"max_$c")))
     val stats = df.agg(statExprs.head, statExprs.tail: _*).head()
     val mins = clusterCols.indices.map(i => stats.getDouble(2 * i))
     val maxs = clusterCols.indices.map(i => stats.getDouble(2 * i + 1))
     df.withColumn("__z",
-        zValue(clusterCols.map(col), mins, maxs, bits))
+        zValue(clusterCols.map(numeric), mins, maxs, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -118,9 +143,9 @@ object Layout {
     val files = new java.io.File(dir).listFiles()
       .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
     files.toSeq.map { f =>
-      val r = spark.read.parquet(f)
-        .agg(min(col(keyCol).cast("double")), max(col(keyCol).cast("double")))
-        .head()
+      val df = spark.read.parquet(f)
+      val k = epochBridge(col(keyCol), df.schema(keyCol).dataType)
+      val r = df.agg(min(k.cast("double")), max(k.cast("double"))).head()
       (f, r.getDouble(0), r.getDouble(1))
     }
   }

@@ -66,30 +66,43 @@ object Mp4Meta {
     var duration = 0L
     val tracks = Seq.newBuilder[Track]
 
+    // every fixed-layout field read is bounds-checked against ITS OWN box
+    // end — a framing-consistent but short box (size lies within range but
+    // the payload is smaller than the version's layout) must fail loudly,
+    // not read the next sibling's bytes as width/height
+    def need(boxType: String, s: Int, end: Int, upTo: Int): Unit =
+      if (upTo > end) fail(s"'$boxType' box too short for its version layout")
+
     boxes(b, moov._2, moov._3).foreach {
-      case ("mvhd", s, _) =>
+      case ("mvhd", s, e) =>
+        need("mvhd", s, e, s + 1)
         val version = b.get(s) & 0xFF
         if (version == 1) { // 64-bit creation/modification times
+          need("mvhd", s, e, s + 4 + 28)
           timescale = b.getInt(s + 4 + 16).toLong & 0xFFFFFFFFL
           duration = b.getLong(s + 4 + 20)
         } else {
+          need("mvhd", s, e, s + 4 + 16)
           timescale = b.getInt(s + 4 + 8).toLong & 0xFFFFFFFFL
           duration = b.getInt(s + 4 + 12).toLong & 0xFFFFFFFFL
         }
       case ("trak", ts, te) =>
         var w = 0; var h = 0; var kind = "unknown"
         boxes(b, ts, te).foreach {
-          case ("tkhd", s, _) =>
+          case ("tkhd", s, e) =>
+            need("tkhd", s, e, s + 1)
             val version = b.get(s) & 0xFF
             // width/height are the LAST 8 bytes of tkhd (16.16 fixed),
             // at a version-dependent offset from the payload start
             val base = if (version == 1) s + 4 + 32 else s + 4 + 20
             val dimOff = base + 8 + 2 + 2 + 2 + 2 + 36
+            need("tkhd", s, e, dimOff + 8)
             w = b.getInt(dimOff) >>> 16
             h = b.getInt(dimOff + 4) >>> 16
           case ("mdia", ms, me) =>
             boxes(b, ms, me).foreach {
-              case ("hdlr", s, _) =>
+              case ("hdlr", s, e) =>
+                need("hdlr", s, e, s + 12)
                 val handler = new String(Array(
                   b.get(s + 8), b.get(s + 9), b.get(s + 10), b.get(s + 11)),
                   java.nio.charset.StandardCharsets.US_ASCII)

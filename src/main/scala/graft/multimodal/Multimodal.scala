@@ -121,12 +121,14 @@ object Multimodal {
 
   /** REAL resize path for compressed images: nearest-neighbour on decoded
     * pixels, re-encoded PNG (lossless — reproducible artifacts), metadata
-    * and kind updated alongside. */
+    * and kind updated alongside. Repartitions by media_id like every
+    * other decode path — a single-partition input would otherwise funnel
+    * all decode+re-encode work through one core. */
   def resizeCompressedImages(spark: SparkSession, media: DataFrame, w: Int,
-      h: Int): Dataset[MediaRow] = {
+      h: Int, partitions: Int = 32): Dataset[MediaRow] = {
     import spark.implicits._
     media.filter(col("kind").isin("image/jpeg", "image/png", "image/bmp", "image/gif"))
-      .as[MediaRow]
+      .repartition(partitions, col("media_id")).as[MediaRow]
       .mapPartitions(_.map(m =>
         m.copy(content = ImageIoCodec.resizeNearest(m.content, w, h),
           kind = "image/png", width = w, height = h)))

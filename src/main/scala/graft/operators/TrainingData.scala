@@ -683,7 +683,17 @@ object TrainingData {
     * broadcast limits at 100 TB, so no broadcast hint: AQE picks one when
     * it fits). Per-token ratios are rounded to 6 dp and summed as
     * DECIMAL(18,6) — exact, order-invariant arithmetic, so the score
-    * hash-matches any engine regardless of partition order. */
+    * hash-matches any engine regardless of partition order.
+    *
+    * ln() is not an IEEE correctly-rounded primitive (unlike the √ t22
+    * restricts itself to), so a 1-ulp JVM-vs-libm difference could in
+    * principle flip a 6-dp llr boundary. The exposure at the COMPARED
+    * value is smaller than it looks: a flipped llr shifts `sum_llr` by
+    * 1e-6, the per-doc mean by 1e-6/n_tokens ≈ 1e-8, which changes the
+    * 4-dp `dsir_score` only when the mean also sits within 1e-8 of a
+    * 5e-5 rounding boundary — a double coincidence at ~1e-9 per corpus.
+    * Accepted and documented rather than re-formulated, because the LLR
+    * IS the DSIR statistic. */
   def t20ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
     val toks = graft.Caches.persistReplacing("t20Toks",
       Tables(spark, dir, "documents")

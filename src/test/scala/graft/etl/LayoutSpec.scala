@@ -85,6 +85,36 @@ class LayoutSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == spark.read.parquet(in).count())
   }
 
+  test("clusterBy accepts date and timestamp columns (epoch bridge)") {
+    // cover the DATE branch explicitly — the testdata column is timestamp,
+    // so derive a genuine DateType column first
+    val dated = java.nio.file.Files.createTempDirectory("graft_zdate_in").toString
+    spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+      .write.mode("overwrite").parquet(dated)
+    val out = java.nio.file.Files.createTempDirectory("graft_zdate").toString
+    Layout.clusterBy(spark, dated, out,
+      Seq("o_orderdate", "o_custkey"), numFiles = 4)
+    val ranges = Layout.fileRanges(spark, out, "o_orderdate")
+    assert(ranges.size >= 2)
+    // clustering on the date key must actually localize it
+    val g = ranges.map(_._2).min -> ranges.map(_._3).max
+    val cov = avgCoverage(ranges, g._1, g._2)
+    assert(cov < 0.8, s"date coverage $cov not tight")
+    // and the timestamp branch planning-checks on the raw table
+    val outT = java.nio.file.Files.createTempDirectory("graft_ztime").toString
+    Layout.clusterBy(spark, sf("sf0.001") + "/orders.parquet", outT,
+      Seq("o_orderdate"), numFiles = 2)
+    assert(Layout.fileRanges(spark, outT, "o_orderdate").nonEmpty)
+  }
+
+  test("zValue refuses bit budgets that overflow a long") {
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq.fill(9)(org.apache.spark.sql.functions.lit(1)),
+        Seq.fill(9)(0.0), Seq.fill(9)(1.0), bits = 8)
+    }
+  }
+
   test("zValue interleaves bits so both keys share locality") {
     import spark.implicits._
     // 4 corner points of a 2-D grid: z-values must order corners so that

@@ -282,5 +282,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(probed.head.duration_ms == 992)
     assert(probed.head.sample_rate_hz == 44100)
     intercept[IllegalArgumentException](Mp3Meta.parse("RIFFnope".getBytes))
+    // trailing junk that HAPPENS to carry sync bits (0xFF padding) after
+    // valid frames must not reject the file — stop, keep what parsed
+    val padded = tinyMp3(nFrames = 3) ++ Array.fill[Byte](7)(0xFF.toByte)
+    assert(Mp3Meta.parse(padded).frames == 3)
+    // ID3v2.4 footer flag: the 10-byte footer is skipped too
+    val withFooter = {
+      val body = Array.fill[Byte](12)(1)
+      Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 12) ++ body ++
+        Array[Byte]('3', 'D', 'I', 4, 0, 0x10, 0, 0, 0, 12) ++
+        mp3Frame(128, 0) ++ mp3Frame(128, 0)
+    }
+    assert(Mp3Meta.parse(withFooter).frames == 2)
   }
 }
