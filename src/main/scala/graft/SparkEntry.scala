@@ -47,6 +47,7 @@ object SparkEntry {
     "q29_spend_deciles" -> (Relational.q29SpendDeciles _),
     "t23_source_dup_report" -> (TrainingData.t23SourceDupReport _),
     "t24_selection_funnel" -> (TrainingData.t24SelectionFunnel _),
+    "t25_token_inventory" -> (TrainingData.t25TokenInventory _),
     "q23_moving_window" -> (Relational.q23MovingWindow _),
     "q24_histogram" -> ((s: SparkSession, d: String) => Relational.q24Histogram(s, d)),
     "q25_scd2" -> (Relational.q25Scd2 _),
@@ -838,6 +839,27 @@ object SparkEntry {
         |FROM d JOIN rc USING (lang)
         |GROUP BY 1, 2, 3, 4, 5, 6
         |ORDER BY 1""".stripMargin,
+    "t25_token_inventory" ->
+      """WITH s AS (SELECT source, lang,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INT) AS nonspace,
+        |  CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'),
+        |    w -> regexp_matches(w, '[a-z]'))) AS INT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS INT) AS n_stopwords
+        |FROM documents),
+        |k AS (SELECT source, lang, n_words,
+        |    (n_words BETWEEN 50 AND 100000)
+        |    AND (round(CAST(nonspace AS DOUBLE) / n_words, 4) BETWEEN 3.0 AND 10.0)
+        |    AND (round(CAST(n_alpha AS DOUBLE) / n_words, 4) >= 0.8)
+        |    AND (n_stopwords >= 2) AS keep
+        |  FROM s WHERE n_words > 0)
+        |SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(SUM(n_words) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS tokens_usable,
+        |  round(CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS DOUBLE)
+        |    / SUM(n_words), 4) AS usable_rate
+        |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t24_selection_funnel" ->
       """WITH d AS (SELECT doc_id, source, lang,
         |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS n_tok,

@@ -368,6 +368,40 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Usable-token inventory: per (source, lang), total vs quality-gated
+    * documents and tokens — the capacity-planning table that answers "how
+    * many trainable tokens does each slice actually hold" before any
+    * mixing math runs (t14/t18/t22 budgets assume all tokens are usable;
+    * this is the corrected numerator). Gate = t17's Gopher conjunction,
+    * recomputed inline as a per-row projection — one scan, one grain
+    * shuffle, no joins. */
+  def t25TokenInventory(spark: SparkSession, dir: String): DataFrame = {
+    val okLength = col("n_words") >= 50 && col("n_words") <= 100000
+    val okMeanLen = col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0
+    val okAlpha = col("frac_alpha_words") >= 0.8
+    val okStop = col("n_stopwords") >= 2
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+        TextAnalysis.alphaWordFraction(col("text")).as("frac_alpha_words"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stopwords"))
+      .filter(col("n_words") > 0)
+      .withColumn("keep", okLength && okMeanLen && okAlpha && okStop)
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("n_words").cast("long")).as("tokens_total"),
+        sum(when(col("keep"), col("n_words").cast("long")).otherwise(0L))
+          .as("tokens_usable"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_keep"),
+        col("tokens_total"), col("tokens_usable"),
+        round(col("tokens_usable").cast("double") / col("tokens_total"), 4)
+          .as("usable_rate"))
+      .orderBy("source", "lang")
+  }
+
   /** Exact duplicate groups (hash-groupBy dedup). */
   def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir, "documents"))

@@ -85,6 +85,21 @@ class CurationSelectSpec extends SparkTestBase {
     assert(rows.length.toLong == base)
   }
 
+  test("token inventory reconciles with the quality-rule gate") {
+    val real = sf("sf0.001")
+    val inv = TrainingData.t25TokenInventory(spark, real).collect()
+    assert(inv.nonEmpty)
+    inv.foreach { r =>
+      assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_usable") <= r.getAs[Long]("tokens_total"))
+    }
+    // the inventory's keep count must equal t17's per-document decisions
+    val keepTotal = inv.map(_.getAs[Long]("n_keep")).sum
+    val t17Keep = TrainingData.t17QualityRules(spark, real)
+      .filter(col("keep")).count()
+    assert(keepTotal == t17Keep)
+  }
+
   test("source dup report reconciles with the manifest's totals") {
     val real = sf("sf0.001")
     val report = TrainingData.t23SourceDupReport(spark, real).collect()
