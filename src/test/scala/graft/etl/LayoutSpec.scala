@@ -115,6 +115,25 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("zValue is monotone along each axis (property sweep)") {
+    import spark.implicits._
+    // for any fixed partner coordinate, increasing one coordinate's value
+    // must never decrease z — the property that makes per-axis range
+    // filters align with curve segments. Exhaustive over a coarse grid
+    // (seeded sweep, not scalacheck, so the failure case is printable).
+    val rnd = new scala.util.Random(7)
+    val triples = Seq.fill(200)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(255)))
+    val df = triples.toDF("y", "x1", "delta")
+      .withColumn("x2", least(col("x1") + col("delta") + 1, lit(255)))
+    val bad = df.select(
+      Layout.zValue(Seq(col("x1"), col("y")), Seq(0, 0), Seq(255, 255), 8).as("z1"),
+      Layout.zValue(Seq(col("x2"), col("y")), Seq(0, 0), Seq(255, 255), 8).as("z2"),
+      col("x1"), col("x2"), col("y"))
+      .filter(col("x2") > col("x1") && col("z2") <= col("z1"))
+      .collect()
+    assert(bad.isEmpty, s"monotonicity violated: ${bad.take(3).mkString(";")}")
+  }
+
   test("zValue interleaves bits so both keys share locality") {
     import spark.implicits._
     // 4 corner points of a 2-D grid: z-values must order corners so that
