@@ -45,6 +45,7 @@ object SparkEntry {
     "q22_rollup" -> (Relational.q22Rollup _),
     "q28_cube" -> (Relational.q28Cube _),
     "q29_spend_deciles" -> (Relational.q29SpendDeciles _),
+    "q30_event_funnel" -> (Relational.q30EventFunnel _),
     "t23_source_dup_report" -> (TrainingData.t23SourceDupReport _),
     "t24_selection_funnel" -> (TrainingData.t24SelectionFunnel _),
     "t25_token_inventory" -> (TrainingData.t25TokenInventory _),
@@ -480,6 +481,32 @@ object SparkEntry {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY CUBE(n.n_name, year(o.o_orderdate))
         |ORDER BY g_nation, g_yr, nation, yr""".stripMargin,
+    "q30_event_funnel" ->
+      """WITH staged AS (SELECT user_id, event_type,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS viewed_before,
+        |    ts, event_id
+        |  FROM events),
+        |s2 AS (SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN event_type = 'click' AND viewed_before = 1 THEN 1 ELSE 0 END AS click_ok
+        |  FROM staged),
+        |s3 AS (SELECT user_id, event_type, click_ok,
+        |    MAX(click_ok) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS clicked_before
+        |  FROM s2),
+        |per_user AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS u1,
+        |    MAX(click_ok) AS u2,
+        |    MAX(CASE WHEN event_type = 'purchase' AND clicked_before = 1
+        |        THEN 1 ELSE 0 END) AS u3
+        |  FROM s3 GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(u1) AS BIGINT) AS n_viewed,
+        |  CAST(SUM(u2) AS BIGINT) AS n_clicked_after_view,
+        |  CAST(SUM(u3) AS BIGINT) AS n_purchased_after_click,
+        |  round(CAST(SUM(u3) AS DOUBLE) / SUM(u1), 4) AS view_to_purchase_rate
+        |FROM per_user""".stripMargin,
     "q29_spend_deciles" ->
       """WITH s AS (SELECT o_custkey,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend

@@ -437,6 +437,51 @@ object Relational {
       .orderBy("decile")
   }
 
+  // ---------------------------------------------------------------- Q30 (funnel)
+  /** Sequential conversion funnel over the event stream: users who
+    * viewed, then clicked STRICTLY AFTER a view, then purchased strictly
+    * after that click — order matters, which is what separates a funnel
+    * from three independent filters (a purchase before any view must not
+    * count). Implemented as chained running flags over ONE per-user
+    * window (two window passes, same partition spec → a single shuffle
+    * on user_id; each stage's flag looks only at STRICTLY EARLIER rows
+    * via ROWS UNBOUNDED PRECEDING..1 PRECEDING, with event_id breaking
+    * ts ties deterministically). The per-user reduction then collapses
+    * to one counts row — the same funnel shape ClickHouse's
+    * windowFunnel / warehouse funnel queries compute. */
+  def q30EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val earlier = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val staged = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("viewed_before",
+        max(when(col("event_type") === "view", 1).otherwise(0)).over(earlier))
+      .withColumn("click_ok",
+        when(col("event_type") === "click" && col("viewed_before") === 1, 1)
+          .otherwise(0))
+    val flagged = staged
+      .withColumn("clicked_before", max(col("click_ok")).over(earlier))
+      .withColumn("purchase_ok",
+        when(col("event_type") === "purchase" && col("clicked_before") === 1, 1)
+          .otherwise(0))
+    flagged.groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("s1"),
+        max(col("click_ok")).as("s2"),
+        max(col("purchase_ok")).as("s3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("s1").cast("long")).as("n_viewed"),
+        sum(col("s2").cast("long")).as("n_clicked_after_view"),
+        sum(col("s3").cast("long")).as("n_purchased_after_click"))
+      .select(col("n_users"), col("n_viewed"), col("n_clicked_after_view"),
+        col("n_purchased_after_click"),
+        round(col("n_purchased_after_click").cast("double") / col("n_viewed"), 4)
+          .as("view_to_purchase_rate"))
+  }
+
   // ---------------------------------------------------------------- Q23 (rolling)
   /** Rolling time-series analytics over the daily per-country series:
     * 7-row moving average + running cumulative total, partitioned by

@@ -92,6 +92,33 @@ class RelationalSpec extends SparkTestBase {
     assert(math.abs(total - src) < 1.0)
   }
 
+  test("q30 funnel counts only strictly-ordered stage sequences") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val events = Seq(
+      // u1: the full ordered path
+      (1L, t(1), 10L, "view"), (2L, t(2), 10L, "click"), (3L, t(3), 10L, "purchase"),
+      // u2: all three types but in REVERSE order — only the view counts
+      (4L, t(1), 20L, "purchase"), (5L, t(2), 20L, "click"), (6L, t(3), 20L, "view"),
+      // u3: click precedes its view, purchase follows — chain broken at step 2
+      (7L, t(1), 30L, "click"), (8L, t(2), 30L, "view"), (9L, t(3), 30L, "purchase"),
+      // u4: view then purchase, no click — chain broken at step 3
+      (10L, t(1), 40L, "view"), (11L, t(2), 40L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    // Tables' events branch expects the driver layout: int64 NANOS ts
+    events.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Relational.q30EventFunnel(spark, tmp).head()
+    assert(r.getAs[Long]("n_users") == 4)
+    assert(r.getAs[Long]("n_viewed") == 4)
+    assert(r.getAs[Long]("n_clicked_after_view") == 1)
+    assert(r.getAs[Long]("n_purchased_after_click") == 1)
+    assert(r.getAs[Double]("view_to_purchase_rate") == 0.25)
+  }
+
   test("q17 flagship grain is unique and conserves transactions") {
     val f = Relational.q17EtlStarRollup(spark, dir)
     val dupes = f.groupBy("d", "n_name", "bucket").count()
