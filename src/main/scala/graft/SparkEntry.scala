@@ -46,6 +46,8 @@ object SparkEntry {
     "q28_cube" -> (Relational.q28Cube _),
     "q29_spend_deciles" -> (Relational.q29SpendDeciles _),
     "q30_event_funnel" -> (Relational.q30EventFunnel _),
+    "q31_cohort_retention" -> (Relational.q31CohortRetention _),
+    "q32_merge_upsert" -> (Relational.q32MergeUpsert _),
     "t23_source_dup_report" -> (TrainingData.t23SourceDupReport _),
     "t24_selection_funnel" -> (TrainingData.t24SelectionFunnel _),
     "t25_token_inventory" -> (TrainingData.t25TokenInventory _),
@@ -96,6 +98,7 @@ object SparkEntry {
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
+    "s03a_srp_full_dial" -> (TrainingData.s03aSrpFullDial _),
     "s04_ivf_ann_topk" -> (TrainingData.s04IvfAnnTopK _),
     "s04a_ivf_full_probe" -> (TrainingData.s04aIvfFullProbe _),
     "s05_label_centroids" -> (TrainingData.s05LabelCentroids _),
@@ -507,6 +510,50 @@ object SparkEntry {
         |  CAST(SUM(u3) AS BIGINT) AS n_purchased_after_click,
         |  round(CAST(SUM(u3) AS DOUBLE) / SUM(u1), 4) AS view_to_purchase_rate
         |FROM per_user""".stripMargin,
+    "q31_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week
+        |  FROM events),
+        |sf AS (SELECT user_id, week,
+        |    MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM wk),
+        |tri AS (SELECT cohort_week,
+        |    CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS weeks_since,
+        |    COUNT(*) AS n_active
+        |  FROM sf GROUP BY 1, 2)
+        |SELECT cohort_week, weeks_since, n_active,
+        |  CAST(SUM(CASE WHEN weeks_since = 0 THEN n_active ELSE 0 END)
+        |    OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size,
+        |  round(CAST(n_active AS DOUBLE)
+        |    / SUM(CASE WHEN weeks_since = 0 THEN n_active ELSE 0 END)
+        |      OVER (PARTITION BY cohort_week), 4) AS retention
+        |FROM tri ORDER BY cohort_week, weeks_since""".stripMargin,
+    "q32_merge_upsert" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 100000 AS o_totalprice, o_orderdate,
+        |         o_orderpriority, FALSE AS is_delete
+        |  FROM orders WHERE o_orderkey % 1000 < 10
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, FALSE
+        |  FROM orders WHERE o_orderkey % 1000 BETWEEN 10 AND 12
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, TRUE
+        |  FROM orders WHERE o_orderkey % 1000 BETWEEN 13 AND 15),
+        |merged AS (
+        |  SELECT t.* FROM orders t
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s
+        |                    WHERE s.o_orderkey = t.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM src WHERE NOT is_delete)
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q29_spend_deciles" ->
       """WITH s AS (SELECT o_custkey,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
@@ -1005,6 +1052,9 @@ object SparkEntry {
     // brute-force oracle hash-verifies the full IVF pipeline (quantizer,
     // routing, per-cell scan); s04 keeps the production nprobe setting
     "s04a_ivf_full_probe" -> bruteTopkSql,
+    // SRP with zero planes is exact the same way: one bucket = whole-corpus
+    // candidate set, so the SAME oracle hash-verifies the SRP machinery
+    "s03a_srp_full_dial" -> bruteTopkSql,
     "s08_knn_label_agreement" ->
       """WITH q AS (SELECT vec_id AS qid, label AS q_label,
         |             CAST(embedding AS DOUBLE[]) qv

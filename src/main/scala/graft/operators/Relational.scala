@@ -482,6 +482,70 @@ object Relational {
           .as("view_to_purchase_rate"))
   }
 
+  // ---------------------------------------------------------------- Q31 (cohort)
+  /** Weekly cohort-retention triangle: users grouped by first-activity
+    * week (Monday-truncated), then for each cohort the count still active
+    * N weeks later and the retention rate vs the cohort's own size — the
+    * classic subscription/engagement report q30's funnel feeds into.
+    * Shape: ONE shuffle on user_id collects each user's distinct active
+    * weeks as a sorted bounded array (≤ calendar weeks, partial-aggregated
+    * map-side), so first week and per-week activity come out of the same
+    * exchange; the only other shuffle is the tiny (cohort, weeks_since)
+    * grain. Cohort size rides a window over the already-tiny triangle
+    * (|weeks|² rows) instead of a self-join. */
+  def q31CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("week"))).as("weeks"))
+    val sinceFirst = byUser
+      .select(col("user_id"), col("weeks").getItem(0).as("cohort_week"),
+        explode(col("weeks")).as("week"))
+      .withColumn("weeks_since",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+    val triangle = sinceFirst
+      .groupBy("cohort_week", "weeks_since")
+      .agg(count(lit(1)).as("n_active"))
+    triangle
+      .withColumn("cohort_size",
+        sum(when(col("weeks_since") === 0, col("n_active")).otherwise(0L))
+          .over(Window.partitionBy("cohort_week")))
+      .select(col("cohort_week"), col("weeks_since"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  // ---------------------------------------------------------------- Q32 (MERGE)
+  /** ANSI MERGE exercised end to end on the orders table with a
+    * deterministic change batch derived from the table itself — every
+    * branch fires: keys ≡ 0..9 (mod 1000) are UPDATED (+100000 price),
+    * 10..12 are INSERTED as fresh negative keys (guaranteed absent),
+    * 13..15 are DELETED. The post-merge per-status count/total summary is
+    * the oracle-checked witness that exactly the right rows moved. See
+    * [[Merge.merge]] for the single-anti-join plan shape. */
+  def q32MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir, "orders")
+    val m = col("o_orderkey") % 1000
+    val updates = t.filter(m < 10)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000)
+      .withColumn("is_delete", lit(false))
+    val inserts = t.filter(m >= 10 && m < 13)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+      .withColumn("is_delete", lit(false))
+    val deletes = t.filter(m >= 13 && m < 16)
+      .withColumn("is_delete", lit(true))
+    val batch = updates.unionByName(inserts).unionByName(deletes)
+    Merge.merge(t, batch, Seq("o_orderkey"),
+        deleteWhen = Some(col("is_delete")), dropCols = Seq("is_delete"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        money(dsum(col("o_totalprice"))).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---------------------------------------------------------------- Q23 (rolling)
   /** Rolling time-series analytics over the daily per-country series:
     * 7-row moving average + running cumulative total, partitioned by

@@ -600,6 +600,16 @@ object TrainingData {
       col("vec_id") < 5, k = 5)
       .orderBy("qid", "rank")
 
+  /** SRP with ZERO planes: one bucket, so the candidate equi-join visits
+    * the whole corpus and the result is exact by construction — the same
+    * full-dial audit as s04a, hash-checking the entire SRP pipeline
+    * (bucket expression, candidate join, ranking) against the brute-force
+    * DuckDB oracle. s03 keeps the production 8-plane setting. */
+  def s03aSrpFullDial(spark: SparkSession, dir: String): DataFrame =
+    Similarity.srpBucketTopK(Tables(spark, dir, "embeddings"),
+      col("vec_id") < 5, k = 5, numPlanes = 0)
+      .orderBy("qid", "rank")
+
   /** IVF ANN top-5 (no SQL oracle: KMeans cells have no DuckDB analog;
     * exactness at full probe + structure verified in SimilaritySpec). */
   def s04IvfAnnTopK(spark: SparkSession, dir: String): DataFrame =

@@ -96,12 +96,16 @@ object Similarity {
   }
 
   /** SRP bucket id: the sign pattern of `numPlanes` projections, packed
-    * into an int. Same expression applied to both sides of the join. */
+    * into an int. Same expression applied to both sides of the join.
+    * Zero planes is the exact dial: every row lands in bucket 0, the
+    * candidate equi-join degenerates to the brute-force broadcast scan,
+    * and the whole SRP pipeline becomes hash-checkable against the
+    * brute-force oracle (the s03a audit). */
   private def srpBucket(v: Column, ps: Seq[Array[Float]]): Column =
     ps.zipWithIndex.map { case (p, i) =>
       val proj = dot(v, array(p.map(lit).toIndexedSeq: _*))
       when(proj >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+    }.reduceOption(_ + _).getOrElse(lit(0))
 
   /** Approximate top-k: candidates restricted to the query's SRP bucket.
     * `numPlanes` trades recall for bucket size (16 planes ≈ 64 K buckets). */

@@ -119,6 +119,34 @@ class RelationalSpec extends SparkTestBase {
     assert(r.getAs[Double]("view_to_purchase_rate") == 0.25)
   }
 
+  test("q31 cohorts form on the first active week; retention is vs own cohort") {
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // Mondays: W0=2024-01-01 W1=01-08 W2=01-15 W3=01-22; events land
+    // mid-week so the Monday truncation is actually exercised
+    val events = Seq(
+      (1L, ts("2024-01-03"), 1L), (2L, ts("2024-01-10"), 1L), // u1: W0 W1 W3
+      (3L, ts("2024-01-24"), 1L), (4L, ts("2024-01-04"), 1L), // u1 twice in W0
+      (5L, ts("2024-01-05"), 2L),                             // u2: W0 only
+      (6L, ts("2024-01-09"), 3L), (7L, ts("2024-01-17"), 3L)) // u3: W1 W2
+      .toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cohort").toString
+    events.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Relational.q31CohortRetention(spark, tmp).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_week").toString,
+        r.getAs[Int]("weeks_since"), r.getAs[Long]("n_active"),
+        r.getAs[Long]("cohort_size"), r.getAs[Double]("retention"))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-01", 3, 1L, 2L, 0.5),
+      ("2024-01-08", 0, 1L, 1L, 1.0),
+      ("2024-01-08", 1, 1L, 1L, 1.0)))
+  }
+
   test("q17 flagship grain is unique and conserves transactions") {
     val f = Relational.q17EtlStarRollup(spark, dir)
     val dupes = f.groupBy("d", "n_name", "bucket").count()

@@ -20,6 +20,14 @@ class SimilaritySpec extends SparkTestBase {
     got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("SRP at zero planes equals brute force exactly (the s03a dial)") {
+    val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    val full = Similarity.srpBucketTopK(emb, col("vec_id") < 5, k = 5,
+      numPlanes = 0).orderBy("qid", "rank").collect().toSeq
+    assert(full == bf)
+  }
+
   test("brute-force top-k: k rows per query, descending, self excluded") {
     val top = Similarity.bruteForceTopK(emb, col("vec_id") < 3, k = 5).collect()
     assert(top.length == 15)
