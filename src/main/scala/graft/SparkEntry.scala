@@ -51,6 +51,7 @@ object SparkEntry {
     "t23_source_dup_report" -> (TrainingData.t23SourceDupReport _),
     "t24_selection_funnel" -> (TrainingData.t24SelectionFunnel _),
     "t25_token_inventory" -> (TrainingData.t25TokenInventory _),
+    "t26_expectations" -> (TrainingData.t26Expectations _),
     "q23_moving_window" -> (Relational.q23MovingWindow _),
     "q24_histogram" -> ((s: SparkSession, d: String) => Relational.q24Histogram(s, d)),
     "q25_scd2" -> (Relational.q25Scd2 _),
@@ -913,6 +914,39 @@ object SparkEntry {
         |FROM d JOIN rc USING (lang)
         |GROUP BY 1, 2, 3, 4, 5, 6
         |ORDER BY 1""".stripMargin,
+    "t26_expectations" ->
+      """WITH m AS (SELECT
+        |  CAST(round(CAST(CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,10)), 6) AS DOUBLE) AS doc_id_unique,
+        |  CAST(round(CAST(AVG(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END)
+        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS text_complete,
+        |  CAST(round(CAST(AVG(CASE WHEN lang IN ('de','en','es','fr','zh')
+        |    THEN 1.0 ELSE 0.0 END) AS DECIMAL(28,10)), 6) AS DOUBLE) AS lang_accepted,
+        |  CAST(round(CAST(AVG(CASE WHEN n_chars = length(text)
+        |    THEN 1.0 ELSE 0.0 END) AS DECIMAL(28,10)), 6) AS DOUBLE) AS chars_match_text,
+        |  CAST(round(CAST(AVG(CASE WHEN n_chars BETWEEN 1 AND 10000
+        |    THEN 1.0 ELSE 0.0 END) AS DECIMAL(28,10)), 6) AS DOUBLE) AS chars_in_range,
+        |  CAST(round(CAST(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS english_share,
+        |  CAST(round(CAST(LEAST(CAST(COUNT(*) AS DOUBLE) / 100.0, 1.0)
+        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS min_rows
+        |FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'chars_in_range' AS "check", chars_in_range AS metric,
+        |    CAST(1.0 AS DOUBLE) AS threshold, chars_in_range >= 1.0 AS passed FROM m
+        |  UNION ALL SELECT 'chars_match_text', chars_match_text,
+        |    CAST(1.0 AS DOUBLE), chars_match_text >= 1.0 FROM m
+        |  UNION ALL SELECT 'doc_id_unique', doc_id_unique,
+        |    CAST(1.0 AS DOUBLE), doc_id_unique >= 1.0 FROM m
+        |  UNION ALL SELECT 'english_share', english_share,
+        |    CAST(0.5 AS DOUBLE), english_share >= 0.5 FROM m
+        |  UNION ALL SELECT 'lang_accepted', lang_accepted,
+        |    CAST(1.0 AS DOUBLE), lang_accepted >= 1.0 FROM m
+        |  UNION ALL SELECT 'min_rows', min_rows,
+        |    CAST(1.0 AS DOUBLE), min_rows >= 1.0 FROM m
+        |  UNION ALL SELECT 'text_complete', text_complete,
+        |    CAST(1.0 AS DOUBLE), text_complete >= 1.0 FROM m)
+        |ORDER BY "check"""".stripMargin,
     "t25_token_inventory" ->
       """WITH s AS (SELECT source, lang,
         |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_words,

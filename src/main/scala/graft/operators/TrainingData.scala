@@ -402,6 +402,26 @@ object TrainingData {
       .orderBy("source", "lang")
   }
 
+  /** Declarative data-quality gate over the corpus: seven expectations
+    * (key uniqueness, completeness, accepted languages, metadata/content
+    * consistency, bounds, mix share, row floor) evaluated in ONE
+    * aggregate pass and reported one row per check. The english_share
+    * check is deliberately thresholded above the corpus's real share so
+    * the FAILING branch of the report is exercised (and oracle-pinned)
+    * too. See [[graft.etl.Expectations]]. */
+  def t26Expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Expectations._
+    run(Tables(spark, dir, "documents"), Seq(
+      uniqueKey("doc_id_unique", col("doc_id")),
+      complete("text_complete", col("text")),
+      inSet("lang_accepted", col("lang"), Seq("de", "en", "es", "fr", "zh")),
+      satisfies("chars_match_text", col("n_chars") === length(col("text"))),
+      inRange("chars_in_range", col("n_chars"), 1, 10000),
+      satisfies("english_share", col("lang") === "en", threshold = 0.5),
+      atLeastRows("min_rows", 100)))
+      .orderBy("check")
+  }
+
   /** Exact duplicate groups (hash-groupBy dedup). */
   def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir, "documents"))

@@ -1,0 +1,59 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ExpectationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some("alpha"), 5.0),
+    (2L, Some("beta"), 50.0),
+    (2L, None, 500.0), // duplicate key, null text, out-of-range value
+    (4L, Some("gamma"), 25.0))
+    .toDF("id", "text", "v")
+
+  test("metrics and pass flags are exact on a known fixture") {
+    val got = Expectations.run(df, Seq(
+      Expectations.uniqueKey("id_unique", col("id")),
+      Expectations.complete("text_complete", col("text")),
+      Expectations.inRange("v_in_range", col("v"), 0, 100),
+      Expectations.satisfies("v_positive", col("v") > 0),
+      Expectations.atLeastRows("min_rows_2", 2),
+      Expectations.atLeastRows("min_rows_10", 10)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getBoolean(3)))).toMap
+    assert(got("id_unique") == ((0.75, false)))
+    assert(got("text_complete") == ((0.75, false)))
+    assert(got("v_in_range") == ((0.75, false)))
+    assert(got("v_positive") == ((1.0, true)))
+    assert(got("min_rows_2") == ((1.0, true)))
+    assert(got("min_rows_10") == ((0.4, false)))
+  }
+
+  test("a null predicate result is a failing row, not a dropped one") {
+    val got = Expectations.run(df,
+      Seq(Expectations.satisfies("text_is_alpha", col("text") === "alpha")))
+      .head()
+    assert(got.getDouble(1) == 0.25) // the null-text row counts in the denominator
+  }
+
+  test("the whole suite is one scan: a single aggregate, no joins/unions") {
+    val plan = Expectations.run(df, Seq(
+      Expectations.complete("a", col("text")),
+      Expectations.inRange("b", col("v"), 0, 100),
+      Expectations.atLeastRows("c", 1)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Union"),
+      s"expected a single-pass plan, got:\n$plan")
+  }
+
+  test("duplicate check names are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Expectations.run(df, Seq(
+        Expectations.complete("x", col("text")),
+        Expectations.satisfies("x", col("v") > 0)))
+    }
+  }
+}
