@@ -48,10 +48,13 @@ object SparkEntry {
     "q30_event_funnel" -> (Relational.q30EventFunnel _),
     "q31_cohort_retention" -> (Relational.q31CohortRetention _),
     "q32_merge_upsert" -> (Relational.q32MergeUpsert _),
+    "q33_winsorized_stats" -> (Relational.q33WinsorizedStats _),
     "t23_source_dup_report" -> (TrainingData.t23SourceDupReport _),
     "t24_selection_funnel" -> (TrainingData.t24SelectionFunnel _),
     "t25_token_inventory" -> (TrainingData.t25TokenInventory _),
     "t26_expectations" -> (TrainingData.t26Expectations _),
+    "t27_expectations_by_lang" -> (TrainingData.t27ExpectationsByLang _),
+    "t28_pmi_collocations" -> (TrainingData.t28PmiCollocations _),
     "q23_moving_window" -> (Relational.q23MovingWindow _),
     "q24_histogram" -> ((s: SparkSession, d: String) => Relational.q24Histogram(s, d)),
     "q25_scd2" -> (Relational.q25Scd2 _),
@@ -555,6 +558,32 @@ object SparkEntry {
         |  COUNT(*) AS n_orders,
         |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_winsorized_stats" ->
+      """WITH h AS (SELECT event_type, value, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, value,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY value) AS hi_rn,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY value) - c + 1 AS lo_rn,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |b AS (SELECT event_type,
+        |    MAX(CASE WHEN CAST(floor(0.0625 * (n - 1)) AS BIGINT) + 1
+        |      BETWEEN lo_rn AND hi_rn THEN value END) AS lo,
+        |    MAX(CASE WHEN CAST(floor(0.9375 * (n - 1)) AS BIGINT) + 1
+        |      BETWEEN lo_rn AND hi_rn THEN value END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT e.event_type,
+        |  COUNT(*) AS n_events,
+        |  round(MIN(b.lo), 4) AS lo,
+        |  round(MIN(b.hi), 4) AS hi,
+        |  CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_low,
+        |  CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped_high,
+        |  round(CAST(SUM(CAST(round(LEAST(GREATEST(e.value, b.lo), b.hi), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS winsorized_mean
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q29_spend_deciles" ->
       """WITH s AS (SELECT o_custkey,
         |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
@@ -947,6 +976,31 @@ object SparkEntry {
         |  UNION ALL SELECT 'text_complete', text_complete,
         |    CAST(1.0 AS DOUBLE), text_complete >= 1.0 FROM m)
         |ORDER BY "check"""".stripMargin,
+    "t27_expectations_by_lang" ->
+      """WITH m AS (SELECT lang,
+        |  CAST(round(CAST(AVG(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END)
+        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS text_complete,
+        |  CAST(round(CAST(AVG(CASE WHEN n_chars = length(text)
+        |    THEN 1.0 ELSE 0.0 END) AS DECIMAL(28,10)), 6) AS DOUBLE) AS chars_match_text,
+        |  CAST(round(CAST(AVG(CASE WHEN n_chars BETWEEN 1 AND 10000
+        |    THEN 1.0 ELSE 0.0 END) AS DECIMAL(28,10)), 6) AS DOUBLE) AS chars_in_range,
+        |  CAST(round(CAST(LEAST(CAST(COUNT(*) AS DOUBLE) / 100.0, 1.0)
+        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS doc_floor_100,
+        |  CAST(round(CAST(AVG(CASE WHEN n_chars >= 100 THEN 1.0 ELSE 0.0 END)
+        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS long_doc_share
+        |FROM documents GROUP BY lang)
+        |SELECT * FROM (
+        |  SELECT lang, 'chars_in_range' AS "check", chars_in_range AS metric,
+        |    CAST(1.0 AS DOUBLE) AS threshold, chars_in_range >= 1.0 AS passed FROM m
+        |  UNION ALL SELECT lang, 'chars_match_text', chars_match_text,
+        |    CAST(1.0 AS DOUBLE), chars_match_text >= 1.0 FROM m
+        |  UNION ALL SELECT lang, 'doc_floor_100', doc_floor_100,
+        |    CAST(1.0 AS DOUBLE), doc_floor_100 >= 1.0 FROM m
+        |  UNION ALL SELECT lang, 'long_doc_share', long_doc_share,
+        |    CAST(0.8 AS DOUBLE), long_doc_share >= 0.8 FROM m
+        |  UNION ALL SELECT lang, 'text_complete', text_complete,
+        |    CAST(1.0 AS DOUBLE), text_complete >= 1.0 FROM m)
+        |ORDER BY lang, "check"""".stripMargin,
     "t25_token_inventory" ->
       """WITH s AS (SELECT source, lang,
         |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_words,
@@ -1290,6 +1344,24 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS avg_logp
         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t28_pmi_collocations" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |bi AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM toks WHERE len(t) >= 2),
+        |b2 AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+        |    split_part(bg, ' ', 2) AS w2 FROM bi),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY 1, 2),
+        |p1 AS (SELECT w1, COUNT(*) AS c1 FROM b2 GROUP BY 1),
+        |p2 AS (SELECT w2, COUNT(*) AS c2 FROM b2 GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM b2)
+        |SELECT w1, w2, c12,
+        |  round(ln(CAST(c12 AS DOUBLE) * n
+        |    / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 4) AS pmi
+        |FROM big JOIN p1 USING (w1) JOIN p2 USING (w2) CROSS JOIN n
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "t13_chunks" ->
       """WITH toks AS (SELECT doc_id,
         |    regexp_extract_all(lower(trim(text)), '\S+') AS t FROM documents),

@@ -66,19 +66,31 @@ object Expectations {
     * through DECIMAL so the report replays identically across engines
     * (the avg of a 0/1 indicator is a ratio of exact integers — the
     * rounding only pins the division). */
-  def run(df: DataFrame, checks: Seq[Expect]): DataFrame = {
+  def run(df: DataFrame, checks: Seq[Expect]): DataFrame =
+    runGrouped(df, Nil, checks)
+
+  /** Same suite, evaluated per group — the per-slice quality report
+    * (per language, per source, per ingest partition) that catches a
+    * check passing globally while one slice is broken. Still one
+    * aggregate pass: the group-by grain shuffle is the only exchange,
+    * and the melt multiplies rows only at the tiny report grain. */
+  def runGrouped(df: DataFrame, groupCols: Seq[String],
+      checks: Seq[Expect]): DataFrame = {
     require(checks.nonEmpty, "empty expectation suite")
     require(checks.map(_.name).distinct.size == checks.size,
       s"duplicate check names: ${checks.map(_.name)}")
     val aggs = checks.map(e =>
       round(e.metric.cast(DecimalType(28, 10)), 6).cast("double").as(e.name))
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val long = checks.map(e =>
       struct(lit(e.name).as("check"), col(e.name).as("metric"),
         lit(e.threshold).as("threshold")))
     one
-      .select(explode(array(long: _*)).as("r"))
-      .select(col("r.check"), col("r.metric"), col("r.threshold"),
-        (col("r.metric") >= col("r.threshold")).as("passed"))
+      .select(groupCols.map(col) :+ explode(array(long: _*)).as("r"): _*)
+      .select(groupCols.map(col) ++ Seq(col("r.check"), col("r.metric"),
+        col("r.threshold"), (col("r.metric") >= col("r.threshold"))
+          .as("passed")): _*)
   }
 }

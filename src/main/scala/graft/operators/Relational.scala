@@ -546,6 +546,55 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  // ---------------------------------------------------------------- Q33 (robust)
+  /** Winsorized robust statistics per event type: nearest-rank tail
+    * bounds (the (⌊q(n−1)⌋+1)-th smallest value at q = 1/16 and 15/16),
+    * values clamped into [lo, hi], and the clamped mean + clamp tallies —
+    * the outlier-robust profile metric pipelines publish instead of raw
+    * means a single fat-finger event can move.
+    *
+    * The bounds are deliberately ORDER STATISTICS, not interpolated
+    * quantiles: interpolation is engine-hostile (`a+f(b−a)` vs
+    * `(1−f)a+fb` differ by an ulp, and with duplicated data values
+    * sitting exactly at the bound that ulp was measured to flip clamp
+    * COUNTS at sf0.1, not just a display decimal). A nearest-rank bound
+    * is an actual data value — bit-identical everywhere, and every
+    * downstream comparison is exact.
+    *
+    * Scale shape: the order statistic comes from a (type, value)
+    * HISTOGRAM + cumulative ranks over the distinct-value frame — one
+    * grain shuffle and a window over |distinct values| rows per type,
+    * never a full sort of the raw events. Bounds broadcast back; the
+    * clamped mean rides the 6-dp-DECIMAL sum so partition order can't
+    * move it. */
+  def q33WinsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(col("event_type"), col("value"))
+    val wOrd = Window.partitionBy("event_type").orderBy("value")
+    val wAll = Window.partitionBy("event_type")
+    def rankOf(q: Double) =
+      floor(lit(q) * (col("n") - 1)).cast("long") + 1
+    def pick(q: Double) =
+      max(when(rankOf(q).between(col("lo_rn"), col("hi_rn")), col("value")))
+    val bounds = ev.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      .withColumn("hi_rn", sum(col("c")).over(wOrd))
+      .withColumn("lo_rn", col("hi_rn") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy("event_type")
+      .agg(pick(0.0625).as("lo"), pick(0.9375).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("cv", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(min(col("lo")), 4).as("lo"),
+        round(min(col("hi")), 4).as("hi"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clamped_low"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clamped_high"),
+        round(sum(round(col("cv"), 6).cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)), 4).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- Q23 (rolling)
   /** Rolling time-series analytics over the daily per-country series:
     * 7-row moving average + running cumulative total, partitioned by

@@ -207,9 +207,10 @@ object TrainingData {
     * counts, the unigram counts, the vocabulary, and the scoring join);
     * the per-bigram log-probs are 4-dp-quantized and summed as DECIMAL so
     * the average is order-independent and hash-matches the oracle. */
-  def t12LmBigramScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val bi = graft.Caches.persistReplacing("lm_bigrams",
+  /** The (doc_id, w1, w2) adjacent-bigram stream, cached under ONE key so
+    * t12 (LM scoring) and t28 (PMI collocations) share the explode. */
+  private def bigramStream(docs: DataFrame): DataFrame =
+    graft.Caches.persistReplacing("lm_bigrams",
       docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"),
@@ -217,6 +218,10 @@ object TrainingData {
             i => struct(element_at(col("t"), i).as("w1"),
               element_at(col("t"), i + 1).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+
+  def t12LmBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bi = bigramStream(docs)
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = bi.select(col("w1").as("w"))
@@ -231,6 +236,38 @@ object TrainingData {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_logp"))
       .orderBy("doc_id")
+  }
+
+  /** PMI collocation mining — the top strongly-associated adjacent word
+    * pairs (word2vec's phrase-detection preprocessing, collocation
+    * extraction in corpus linguistics): PMI = ln(p(w1,w2)/(p1(w1)p2(w2)))
+    * over the positional bigram distribution, min-support 5 to kill
+    * one-off pairs. Shares the cached bigram explode with t12; the three
+    * count frames are grain aggregates of it, counts are cast to DOUBLE
+    * before multiplying so the ratio can't overflow at corpus scale, and
+    * the ranking orders on the 4-dp-ROUNDED score with a (w1, w2)
+    * tie-break so top-50 is engine-stable. */
+  def t28PmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocations(Tables(spark, dir, "documents"))
+
+  /** See [[t28PmiCollocations]]; `minSupport`/`topK` are the two policy
+    * dials (support floor kills one-off pairs; k bounds the report). */
+  def pmiCollocations(docs: DataFrame, minSupport: Long = 5,
+      topK: Int = 50): DataFrame = {
+    val bi = bigramStream(docs)
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val p1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val p2 = bi.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val n = bi.agg(count(lit(1)).as("n"))
+    big.filter(col("c12") >= minSupport)
+      .join(p1, "w1").join(p2, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi",
+        round(log(col("c12").cast("double") * col("n")
+          / (col("c1").cast("double") * col("c2").cast("double"))), 4))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(topK)
   }
 
   /** Context-length chunking: overlapping 64-token windows (8-token
@@ -420,6 +457,23 @@ object TrainingData {
       satisfies("english_share", col("lang") === "en", threshold = 0.5),
       atLeastRows("min_rows", 100)))
       .orderBy("check")
+  }
+
+  /** The same expectation machinery per language slice — the report that
+    * catches "passes globally, broken in one slice" (the usual failure
+    * mode of multilingual corpus refreshes: a tail language's ingest
+    * silently degrades while the corpus-wide averages stay green). The
+    * doc-floor and long-doc-share checks genuinely differ per language
+    * here, so both report branches appear. */
+  def t27ExpectationsByLang(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Expectations._
+    runGrouped(Tables(spark, dir, "documents"), Seq("lang"), Seq(
+      complete("text_complete", col("text")),
+      satisfies("chars_match_text", col("n_chars") === length(col("text"))),
+      inRange("chars_in_range", col("n_chars"), 1, 10000),
+      atLeastRows("doc_floor_100", 100),
+      satisfies("long_doc_share", col("n_chars") >= 100, threshold = 0.8)))
+      .orderBy("lang", "check")
   }
 
   /** Exact duplicate groups (hash-groupBy dedup). */

@@ -49,6 +49,21 @@ class ExpectationsSpec extends SparkTestBase {
       s"expected a single-pass plan, got:\n$plan")
   }
 
+  test("grouped run catches a slice failing while the global run passes") {
+    val sliced = Seq(
+      ("en", Some("a")), ("en", Some("b")), ("en", Some("c")),
+      ("de", Some("x")), ("de", None)) // de has a null text
+      .toDF("lang", "text")
+    val global = Expectations.run(sliced,
+      Seq(Expectations.complete("text_complete", col("text"), threshold = 0.75)))
+      .head()
+    assert(global.getBoolean(3)) // 4/5 = 0.8 ≥ 0.75 → green globally
+    val byLang = Expectations.runGrouped(sliced, Seq("lang"),
+      Seq(Expectations.complete("text_complete", col("text"), threshold = 0.75)))
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(byLang == Map("en" -> true, "de" -> false)) // the slice is red
+  }
+
   test("duplicate check names are rejected loudly") {
     intercept[IllegalArgumentException] {
       Expectations.run(df, Seq(

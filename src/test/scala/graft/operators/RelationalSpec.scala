@@ -147,6 +147,28 @@ class RelationalSpec extends SparkTestBase {
       ("2024-01-08", 1, 1L, 1L, 1.0)))
   }
 
+  test("q33 winsorizes at nearest-rank bounds, duplicates handled exactly") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows =
+      (1 to 16).map(i => ("a", i.toDouble)) ++ // n=16: ranks 1 and 15
+        Seq(5.0, 5.0, 5.0, 5.0, 6.0, 7.0, 8.0, 9.0).map(("b", _)) // dup run at lo
+    val events = rows.zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, ts0, i.toLong, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wins").toString
+    events.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Relational.q33WinsorizedStats(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // a: k_lo=⌊.0625·15⌋+1=1 → 1.0; k_hi=⌊.9375·15⌋+1=15 → 15.0;
+    //    only 16 clamps high; mean = (1+..+15 + 15)/16 = 135/16
+    assert(got("a") == ((16L, 1.0, 15.0, 0L, 1L, 8.4375)))
+    // b: k_lo=1 → 5.0 (inside the duplicate run); k_hi=⌊.9375·7⌋+1=7 → 8.0
+    assert(got("b") == ((8L, 5.0, 8.0, 0L, 1L, 6.125)))
+  }
+
   test("q17 flagship grain is unique and conserves transactions") {
     val f = Relational.q17EtlStarRollup(spark, dir)
     val dupes = f.groupBy("d", "n_name", "bucket").count()

@@ -109,4 +109,20 @@ class TextAnalysisSpec extends SparkTestBase {
     // an IP must not be shredded into four <NUM>s
     assert(!got.contains("<NUM>.<NUM>"))
   }
+
+  test("PMI collocations: hand-computed scores, exclusive pair on top") {
+    // bigram stream: (a b)(b a)(a b) from doc 1, (c d) from doc 2 → N=4
+    val docs = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = graft.operators.TrainingData
+      .pmiCollocations(docs, minSupport = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    // b-a and c-d are both positionally exclusive (b opens once, a closes
+    // once): ln(1·4/(1·1)) = ln 4, tie broken by w1; a-b co-occurs twice
+    // but both slots are busy (a opens 2, b closes 2): ln(2·4/(2·2)) = ln 2
+    assert(got == Seq(
+      ("b", "a", 1L, 1.3863),
+      ("c", "d", 1L, 1.3863),
+      ("a", "b", 2L, 0.6931)))
+  }
 }
