@@ -49,6 +49,7 @@ object SparkEntry {
     "q31_cohort_retention" -> (Relational.q31CohortRetention _),
     "q32_merge_upsert" -> (Relational.q32MergeUpsert _),
     "q33_winsorized_stats" -> (Relational.q33WinsorizedStats _),
+    "q34_time_to_convert" -> (Relational.q34TimeToConvert _),
     "t23_source_dup_report" -> (TrainingData.t23SourceDupReport _),
     "t24_selection_funnel" -> (TrainingData.t24SelectionFunnel _),
     "t25_token_inventory" -> (TrainingData.t25TokenInventory _),
@@ -558,6 +559,44 @@ object SparkEntry {
         |  COUNT(*) AS n_orders,
         |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_time_to_convert" ->
+      """WITH staged AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+        |    ts, event_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS viewed_before
+        |  FROM events),
+        |s2 AS (SELECT user_id, event_type, ms, ts, event_id,
+        |    CASE WHEN event_type = 'click' AND viewed_before = 1
+        |      THEN 1 ELSE 0 END AS click_ok
+        |  FROM staged),
+        |s3 AS (SELECT user_id, event_type, ms,
+        |    MAX(click_ok) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS clicked_before
+        |  FROM s2),
+        |per AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ms END) AS v_ms,
+        |    MIN(CASE WHEN event_type = 'purchase' AND clicked_before = 1
+        |        THEN ms END) AS p_ms
+        |  FROM s3 GROUP BY 1),
+        |d AS (SELECT (p_ms - v_ms) // 1000 AS sec FROM per
+        |  WHERE p_ms IS NOT NULL),
+        |h AS (SELECT sec, COUNT(*) AS c FROM d GROUP BY 1),
+        |r AS (SELECT sec, c,
+        |    SUM(c) OVER (ORDER BY sec) AS hi_rn,
+        |    SUM(c) OVER (ORDER BY sec) - c + 1 AS lo_rn,
+        |    SUM(c) OVER () AS n
+        |  FROM h)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+        |  MIN(sec) AS min_sec,
+        |  MAX(CASE WHEN CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |    BETWEEN lo_rn AND hi_rn THEN sec END) AS p50_sec,
+        |  MAX(CASE WHEN CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+        |    BETWEEN lo_rn AND hi_rn THEN sec END) AS p90_sec,
+        |  MAX(sec) AS max_sec,
+        |  round(CAST(SUM(CAST(sec * c AS DECIMAL(28,4))) AS DOUBLE)
+        |    / MAX(n), 2) AS mean_sec
+        |FROM r""".stripMargin,
     "q33_winsorized_stats" ->
       """WITH h AS (SELECT event_type, value, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),

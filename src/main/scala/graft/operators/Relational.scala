@@ -438,6 +438,31 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- Q30 (funnel)
+  /** The funnel flag chain shared by q30 (stage counts) and q34 (time to
+    * convert): per event, whether a view happened strictly earlier
+    * (`viewed_before`), whether THIS click qualifies (`click_ok`), and
+    * whether THIS purchase qualifies (`purchase_ok` — a qualifying click
+    * strictly earlier). Two window passes over the SAME (user_id) spec =
+    * one shuffle; `ms` rides along for duration arithmetic. */
+  private def funnelFlags(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val earlier = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("viewed_before",
+        max(when(col("event_type") === "view", 1).otherwise(0)).over(earlier))
+      .withColumn("click_ok",
+        when(col("event_type") === "click" && col("viewed_before") === 1, 1)
+          .otherwise(0))
+      .withColumn("clicked_before", max(col("click_ok")).over(earlier))
+      .withColumn("purchase_ok",
+        when(col("event_type") === "purchase" && col("clicked_before") === 1, 1)
+          .otherwise(0))
+  }
+
   /** Sequential conversion funnel over the event stream: users who
     * viewed, then clicked STRICTLY AFTER a view, then purchased strictly
     * after that click — order matters, which is what separates a funnel
@@ -450,23 +475,7 @@ object Relational {
     * to one counts row — the same funnel shape ClickHouse's
     * windowFunnel / warehouse funnel queries compute. */
   def q30EventFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
-    val earlier = w.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val staged = Tables(spark, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("viewed_before",
-        max(when(col("event_type") === "view", 1).otherwise(0)).over(earlier))
-      .withColumn("click_ok",
-        when(col("event_type") === "click" && col("viewed_before") === 1, 1)
-          .otherwise(0))
-    val flagged = staged
-      .withColumn("clicked_before", max(col("click_ok")).over(earlier))
-      .withColumn("purchase_ok",
-        when(col("event_type") === "purchase" && col("clicked_before") === 1, 1)
-          .otherwise(0))
-    flagged.groupBy("user_id")
+    funnelFlags(Tables(spark, dir, "events")).groupBy("user_id")
       .agg(
         max(when(col("event_type") === "view", 1).otherwise(0)).as("s1"),
         max(col("click_ok")).as("s2"),
@@ -544,6 +553,40 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         money(dsum(col("o_totalprice"))).as("total"))
       .orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------- Q34 (latency)
+  /** Time-to-convert distribution for the q30 funnel's converting users:
+    * seconds from FIRST view to FIRST qualifying purchase, reported as
+    * count / min / nearest-rank p50 & p90 / max / mean. Durations are
+    * integer seconds (floor-divided milliseconds), so every statistic —
+    * including the rank-picked percentiles, same histogram discipline as
+    * q33 — is exact integer arithmetic with zero cross-engine FP risk;
+    * only the mean divides, and it rides the DECIMAL sum. The global
+    * rank windows run over the distinct-duration frame, not raw events. */
+  def q34TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val durations = funnelFlags(Tables(spark, dir, "events"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ms"))).as("v_ms"),
+        min(when(col("purchase_ok") === 1, col("ms"))).as("p_ms"))
+      .filter(col("p_ms").isNotNull) // a qualifying purchase implies a view
+      .select(expr("(p_ms - v_ms) div 1000").as("sec"))
+    def rankOf(q: Double) = floor(lit(q) * (col("n") - 1)).cast("long") + 1
+    def pick(q: Double) =
+      max(when(rankOf(q).between(col("lo_rn"), col("hi_rn")), col("sec")))
+    durations.groupBy("sec").agg(count(lit(1)).as("c"))
+      .withColumn("hi_rn", sum(col("c")).over(Window.orderBy("sec")))
+      .withColumn("lo_rn", col("hi_rn") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .agg(
+        max(col("n")).as("n_converted"),
+        min(col("sec")).as("min_sec"),
+        pick(0.5).as("p50_sec"),
+        pick(0.9).as("p90_sec"),
+        max(col("sec")).as("max_sec"),
+        round(sum((col("sec") * col("c")).cast(DecimalType(28, 4)))
+          .cast("double") / max(col("n")), 2).as("mean_sec"))
   }
 
   // ---------------------------------------------------------------- Q33 (robust)

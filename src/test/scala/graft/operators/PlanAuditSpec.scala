@@ -138,6 +138,37 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q31: the events scan reads only (user_id, ts); one data shuffle") {
+    val p = plan("q31_cohort_retention")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("user_id")).getOrElse("")
+    assert(!scanLine.contains("props") && !scanLine.contains("event_type"),
+      s"cohort scan reads unused event columns:\n$scanLine")
+  }
+
+  test("q33: rank windows run over the value histogram, never raw events") {
+    val p = plan("q33_winsorized_stats")
+    // every Window must sit above the (event_type, value) HashAggregate —
+    // i.e. no window whose child is the raw file scan
+    val lines = p.linesIterator.toSeq
+    val windowIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(windowIdx >= 0 && aggIdx >= 0, s"expected window+aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds frame should broadcast back onto events:\n$p")
+  }
+
+  test("q34: duration percentiles aggregate before any global window") {
+    val p = plan("q34_time_to_convert")
+    assert(p.contains("BroadcastNestedLoopJoin") || !p.contains("CartesianProduct"),
+      s"unexpected join shape:\n$p")
+    // the single-partition windows must consume the distinct-duration
+    // aggregate, not the raw event stream: a HashAggregate (or sort-agg)
+    // on sec must appear below the global window
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"expected histogram aggregate below the rank window:\n$p")
+  }
+
   test("sweep: no query in the whole contract plans a CartesianProduct") {
     // BroadcastNestedLoopJoin over a broadcast 1-row totals frame is a
     // deliberate pattern (shares, scalar subqueries, brute-force ANN);

@@ -119,6 +119,32 @@ class RelationalSpec extends SparkTestBase {
     assert(r.getAs[Double]("view_to_purchase_rate") == 0.25)
   }
 
+  test("q34 times first view → first qualifying purchase, converters only") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(s: Int) = new java.sql.Timestamp(t0 + s * 1000L)
+    val events = (Seq(
+      // three converters with durations 60, 120, 600 s
+      (1L, t(0), 10L, "view"), (2L, t(30), 10L, "click"), (3L, t(60), 10L, "purchase"),
+      (4L, t(0), 20L, "view"), (5L, t(30), 20L, "click"), (6L, t(120), 20L, "purchase"),
+      (7L, t(0), 30L, "view"), (8L, t(30), 30L, "click"), (9L, t(600), 30L, "purchase"),
+      // out-of-order user must NOT count
+      (10L, t(0), 40L, "purchase"), (11L, t(30), 40L, "view")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ttc").toString
+    events.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Relational.q34TimeToConvert(spark, tmp).head()
+    assert(r.getAs[Long]("n_converted") == 3)
+    assert(r.getAs[Long]("min_sec") == 60)
+    // p50: rank ⌊.5·2⌋+1 = 2 → 120; p90: ⌊.9·2⌋+1 = 2 → 120
+    assert(r.getAs[Long]("p50_sec") == 120)
+    assert(r.getAs[Long]("p90_sec") == 120)
+    assert(r.getAs[Long]("max_sec") == 600)
+    assert(r.getAs[Double]("mean_sec") == 260.0)
+  }
+
   test("q31 cohorts form on the first active week; retention is vs own cohort") {
     import spark.implicits._
     def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
