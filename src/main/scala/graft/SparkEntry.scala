@@ -50,6 +50,8 @@ object SparkEntry {
     "q32_merge_upsert" -> (Relational.q32MergeUpsert _),
     "q33_winsorized_stats" -> (Relational.q33WinsorizedStats _),
     "q34_time_to_convert" -> (Relational.q34TimeToConvert _),
+    "q35_analyze_stats" -> (Relational.q35AnalyzeStats _),
+    "t29_split_leakage" -> (TrainingData.t29SplitLeakage _),
     "t23_source_dup_report" -> (TrainingData.t23SourceDupReport _),
     "t24_selection_funnel" -> (TrainingData.t24SelectionFunnel _),
     "t25_token_inventory" -> (TrainingData.t25TokenInventory _),
@@ -597,6 +599,58 @@ object SparkEntry {
         |  round(CAST(SUM(CAST(sec * c AS DECIMAL(28,4))) AS DOUBLE)
         |    / MAX(n), 2) AS mean_sec
         |FROM r""".stripMargin,
+    "t29_split_leakage" ->
+      s"""WITH $ngramCtes,
+        |pairs AS (SELECT d1, d2 FROM common
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN b < 80 THEN 'train'
+        |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 100 AS INT) AS b
+        |    FROM documents) x),
+        |j AS (SELECT least(a.split, b.split) AS split_a,
+        |    greatest(a.split, b.split) AS split_b
+        |  FROM pairs JOIN sp a ON pairs.d1 = a.doc_id
+        |  JOIN sp b ON pairs.d2 = b.doc_id)
+        |SELECT split_a, split_b, COUNT(*) AS n_pairs,
+        |  split_a <> split_b AS leaks
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q35_analyze_stats" ->
+      """WITH src AS (SELECT l_orderkey, l_quantity, l_returnflag,
+        |    CAST(l_shipdate AS DATE) AS l_shipdate FROM lineitem),
+        |m AS (SELECT COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS ok_nulls,
+        |  COUNT(DISTINCT l_orderkey) AS ok_ndv,
+        |  CAST(MIN(l_orderkey) AS VARCHAR) AS ok_min,
+        |  CAST(MAX(l_orderkey) AS VARCHAR) AS ok_max,
+        |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+        |  COUNT(DISTINCT l_quantity) AS q_ndv,
+        |  CAST(MIN(l_quantity) AS VARCHAR) AS q_min,
+        |  CAST(MAX(l_quantity) AS VARCHAR) AS q_max,
+        |  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS rf_nulls,
+        |  COUNT(DISTINCT l_returnflag) AS rf_ndv,
+        |  CAST(MIN(l_returnflag) AS VARCHAR) AS rf_min,
+        |  CAST(MAX(l_returnflag) AS VARCHAR) AS rf_max,
+        |  SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS sd_nulls,
+        |  COUNT(DISTINCT l_shipdate) AS sd_ndv,
+        |  CAST(MIN(l_shipdate) AS VARCHAR) AS sd_min,
+        |  CAST(MAX(l_shipdate) AS VARCHAR) AS sd_max
+        |FROM src)
+        |SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name, n_rows,
+        |    CAST(ok_nulls AS BIGINT) AS n_nulls, ok_ndv AS n_distinct,
+        |    ok_min AS min_val, ok_max AS max_val FROM m
+        |  UNION ALL SELECT 'l_quantity', n_rows, CAST(q_nulls AS BIGINT),
+        |    q_ndv, q_min, q_max FROM m
+        |  UNION ALL SELECT 'l_returnflag', n_rows, CAST(rf_nulls AS BIGINT),
+        |    rf_ndv, rf_min, rf_max FROM m
+        |  UNION ALL SELECT 'l_shipdate', n_rows, CAST(sd_nulls AS BIGINT),
+        |    sd_ndv, sd_min, sd_max FROM m)
+        |ORDER BY col_name""".stripMargin,
     "q33_winsorized_stats" ->
       """WITH h AS (SELECT event_type, value, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),

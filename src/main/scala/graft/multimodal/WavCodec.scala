@@ -2,18 +2,45 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** REAL (non-stub) codec for RIFF/WAVE 16-bit PCM audio — a pure-JVM
-  * parser, no audio libraries required, giving the multimodal pipeline a
-  * fully-real audio path (decode → windowed-RMS featurize → resample) next
-  * to [[PpmCodec]]'s image path. Compressed audio (MP3/AAC/OGG) remains
-  * behind [[Multimodal.FakeCodec]] because those codecs don't exist in
-  * this environment.
+/** REAL (non-stub) codec for RIFF/WAVE audio — a pure-JVM parser, no
+  * audio libraries required, giving the multimodal pipeline a fully-real
+  * audio path (decode → windowed-RMS featurize → resample) next to
+  * [[PpmCodec]]'s image path. Three sample codings are supported: 16-bit
+  * PCM (format 1) and the two ITU-T G.711 companded telephony codings —
+  * 8-bit μ-law (format 7) and 8-bit A-law (format 6) — expanded to 16-bit
+  * linear via the published G.711 segment/quantization formulas.
+  * Perceptual codecs (MP3/AAC/OGG) remain behind [[Multimodal.FakeCodec]]
+  * because those decoders don't exist in this environment.
   *
   * RIFF layout: `RIFF <size> WAVE`, then tagged chunks; we need `fmt `
-  * (PCM format 1, 16-bit) and `data` (interleaved little-endian samples).
-  * Unknown chunks (LIST, fact, …) are skipped by their declared size.
+  * and `data` (interleaved little-endian samples). Unknown chunks
+  * (LIST, fact, …) are skipped by their declared size.
   */
 object WavCodec {
+
+  /** G.711 μ-law byte → 16-bit linear (ITU G.711 §4.2; the classic
+    * bias-0x84 segment expansion). Full-scale anchors: 0x00 → −32124,
+    * 0x80 → +32124, 0xFF → 0. */
+  def ulawToLinear(b: Byte): Short = {
+    val u = ~b & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** G.711 A-law byte → 16-bit linear (ITU G.711 §4.1; XOR-0x55 mask,
+    * segment 0/1 special cases). Anchors: 0x55 → −8, 0xD5 → +8,
+    * 0xAA → +32256. */
+  def alawToLinear(b: Byte): Short = {
+    val a = (b & 0xff) ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val base = (a & 0x0f) << 4
+    val t = seg match {
+      case 0 => base + 8
+      case 1 => base + 0x108
+      case _ => (base + 0x108) << (seg - 1)
+    }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
 
   final case class Audio(sampleRate: Int, channels: Int, samples: Array[Short]) {
     def frames: Int = if (channels == 0) 0 else samples.length / channels
@@ -34,6 +61,7 @@ object WavCodec {
     require(tag() == "WAVE", "not a WAVE file")
     var sampleRate = 0
     var channels = 0
+    var format = 0
     var samples: Array[Short] = null
     while (buf.remaining() >= 8 && samples == null) {
       val id = tag()
@@ -41,22 +69,37 @@ object WavCodec {
       id match {
         case "fmt " =>
           val fmtEnd = buf.position() + size
-          val audioFormat = buf.getShort
-          require(audioFormat == 1, s"unsupported WAV format $audioFormat (want PCM=1)")
+          format = buf.getShort.toInt
+          require(format == 1 || format == 6 || format == 7,
+            s"unsupported WAV format $format (want PCM=1, A-law=6, or mu-law=7)")
           channels = buf.getShort.toInt
           sampleRate = buf.getInt
           buf.getInt   // byte rate
           buf.getShort // block align
           val bits = buf.getShort
-          require(bits == 16, s"unsupported bit depth $bits (want 16)")
+          if (format == 1)
+            require(bits == 16, s"unsupported PCM bit depth $bits (want 16)")
+          else
+            require(bits == 8, s"G.711 requires 8-bit samples, found $bits")
           buf.position(fmtEnd)
         case "data" =>
           require(sampleRate > 0, "data chunk before fmt chunk")
-          val n = size / 2
-          val out = new Array[Short](n)
-          var i = 0
-          while (i < n) { out(i) = buf.getShort; i += 1 }
-          samples = out
+          samples =
+            if (format == 1) {
+              val out = new Array[Short](size / 2)
+              var i = 0
+              while (i < out.length) { out(i) = buf.getShort; i += 1 }
+              out
+            } else {
+              val out = new Array[Short](size)
+              var i = 0
+              while (i < out.length) {
+                val b = buf.get()
+                out(i) = if (format == 7) ulawToLinear(b) else alawToLinear(b)
+                i += 1
+              }
+              out
+            }
         case _ => // LIST, fact, … — skip (chunks are word-aligned)
           buf.position(buf.position() + size + (size & 1))
       }

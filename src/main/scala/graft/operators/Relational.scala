@@ -589,6 +589,19 @@ object Relational {
           .cast("double") / max(col("n")), 2).as("mean_sec"))
   }
 
+  // ---------------------------------------------------------------- Q35 (ANALYZE)
+  /** ANALYZE TABLE over the fact source: per-column rows / nulls / exact
+    * NDV / min / max in one aggregate pass — the stats a cost-based
+    * optimizer consumes. The ship date is profiled at DATE grain so the
+    * stringified bounds are engine-portable. See
+    * [[graft.etl.CatalogOps.analyzeColumns]]. */
+  def q35AnalyzeStats(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.CatalogOps.analyzeColumns(
+      Tables(spark, dir, "lineitem")
+        .withColumn("l_shipdate", to_date(col("l_shipdate"))),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
+      .orderBy("col_name")
+
   // ---------------------------------------------------------------- Q33 (robust)
   /** Winsorized robust statistics per event type: nearest-rank tail
     * bounds (the (⌊q(n−1)⌋+1)-th smallest value at q = 1/16 and 15/16),

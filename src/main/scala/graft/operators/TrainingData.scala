@@ -476,6 +476,32 @@ object TrainingData {
       .orderBy("lang", "check")
   }
 
+  /** Split-leakage audit: near-duplicate pairs (d02's exact n-gram
+    * Jaccard evidence — exact copies score 1.0 and are included) joined
+    * against the t04 hash split, counted per unordered split pair. Any
+    * row with `leaks = true` is train/eval contamination that survives
+    * doc-level dedup-then-split done in the wrong order — THE reason
+    * dedup must run before splitting, and the audit that proves whether
+    * it did. Pair evidence is |near-dup pairs| rows (tiny next to the
+    * corpus); the split frame is a pure hash projection, so the join
+    * costs two slim equi-joins. */
+  def t29SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
+      .select(col("d1"), col("d2"))
+    val splits = docs.select(col("doc_id"),
+      graft.operators.Sampling.split(col("doc_id")).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+      .join(splits.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("split_a"),
+        greatest(col("s1"), col("s2")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", col("split_a") =!= col("split_b"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** Exact duplicate groups (hash-groupBy dedup). */
   def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir, "documents"))

@@ -159,6 +159,34 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](WavCodec.decode("nope".getBytes))
   }
 
+  // hand-assemble an 8-bit G.711 WAV (format 6 = A-law, 7 = mu-law)
+  private def g711Wav(format: Int, data: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(format.toShort).putShort(1).putInt(8000)
+      .putInt(8000).putShort(1).putShort(8)
+    buf.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    buf.array()
+  }
+
+  test("wav codec: G.711 mu-law and A-law expand to the ITU anchor values") {
+    // mu-law: 0x00 = full-scale negative, 0x80 = full-scale positive,
+    // 0xFF = zero — the published G.711 extremes
+    val u = WavCodec.decode(g711Wav(7,
+      Array(0x00, 0x80, 0xFF).map(_.toByte)))
+    assert(u.sampleRate == 8000 && u.samples.toSeq == Seq(-32124, 32124, 0))
+    // A-law: 0x55 = -8 (smallest negative), 0xD5 = +8, 0xAA = +32256 (max)
+    val a = WavCodec.decode(g711Wav(6,
+      Array(0x55, 0xD5, 0xAA).map(_.toByte)))
+    assert(a.samples.toSeq == Seq(-8, 8, 32256))
+    // an unsupported compression code still fails loudly
+    intercept[IllegalArgumentException](
+      WavCodec.decode(g711Wav(2, Array(0x00.toByte))))
+  }
+
   test("wav rms features: silence 0, constant A/32768, full-scale stays <= 1") {
     Seq(1, 2).foreach { ch =>
       val f = WavCodec.rmsFeatures(stepWav(ch), nWindows = 2)
