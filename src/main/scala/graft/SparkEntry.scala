@@ -52,6 +52,7 @@ object SparkEntry {
     "q34_time_to_convert" -> (Relational.q34TimeToConvert _),
     "q35_analyze_stats" -> (Relational.q35AnalyzeStats _),
     "t29_split_leakage" -> (TrainingData.t29SplitLeakage _),
+    "t30_quality_dedup" -> (TrainingData.t30QualityDedup _),
     "t23_source_dup_report" -> (TrainingData.t23SourceDupReport _),
     "t24_selection_funnel" -> (TrainingData.t24SelectionFunnel _),
     "t25_token_inventory" -> (TrainingData.t25TokenInventory _),
@@ -903,6 +904,20 @@ object SparkEntry {
       s"""WITH RECURSIVE $manifestCtes
         |SELECT doc_id, keeper_id, doc_id = keeper_id AS is_keeper
         |FROM manifest ORDER BY doc_id""".stripMargin,
+    "t30_quality_dedup" ->
+      s"""WITH RECURSIVE $manifestCtes,
+        |scored AS (SELECT m.doc_id, m.keeper_id AS cluster_id,
+        |    CAST(d.n_chars AS BIGINT) AS score
+        |  FROM manifest m JOIN documents d USING (doc_id)),
+        |rk AS (SELECT cluster_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY score DESC, doc_id) AS r
+        |  FROM scored),
+        |k AS (SELECT cluster_id, doc_id AS keeper_id FROM rk WHERE r = 1)
+        |SELECT s.doc_id, s.cluster_id, k.keeper_id,
+        |  s.doc_id = k.keeper_id AS is_keeper, s.score
+        |FROM scored s JOIN k USING (cluster_id)
+        |ORDER BY s.doc_id""".stripMargin,
     "t23_source_dup_report" ->
       s"""WITH RECURSIVE $manifestCtes,
         |j AS (SELECT m.doc_id, m.keeper_id, d.source

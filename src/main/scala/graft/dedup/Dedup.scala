@@ -530,6 +530,28 @@ object Dedup {
         reps => ngramJaccardPairs(reps, threshold, textCol).select("d1", "d2"))
     }
 
+  /** Re-pick each duplicate cluster's keeper by a QUALITY score instead
+    * of the manifest's min-doc_id convention — the policy real curation
+    * runs want: of k copies, keep the best one (longest, highest quality
+    * gate score, freshest crawl), not the first-seen. Ties break to the
+    * smallest doc_id so the decision replays deterministically.
+    * `manifest` is a [[dedupManifest]] result (its `keeper_id` is the
+    * cluster label); `scores` maps doc_id → score. One equi-join to
+    * attach scores, a per-cluster window (clusters are near-cliques —
+    * small — so the sort is bounded), one join back. */
+  def keeperByScore(manifest: DataFrame, scores: DataFrame): DataFrame = {
+    val m = manifest.select(col("doc_id"), col("keeper_id").as("cluster_id"))
+      .join(scores, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(desc("score"), asc("doc_id"))
+    val keepers = m.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"))
+    m.join(keepers, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_keeper"), col("score"))
+  }
+
   /** The 100 TB form of [[dedupManifest]]: near-duplicate evidence comes
     * from MinHash+LSH banding instead of the exact inverted-index Jaccard
     * join, so candidate generation stays equi-join-shaped on corpora where

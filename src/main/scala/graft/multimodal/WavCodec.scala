@@ -5,10 +5,12 @@ import java.nio.{ByteBuffer, ByteOrder}
 /** REAL (non-stub) codec for RIFF/WAVE audio — a pure-JVM parser, no
   * audio libraries required, giving the multimodal pipeline a fully-real
   * audio path (decode → windowed-RMS featurize → resample) next to
-  * [[PpmCodec]]'s image path. Three sample codings are supported: 16-bit
-  * PCM (format 1) and the two ITU-T G.711 companded telephony codings —
-  * 8-bit μ-law (format 7) and 8-bit A-law (format 6) — expanded to 16-bit
-  * linear via the published G.711 segment/quantization formulas.
+  * [[PpmCodec]]'s image path. Four sample codings are supported: 16-bit
+  * PCM (format 1), the two ITU-T G.711 companded telephony codings —
+  * 8-bit μ-law (format 7) and 8-bit A-law (format 6) — expanded to
+  * 16-bit linear via the published G.711 segment/quantization formulas,
+  * and mono IMA ADPCM (format 0x11), a REAL 4:1 compressed format
+  * decoded block-by-block with the published step/index tables.
   * Perceptual codecs (MP3/AAC/OGG) remain behind [[Multimodal.FakeCodec]]
   * because those decoders don't exist in this environment.
   *
@@ -48,6 +50,53 @@ object WavCodec {
       if (sampleRate == 0) 0 else (frames.toLong * 1000L / sampleRate).toInt
   }
 
+  // IMA ADPCM tables (IMA Recommended Practices / Microsoft WAV format
+  // 0x11): 89-entry step-size table + per-nibble index adjustment
+  private val imaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val imaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode one mono IMA ADPCM block: 4-byte header (int16 predictor,
+    * uint8 step index, reserved), then two 4-bit samples per byte,
+    * low nibble first. The header's predictor IS the block's first
+    * output sample. */
+  private def imaDecodeBlock(buf: ByteBuffer, blockBytes: Int,
+      out: java.util.ArrayList[Short]): Unit = {
+    var pred: Int = buf.getShort.toInt
+    var index: Int = buf.get() & 0xff
+    buf.get() // reserved
+    require(index <= 88, s"ADPCM step index $index out of range")
+    out.add(pred.toShort)
+    var i = 4
+    while (i < blockBytes) {
+      val byte = buf.get() & 0xff
+      var half = 0
+      while (half < 2) {
+        val n = if (half == 0) byte & 0x0f else (byte >> 4) & 0x0f
+        val step = imaStepTable(index)
+        var diff = step >> 3
+        if ((n & 1) != 0) diff += step >> 2
+        if ((n & 2) != 0) diff += step >> 1
+        if ((n & 4) != 0) diff += step
+        pred = if ((n & 8) != 0) pred - diff else pred + diff
+        if (pred > 32767) pred = 32767
+        if (pred < -32768) pred = -32768
+        index = math.max(0, math.min(88, index + imaIndexTable(n)))
+        out.add(pred.toShort)
+        half += 1
+      }
+      i += 1
+    }
+  }
+
   /** Parse a WAV payload. Throws on malformed/unsupported input — a
     * training pipeline wants loud per-record failures it can route to
     * quarantine, not silently wrong audio. */
@@ -62,6 +111,7 @@ object WavCodec {
     var sampleRate = 0
     var channels = 0
     var format = 0
+    var blockAlign = 0
     var samples: Array[Short] = null
     while (buf.remaining() >= 8 && samples == null) {
       val id = tag()
@@ -70,17 +120,23 @@ object WavCodec {
         case "fmt " =>
           val fmtEnd = buf.position() + size
           format = buf.getShort.toInt
-          require(format == 1 || format == 6 || format == 7,
-            s"unsupported WAV format $format (want PCM=1, A-law=6, or mu-law=7)")
+          require(format == 1 || format == 6 || format == 7 || format == 0x11,
+            s"unsupported WAV format $format (want PCM=1, A-law=6, mu-law=7, IMA ADPCM=17)")
           channels = buf.getShort.toInt
           sampleRate = buf.getInt
-          buf.getInt   // byte rate
-          buf.getShort // block align
+          buf.getInt // byte rate
+          blockAlign = buf.getShort.toInt
           val bits = buf.getShort
-          if (format == 1)
-            require(bits == 16, s"unsupported PCM bit depth $bits (want 16)")
-          else
-            require(bits == 8, s"G.711 requires 8-bit samples, found $bits")
+          format match {
+            case 1 =>
+              require(bits == 16, s"unsupported PCM bit depth $bits (want 16)")
+            case 0x11 =>
+              require(bits == 4, s"IMA ADPCM requires 4-bit samples, found $bits")
+              require(channels == 1, "IMA ADPCM decode supports mono only")
+              require(blockAlign >= 4, s"ADPCM block align $blockAlign too small")
+            case _ =>
+              require(bits == 8, s"G.711 requires 8-bit samples, found $bits")
+          }
           buf.position(fmtEnd)
         case "data" =>
           require(sampleRate > 0, "data chunk before fmt chunk")
@@ -90,6 +146,17 @@ object WavCodec {
               var i = 0
               while (i < out.length) { out(i) = buf.getShort; i += 1 }
               out
+            } else if (format == 0x11) {
+              val out = new java.util.ArrayList[Short]()
+              var left = size
+              while (left >= 4) {
+                imaDecodeBlock(buf, math.min(blockAlign, left), out)
+                left -= math.min(blockAlign, left)
+              }
+              val arr = new Array[Short](out.size())
+              var i = 0
+              while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+              arr
             } else {
               val out = new Array[Short](size)
               var i = 0

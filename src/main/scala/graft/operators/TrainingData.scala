@@ -502,6 +502,20 @@ object TrainingData {
       .orderBy("split_a", "split_b")
   }
 
+  /** Quality-aware dedup manifest: the d08 clusters with each keeper
+    * RE-PICKED as the cluster's longest document (n_chars score, doc_id
+    * tie-break) — "keep the best copy", the policy production curation
+    * uses where d08's min-id convention keeps whichever copy crawled
+    * first. Shares the cached manifest, so the marginal cost is one
+    * score join + a bounded per-cluster window. */
+  def t30QualityDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.keeperByScore(
+      Dedup.dedupManifest(docs),
+      docs.select(col("doc_id"), col("n_chars").cast("long").as("score")))
+      .orderBy("doc_id")
+  }
+
   /** Exact duplicate groups (hash-groupBy dedup). */
   def d01ExactDupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir, "documents"))

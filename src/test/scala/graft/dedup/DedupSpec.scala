@@ -260,4 +260,19 @@ class DedupSpec extends SparkTestBase {
       assert(h <= 12, s"missed pair ($a,$b) at hamming $h — noise, not near-miss")
     }
   }
+
+  test("keeperByScore: best copy wins, min-id breaks ties, singletons keep") {
+    // d08-shaped manifest: cluster {1,2,3} labelled by min id 1; singleton 9
+    val manifest = Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (9L, 9L, true)).toDF("doc_id", "keeper_id", "is_keeper")
+    val scores = Seq((1L, 100L), (2L, 400L), (3L, 400L), (9L, 50L))
+      .toDF("doc_id", "score")
+    val got = Dedup.keeperByScore(manifest, scores).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // docs 2 and 3 tie on score 400 → the smaller id 2 becomes keeper
+    assert(got(1L) == ((2L, false)))
+    assert(got(2L) == ((2L, true)))
+    assert(got(3L) == ((2L, false)))
+    assert(got(9L) == ((9L, true))) // singleton keeps itself
+  }
 }

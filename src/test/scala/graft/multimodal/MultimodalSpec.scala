@@ -187,6 +187,31 @@ class MultimodalSpec extends SparkTestBase {
       WavCodec.decode(g711Wav(2, Array(0x00.toByte))))
   }
 
+  test("wav codec: IMA ADPCM block decodes to the hand-stepped samples") {
+    // mono block: predictor=100, stepIndex=0, nibbles 3,7 then 0,0xF
+    // (low nibble first). Stepping the published tables by hand:
+    //   3 at step 7 → +4 (104), 7 at step 7 → +11 (115, index→8),
+    //   0 at step 16 → +2 (117, index→7), F at step 14 → −25 (92)
+    val data = java.nio.ByteBuffer.allocate(6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(100).put(0.toByte).put(0.toByte)
+      .put(0x73.toByte).put(0xF0.toByte).array()
+    val buf = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(0x11).putShort(1).putInt(8000)
+      .putInt(4000).putShort(8).putShort(4)
+    buf.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    val a = WavCodec.decode(buf.array())
+    assert(a.samples.toSeq == Seq(100, 104, 115, 117, 92))
+    // stereo ADPCM is out of scope and must refuse loudly, not decode noise
+    val stereo = buf.array().clone()
+    stereo(22) = 2 // channel count lives at offset 22
+    intercept[IllegalArgumentException](WavCodec.decode(stereo))
+  }
+
   test("wav rms features: silence 0, constant A/32768, full-scale stays <= 1") {
     Seq(1, 2).foreach { ch =>
       val f = WavCodec.rmsFeatures(stepWav(ch), nWindows = 2)
