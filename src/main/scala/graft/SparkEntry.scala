@@ -51,8 +51,10 @@ object SparkEntry {
     "q33_winsorized_stats" -> (Relational.q33WinsorizedStats _),
     "q34_time_to_convert" -> (Relational.q34TimeToConvert _),
     "q35_analyze_stats" -> (Relational.q35AnalyzeStats _),
+    "q36_listagg" -> (Relational.q36Listagg _),
     "t29_split_leakage" -> (TrainingData.t29SplitLeakage _),
     "t30_quality_dedup" -> (TrainingData.t30QualityDedup _),
+    "t31_usable_temp_mix" -> (TrainingData.t31UsableTemperatureMix _),
     "t23_source_dup_report" -> (TrainingData.t23SourceDupReport _),
     "t24_selection_funnel" -> (TrainingData.t24SelectionFunnel _),
     "t25_token_inventory" -> (TrainingData.t25TokenInventory _),
@@ -620,6 +622,11 @@ object SparkEntry {
         |SELECT split_a, split_b, COUNT(*) AS n_pairs,
         |  split_a <> split_b AS leaks
         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q36_listagg" ->
+      """SELECT r_name, COUNT(DISTINCT n_name) AS n_nations,
+        |  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_analyze_stats" ->
       """WITH src AS (SELECT l_orderkey, l_quantity, l_returnflag,
         |    CAST(l_shipdate AS DATE) AS l_shipdate FROM lineitem),
@@ -1051,6 +1058,43 @@ object SparkEntry {
         |FROM d JOIN rc USING (lang)
         |GROUP BY 1, 2, 3, 4, 5, 6
         |ORDER BY 1""".stripMargin,
+    "t31_usable_temp_mix" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INT) AS nonspace,
+        |  CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'),
+        |    w -> regexp_matches(w, '[a-z]'))) AS INT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS INT) AS n_stopwords
+        |FROM documents),
+        |k AS (SELECT doc_id, lang, n_words,
+        |    (n_words BETWEEN 50 AND 100000)
+        |    AND (round(CAST(nonspace AS DOUBLE) / n_words, 4) BETWEEN 3.0 AND 10.0)
+        |    AND (round(CAST(n_alpha AS DOUBLE) / n_words, 4) >= 0.8)
+        |    AND (n_stopwords >= 2) AS keep
+        |  FROM s WHERE n_words > 0),
+        |totals AS (SELECT lang, COUNT(*) AS n_docs FROM k GROUP BY 1),
+        |u AS (SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_tok,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS b
+        |  FROM k WHERE keep),
+        |g AS (SELECT lang, COUNT(*) AS usable_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS usable_tokens,
+        |    CAST(round(sqrt(CAST(SUM(n_tok) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS rt
+        |  FROM u GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(usable_tokens) AS BIGINT) AS nn,
+        |    SUM(rt) AS z FROM g),
+        |r AS (SELECT g.*, nn,
+        |    CAST(rt AS DOUBLE) / CAST(z AS DOUBLE) AS temp_share,
+        |    least(1.0, (CAST(rt AS DOUBLE) / CAST(z AS DOUBLE)) * nn / usable_tokens) AS rate
+        |  FROM g, tot),
+        |rc AS (SELECT r.*, CAST(floor(rate * 1000000) AS BIGINT) AS cut FROM r),
+        |kept AS (SELECT rc.lang, rc.usable_docs, rc.usable_tokens,
+        |    rc.temp_share, rc.rate,
+        |    CAST(SUM(CASE WHEN u.b < rc.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM u JOIN rc USING (lang) GROUP BY 1, 2, 3, 4, 5, rc.cut)
+        |SELECT kept.lang, t.n_docs, kept.usable_docs, kept.usable_tokens,
+        |  round(kept.temp_share, 4) AS temp_share,
+        |  round(kept.rate, 4) AS sample_rate, kept.n_kept
+        |FROM kept JOIN totals t USING (lang) ORDER BY 1""".stripMargin,
     "t26_expectations" ->
       """WITH m AS (SELECT
         |  CAST(round(CAST(CAST(COUNT(DISTINCT doc_id) AS DOUBLE)

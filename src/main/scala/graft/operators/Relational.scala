@@ -602,6 +602,23 @@ object Relational {
       Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))
       .orderBy("col_name")
 
+  // ---------------------------------------------------------------- Q36 (LISTAGG)
+  /** String aggregation (ANSI LISTAGG / string_agg): each region's
+    * nations as one ordered comma list — the directory/report shape SQL
+    * surfaces need. Determinism is the whole trick: `collect_set` is
+    * partition-order-dependent, so the list is sorted BEFORE joining
+    * (array_sort + concat_ws), making the output a pure function of the
+    * group's membership. Distributable: collect_set partial-aggregates
+    * map-side and group membership is bounded (nations per region). */
+  def q36Listagg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "region")
+      .join(Tables(spark, dir, "nation"),
+        col("r_regionkey") === col("n_regionkey"))
+      .groupBy("r_name")
+      .agg(countDistinct(col("n_name")).as("n_nations"),
+        concat_ws(",", array_sort(collect_set(col("n_name")))).as("nations"))
+      .orderBy("r_name")
+
   // ---------------------------------------------------------------- Q33 (robust)
   /** Winsorized robust statistics per event type: nearest-rank tail
     * bounds (the (⌊q(n−1)⌋+1)-th smallest value at q = 1/16 and 15/16),

@@ -919,6 +919,53 @@ object TrainingData {
       .orderBy("lang")
   }
 
+  /** t22's temperature mix with the budget t25 says it SHOULD consume:
+    * language weights computed over USABLE tokens only (t17's Gopher
+    * conjunction as the per-row gate), unusable docs dropped before any
+    * budget math. On corpora where quality rates differ by language —
+    * the normal case — mixing on raw token counts systematically
+    * over-allocates the noisy languages; this is the corrected operator.
+    * Same two-pass broadcast shape and decimal-pinned √-normalizer as
+    * t22. */
+  def t31UsableTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val okLength = col("n_words") >= 50 && col("n_words") <= 100000
+    val okMeanLen = col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0
+    val okAlpha = col("frac_alpha_words") >= 0.8
+    val okStop = col("n_stopwords") >= 2
+    val d0 = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+        TextAnalysis.alphaWordFraction(col("text")).as("frac_alpha_words"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stopwords"))
+      .filter(col("n_words") > 0)
+      .withColumn("keep", okLength && okMeanLen && okAlpha && okStop)
+    val totals = d0.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val usable = d0.filter(col("keep"))
+      .select(col("doc_id"), col("lang"), col("n_words").cast("long").as("n_tok"))
+      .withColumn("b", Sampling.fineHashBucket(col("doc_id")))
+    val g = usable.groupBy("lang")
+      .agg(count(lit(1)).as("usable_docs"), sum("n_tok").as("usable_tokens"))
+      .withColumn("rt",
+        round(sqrt(col("usable_tokens").cast("double")), 6).cast("decimal(18,6)"))
+    val tot = g.agg(sum("usable_tokens").as("nn"), sum("rt").as("z"))
+    val r = g.crossJoin(broadcast(tot))
+      .withColumn("temp_share",
+        col("rt").cast("double") / col("z").cast("double"))
+      .withColumn("rate",
+        least(lit(1.0), col("temp_share") * col("nn") / col("usable_tokens")))
+      .withColumn("cut", floor(col("rate") * 1000000).cast("long"))
+    usable.join(broadcast(r), Seq("lang"))
+      .groupBy("lang", "usable_docs", "usable_tokens", "temp_share", "rate", "cut")
+      .agg(sum(when(col("b") < col("cut"), 1L).otherwise(0L)).as("n_kept"))
+      .join(totals, "lang")
+      .select(col("lang"), col("n_docs"), col("usable_docs"),
+        col("usable_tokens"),
+        round(col("temp_share"), 4).as("temp_share"),
+        round(col("rate"), 4).as("sample_rate"), col("n_kept"))
+      .orderBy("lang")
+  }
+
   /** The SELECTION funnel composed end to end — the companion to t15's
     * cleaning funnel, for the other half of curation (not "is this doc
     * good" but "how much of each slice do we take"): per (source, lang),

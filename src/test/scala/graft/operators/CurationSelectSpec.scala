@@ -137,4 +137,32 @@ class CurationSelectSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(out.map(_.getLong(0)).toSet.subsetOf(wider))
   }
+
+  test("usable-token mix corrects the budget of a garbage-heavy language") {
+    val dir = java.nio.file.Files.createTempDirectory("usable_mix").toString
+    val good = Array.fill(8)("the quick brown fox jumps over the lazy dog")
+      .mkString(" ") // 72 words, stopword-rich, all-alpha: passes the gate
+    val junk = "zz 11 22" // 3 words: fails the length rule
+    val docs = (
+      (0 until 10).map(i => (i.toLong, good, "aa")) ++
+      (10 until 20).map(i => (i.toLong, good, "bb")) ++
+      (20 until 50).map(i => (i.toLong, junk, "bb"))) // bb is garbage-heavy
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t31 = TrainingData.t31UsableTemperatureMix(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the junk never reaches the budget: bb's usable mass equals aa's
+    assert(t31("bb").getAs[Long]("usable_docs") == 10)
+    assert(t31("bb").getAs[Long]("usable_tokens") ==
+      t31("aa").getAs[Long]("usable_tokens"))
+    assert(t31("bb").getAs[Long]("n_docs") == 40) // but the report shows the raw pool
+    assert(t31("aa").getAs[Double]("temp_share") ==
+      t31("bb").getAs[Double]("temp_share"))
+    // raw-token mixing would have over-allocated bb (its raw mass is larger)
+    val t22 = TrainingData.t22TemperatureMix(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("temp_share")).toMap
+    assert(t22("bb") > t22("aa"))
+  }
 }
