@@ -1091,66 +1091,75 @@ object SparkEntry {
         |    rc.temp_share, rc.rate,
         |    CAST(SUM(CASE WHEN u.b < rc.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |  FROM u JOIN rc USING (lang) GROUP BY 1, 2, 3, 4, 5, rc.cut)
-        |SELECT kept.lang, t.n_docs, kept.usable_docs, kept.usable_tokens,
-        |  round(kept.temp_share, 4) AS temp_share,
-        |  round(kept.rate, 4) AS sample_rate, kept.n_kept
-        |FROM kept JOIN totals t USING (lang) ORDER BY 1""".stripMargin,
+        |SELECT t.lang, t.n_docs,
+        |  coalesce(kept.usable_docs, 0) AS usable_docs,
+        |  coalesce(kept.usable_tokens, 0) AS usable_tokens,
+        |  round(coalesce(kept.temp_share, 0.0), 4) AS temp_share,
+        |  round(coalesce(kept.rate, 0.0), 4) AS sample_rate,
+        |  coalesce(kept.n_kept, 0) AS n_kept
+        |FROM totals t LEFT JOIN kept USING (lang) ORDER BY 1""".stripMargin,
     "t26_expectations" ->
       """WITH m AS (SELECT
-        |  CAST(round(CAST(CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,10)), 6) AS DOUBLE) AS doc_id_unique,
-        |  CAST(round(CAST(AVG(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END)
-        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS text_complete,
-        |  CAST(round(CAST(AVG(CASE WHEN lang IN ('de','en','es','fr','zh')
-        |    THEN 1.0 ELSE 0.0 END) AS DECIMAL(28,10)), 6) AS DOUBLE) AS lang_accepted,
-        |  CAST(round(CAST(AVG(CASE WHEN n_chars = length(text)
-        |    THEN 1.0 ELSE 0.0 END) AS DECIMAL(28,10)), 6) AS DOUBLE) AS chars_match_text,
-        |  CAST(round(CAST(AVG(CASE WHEN n_chars BETWEEN 1 AND 10000
-        |    THEN 1.0 ELSE 0.0 END) AS DECIMAL(28,10)), 6) AS DOUBLE) AS chars_in_range,
-        |  CAST(round(CAST(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
-        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS english_share,
-        |  CAST(round(CAST(LEAST(CAST(COUNT(*) AS DOUBLE) / 100.0, 1.0)
-        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS min_rows
+        |  CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS doc_id_unique,
+        |  AVG(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END) AS text_complete,
+        |  AVG(CASE WHEN lang IN ('de','en','es','fr','zh')
+        |    THEN 1.0 ELSE 0.0 END) AS lang_accepted,
+        |  AVG(CASE WHEN n_chars = length(text)
+        |    THEN 1.0 ELSE 0.0 END) AS chars_match_text,
+        |  AVG(CASE WHEN n_chars BETWEEN 1 AND 10000
+        |    THEN 1.0 ELSE 0.0 END) AS chars_in_range,
+        |  AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS english_share,
+        |  LEAST(CAST(COUNT(*) AS DOUBLE) / 100.0, 1.0) AS min_rows
         |FROM documents)
         |SELECT * FROM (
-        |  SELECT 'chars_in_range' AS "check", chars_in_range AS metric,
+        |  SELECT 'chars_in_range' AS "check",
+        |    CAST(round(CAST(chars_in_range AS DECIMAL(28,10)), 6) AS DOUBLE) AS metric,
         |    CAST(1.0 AS DOUBLE) AS threshold, chars_in_range >= 1.0 AS passed FROM m
-        |  UNION ALL SELECT 'chars_match_text', chars_match_text,
+        |  UNION ALL SELECT 'chars_match_text',
+        |    CAST(round(CAST(chars_match_text AS DECIMAL(28,10)), 6) AS DOUBLE),
         |    CAST(1.0 AS DOUBLE), chars_match_text >= 1.0 FROM m
-        |  UNION ALL SELECT 'doc_id_unique', doc_id_unique,
+        |  UNION ALL SELECT 'doc_id_unique',
+        |    CAST(round(CAST(doc_id_unique AS DECIMAL(28,10)), 6) AS DOUBLE),
         |    CAST(1.0 AS DOUBLE), doc_id_unique >= 1.0 FROM m
-        |  UNION ALL SELECT 'english_share', english_share,
+        |  UNION ALL SELECT 'english_share',
+        |    CAST(round(CAST(english_share AS DECIMAL(28,10)), 6) AS DOUBLE),
         |    CAST(0.5 AS DOUBLE), english_share >= 0.5 FROM m
-        |  UNION ALL SELECT 'lang_accepted', lang_accepted,
+        |  UNION ALL SELECT 'lang_accepted',
+        |    CAST(round(CAST(lang_accepted AS DECIMAL(28,10)), 6) AS DOUBLE),
         |    CAST(1.0 AS DOUBLE), lang_accepted >= 1.0 FROM m
-        |  UNION ALL SELECT 'min_rows', min_rows,
+        |  UNION ALL SELECT 'min_rows',
+        |    CAST(round(CAST(min_rows AS DECIMAL(28,10)), 6) AS DOUBLE),
         |    CAST(1.0 AS DOUBLE), min_rows >= 1.0 FROM m
-        |  UNION ALL SELECT 'text_complete', text_complete,
+        |  UNION ALL SELECT 'text_complete',
+        |    CAST(round(CAST(text_complete AS DECIMAL(28,10)), 6) AS DOUBLE),
         |    CAST(1.0 AS DOUBLE), text_complete >= 1.0 FROM m)
         |ORDER BY "check"""".stripMargin,
     "t27_expectations_by_lang" ->
       """WITH m AS (SELECT lang,
-        |  CAST(round(CAST(AVG(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END)
-        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS text_complete,
-        |  CAST(round(CAST(AVG(CASE WHEN n_chars = length(text)
-        |    THEN 1.0 ELSE 0.0 END) AS DECIMAL(28,10)), 6) AS DOUBLE) AS chars_match_text,
-        |  CAST(round(CAST(AVG(CASE WHEN n_chars BETWEEN 1 AND 10000
-        |    THEN 1.0 ELSE 0.0 END) AS DECIMAL(28,10)), 6) AS DOUBLE) AS chars_in_range,
-        |  CAST(round(CAST(LEAST(CAST(COUNT(*) AS DOUBLE) / 100.0, 1.0)
-        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS doc_floor_100,
-        |  CAST(round(CAST(AVG(CASE WHEN n_chars >= 100 THEN 1.0 ELSE 0.0 END)
-        |    AS DECIMAL(28,10)), 6) AS DOUBLE) AS long_doc_share
+        |  AVG(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END) AS text_complete,
+        |  AVG(CASE WHEN n_chars = length(text)
+        |    THEN 1.0 ELSE 0.0 END) AS chars_match_text,
+        |  AVG(CASE WHEN n_chars BETWEEN 1 AND 10000
+        |    THEN 1.0 ELSE 0.0 END) AS chars_in_range,
+        |  LEAST(CAST(COUNT(*) AS DOUBLE) / 100.0, 1.0) AS doc_floor_100,
+        |  AVG(CASE WHEN n_chars >= 100 THEN 1.0 ELSE 0.0 END) AS long_doc_share
         |FROM documents GROUP BY lang)
         |SELECT * FROM (
-        |  SELECT lang, 'chars_in_range' AS "check", chars_in_range AS metric,
+        |  SELECT lang, 'chars_in_range' AS "check",
+        |    CAST(round(CAST(chars_in_range AS DECIMAL(28,10)), 6) AS DOUBLE) AS metric,
         |    CAST(1.0 AS DOUBLE) AS threshold, chars_in_range >= 1.0 AS passed FROM m
-        |  UNION ALL SELECT lang, 'chars_match_text', chars_match_text,
+        |  UNION ALL SELECT lang, 'chars_match_text',
+        |    CAST(round(CAST(chars_match_text AS DECIMAL(28,10)), 6) AS DOUBLE),
         |    CAST(1.0 AS DOUBLE), chars_match_text >= 1.0 FROM m
-        |  UNION ALL SELECT lang, 'doc_floor_100', doc_floor_100,
+        |  UNION ALL SELECT lang, 'doc_floor_100',
+        |    CAST(round(CAST(doc_floor_100 AS DECIMAL(28,10)), 6) AS DOUBLE),
         |    CAST(1.0 AS DOUBLE), doc_floor_100 >= 1.0 FROM m
-        |  UNION ALL SELECT lang, 'long_doc_share', long_doc_share,
+        |  UNION ALL SELECT lang, 'long_doc_share',
+        |    CAST(round(CAST(long_doc_share AS DECIMAL(28,10)), 6) AS DOUBLE),
         |    CAST(0.8 AS DOUBLE), long_doc_share >= 0.8 FROM m
-        |  UNION ALL SELECT lang, 'text_complete', text_complete,
+        |  UNION ALL SELECT lang, 'text_complete',
+        |    CAST(round(CAST(text_complete AS DECIMAL(28,10)), 6) AS DOUBLE),
         |    CAST(1.0 AS DOUBLE), text_complete >= 1.0 FROM m)
         |ORDER BY lang, "check"""".stripMargin,
     "t25_token_inventory" ->

@@ -538,12 +538,20 @@ object Dedup {
     * `manifest` is a [[dedupManifest]] result (its `keeper_id` is the
     * cluster label); `scores` maps doc_id → score. One equi-join to
     * attach scores, a per-cluster window (clusters are near-cliques —
-    * small — so the sort is bounded), one join back. */
+    * small — so the sort is bounded), one join back.
+    *
+    * Scores attach with a LEFT join and sort nulls-last: a doc missing
+    * from `scores` (callers often score a filtered subset) keeps its
+    * manifest row — it just can never win keeper unless the whole
+    * cluster is unscored (then the doc_id tie-break decides). An inner
+    * join here would silently DELETE unscored docs from the manifest,
+    * breaking the every-doc-appears-once invariant. */
   def keeperByScore(manifest: DataFrame, scores: DataFrame): DataFrame = {
     val m = manifest.select(col("doc_id"), col("keeper_id").as("cluster_id"))
-      .join(scores, "doc_id")
+      .join(scores, Seq("doc_id"), "left")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(desc("score"), asc("doc_id"))
+      .partitionBy("cluster_id")
+      .orderBy(desc_nulls_last("score"), asc("doc_id"))
     val keepers = m.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("cluster_id"), col("doc_id").as("keeper_id"))

@@ -62,10 +62,12 @@ object Expectations {
       lit(1.0d)), 1.0)
 
   /** Evaluate the suite in one aggregate pass and melt to one row per
-    * check: (check, metric, threshold, passed). Metrics round to 6 dp
-    * through DECIMAL so the report replays identically across engines
-    * (the avg of a 0/1 indicator is a ratio of exact integers — the
-    * rounding only pins the division). */
+    * check: (check, metric, threshold, passed). The REPORTED metric
+    * rounds to 6 dp through DECIMAL so the report replays identically
+    * across engines, but `passed` compares the UNROUNDED metric: at
+    * corpus scale a violation rate below 5e-7 would otherwise round to
+    * 1.000000 and falsely pass an exact-threshold check (two duplicate
+    * keys in ten million rows must still fail `uniqueKey`). */
   def run(df: DataFrame, checks: Seq[Expect]): DataFrame =
     runGrouped(df, Nil, checks)
 
@@ -79,18 +81,19 @@ object Expectations {
     require(checks.nonEmpty, "empty expectation suite")
     require(checks.map(_.name).distinct.size == checks.size,
       s"duplicate check names: ${checks.map(_.name)}")
-    val aggs = checks.map(e =>
-      round(e.metric.cast(DecimalType(28, 10)), 6).cast("double").as(e.name))
+    val aggs = checks.map(e => e.metric.cast("double").as(e.name))
     val one =
       if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val long = checks.map(e =>
-      struct(lit(e.name).as("check"), col(e.name).as("metric"),
-        lit(e.threshold).as("threshold")))
+      struct(lit(e.name).as("check"),
+        round(col(e.name).cast(DecimalType(28, 10)), 6).cast("double")
+          .as("metric"),
+        lit(e.threshold).as("threshold"),
+        (col(e.name) >= e.threshold).as("passed")))
     one
       .select(groupCols.map(col) :+ explode(array(long: _*)).as("r"): _*)
       .select(groupCols.map(col) ++ Seq(col("r.check"), col("r.metric"),
-        col("r.threshold"), (col("r.metric") >= col("r.threshold"))
-          .as("passed")): _*)
+        col("r.threshold"), col("r.passed")): _*)
   }
 }

@@ -112,11 +112,19 @@ object WavCodec {
     var channels = 0
     var format = 0
     var blockAlign = 0
+    var factSamples = -1L
     var samples: Array[Short] = null
     while (buf.remaining() >= 8 && samples == null) {
       val id = tag()
       val size = buf.getInt
       id match {
+        case "fact" =>
+          // true per-channel sample count for compressed formats — the
+          // final ADPCM block's padding nibbles are NOT audio and must
+          // not be emitted as trailing samples
+          val factEnd = buf.position() + size + (size & 1)
+          factSamples = buf.getInt.toLong & 0xffffffffL
+          buf.position(factEnd)
         case "fmt " =>
           val fmtEnd = buf.position() + size
           format = buf.getShort.toInt
@@ -153,7 +161,10 @@ object WavCodec {
                 imaDecodeBlock(buf, math.min(blockAlign, left), out)
                 left -= math.min(blockAlign, left)
               }
-              val arr = new Array[Short](out.size())
+              val n =
+                if (factSamples >= 0) math.min(out.size().toLong, factSamples).toInt
+                else out.size()
+              val arr = new Array[Short](n)
               var i = 0
               while (i < arr.length) { arr(i) = out.get(i); i += 1 }
               arr

@@ -555,6 +555,32 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Shared nearest-rank order-statistic machinery (q33/q34): a
+    * (partCols, value) HISTOGRAM annotated with each distinct value's
+    * rank span [lo_rn, hi_rn] and the group size n — exact quantiles
+    * without interpolation (engine-hostile: 1-ulp FP divergence was
+    * measured to flip clamp counts) and without sorting raw rows (the
+    * windows run over distinct values only). */
+  private def histogramRanks(df: DataFrame, partCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val wOrd =
+      if (partCols.isEmpty) Window.orderBy(valueCol)
+      else Window.partitionBy(partCols.map(col): _*).orderBy(valueCol)
+    val wAll =
+      if (partCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partCols.map(col): _*)
+    df.groupBy((partCols :+ valueCol).map(col): _*).agg(count(lit(1)).as("c"))
+      .withColumn("hi_rn", sum(col("c")).over(wOrd))
+      .withColumn("lo_rn", col("hi_rn") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(wAll))
+  }
+
+  /** The value whose rank span covers the nearest-rank position
+    * ⌊q(n−1)⌋+1 — an aggregate over a [[histogramRanks]] frame. */
+  private def nearestRankPick(q: Double, valueCol: String): Column =
+    max(when((floor(lit(q) * (col("n") - 1)).cast("long") + 1)
+      .between(col("lo_rn"), col("hi_rn")), col(valueCol)))
+
   // ---------------------------------------------------------------- Q34 (latency)
   /** Time-to-convert distribution for the q30 funnel's converting users:
     * seconds from FIRST view to FIRST qualifying purchase, reported as
@@ -572,18 +598,12 @@ object Relational {
         min(when(col("purchase_ok") === 1, col("ms"))).as("p_ms"))
       .filter(col("p_ms").isNotNull) // a qualifying purchase implies a view
       .select(expr("(p_ms - v_ms) div 1000").as("sec"))
-    def rankOf(q: Double) = floor(lit(q) * (col("n") - 1)).cast("long") + 1
-    def pick(q: Double) =
-      max(when(rankOf(q).between(col("lo_rn"), col("hi_rn")), col("sec")))
-    durations.groupBy("sec").agg(count(lit(1)).as("c"))
-      .withColumn("hi_rn", sum(col("c")).over(Window.orderBy("sec")))
-      .withColumn("lo_rn", col("hi_rn") - col("c") + 1)
-      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    histogramRanks(durations, Nil, "sec")
       .agg(
         max(col("n")).as("n_converted"),
         min(col("sec")).as("min_sec"),
-        pick(0.5).as("p50_sec"),
-        pick(0.9).as("p90_sec"),
+        nearestRankPick(0.5, "sec").as("p50_sec"),
+        nearestRankPick(0.9, "sec").as("p90_sec"),
         max(col("sec")).as("max_sec"),
         round(sum((col("sec") * col("c")).cast(DecimalType(28, 4)))
           .cast("double") / max(col("n")), 2).as("mean_sec"))
@@ -642,18 +662,10 @@ object Relational {
     * move it. */
   def q33WinsorizedStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events").select(col("event_type"), col("value"))
-    val wOrd = Window.partitionBy("event_type").orderBy("value")
-    val wAll = Window.partitionBy("event_type")
-    def rankOf(q: Double) =
-      floor(lit(q) * (col("n") - 1)).cast("long") + 1
-    def pick(q: Double) =
-      max(when(rankOf(q).between(col("lo_rn"), col("hi_rn")), col("value")))
-    val bounds = ev.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
-      .withColumn("hi_rn", sum(col("c")).over(wOrd))
-      .withColumn("lo_rn", col("hi_rn") - col("c") + 1)
-      .withColumn("n", sum(col("c")).over(wAll))
+    val bounds = histogramRanks(ev, Seq("event_type"), "value")
       .groupBy("event_type")
-      .agg(pick(0.0625).as("lo"), pick(0.9375).as("hi"))
+      .agg(nearestRankPick(0.0625, "value").as("lo"),
+        nearestRankPick(0.9375, "value").as("hi"))
     ev.join(broadcast(bounds), "event_type")
       .withColumn("cv", least(greatest(col("value"), col("lo")), col("hi")))
       .groupBy("event_type")

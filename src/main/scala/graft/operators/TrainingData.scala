@@ -955,14 +955,19 @@ object TrainingData {
       .withColumn("rate",
         least(lit(1.0), col("temp_share") * col("nn") / col("usable_tokens")))
       .withColumn("cut", floor(col("rate") * 1000000).cast("long"))
-    usable.join(broadcast(r), Seq("lang"))
+    val kept = usable.join(broadcast(r), Seq("lang"))
       .groupBy("lang", "usable_docs", "usable_tokens", "temp_share", "rate", "cut")
       .agg(sum(when(col("b") < col("cut"), 1L).otherwise(0L)).as("n_kept"))
-      .join(totals, "lang")
-      .select(col("lang"), col("n_docs"), col("usable_docs"),
-        col("usable_tokens"),
-        round(col("temp_share"), 4).as("temp_share"),
-        round(col("rate"), 4).as("sample_rate"), col("n_kept"))
+    // drive the report from TOTALS: a language whose every doc fails the
+    // gate must surface as a zero row (the degraded-slice alarm), not
+    // vanish — t24's "emptied cells kept as zero rows" convention
+    totals.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("usable_docs"), lit(0L)).as("usable_docs"),
+        coalesce(col("usable_tokens"), lit(0L)).as("usable_tokens"),
+        round(coalesce(col("temp_share"), lit(0.0)), 4).as("temp_share"),
+        round(coalesce(col("rate"), lit(0.0)), 4).as("sample_rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("lang")
   }
 

@@ -275,4 +275,15 @@ class DedupSpec extends SparkTestBase {
     assert(got(3L) == ((2L, false)))
     assert(got(9L) == ((9L, true))) // singleton keeps itself
   }
+
+  test("keeperByScore keeps unscored docs in the manifest, never as keeper") {
+    val manifest = Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false))
+      .toDF("doc_id", "keeper_id", "is_keeper")
+    val scores = Seq((2L, 10L)).toDF("doc_id", "score") // 1 and 3 unscored
+    val got = Dedup.keeperByScore(manifest, scores).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // nobody silently deleted
+    assert(got.values.forall(_._1 == 2L)) // the only scored doc wins
+    assert(got(2L)._2 && !got(1L)._2 && !got(3L)._2)
+  }
 }

@@ -49,6 +49,17 @@ class ExpectationsSpec extends SparkTestBase {
       s"expected a single-pass plan, got:\n$plan")
   }
 
+  test("a sub-rounding-grain violation still fails: passed uses the raw metric") {
+    // metric 1 - 1e-9 displays as 1.000000 after the 6-dp report rounding,
+    // but the exact-threshold decision must still be false — two duplicate
+    // keys in ten million rows may not round their way past uniqueKey
+    val got = Expectations.run(df,
+      Seq(Expectations.Expect("nearly", max(lit(1.0) - lit(1e-9)), 1.0)))
+      .head()
+    assert(got.getDouble(1) == 1.0) // the displayed metric rounds up
+    assert(!got.getBoolean(3)) // the decision does not
+  }
+
   test("grouped run catches a slice failing while the global run passes") {
     val sliced = Seq(
       ("en", Some("a")), ("en", Some("b")), ("en", Some("c")),

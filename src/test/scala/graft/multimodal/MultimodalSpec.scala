@@ -210,6 +210,19 @@ class MultimodalSpec extends SparkTestBase {
     val stereo = buf.array().clone()
     stereo(22) = 2 // channel count lives at offset 22
     intercept[IllegalArgumentException](WavCodec.decode(stereo))
+    // a fact chunk caps the output: the final block's padding nibbles are
+    // not audio and must not surface as trailing samples
+    val withFact = java.nio.ByteBuffer.allocate(44 + 12 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    withFact.put("RIFF".getBytes("US-ASCII")).putInt(48 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    withFact.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(0x11).putShort(1).putInt(8000)
+      .putInt(4000).putShort(8).putShort(4)
+    withFact.put("fact".getBytes("US-ASCII")).putInt(4).putInt(3)
+    withFact.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    assert(WavCodec.decode(withFact.array()).samples.toSeq ==
+      Seq(100, 104, 115))
   }
 
   test("wav rms features: silence 0, constant A/32768, full-scale stays <= 1") {

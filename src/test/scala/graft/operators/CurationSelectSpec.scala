@@ -146,7 +146,8 @@ class CurationSelectSpec extends SparkTestBase {
     val docs = (
       (0 until 10).map(i => (i.toLong, good, "aa")) ++
       (10 until 20).map(i => (i.toLong, good, "bb")) ++
-      (20 until 50).map(i => (i.toLong, junk, "bb"))) // bb is garbage-heavy
+      (20 until 50).map(i => (i.toLong, junk, "bb")) ++ // bb is garbage-heavy
+      (50 until 55).map(i => (i.toLong, junk, "cc"))) // cc is ALL garbage
       .toDF("doc_id", "text", "lang")
       .withColumn("source", lit("s"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -160,6 +161,13 @@ class CurationSelectSpec extends SparkTestBase {
     assert(t31("bb").getAs[Long]("n_docs") == 40) // but the report shows the raw pool
     assert(t31("aa").getAs[Double]("temp_share") ==
       t31("bb").getAs[Double]("temp_share"))
+    // a fully-degraded language surfaces as a ZERO row — the alarm —
+    // instead of silently vanishing from the report
+    assert(t31.contains("cc"))
+    assert(t31("cc").getAs[Long]("n_docs") == 5)
+    assert(t31("cc").getAs[Long]("usable_docs") == 0)
+    assert(t31("cc").getAs[Long]("n_kept") == 0)
+    assert(t31("cc").getAs[Double]("sample_rate") == 0.0)
     // raw-token mixing would have over-allocated bb (its raw mass is larger)
     val t22 = TrainingData.t22TemperatureMix(spark, dir).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("temp_share")).toMap
