@@ -52,6 +52,11 @@ object SparkEntry {
     "q34_time_to_convert" -> (Relational.q34TimeToConvert _),
     "q35_analyze_stats" -> (Relational.q35AnalyzeStats _),
     "q36_listagg" -> (Relational.q36Listagg _),
+    "q37_regression_stats" -> (Relational.q37RegressionStats _),
+    "q38_set_ops" -> (Relational.q38SetOps _),
+    "q39_gap_fill" -> (Relational.q39GapFill _),
+    "q40_event_transitions" -> (Relational.q40EventTransitions _),
+    "t32_vocab_growth" -> (TrainingData.t32VocabGrowth _),
     "t29_split_leakage" -> (TrainingData.t29SplitLeakage _),
     "t30_quality_dedup" -> (TrainingData.t30QualityDedup _),
     "t31_usable_temp_mix" -> (TrainingData.t31UsableTemperatureMix _),
@@ -627,6 +632,74 @@ object SparkEntry {
         |  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
         |FROM region JOIN nation ON r_regionkey = n_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_regression_stats" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  ROUND((n * sxy - sx * sy) / (n * (n - 1.0)), 4) AS covar_samp,
+        |  ROUND((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+        |    AS intercept
+        |FROM m ORDER BY 1""".stripMargin,
+    "q38_set_ops" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin,
+    "q39_gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1
+        |  FROM daily GROUP BY 1),
+        |spine AS (SELECT span.user_id, CAST(g.d AS DATE) AS d
+        |  FROM span, LATERAL unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d))
+        |SELECT s.user_id, s.d,
+        |  last_value(daily.v IGNORE NULLS) OVER (PARTITION BY s.user_id
+        |    ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled,
+        |  daily.v IS NOT NULL AS observed
+        |FROM spine s LEFT JOIN daily
+        |  ON s.user_id = daily.user_id AND s.d = daily.d
+        |ORDER BY 1, 2""".stripMargin,
+    "q40_event_transitions" ->
+      """WITH pairs AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |m AS (SELECT event_type, next_type, COUNT(*) AS n FROM pairs
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  ROUND(CAST(n AS DOUBLE)
+        |    / SUM(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM m ORDER BY 1, 2""".stripMargin,
+    "t32_vocab_growth" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token
+        |  FROM documents),
+        |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |cuts AS (SELECT d.decile, (nn.n_docs * d.decile + 9) // 10 AS cutoff
+        |  FROM (SELECT unnest(generate_series(1, 10)) AS decile) d, nn),
+        |vocab AS (SELECT c.decile, c.cutoff, COUNT(*) AS vocab
+        |  FROM (SELECT token, MIN(doc_id) AS first_doc FROM toks GROUP BY 1) f
+        |  JOIN cuts c ON f.first_doc < c.cutoff GROUP BY 1, 2),
+        |tot AS (SELECT c.decile, SUM(t.n_tok) AS tokens
+        |  FROM (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1) t
+        |  JOIN cuts c ON t.doc_id < c.cutoff GROUP BY 1)
+        |SELECT v.decile, v.cutoff AS n_docs, tot.tokens, v.vocab,
+        |  ROUND(CAST(v.vocab AS DOUBLE) / tot.tokens, 6) AS type_token_ratio
+        |FROM vocab v JOIN tot ON v.decile = tot.decile ORDER BY 1""".stripMargin,
     "q35_analyze_stats" ->
       """WITH src AS (SELECT l_orderkey, l_quantity, l_returnflag,
         |    CAST(l_shipdate AS DATE) AS l_shipdate FROM lineitem),

@@ -622,6 +622,37 @@ object Dedup {
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Pigeonhole banded Hamming search over ANY 64-bit signature column
+    * (text SimHash, image pHash, …): the signature splits into
+    * `maxHamming + 1` chunks, so any pair within the distance bound shares
+    * at least one untouched chunk — full recall AT the radius — and the
+    * candidate join is equi-join-shaped on (chunk index, chunk value).
+    * Candidates verify by exact `bit_count(xor)`. One shuffle on the chunk
+    * key; output columns (d1, d2, hamming). */
+  def hammingNearPairs(sigs: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val width = (64 + nChunks - 1) / nChunks
+    // rename FIRST, explode in a separate select: a generator referencing
+    // an alias from its own select trips lateral-column-alias resolution
+    val chunks = sigs
+      .select(col(idCol).as("__id"), col(hashCol).as("__sig"))
+      .select(col("__id"), col("__sig"),
+        posexplode(array((0 until nChunks).map(i =>
+          shiftright(col("__sig"), i * width)
+            .bitwiseAND((1L << math.min(width, 64 - i * width)) - 1)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "ck")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
+        hammingDistance(col("a.__sig"), col("b.__sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-duplicates: the signature splits into `maxHamming + 1`
     * chunks, so by pigeonhole any pair within the distance bound shares at
     * least one untouched chunk (full recall guarantee AT the hamming
@@ -635,23 +666,6 @@ object Dedup {
     * prefer [[minhashNearDuplicates]], whose banding probability depends
     * on the Jaccard itself, not the feature count. */
   def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text"): DataFrame = {
-    val sigs = simhash64(docs, textCol)
-    val nChunks = maxHamming + 1
-    val width = (64 + nChunks - 1) / nChunks
-    val chunks = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until nChunks).map(i =>
-        shiftright(col("simhash"), i * width)
-          .bitwiseAND((1L << math.min(width, 64 - i * width)) - 1)): _*)))
-      .withColumnRenamed("pos", "chunk")
-      .withColumnRenamed("col", "ck")
-    chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+      textCol: String = "text"): DataFrame =
+    hammingNearPairs(simhash64(docs, textCol), "doc_id", "simhash", maxHamming)
 }

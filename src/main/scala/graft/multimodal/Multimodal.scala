@@ -119,6 +119,36 @@ object Multimodal {
         ImageIoCodec.gridMeanFeatures(m.content, grid))))
   }
 
+  /** Perceptual hashes ([[Phash]]) for every image payload, PPM or
+    * compressed — one 64-bit signature per image, the image analogue of
+    * the text corpus's SimHash column. Partition-wise decode like every
+    * media path; the result is a slim (media_id, phash) frame that
+    * downstream dedup joins on without ever reshuffling pixel data. */
+  def imagePhashes(spark: SparkSession, media: DataFrame,
+      partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind")
+        .isin("image/ppm", "image/jpeg", "image/png", "image/bmp", "image/gif"))
+      .repartition(partitions, col("media_id")).as[MediaRow]
+      .mapPartitions(_.map(m => (m.media_id, Phash.phashPayload(m.kind, m.content))))
+      .toDF("media_id", "phash")
+  }
+
+  /** Image near-duplicates: pHash signatures through the SAME pigeonhole
+    * banded Hamming join as text SimHash
+    * ([[graft.dedup.Dedup.hammingNearPairs]] — full recall at the radius,
+    * equi-join-shaped candidates). Catches re-encodes (a JPEG of the same
+    * pixels), light noise, and small edits; output (m1, m2, hamming). At
+    * 100 TB the pixel decode happens once in [[imagePhashes]] and only the
+    * 8-byte signatures shuffle. */
+  def imageNearDuplicates(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 6, partitions: Int = 32): DataFrame =
+    graft.dedup.Dedup
+      .hammingNearPairs(imagePhashes(spark, media, partitions),
+        "media_id", "phash", maxHamming)
+      .withColumnRenamed("d1", "m1")
+      .withColumnRenamed("d2", "m2")
+
   /** REAL resize path for compressed images: nearest-neighbour on decoded
     * pixels, re-encoded PNG (lossless — reproducible artifacts), metadata
     * and kind updated alongside. Repartitions by media_id like every

@@ -760,6 +760,119 @@ object Relational {
       .hoppingEventCounts(Tables(spark, dir, "events"))
       .orderBy("win_start", "event_type")
 
+  // ---------------------------------------------------------------- Q37 (regression)
+  /** Statistical aggregates — Pearson correlation, sample covariance and
+    * the OLS regression line of price on quantity, per return flag. The
+    * built-in `corr`/`regr_slope` run streaming double moments whose
+    * low-order bits depend on partition order (and differ engine to
+    * engine), so this computes the classic SUFFICIENT STATISTICS
+    * (n, Σx, Σy, Σxy, Σx², Σy²) as exact DECIMAL sums — per-row products
+    * are single IEEE multiplies (deterministic), the sums are
+    * order-invariant decimals, and the closed-form slope/intercept/corr
+    * arithmetic runs on identical inputs in any engine. This is also the
+    * distributed shape: the six moments partial-aggregate map-side and
+    * merge associatively, so the stats cost one grain shuffle of six
+    * numbers per group — the same pattern as a mergeable sketch. */
+  def q37RegressionStats(spark: SparkSession, dir: String): DataFrame = {
+    // the moment column is named "nn", NOT "n": the output select below
+    // aliases its cast to "n", and referencing a name the same select
+    // re-aliases would engage (and, with this shape, internal-error)
+    // Spark's lateral-column-alias resolution
+    val m = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("nn"),
+        sum(col("x").cast(DecimalType(38, 6))).cast("double").as("sx"),
+        sum(col("y").cast(DecimalType(38, 6))).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 6))).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 6))).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 6))).cast("double").as("syy"))
+    // identical association order as the oracle SQL: cov_n = n*sxy - sx*sy,
+    // var_x = n*sxx - sx*sx, var_y = n*syy - sy*sy
+    val covN = col("nn") * col("sxy") - col("sx") * col("sy")
+    val varX = col("nn") * col("sxx") - col("sx") * col("sx")
+    val varY = col("nn") * col("syy") - col("sy") * col("sy")
+    m.select(
+        col("l_returnflag"), col("nn").cast("long").as("n"),
+        round(covN / (col("nn") * (col("nn") - lit(1.0))), 4).as("covar_samp"),
+        round(covN / sqrt(varX * varY), 6).as("corr"),
+        round(covN / varX, 6).as("slope"),
+        round((col("sy") - covN / varX * col("sx")) / col("nn"), 4)
+          .as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- Q38 (set ops)
+  /** ANSI set operations: customers who ordered in BOTH 1995 and 1996 but
+    * NOT in 1997 — `INTERSECT` then `EXCEPT` over the distinct key sets.
+    * Spark plans INTERSECT as an aggregate + left-semi join and EXCEPT as
+    * aggregate + left-anti, so each set op is one hash join on the key —
+    * no sort, no nested loop — and all three year scans prune to a
+    * single-column read with the year predicate pushed down. */
+  def q38SetOps(spark: SparkSession, dir: String): DataFrame = {
+    def custsOf(yr: Int): DataFrame =
+      Tables(spark, dir, "orders")
+        .filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey"))
+        .distinct()
+    custsOf(1995).intersect(custsOf(1996)).except(custsOf(1997))
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- Q39 (gap fill)
+  /** Time-series gap fill with forward fill (LOCF): each user's daily
+    * purchase total over a DENSE per-user day spine (their own first..last
+    * purchase day), missing days carrying the last observed value — the
+    * interpolation step between raw events and any time-series model.
+    * The spine is generated per user with `sequence()` (an expression, no
+    * driver loop), so spine size scales with Σ user spans, not
+    * users × global calendar; the fill is `last(ignoreNulls)` over the
+    * per-user window — one shuffle on user_id total, since the daily
+    * aggregate, the spine join and the window all share that key. */
+  def q39GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(money(dsum(col("value"))).as("v"))
+    val spine = daily
+      .groupBy("user_id")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled"),
+        col("v").isNotNull.as("observed"))
+      .orderBy("user_id", "d")
+  }
+
+  // ---------------------------------------------------------------- Q40 (Markov)
+  /** First-order event-transition matrix: for each (event_type →
+    * next_event_type) adjacency in a user's stream, the transition count
+    * and row-normalized probability — the Markov-chain summary behind
+    * next-action prediction and anomaly scoring. `lead` over the per-user
+    * (ts, event_id) order is one shuffle on user_id; the matrix itself is
+    * |types|² rows, so the normalizing window runs over a tiny aggregated
+    * frame. Ties on ts are broken by event_id, pinning every adjacency. */
+  def q40EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    pairs
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("event_type")), 6))
+      .orderBy("event_type", "next_type")
+  }
+
   /** Quarter-over-quarter customer reconciliation — the FULL OUTER join audit
     * (who was acquired, who churned, who stayed) every subscription
     * business runs between period snapshots. Both sides pre-aggregate to

@@ -1040,4 +1040,41 @@ object TrainingData {
       .filter(col("rn") <= cap)
       .orderBy("source", "rn")
   }
+
+  /** Vocabulary-growth (Heaps'-law) curve: at each corpus decile (docs
+    * taken in doc_id order), cumulative token count vs cumulative DISTINCT
+    * token count — the saturation curve that tells a data-mixing run how
+    * much lexical novelty each additional corpus slice buys. Computed
+    * without any cumulative distinct scan: a token's contribution to the
+    * running vocabulary is fully described by its FIRST occurrence
+    * (min doc_id per token — one shuffle on token), and per-doc token
+    * totals are a second grain aggregate; both then count conditionally
+    * against the 10 broadcast decile cutoffs, so the curve costs two
+    * shuffles regardless of corpus size, never a 10-pass re-scan. */
+  def t32VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    // doc_ids are the contiguous ingest sequence 0..N-1 (TESTDATA.md), so
+    // decile d covers doc_id < ceil(N*d/10) — exact integer arithmetic
+    val cuts = Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(explode(sequence(lit(1), lit(10))).as("decile"), col("n_docs"))
+      .select(col("decile"),
+        expr("(n_docs * decile + 9) div 10").as("cutoff"))
+    val vocab = toks.groupBy("token").agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(cuts))
+      .filter(col("first_doc") < col("cutoff"))
+      .groupBy("decile", "cutoff")
+      .agg(count(lit(1)).as("vocab"))
+    val total = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      .crossJoin(broadcast(cuts.select("decile", "cutoff")))
+      .filter(col("doc_id") < col("cutoff"))
+      .groupBy("decile")
+      .agg(sum(col("n_tok")).as("tokens"))
+    vocab.join(total, Seq("decile"))
+      .select(col("decile"), col("cutoff").as("n_docs"), col("tokens"),
+        col("vocab"),
+        round(col("vocab").cast("double") / col("tokens"), 6).as("type_token_ratio"))
+      .orderBy("decile")
+  }
 }

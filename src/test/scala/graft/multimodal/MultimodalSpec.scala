@@ -361,4 +361,66 @@ class MultimodalSpec extends SparkTestBase {
     }
     assert(Mp3Meta.parse(withFooter).frames == 2)
   }
+
+  // ---- perceptual hash (pHash) + banded Hamming image near-dup
+
+  /** Deterministic structured test image: smooth two-axis gradient with a
+    * bright block — enough low-frequency structure for a stable pHash. */
+  private def gradientImage(w: Int, h: Int, seed: Int): PpmCodec.Image = {
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = (y * w + x) * 3
+      val inBlock = x > w / 4 + (seed % 3) && x < w / 2 && y > h / 3 && y < 2 * h / 3
+      val base = (x * 255 / w + y * 128 / h) % 256
+      rgb(s) = (if (inBlock) 250 else base).toByte
+      rgb(s + 1) = (base / 2).toByte
+      rgb(s + 2) = ((x + y + seed) % 77).toByte
+    }
+    PpmCodec.Image(w, h, rgb)
+  }
+
+  test("phash: container-invariant, noise-tolerant, structure-sensitive") {
+    val img = gradientImage(64, 48, 0)
+    // identical pixels, different containers → identical hash
+    assert(Phash.phash64(img) ==
+      Phash.phashPayload("image/png", ImageIoCodec.encodePng(img)))
+    assert(Phash.phash64(img) ==
+      Phash.phashPayload("image/ppm", PpmCodec.encode(img)))
+    // light per-pixel noise → small Hamming distance
+    val noisy = PpmCodec.Image(img.width, img.height,
+      img.rgb.zipWithIndex.map { case (b, i) =>
+        (((b & 0xFF) + (i % 3) - 1).max(0).min(255)).toByte })
+    val dNoise = java.lang.Long.bitCount(Phash.phash64(img) ^ Phash.phash64(noisy))
+    assert(dNoise <= 6, s"noise moved the hash $dNoise bits")
+    // luma inversion exactly negates every AC coefficient AND the AC mean,
+    // so every hash bit flips (up to coeff==mean ties): distance ≈ 63
+    val inverted = PpmCodec.Image(img.width, img.height,
+      img.rgb.map(b => (255 - (b & 0xFF)).toByte))
+    assert(java.lang.Long.bitCount(Phash.phash64(img) ^ Phash.phash64(inverted)) > 40)
+  }
+
+  test("image near-dup: banded join finds the re-encode, not the stranger") {
+    val a = gradientImage(64, 48, 0)
+    val noisy = PpmCodec.Image(a.width, a.height,
+      a.rgb.zipWithIndex.map { case (b, i) =>
+        (((b & 0xFF) + (i % 3) - 1).max(0).min(255)).toByte })
+    val stranger = PpmCodec.Image(64, 48,
+      gradientImage(64, 48, 0).rgb.map(b => (255 - (b & 0xFF)).toByte))
+    val media = Seq(
+      MediaRow(1L, "image/ppm", PpmCodec.encode(a), 64, 48, 0, 0),
+      MediaRow(2L, "image/png", ImageIoCodec.encodePng(noisy), 64, 48, 0, 0),
+      MediaRow(3L, "image/ppm", PpmCodec.encode(stranger), 64, 48, 0, 0))
+      .toDS().toDF()
+    val pairs = imageNearDuplicates(spark, media, maxHamming = 6, partitions = 2)
+      .collect().map(r => (r.getAs[Long]("m1"), r.getAs[Long]("m2"))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // pigeonhole banding agrees with the exhaustive O(n²) check
+    val hashes = imagePhashes(spark, media, partitions = 2).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("phash")).toMap
+    val brute = (for {
+      (i, hi) <- hashes; (j, hj) <- hashes if i < j
+      if java.lang.Long.bitCount(hi ^ hj) <= 6
+    } yield (i, j)).toSet
+    assert(pairs == brute)
+  }
 }

@@ -173,4 +173,30 @@ class CurationSelectSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getAs[Double]("temp_share")).toMap
     assert(t22("bb") > t22("aa"))
   }
+
+  test("t32 vocabulary growth: exact curve on a constructed corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("vocab_growth").toString
+    // doc i contributes exactly one NEW token t<i> plus the shared 'common'
+    // → decile d (docs 0..d-1): vocab = d+1, tokens = 2d, ttr = (d+1)/(2d)
+    (0 until 10).map(i => (i.toLong, s"t$i common", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TrainingData.t32VocabGrowth(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("decile")
+      assert(r.getAs[Long]("n_docs") == d)
+      assert(r.getAs[Long]("tokens") == 2L * d)
+      assert(r.getAs[Long]("vocab") == d + 1)
+      assert(r.getAs[Double]("type_token_ratio") ==
+        math.rint((d + 1).toDouble / (2 * d) * 1e6) / 1e6)
+    }
+    // and on real data the curve is monotone with decile 10 = global totals
+    val real = TrainingData.t32VocabGrowth(spark, sf("sf0.001")).collect()
+    val (vs, ts) = (real.map(_.getAs[Long]("vocab")),
+      real.map(_.getAs[Long]("tokens")))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+    assert(ts.zip(ts.tail).forall { case (a, b) => a < b })
+  }
 }

@@ -204,4 +204,68 @@ class RelationalSpec extends SparkTestBase {
     val source = spark.read.parquet(dir + "/lineitem.parquet").count()
     assert(total == source) // every lineitem resolves all dims in testdata
   }
+
+  test("q37 sufficient-stats regression agrees with Spark's built-ins") {
+    // the decimal-moment algebra must reproduce the streaming-moment
+    // built-ins to float tolerance (they differ only in summation order)
+    val got = Relational.q37RegressionStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ref = spark.read.parquet(dir + "/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("sl"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("ic"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, g) =>
+      assert(math.abs(g.getAs[Double]("corr") - ref(k).getAs[Double]("c")) < 1e-6)
+      assert(math.abs(g.getAs[Double]("covar_samp") - ref(k).getAs[Double]("cv")) < 1e-2)
+      assert(math.abs(g.getAs[Double]("slope") - ref(k).getAs[Double]("sl")) < 1e-4)
+      assert(math.abs(g.getAs[Double]("intercept") - ref(k).getAs[Double]("ic")) < 1e-2)
+      assert(math.abs(g.getAs[Double]("corr")) <= 1.0)
+    }
+  }
+
+  test("q38 set ops equal the explicit semi/anti join formulation") {
+    def custs(yr: Int) = spark.read.parquet(dir + "/orders.parquet")
+      .filter(year(col("o_orderdate")) === yr).select("o_custkey").distinct()
+    val viaJoins = custs(1995)
+      .join(custs(1996), Seq("o_custkey"), "left_semi")
+      .join(custs(1997), Seq("o_custkey"), "left_anti")
+      .orderBy("o_custkey").collect().toSeq
+    assert(Relational.q38SetOps(spark, dir).collect().toSeq == viaJoins)
+  }
+
+  test("q39 gap fill: dense per-user spine, LOCF never null, endpoints observed") {
+    val g = Relational.q39GapFill(spark, dir)
+    assert(g.filter(col("filled").isNull).count() == 0)
+    // per user: row count == day span; first and last rows are observed
+    val perUser = g.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      datediff(max("d"), min("d")).as("span"),
+      min(struct(col("d"), col("observed"))).as("first"),
+      max(struct(col("d"), col("observed"))).as("last")).collect()
+    perUser.foreach { r =>
+      assert(r.getAs[Long]("n") == r.getAs[Int]("span") + 1)
+      assert(r.getAs[org.apache.spark.sql.Row]("first").getAs[Boolean]("observed"))
+      assert(r.getAs[org.apache.spark.sql.Row]("last").getAs[Boolean]("observed"))
+    }
+    // observed rows reproduce the plain daily aggregate
+    val observed = g.filter(col("observed")).count()
+    val daily = graft.Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().count()
+    assert(observed == daily)
+  }
+
+  test("q40 transition matrix: rows normalize to 1, counts conserve adjacencies") {
+    val m = Relational.q40EventTransitions(spark, dir)
+    val rowSums = m.groupBy("event_type").agg(sum("p").as("sp")).collect()
+    rowSums.foreach(r => assert(math.abs(r.getAs[Double]("sp") - 1.0) < 1e-3))
+    val totalN = m.agg(sum("n")).head().getLong(0)
+    val ev = graft.Tables(spark, dir, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(totalN == expected) // n-1 adjacencies per user stream
+  }
 }
