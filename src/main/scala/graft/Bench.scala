@@ -145,11 +145,51 @@ object Bench {
       }
       prevFamily = family
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
+      try {
+        materialize(fn(spark, sfDir))
+        results(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        // a failed query is NOT a timing — record -1 so the crash is loud
+        // in the artifact instead of masquerading as a fast result (r4's
+        // q12 "0.057 s" was a time-to-throw)
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        results(name) = -1.0
+      }
+    }
+
+    // ---- ANN held-index split: the s04/s07 contract entries time
+    // build+probe as one shot (index fit inside the query made r4's
+    // numbers look like probe regressions); production is build-once /
+    // probe-many, so the two costs are also accounted separately here.
+    def timed(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try { body; results(name) = (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        results(name) = -1.0
       }
-      results(name) = (System.nanoTime() - t0) / 1e9
+    }
+    {
+      import graft.similarity.Similarity
+      val emb = Tables(spark, sfDir, "embeddings")
+      var ivf: Similarity.IvfIndex = null
+      timed("s04_ivf_build") {
+        ivf = Similarity.buildIvfIndex(emb)
+        ivf.assigned.write.mode("overwrite").format("noop").save()
+      }
+      if (ivf != null) {
+        timed("s04_ivf_probe")(materialize(ivf.topK(col("vec_id") < 5, 5)))
+        ivf.release()
+      }
+      var pq: Similarity.PqIndex = null
+      timed("s07_pq_build") {
+        pq = Similarity.buildPqIndex(emb)
+        pq.codes.write.mode("overwrite").format("noop").save()
+      }
+      if (pq != null)
+        timed("s07_pq_probe")(
+          materialize(Similarity.pqProbe(pq, emb, col("vec_id") < 5, 5)))
+      Caches.releaseAll()
     }
 
     // ---- end-to-end ETL throughput + streaming-ingest drain
@@ -158,7 +198,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.sum
+    val total = results.values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout (fork passes it through un-prefixed) AND a file — round 1's
     // line went through sbt's [info] logger and the driver recorded

@@ -635,11 +635,11 @@ object SparkEntry {
     "q37_regression_stats" ->
       """WITH m AS (SELECT l_returnflag,
         |    CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
         |  ROUND((n * sxy - sx * sy) / (n * (n - 1.0)), 4) AS covar_samp,
@@ -698,7 +698,7 @@ object SparkEntry {
         |  FROM (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1) t
         |  JOIN cuts c ON t.doc_id < c.cutoff GROUP BY 1)
         |SELECT v.decile, v.cutoff AS n_docs, tot.tokens, v.vocab,
-        |  ROUND(CAST(v.vocab AS DOUBLE) / tot.tokens, 6) AS type_token_ratio
+        |  (v.vocab * 2000000 + tot.tokens) // (tot.tokens * 2) AS ttr_ppm
         |FROM vocab v JOIN tot ON v.decile = tot.decile ORDER BY 1""".stripMargin,
     "q35_analyze_stats" ->
       """WITH src AS (SELECT l_orderkey, l_quantity, l_returnflag,

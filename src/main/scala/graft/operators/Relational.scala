@@ -784,11 +784,21 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).cast("double").as("nn"),
-        sum(col("x").cast(DecimalType(38, 6))).cast("double").as("sx"),
-        sum(col("y").cast(DecimalType(38, 6))).cast("double").as("sy"),
-        sum((col("x") * col("y")).cast(DecimalType(38, 6))).cast("double").as("sxy"),
-        sum((col("x") * col("x")).cast(DecimalType(38, 6))).cast("double").as("sxx"),
-        sum((col("y") * col("y")).cast(DecimalType(38, 6))).cast("double").as("syy"))
+        // DECIMAL(27,6) — NOT (38,6): precision-38 sums take Spark's
+        // widest overflow-checked aggregation path (47 s for this 600 K-row
+        // aggregate in r4); at 27 the sum buffer is decimal(37,6) and the
+        // running unscaled values stay in the compact Long range. y² is the
+        // one moment whose unscaled sum would overflow a Long at scale 6
+        // (~6.6e21), so it sums at scale 2 (~6.6e17) — the per-row product
+        // is still the same deterministic IEEE multiply, and the oracle
+        // mirrors the scale so both engines round the identical double to
+        // the identical decimal. Headroom at 1000×: syy ≈ 6.6e18 int part
+        // still < 10^25.
+        sum(col("x").cast(DecimalType(27, 6))).cast("double").as("sx"),
+        sum(col("y").cast(DecimalType(27, 6))).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(27, 6))).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(27, 6))).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(27, 2))).cast("double").as("syy"))
     // identical association order as the oracle SQL: cov_n = n*sxy - sx*sy,
     // var_x = n*sxx - sx*sx, var_y = n*syy - sy*sy
     val covN = col("nn") * col("sxy") - col("sx") * col("sy")

@@ -1071,10 +1071,14 @@ object TrainingData {
       .filter(col("doc_id") < col("cutoff"))
       .groupBy("decile")
       .agg(sum(col("n_tok")).as("tokens"))
+    // Ratio emitted as exact parts-per-million (round-half-up integer
+    // arithmetic: (2·v·1e6 + t) div 2t) — a double division rounded to 6dp
+    // here diverged from DuckDB in the low-order float bits (r4's one hash
+    // mismatch); integers agree across engines by construction.
     vocab.join(total, Seq("decile"))
       .select(col("decile"), col("cutoff").as("n_docs"), col("tokens"),
         col("vocab"),
-        round(col("vocab").cast("double") / col("tokens"), 6).as("type_token_ratio"))
+        expr("(vocab * 2000000L + tokens) div (tokens * 2)").as("ttr_ppm"))
       .orderBy("decile")
   }
 }

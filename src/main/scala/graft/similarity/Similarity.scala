@@ -400,6 +400,15 @@ object Similarity {
   def pqTopK(emb: DataFrame, queryFilter: Column, topK: Int, m: Int = 8,
       k: Int = 16, maxTrainRows: Int = 100000): DataFrame = {
     val idx = buildPqIndex(emb, m, k, maxTrainRows)
+    pqProbe(idx, emb, queryFilter, topK, m)
+  }
+
+  /** Probe a HELD [[PqIndex]] — the production shape (build once, probe
+    * for the index's lifetime); [[pqTopK]] is the one-shot composition the
+    * driver contract times. Benchmarked separately (s07_build/s07_probe)
+    * so the sampled KMeans fits aren't charged to query latency. */
+  def pqProbe(idx: PqIndex, emb: DataFrame, queryFilter: Column,
+      topK: Int, m: Int = 8): DataFrame = {
     val dsub = idx.codebooks(0)(0).length
       val queries = emb.filter(queryFilter)
         .select(col("vec_id"), col("embedding")).collect()

@@ -189,8 +189,9 @@ class CurationSelectSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_docs") == d)
       assert(r.getAs[Long]("tokens") == 2L * d)
       assert(r.getAs[Long]("vocab") == d + 1)
-      assert(r.getAs[Double]("type_token_ratio") ==
-        math.rint((d + 1).toDouble / (2 * d) * 1e6) / 1e6)
+      // exact half-up integer ppm: (2·v·1e6 + t) div 2t with v=d+1, t=2d
+      assert(r.getAs[Long]("ttr_ppm") ==
+        ((d + 1) * 2000000L + 2L * d) / (4L * d))
     }
     // and on real data the curve is monotone with decile 10 = global totals
     val real = TrainingData.t32VocabGrowth(spark, sf("sf0.001")).collect()

@@ -67,4 +67,27 @@ class SourcesSpec extends SparkTestBase {
       "SELECT sum(transaction_count) FROM fact_streaming_summary")
       .head.getLong(0) == 1L)
   }
+
+  test("approx column stats agree with exact within 3·rsd (no Expand)") {
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")
+    val li = graft.Tables(spark, sf("sf0.001"), "lineitem")
+    val rsd = 0.05
+    def byCol(dfRows: Array[Row]) =
+      dfRows.map(r => r.getString(0) -> r).toMap
+    val exact = byCol(CatalogOps.analyzeColumns(li, cols).collect())
+    val approx = byCol(CatalogOps.analyzeColumnsApprox(li, cols, rsd).collect())
+    cols.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      // rows/nulls/min/max are exact in both forms; only NDV is estimated
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2))
+      assert(a.getString(4) == e.getString(4) && a.getString(5) == e.getString(5))
+      val (en, an) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(an - en) <= 3 * rsd * en + 1,
+        s"$c: approx NDV $an vs exact $en")
+    }
+    // the approx plan must not contain the exact path's Expand
+    val plan = CatalogOps.analyzeColumnsApprox(li, cols, rsd)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"))
+  }
 }

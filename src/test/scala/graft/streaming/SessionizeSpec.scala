@@ -47,16 +47,10 @@ class SessionizeSpec extends SparkTestBase {
   }
 
   test("stateful streaming emits exactly the closed sessions on closed input") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = Files.createTempDirectory("graft_sess").toString
     Files.copy(java.nio.file.Paths.get(sf("sf0.001") + "/events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = spark.readStream
-      .schema(new org.apache.spark.sql.types.StructType()
-        .add("event_id", "long").add("ts", "long").add("user_id", "long")
-        .add("event_type", "string").add("value", "double").add("props", "string"))
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Tables.streamEvents(spark, dir)
     val q = Sessionize.statefulSessions(spark, stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("sessions_out").start()

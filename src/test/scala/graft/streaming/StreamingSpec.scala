@@ -208,18 +208,12 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("tumbling daily window on a stream equals the batch rollup (Q16)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val eventsDir = sf("sf0.001")
     // the streaming file source wants a directory; stage the events file
     val streamDir = Files.createTempDirectory("graft_events").toString
     Files.copy(java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events.parquet"))
-    val raw = spark.readStream
-      .schema(new StructType()
-        .add("event_id", "long").add("ts", "long").add("user_id", "long")
-        .add("event_type", "string").add("value", "double").add("props", "string"))
-      .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = graft.Tables.streamEvents(spark, streamDir)
     val agg = StreamingIngest.dailyEventRollup(raw)
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("daily_out").start()
@@ -236,17 +230,11 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("hopping window on a stream equals the batch form (Q26)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val eventsDir = sf("sf0.001")
     val streamDir = Files.createTempDirectory("graft_events_hop").toString
     Files.copy(java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events.parquet"))
-    val raw = spark.readStream
-      .schema(new StructType()
-        .add("event_id", "long").add("ts", "long").add("user_id", "long")
-        .add("event_type", "string").add("value", "double").add("props", "string"))
-      .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = graft.Tables.streamEvents(spark, streamDir)
     val agg = StreamingIngest.hoppingEventCounts(raw)
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("hopping_out").start()
