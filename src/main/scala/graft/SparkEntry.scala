@@ -57,6 +57,8 @@ object SparkEntry {
     "q39_gap_fill" -> (Relational.q39GapFill _),
     "q40_event_transitions" -> (Relational.q40EventTransitions _),
     "t32_vocab_growth" -> (TrainingData.t32VocabGrowth _),
+    "t33_zipf_fit" -> ((sp, d) => TrainingData.t33ZipfFit(sp, d)),
+    "t34_source_overlap" -> (TrainingData.t34SourceOverlap _),
     "t29_split_leakage" -> (TrainingData.t29SplitLeakage _),
     "t30_quality_dedup" -> (TrainingData.t30QualityDedup _),
     "t31_usable_temp_mix" -> (TrainingData.t31UsableTemperatureMix _),
@@ -98,6 +100,7 @@ object SparkEntry {
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
     "d03a_lsh_recall" -> (TrainingData.d03aLshRecall _),
     "d04_simhash" -> (TrainingData.d04Simhash _),
+    "d04a_simhash_recall" -> (TrainingData.d04aSimhashRecall _),
     "d05_cosine_near_dup" -> (TrainingData.d05CosineNearDup _),
     "d06_winnowing" -> (TrainingData.d06Winnowing _),
     "d06a_winnow_recall" -> (TrainingData.d06aWinnowRecall _),
@@ -110,6 +113,7 @@ object SparkEntry {
     "d12_cluster_sizes" -> (TrainingData.d12ClusterSizes _),
     "d13_exact_ngram_decontam" -> (TrainingData.d13ExactNgramDecontam _),
     "d14_containment" -> (TrainingData.d14Containment _),
+    "d15_semantic_dedup" -> (TrainingData.d15SemanticDedup _),
     "s01_cosine_pairs" -> (TrainingData.s01CosinePairs _),
     "s02_topk_brute_force" -> (TrainingData.s02TopKBruteForce _),
     "s03_srp_ann_topk" -> (TrainingData.s03SrpAnnTopK _),
@@ -119,6 +123,7 @@ object SparkEntry {
     "s05_label_centroids" -> (TrainingData.s05LabelCentroids _),
     "s06_quantization" -> (TrainingData.s06QuantizationProfile _),
     "s07_pq_ann_topk" -> (TrainingData.s07PqTopK _),
+    "s07a_pq_rerank_exact" -> (TrainingData.s07aPqRerankExact _),
     "s08_knn_label_agreement" -> (TrainingData.s08KnnLabelAgreement _),
     "s09_centroid_distance" -> (TrainingData.s09CentroidDistance _),
     "a00_star_fact" -> (AnalyticsSuite.a00StarFact _),
@@ -700,6 +705,47 @@ object SparkEntry {
         |SELECT v.decile, v.cutoff AS n_docs, tot.tokens, v.vocab,
         |  (v.vocab * 2000000 + tot.tokens) // (tot.tokens * 2) AS ttr_ppm
         |FROM vocab v JOIN tot ON v.decile = tot.decile ORDER BY 1""".stripMargin,
+    // same sufficient-statistics discipline as q37: ln() per row is one
+    // libm call on the identical double in either engine, sums are
+    // DECIMAL (order-invariant), outputs round at 4 dp
+    "t33_zipf_fit" ->
+      """WITH tf AS (SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, COUNT(*) AS freq FROM tf GROUP BY 1),
+        |r AS (SELECT token, freq,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank FROM f),
+        |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM r WHERE rank <= 100),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+        |    CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x*y AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y*y AS DECIMAL(27,12))) AS DOUBLE) AS syy
+        |  FROM xy)
+        |SELECT CAST(nn AS BIGINT) AS n_tokens,
+        |  round((nn*sxy - sx*sy)/(nn*sxx - sx*sx), 4) AS zipf_slope,
+        |  round((sy - ((nn*sxy - sx*sy)/(nn*sxx - sx*sx))*sx)/nn, 4) AS intercept,
+        |  round(((nn*sxy - sx*sy)*(nn*sxy - sx*sy))
+        |    /((nn*sxx - sx*sx)*(nn*syy - sy*sy)), 4) AS r2
+        |FROM m""".stripMargin,
+    "t34_source_overlap" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |ss AS (SELECT DISTINCT d.source, s.shingle
+        |  FROM sh0 s JOIN documents d USING (doc_id)),
+        |sz AS (SELECT source, COUNT(*) AS sz FROM ss GROUP BY 1),
+        |cm AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_common
+        |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, n_common,
+        |  round(CAST(n_common AS DOUBLE)/(z1.sz + z2.sz - n_common), 4) AS jaccard
+        |FROM cm JOIN sz z1 ON s1 = z1.source JOIN sz z2 ON s2 = z2.source
+        |ORDER BY s1, s2""".stripMargin,
     "q35_analyze_stats" ->
       """WITH src AS (SELECT l_orderkey, l_quantity, l_returnflag,
         |    CAST(l_shipdate AS DATE) AS l_shipdate FROM lineitem),
@@ -921,6 +967,17 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  COUNT(*) AS copies, MIN(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical fingerprints => identical lower-cased token streams =>
+    // bit-equal SimHashes => hamming 0, recovered with certainty by the
+    // pigeonhole banding — so the oracle claims full recall of the exact
+    // pairs and the row hash enforces it
+    "d04a_simhash_recall" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT COUNT(*) AS n_exact, COUNT(*) AS n_recovered FROM p""".stripMargin,
     "d02_ngram_jaccard" ->
       s"""WITH $ngramCtes
         |SELECT d1, d2,
@@ -1360,6 +1417,28 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT d1, d2, round(cos, 4) AS cos FROM p
         |WHERE cos >= 0.4 ORDER BY d1, d2""".stripMargin,
+    // SemDeDup manifest: the same exact-cosine pair relation resolved to
+    // connected components (d07's recursive walk) + the d08 manifest shape
+    "d15_semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_aggregate(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), 'sum')
+        |   / (sqrt(list_aggregate(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), 'sum')))
+        |   >= 0.4),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM p
+        |  UNION ALL SELECT d2, d1 FROM p),
+        |walk AS (
+        |  SELECT src AS id, src AS label FROM edges
+        |  UNION
+        |  SELECT e2.src AS id, w.label FROM walk w JOIN edges e2 ON e2.dst = w.id),
+        |cl AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY 1)
+        |SELECT v.vec_id,
+        |  COALESCE(cl.cluster_id, v.vec_id) AS keeper_id,
+        |  v.vec_id = COALESCE(cl.cluster_id, v.vec_id) AS is_keeper
+        |FROM embeddings v LEFT JOIN cl ON v.vec_id = cl.id
+        |ORDER BY v.vec_id""".stripMargin,
     "s01_cosine_pairs" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv
         |           FROM embeddings WHERE vec_id < 5),
@@ -1377,6 +1456,9 @@ object SparkEntry {
     // SRP with zero planes is exact the same way: one bucket = whole-corpus
     // candidate set, so the SAME oracle hash-verifies the SRP machinery
     "s03a_srp_full_dial" -> bruteTopkSql,
+    // PQ with the exact-rerank dial covering the whole corpus equals
+    // brute force — same oracle, same dial trick as s03a/s04a
+    "s07a_pq_rerank_exact" -> bruteTopkSql,
     "s08_knn_label_agreement" ->
       """WITH q AS (SELECT vec_id AS qid, label AS q_label,
         |             CAST(embedding AS DOUBLE[]) qv

@@ -64,11 +64,24 @@ object Dedup {
   /** Distinct shingles collapsed to 8-byte hashes — the slim form every
     * join-heavy consumer ([[contamination]], [[incrementalDedup]]) moves
     * through shuffles instead of n-word strings. */
-  private def hashedShingleSets(docs: DataFrame, textCol: String,
+  private[graft] def hashedShingleSets(docs: DataFrame, textCol: String,
       n: Int): DataFrame =
     shingleGrams(docs, textCol, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
       .distinct()
+
+  /** The corpus SHINGLE TABLE — per-doc distinct hashed n-gram sets
+    * (doc_id, g), persisted once for the session. A multi-stage curation
+    * run (quality gate → dedup → decontam) materializes this once over the
+    * whole corpus and derives every stage's shingle view from it by
+    * doc_id semi-join, instead of re-exploding the text per stage — at
+    * 100 TB the explode+set-dedup is a full-corpus scan+shuffle, so this
+    * is the difference between one such pass and one per stage. Pass
+    * filtered views into [[ngramJaccardPairs]] / [[dedupManifest]] /
+    * [[contamination]] via their `shingles` parameters. */
+  def shingleTable(docs: DataFrame, textCol: String = "text",
+      n: Int = 3): DataFrame =
+    persistReplacing(s"shingle_table_n$n", hashedShingleSets(docs, textCol, n))
 
   // ------------------------------------------------------------ n-gram Jaccard
   /** Exact Jaccard over shingle sets for every pair sharing ≥1 shingle.
@@ -94,12 +107,19 @@ object Dedup {
     * consistently on both sides of the ratio. The default is far above any
     * fixture's max df (25 at sf0.1), so small-corpus results are exact. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      textCol: String = "text", n: Int = 3, maxDf: Int = 1000): DataFrame = {
+      textCol: String = "text", n: Int = 3, maxDf: Int = 1000,
+      shingles: Option[DataFrame] = None): DataFrame = {
     // the explode+distinct is the expensive subtree and feeds the df-cap
     // aggregate, the sizes aggregate, and both sides of the self-join —
-    // persist it once instead of recomputing per branch
-    val shAll = persistReplacing("ngram_shingles",
-      hashedShingleSets(docs, textCol, n))
+    // persist it once instead of recomputing per branch. A caller that has
+    // already materialized the corpus shingle table (the curation funnel
+    // computes it ONCE and derives every stage from it — the "shingle
+    // table materialized once" shape a 100 TB pipeline runs) passes the
+    // (doc_id, g) frame for exactly `docs` via `shingles` and the explode
+    // is skipped; df-cap and sizes still compute over the passed set, so
+    // results are identical to the self-computed path.
+    val shAll = shingles.getOrElse(persistReplacing("ngram_shingles",
+      hashedShingleSets(docs, textCol, n)))
     val rare = shAll.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("g")
     // the df-capped set feeds the sizes aggregate AND both sides of the
@@ -371,19 +391,27 @@ object Dedup {
     * [[ngramJaccardPairs]]. */
   def contamination(train: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.5, textCol: String = "text",
-      n: Int = 3): DataFrame = {
+      n: Int = 3, trainShingles: Option[DataFrame] = None,
+      benchShingles: Option[DataFrame] = None): DataFrame = {
     // referenced twice (sizes + hits) — cache so shingling runs once; keys
     // carry the gram width so a 3-gram consumer (d09, the funnel) and a
-    // 13-gram consumer (d13) don't evict each other's frames
+    // 13-gram consumer (d13) don't evict each other's frames. Either side
+    // accepts a precomputed [[hashedShingleSets]]-shaped (doc_id, g) frame
+    // so a funnel that already built the corpus shingle table doesn't
+    // re-explode the text (contract: the frame covers exactly that side's
+    // documents).
     val trainSh = persistReplacing(s"contamTrain_n$n",
-      hashedShingleSets(train, textCol, n).withColumnRenamed("g", "h"))
+      trainShingles.getOrElse(hashedShingleSets(train, textCol, n))
+        .withColumnRenamed("g", "h"))
     // membership only — ONE distinct on the bare hash (a per-doc set-dedup
     // first would shuffle the benchmark side twice for the same result);
     // cached: several consumers gate different train sets against the SAME
     // benchmark (the standalone check, the curation funnel)
     val benchSh = persistReplacing(s"contamBench_n$n",
-      shingleGrams(benchmark, textCol, n)
-        .select(xxhash64(col("shingle")).as("h")).distinct())
+      benchShingles.map(_.select(col("g").as("h")))
+        .getOrElse(shingleGrams(benchmark, textCol, n)
+          .select(xxhash64(col("shingle")).as("h")))
+        .distinct())
     val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = trainSh.join(benchSh, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
@@ -524,10 +552,17 @@ object Dedup {
     }
 
   def dedupManifest(docs: DataFrame, threshold: Double = 0.2,
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text",
+      shingles: Option[DataFrame] = None): DataFrame =
     cachedManifest(docs, threshold, textCol, "exact") {
       manifestFromPairs(docs, textCol)(
-        reps => ngramJaccardPairs(reps, threshold, textCol).select("d1", "d2"))
+        // precomputed shingle table: restrict to the exact-group
+        // representatives with a semi-join (rides the table's cache)
+        // instead of re-exploding their text — identical pairs either way
+        reps => ngramJaccardPairs(reps, threshold, textCol,
+          shingles = shingles.map(
+            _.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")))
+          .select("d1", "d2"))
     }
 
   /** Re-pick each duplicate cluster's keeper by a QUALITY score instead

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.dedup.Dedup
@@ -314,12 +316,23 @@ object TrainingData {
     // (4–5 full corpus scans at 100 TB where one suffices)
     val quality = graft.Caches.persistReplacing("t15Quality", corpus
       .filter(TextAnalysis.qualityScore(col("text")) >= 0.3))
-    val keepers = Dedup.dedupManifest(quality, threshold = 0.2)
+    // ONE shingle table over the whole documents set (train + benchmark),
+    // semi-join-filtered per stage — the dedup manifest, the contamination
+    // train side, and the benchmark side all ride this single
+    // explode+set-dedup instead of re-shingling their slice of the corpus
+    val shingles = Dedup.shingleTable(all)
+    val keepers = Dedup.dedupManifest(quality, threshold = 0.2,
+        shingles = Some(shingles.join(
+          quality.select("doc_id"), Seq("doc_id"), "left_semi")))
       .filter(col("is_keeper")).select("doc_id")
     val deduped = graft.Caches.persistReplacing("t15Deduped",
       quality.join(keepers, "doc_id"))
     val clean = graft.Caches.persistReplacing("t15Clean", deduped.join(
-      Dedup.contamination(deduped, benchmark, threshold = 0.5)
+      Dedup.contamination(deduped, benchmark, threshold = 0.5,
+        trainShingles = Some(shingles.join(
+          deduped.select("doc_id"), Seq("doc_id"), "left_semi")),
+        benchShingles = Some(shingles.join(
+          benchmark.select("doc_id"), Seq("doc_id"), "left_semi")))
         .filter(col("contaminated")).select("doc_id"),
       Seq("doc_id"), "left_anti"))
     val chunkCounts = clean.select(
@@ -554,6 +567,30 @@ object TrainingData {
     Dedup.simhashNearDuplicates(Tables(spark, dir, "documents"), maxHamming = 6)
       .orderBy("d1", "d2")
 
+  /** Audit row for d04: SimHash recall of the EXACT-duplicate pairs.
+    * Two documents with equal content fingerprints (d01's normalization:
+    * lower-case + whitespace-collapse) tokenize identically — `tokens` is
+    * itself lower-cased and whitespace-split — so their SimHashes are
+    * bit-equal, hamming 0, and the pigeonhole banding recovers them with
+    * certainty. The oracle recomputes the exact-pair count in DuckDB and
+    * claims n_recovered = n_exact; a dropped pair (a banding or
+    * verification bug) breaks the row hash. Recall-at-radius only —
+    * near-pairs beyond the fingerprint relation have no such guarantee
+    * (see the scope note on [[Dedup.simhashNearDuplicates]]). */
+  def d04aSimhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val fp = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val exactPairs = fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val sim = Dedup.simhashNearDuplicates(docs, maxHamming = 6)
+      .select("d1", "d2")
+    exactPairs.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(exactPairs.join(sim, Seq("d1", "d2"), "left_semi")
+        .agg(count(lit(1)).as("n_recovered")))
+  }
+
   /** Winnowing rolling-hash near-duplicates (no SQL oracle: xxhash64 has
     * no DuckDB equivalent; validated against fixtures in DedupSpec). */
   def d06Winnowing(spark: SparkSession, dir: String): DataFrame =
@@ -696,6 +733,31 @@ object TrainingData {
     Similarity.cosineNearDuplicates(Tables(spark, dir, "embeddings"), threshold = 0.4)
       .orderBy("d1", "d2")
 
+  /** Semantic dedup manifest (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): near-duplicate evidence comes from EMBEDDING
+    * cosine instead of lexical shingles — paraphrases and translations
+    * that share no n-grams still land in one cluster. Pairs above the
+    * cosine bar (the same SRP-gated generator d05 hash-verifies against
+    * exact cosine) resolve to connected components via the shared
+    * [[Dedup.dedupClusters]] min-label propagation, and every vector gets
+    * a manifest row (vec_id, keeper_id, is_keeper) — the d08 contract on
+    * the embeddings table. Keeper = cluster-minimum vec_id (the house
+    * deterministic convention; SemDeDup's centroid-distance keeper is the
+    * [[Dedup.keeperByScore]] policy swap). */
+  def d15SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDuplicates(emb, threshold = 0.4)
+      .select(col("d1"), col("d2"))
+    val clusters = Dedup.dedupClusters(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    emb.select(col("vec_id"))
+      .join(clusters, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("keeper_id"))
+      .withColumn("is_keeper", col("vec_id") === col("keeper_id"))
+      .orderBy("vec_id")
+  }
+
   /** All (query, corpus) cosine scores for the pinned query subset. */
   def s01CosinePairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(Tables(spark, dir, "embeddings"), col("vec_id") < 5)
@@ -759,6 +821,18 @@ object TrainingData {
   def s07PqTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(Tables(spark, dir, "embeddings"),
       col("vec_id") < 5, topK = 5)
+      .orderBy("qid", "rank")
+
+  /** PQ with the exact-rerank dial at the whole corpus: the ADC scan
+    * shortlists everything, the refine step re-scores every candidate with
+    * true cosine, so the result equals brute force and hash-checks against
+    * the same DuckDB oracle as s02 — the audit row that oracle-verifies
+    * the PQ machinery end to end (codebook assignment, ADC table routing,
+    * shortlist join, exact refine), the same dial trick as s03a/s04a.
+    * s07 keeps the production ADC-only setting as the rows-only entry. */
+  def s07aPqRerankExact(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables(spark, dir, "embeddings"),
+      col("vec_id") < 5, topK = 5, rerank = Int.MaxValue)
       .orderBy("qid", "rank")
 
   /** Sequence-packing manifest: documents concatenated in global doc_id
@@ -1080,5 +1154,77 @@ object TrainingData {
         col("vocab"),
         expr("(vocab * 2000000L + tokens) div (tokens * 2)").as("ttr_ppm"))
       .orderBy("decile")
+  }
+
+  /** Zipf's-law fit of the corpus token-frequency distribution: OLS of
+    * ln(freq) on ln(rank) over the top `topN` tokens — the slope (ideally
+    * ≈ −1 for natural text) is the one-number summary of lexical skew that
+    * data-mixing reports track, and a near-flat slope flags synthetic or
+    * template-heavy corpora. Ranks are deterministic (freq desc, token
+    * asc). Same sufficient-statistics discipline as q37: per-row ln() is
+    * one libm call on the same double in either engine, the sums run at
+    * DecimalType so they are order-invariant, and the closed-form
+    * slope/intercept/r² round at 4 dp — far above any last-ulp libm
+    * divergence. One token-grain shuffle + one topN-row window; the
+    * aggregate is six numbers regardless of vocabulary size. */
+  def t33ZipfFit(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val tf = Tables(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    // global window over the vocabulary: fine — vocab is corpus-bounded
+    // and tiny relative to the corpus (Heaps' law); at 100 TB the top-N
+    // cut runs over millions of rows, not the corpus
+    val w = Window.orderBy(desc("freq"), asc("token"))
+    val top = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val dec = DecimalType(27, 12)
+    val m = top.agg(
+      count(lit(1)).cast("double").as("nn"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+    val covN = col("nn") * col("sxy") - col("sx") * col("sy")
+    val varX = col("nn") * col("sxx") - col("sx") * col("sx")
+    val varY = col("nn") * col("syy") - col("sy") * col("sy")
+    m.select(
+      col("nn").cast("long").as("n_tokens"),
+      round(covN / varX, 4).as("zipf_slope"),
+      round((col("sy") - (covN / varX) * col("sx")) / col("nn"), 4)
+        .as("intercept"),
+      round((covN * covN) / (varX * varY), 4).as("r2"))
+  }
+
+  /** Cross-source n-gram overlap matrix: Jaccard between each source
+    * pair's DISTINCT shingle sets — the corpus-composition diagnostic that
+    * finds sources mirroring each other (a crawl and its re-crawl, two
+    * dumps of the same site) before per-document dedup spends a corpus
+    * self-join on them. Shingle sets collapse to (source, hash) — one
+    * explode + distinct at source grain — and the pair join is an
+    * inverted index over hashes, so cost scales with shared-shingle
+    * volume, never |src1|·|src2|; output is at most (n_sources choose 2)
+    * rows. Rides the session [[Dedup.shingleTable]] cache when a funnel
+    * already built it. */
+  def t34SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val srcSh = Dedup.shingleTable(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("g")).distinct()
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("sz"))
+    val common = srcSh.as("a")
+      .join(srcSh.as("b"), col("a.g") === col("b.g") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("source").as("s1"), col("sz").as("z1")), "s1")
+      .join(sizes.select(col("source").as("s2"), col("sz").as("z2")), "s2")
+      .select(col("s1"), col("s2"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("z1") + col("z2") - col("n_common")), 4).as("jaccard"))
+      .orderBy("s1", "s2")
   }
 }

@@ -398,17 +398,27 @@ object Similarity {
     * native fold expression over a literal table — codegen-friendly, no
     * UDF, and the scan reads m ints per row instead of dim floats. */
   def pqTopK(emb: DataFrame, queryFilter: Column, topK: Int, m: Int = 8,
-      k: Int = 16, maxTrainRows: Int = 100000): DataFrame = {
+      k: Int = 16, maxTrainRows: Int = 100000, rerank: Int = 0): DataFrame = {
     val idx = buildPqIndex(emb, m, k, maxTrainRows)
-    pqProbe(idx, emb, queryFilter, topK, m)
+    pqProbe(idx, emb, queryFilter, topK, m, rerank)
   }
 
   /** Probe a HELD [[PqIndex]] — the production shape (build once, probe
     * for the index's lifetime); [[pqTopK]] is the one-shot composition the
     * driver contract times. Benchmarked separately (s07_build/s07_probe)
-    * so the sampled KMeans fits aren't charged to query latency. */
+    * so the sampled KMeans fits aren't charged to query latency.
+    *
+    * `rerank > 0` adds the standard FAISS-style refine step: the ADC scan
+    * shortlists the top-`rerank` candidates per query, which are then
+    * re-scored EXACTLY (true cosine against the stored vectors — one
+    * broadcast-side join of the tiny shortlist back to the corpus) and the
+    * final top-`topK` is taken from the exact scores. Output columns
+    * switch to (qid, rank, nid, cos) — the [[bruteForceTopK]] shape —
+    * because the scores ARE exact cosines; with `rerank` ≥ the corpus
+    * size the shortlist is the whole corpus and the result equals brute
+    * force, which is the oracle dial the s07a audit row uses. */
   def pqProbe(idx: PqIndex, emb: DataFrame, queryFilter: Column,
-      topK: Int, m: Int = 8): DataFrame = {
+      topK: Int, m: Int = 8, rerank: Int = 0): DataFrame = {
     val dsub = idx.codebooks(0)(0).length
       val queries = emb.filter(queryFilter)
         .select(col("vec_id"), col("embedding")).collect()
@@ -441,10 +451,29 @@ object Similarity {
               element_at(col("code"), i) + 1)))
       val w = Window.partitionBy("qid")
         .orderBy(desc("approx_dot"), asc("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= topK)
-        .select(col("qid"), col("rank"), col("vec_id").as("nid"),
-          round(col("approx_dot"), 4).as("approx_dot"))
+      if (rerank <= 0)
+        scored.withColumn("rank", row_number().over(w).cast("int"))
+          .filter(col("rank") <= topK)
+          .select(col("qid"), col("rank"), col("vec_id").as("nid"),
+            round(col("approx_dot"), 4).as("approx_dot"))
+      else {
+        // refine: exact cosine over the ADC shortlist only — the corpus
+        // join touches `rerank` rows per query, not the whole table
+        val shortlist = scored
+          .withColumn("arank", row_number().over(w).cast("int"))
+          .filter(col("arank") <= rerank)
+          .select(col("qid"), col("vec_id").as("nid"))
+        val qv = emb.filter(queryFilter)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val exact = shortlist
+          .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
+          .join(broadcast(qv), "qid")
+          .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+        val we = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+        exact.withColumn("rank", row_number().over(we).cast("int"))
+          .filter(col("rank") <= topK)
+          .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
+      }
     // no release here: the result is LAZY and still references the codes
     // frame — releasing before the caller's action would throw the cache
     // away unused; the shared registry reclaims it at workload boundaries

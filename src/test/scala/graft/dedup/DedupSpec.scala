@@ -120,6 +120,40 @@ class DedupSpec extends SparkTestBase {
     assert(got.size == 6) // exactly one row per input doc
   }
 
+  test("manifest and contamination from a precomputed shingle table equal the self-computed path") {
+    val table = Dedup.shingleTable(docs)
+    val direct = Dedup.dedupManifest(docs, threshold = 0.2).collect().toSet
+    graft.Caches.releaseAll() // drop the manifest cache so the next call really rebuilds
+    val viaTable = Dedup.dedupManifest(docs, threshold = 0.2,
+      shingles = Some(Dedup.shingleTable(docs))).collect().toSet
+    assert(viaTable == direct)
+    val train = docs.filter($"doc_id" < 4)
+    val bench = docs.filter($"doc_id" >= 4)
+    val directC = Dedup.contamination(train, bench).collect().toSet
+    graft.Caches.releaseAll()
+    val t2 = Dedup.shingleTable(docs)
+    val viaTableC = Dedup.contamination(train, bench,
+      trainShingles = Some(t2.join(train.select("doc_id"), Seq("doc_id"), "left_semi")),
+      benchShingles = Some(t2.join(bench.select("doc_id"), Seq("doc_id"), "left_semi")))
+      .collect().toSet
+    assert(viaTableC == directC)
+  }
+
+  test("simhash recovers every fingerprint-equal pair (the d04a guarantee)") {
+    // docs 0/1/2 share one content fingerprint (byte copy + case/ws copy):
+    // identical normalized text tokenizes identically, so their simhashes
+    // are bit-equal and the banding must surface all three pairs
+    val fp = docs.select($"doc_id",
+      graft.text.TextAnalysis.fingerprint($"text").as("fp"))
+    val expect = fp.as("a")
+      .join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(expect == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    val sim = Dedup.simhashNearDuplicates(docs, maxHamming = 6)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(expect.subsetOf(sim))
+  }
+
   test("approx manifest: exact-dup groups identical, near-dup keepers high recall") {
     // the sf0.001 fixture has near-dups but no byte-identical copies —
     // add exact copies of three docs so the deterministic star-edge path

@@ -200,4 +200,38 @@ class CurationSelectSpec extends SparkTestBase {
     assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
     assert(ts.zip(ts.tail).forall { case (a, b) => a < b })
   }
+
+  test("t33 zipf fit: slope -1, r2 = 1 on a perfect power-law corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("zipf_fit").toString
+    // frequencies 12/rank: ln(freq) = ln 12 - 1·ln(rank), an exact fit
+    val text = ("a " * 12 + "b " * 6 + "c " * 4 + "d " * 3).trim
+    Seq((0L, text, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TrainingData.t33ZipfFit(spark, dir).collect().head
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Double]("zipf_slope") == -1.0)
+    assert(r.getAs[Double]("intercept") ==
+      BigDecimal(math.log(12.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("t34 source overlap: hand-computed Jaccard between two sources") {
+    val dir = java.nio.file.Files.createTempDirectory("src_overlap").toString
+    // srcA shingles {w1 w2 w3, w2 w3 w4}; srcB {w1 w2 w3, w2 w3 x}
+    // → common 1, union 3, jaccard 0.3333; srcC shares nothing → no row
+    Seq((0L, "w1 w2 w3 w4", "en", "srcA"),
+        (1L, "w1 w2 w3 x", "en", "srcB"),
+        (2L, "p q r s", "en", "srcC"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TrainingData.t34SourceOverlap(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == ("srcA", "srcB"))
+    assert(r.getAs[Long]("n_common") == 1L)
+    assert(r.getAs[Double]("jaccard") == 0.3333)
+  }
 }

@@ -28,6 +28,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(full == bf)
   }
 
+  test("PQ exact-rerank over the whole corpus equals brute force (the s07a dial)") {
+    val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    val rr = Similarity.pqTopK(emb, col("vec_id") < 5, topK = 5,
+      rerank = Int.MaxValue).orderBy("qid", "rank").collect().toSeq
+    assert(rr == bf)
+  }
+
+  test("PQ rerank with a small shortlist keeps the bruteForceTopK output shape") {
+    val rr = Similarity.pqTopK(emb, col("vec_id") < 3, topK = 3, rerank = 10)
+      .collect()
+    assert(rr.length == 9)
+    rr.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 3))
+      assert(!rows.exists(_.getAs[Long]("nid") == qid))
+      val cs = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("semantic dedup manifest: one row per vector, keepers are cluster minima, pairs co-clustered") {
+    val m = graft.operators.TrainingData.d15SemanticDedup(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(m.size == emb.count()) // every vector appears exactly once
+    m.foreach { case (id, (keeper, isK)) =>
+      assert(keeper <= id) // keeper is the cluster minimum
+      assert(isK == (keeper == id))
+      assert(m(keeper)._1 == keeper) // the keeper keeps itself
+    }
+    // every near-duplicate pair resolved into one cluster
+    Similarity.cosineNearDuplicates(emb, threshold = 0.4)
+      .select("d1", "d2").collect().foreach { r =>
+        assert(m(r.getLong(0))._1 == m(r.getLong(1))._1)
+      }
+  }
+
   test("brute-force top-k: k rows per query, descending, self excluded") {
     val top = Similarity.bruteForceTopK(emb, col("vec_id") < 3, k = 5).collect()
     assert(top.length == 15)
