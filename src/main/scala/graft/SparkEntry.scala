@@ -56,9 +56,12 @@ object SparkEntry {
     "q38_set_ops" -> (Relational.q38SetOps _),
     "q39_gap_fill" -> (Relational.q39GapFill _),
     "q40_event_transitions" -> (Relational.q40EventTransitions _),
+    "q41_hll_distinct" -> (Relational.q41HllDistinct _),
     "t32_vocab_growth" -> (TrainingData.t32VocabGrowth _),
     "t33_zipf_fit" -> ((sp, d) => TrainingData.t33ZipfFit(sp, d)),
     "t34_source_overlap" -> (TrainingData.t34SourceOverlap _),
+    "t35_ngram_novelty" -> (TrainingData.t35NgramNovelty _),
+    "t36_source_kl_drift" -> (TrainingData.t36SourceKlDrift _),
     "t29_split_leakage" -> (TrainingData.t29SplitLeakage _),
     "t30_quality_dedup" -> (TrainingData.t30QualityDedup _),
     "t31_usable_temp_mix" -> (TrainingData.t31UsableTemperatureMix _),
@@ -689,6 +692,13 @@ object SparkEntry {
         |  ROUND(CAST(n AS DOUBLE)
         |    / SUM(n) OVER (PARTITION BY event_type), 6) AS p
         |FROM m ORDER BY 1, 2""".stripMargin,
+    // the sketch estimate is engine-specific, so the contract emits the
+    // EXACT count plus an accuracy verdict; the oracle recomputes the
+    // exact side and claims the verdict true
+    "q41_hll_distinct" ->
+      """SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+        |  COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS within_3pct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "t32_vocab_growth" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token
@@ -746,6 +756,55 @@ object SparkEntry {
         |  round(CAST(n_common AS DOUBLE)/(z1.sz + z2.sz - n_common), 4) AS jaccard
         |FROM cm JOIN sz z1 ON s1 = z1.source JOIN sz z2 ON s2 = z2.source
         |ORDER BY s1, s2""".stripMargin,
+    "t35_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |cuts AS (SELECT d.decile, (nn.n_docs * d.decile + 9) // 10 AS cutoff
+        |  FROM (SELECT unnest(generate_series(1, 10)) AS decile) d, nn),
+        |fd AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh0 GROUP BY 1),
+        |cn AS (SELECT c.decile, c.cutoff, COUNT(*) AS cum_distinct
+        |  FROM fd JOIN cuts c ON fd.first_doc < c.cutoff GROUP BY 1, 2),
+        |sl AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY 1),
+        |cs AS (SELECT c.decile, SUM(s.n_sh) AS cum_slots
+        |  FROM sl s JOIN cuts c ON s.doc_id < c.cutoff GROUP BY 1),
+        |j AS (SELECT cn.decile, cn.cutoff AS n_docs, cs.cum_slots,
+        |    cn.cum_distinct,
+        |    cn.cum_distinct
+        |      - COALESCE(LAG(cn.cum_distinct) OVER (ORDER BY cn.decile), 0)
+        |      AS new_shingles,
+        |    cs.cum_slots
+        |      - COALESCE(LAG(cs.cum_slots) OVER (ORDER BY cn.decile), 0)
+        |      AS slots
+        |  FROM cn JOIN cs ON cn.decile = cs.decile)
+        |SELECT decile, n_docs, cum_slots, cum_distinct, new_shingles, slots,
+        |  CASE WHEN slots = 0 THEN 0
+        |       ELSE (new_shingles * 2000000 + slots) // (slots * 2) END
+        |    AS novelty_ppm
+        |FROM j ORDER BY decile""".stripMargin,
+    "t36_source_kl_drift" ->
+      """WITH tf AS (SELECT source,
+        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, COUNT(*) AS cnt FROM tf GROUP BY 1, 2),
+        |stot AS (SELECT source, SUM(cnt) AS tot_s, COUNT(*) AS vocab_s
+        |  FROM st GROUP BY 1),
+        |ct AS (SELECT token, SUM(cnt) AS ccnt FROM st GROUP BY 1),
+        |ctot AS (SELECT SUM(cnt) AS ctot FROM st),
+        |terms AS (SELECT st.source, stot.tot_s, stot.vocab_s,
+        |    CAST((CAST(st.cnt AS DOUBLE)/stot.tot_s)
+        |      * ln((CAST(st.cnt AS DOUBLE)/stot.tot_s)
+        |          /(CAST(ct.ccnt AS DOUBLE)/ctot.ctot))
+        |      AS DECIMAL(27,12)) AS term
+        |  FROM st JOIN ct USING (token) JOIN stot USING (source), ctot)
+        |SELECT source, CAST(tot_s AS BIGINT) AS n_tokens,
+        |  CAST(vocab_s AS BIGINT) AS vocab,
+        |  round(CAST(SUM(term) AS DOUBLE), 4) AS kl_vs_corpus
+        |FROM terms GROUP BY source, tot_s, vocab_s ORDER BY source""".stripMargin,
     "q35_analyze_stats" ->
       """WITH src AS (SELECT l_orderkey, l_quantity, l_returnflag,
         |    CAST(l_shipdate AS DATE) AS l_shipdate FROM lineitem),

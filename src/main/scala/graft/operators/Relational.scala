@@ -908,4 +908,33 @@ object Relational {
         sum(coalesce(col("n_next"), lit(0L))).as("orders_next"))
       .orderBy("status")
   }
+
+  // ---------------------------------------------------------------- Q41 (HLL sketches)
+  /** Mergeable-sketch distinct counting: per-year unique customers via
+    * Apache DataSketches HLL, built at MONTH grain and UNIONED up to years
+    * — the pre-aggregation pattern that makes 100 TB distinct counts
+    * cheap (per-partition sketches merge associatively; a rollup cube
+    * reuses the same monthly sketches for every coarser grain, where
+    * exact COUNT(DISTINCT) pays a full Expand shuffle per grain). The
+    * sketch ESTIMATE is engine-specific by construction, so the contract
+    * row emits the exact count plus a `within_3pct` accuracy verdict
+    * computed against the estimate — the oracle recomputes the exact side
+    * and claims the verdict true, so a sketch drifting past its error
+    * budget (HLL lgK=12 has σ ≈ 0.8%) breaks the row hash. */
+  def q41HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").select(
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"), col("o_custkey"))
+    val monthly = o.groupBy("yr", "mo")
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    val merged = monthly.groupBy("yr")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = o.groupBy("yr")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    exact.join(merged, "yr")
+      .select(col("yr"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          col("n_exact") * lit(0.03)).as("within_3pct"))
+      .orderBy("yr")
+  }
 }

@@ -1198,6 +1198,82 @@ object TrainingData {
       round((covN * covN) / (varX * varY), 4).as("r2"))
   }
 
+  /** N-gram novelty curve: per corpus decile (docs in doc_id order), how
+    * much of the decile's shingle mass is NEW — first seen in that decile
+    * — vs recycled from earlier slices. The memorization/diversity
+    * companion to t32's vocabulary curve at phrase granularity: a decile
+    * whose novelty collapses is re-crawled or templated content that
+    * dedup should reclaim. Same two-shuffle shape as t32 (min-doc_id per
+    * shingle + per-doc set sizes, both counted against 10 broadcast
+    * cutoffs); per-decile deltas come from a lag window over the 10-row
+    * aggregate; the novelty ratio is exact half-up integer ppm, immune to
+    * engine float drift. Rides the session [[Dedup.shingleTable]]. */
+  def t35NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val sh = Dedup.shingleTable(docs)
+    val cuts = docs.agg(count(lit(1)).as("n_docs"))
+      .select(explode(sequence(lit(1), lit(10))).as("decile"), col("n_docs"))
+      .select(col("decile"), expr("(n_docs * decile + 9) div 10").as("cutoff"))
+    // cumulative distinct shingles (first occurrence before each cutoff)
+    val firstDoc = sh.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    val cumNew = firstDoc.crossJoin(broadcast(cuts))
+      .filter(col("first_doc") < col("cutoff"))
+      .groupBy("decile", "cutoff").agg(count(lit(1)).as("cum_distinct"))
+    // cumulative shingle SLOTS (per-doc distinct set sizes)
+    val cumSlots = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .crossJoin(broadcast(cuts.select("decile", "cutoff")))
+      .filter(col("doc_id") < col("cutoff"))
+      .groupBy("decile").agg(sum(col("n_sh")).as("cum_slots"))
+    val w = Window.orderBy("decile")
+    cumNew.join(cumSlots, Seq("decile"))
+      .select(col("decile"), col("cutoff").as("n_docs"),
+        col("cum_slots"), col("cum_distinct"),
+        (col("cum_distinct") -
+          coalesce(lag(col("cum_distinct"), 1).over(w), lit(0L)))
+          .as("new_shingles"),
+        (col("cum_slots") -
+          coalesce(lag(col("cum_slots"), 1).over(w), lit(0L)))
+          .as("slots"))
+      .select(col("decile"), col("n_docs"), col("cum_slots"),
+        col("cum_distinct"), col("new_shingles"), col("slots"),
+        expr("case when slots = 0 then 0L else " +
+          "(new_shingles * 2000000L + slots) div (slots * 2) end")
+          .as("novelty_ppm"))
+      .orderBy("decile")
+  }
+
+  /** Per-source KL divergence from the corpus token distribution — the
+    * drift/distinctiveness monitor a mixing run reads before reweighting
+    * (a source with near-zero KL duplicates the corpus voice; an extreme
+    * KL is jargon or noise). KL(p_source ‖ p_corpus) = Σ p_s·ln(p_s/p_c),
+    * finite by construction since every source token is in the corpus.
+    * Two shuffles — (source, token) grain then token grain — with the
+    * source totals broadcast back; the ln terms follow the t33 decimal
+    * discipline (identical IEEE inputs per engine, order-invariant
+    * DECIMAL sums, 4 dp output). */
+  def t36SourceKlDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val st = toks.groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val stot = st.groupBy("source")
+      .agg(sum(col("cnt")).as("tot_s"), count(lit(1)).as("vocab_s"))
+    val ct = st.groupBy("token").agg(sum(col("cnt")).as("ccnt"))
+    val ctot = st.agg(sum(col("cnt")).as("ctot"))
+    val dec = DecimalType(27, 12)
+    val ps = col("cnt").cast("double") / col("tot_s")
+    val pc = col("ccnt").cast("double") / col("ctot")
+    st.join(ct, "token")
+      .join(broadcast(stot), "source")
+      .crossJoin(broadcast(ctot))
+      .select(col("source"), col("tot_s"), col("vocab_s"),
+        (ps * log(ps / pc)).cast(dec).as("term"))
+      .groupBy("source", "tot_s", "vocab_s")
+      .agg(round(sum(col("term")).cast("double"), 4).as("kl_vs_corpus"))
+      .select(col("source"), col("tot_s").as("n_tokens"),
+        col("vocab_s").as("vocab"), col("kl_vs_corpus"))
+      .orderBy("source")
+  }
+
   /** Cross-source n-gram overlap matrix: Jaccard between each source
     * pair's DISTINCT shingle sets — the corpus-composition diagnostic that
     * finds sources mirroring each other (a crawl and its re-crawl, two

@@ -217,6 +217,53 @@ class CurationSelectSpec extends SparkTestBase {
     assert(r.getAs[Double]("r2") == 1.0)
   }
 
+  test("t35 ngram novelty: all-novel first decile, pure-recycle decile scores 0") {
+    val dir = java.nio.file.Files.createTempDirectory("novelty").toString
+    // 10 docs; doc 5 repeats doc 0's text exactly → its decile adds slots
+    // but zero new shingles; every other doc is 3 fresh tokens = 1 shingle
+    val texts = (0 until 10).map {
+      case 5 => "w0a w0b w0c"
+      case i => s"w${i}a w${i}b w${i}c"
+    }
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.Caches.releaseAll()
+    val rows = TrainingData.t35NgramNovelty(spark, dir).collect()
+      .map(r => r.getAs[Int]("decile") -> r).toMap
+    assert(rows.size == 10)
+    // decile 1 = doc 0 alone: 1 slot, 1 new shingle, fully novel
+    assert(rows(1).getAs[Long]("new_shingles") == 1L)
+    assert(rows(1).getAs[Long]("novelty_ppm") == 1000000L)
+    // decile 6 = doc 5, the exact repeat: 1 slot, 0 new
+    assert(rows(6).getAs[Long]("slots") == 1L)
+    assert(rows(6).getAs[Long]("new_shingles") == 0L)
+    assert(rows(6).getAs[Long]("novelty_ppm") == 0L)
+    // cumulative distinct ends at 9 (10 docs, one repeated text)
+    assert(rows(10).getAs[Long]("cum_distinct") == 9L)
+  }
+
+  test("t36 KL drift: clone of the corpus voice scores near zero, disjoint source high") {
+    val dir = java.nio.file.Files.createTempDirectory("kl_drift").toString
+    // srcA and srcB share one distribution; srcC speaks disjoint jargon
+    val common = "alpha beta gamma delta alpha beta"
+    ((0 until 5).map(i => (i.toLong, common, "en", "srcA")) ++
+     (5 until 10).map(i => (i.toLong, common, "en", "srcB")) ++
+     (10 until 12).map(i => (i.toLong, "zeta eta theta zeta eta zeta", "en", "srcC")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kl = TrainingData.t36SourceKlDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("kl_vs_corpus")).toMap
+    assert(kl.keySet == Set("srcA", "srcB", "srcC"))
+    // identical distributions → identical (small, positive) divergence
+    assert(kl("srcA") == kl("srcB"))
+    assert(kl("srcA") >= 0.0)
+    // the disjoint-vocabulary source diverges far more
+    assert(kl("srcC") > kl("srcA") + 0.5)
+  }
+
   test("t34 source overlap: hand-computed Jaccard between two sources") {
     val dir = java.nio.file.Files.createTempDirectory("src_overlap").toString
     // srcA shingles {w1 w2 w3, w2 w3 w4}; srcB {w1 w2 w3, w2 w3 x}

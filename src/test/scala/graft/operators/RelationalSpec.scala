@@ -268,4 +268,31 @@ class RelationalSpec extends SparkTestBase {
     val expected = ev.count() - ev.select("user_id").distinct().count()
     assert(totalN == expected) // n-1 adjacencies per user stream
   }
+
+  test("q41 HLL sketch: exact counts verified, monthly-merged estimate within budget") {
+    val rows = Relational.q41HllDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the verdict column IS the accuracy check: lgK=12 HLL at these
+    // cardinalities sits well inside 3%
+    rows.foreach(r => assert(r.getAs[Boolean]("within_3pct"),
+      s"sketch drifted past 3%: $r"))
+    // n_exact reconciles with a direct COUNT(DISTINCT)
+    val o = graft.Tables(spark, dir, "orders")
+    val direct = o.groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_exact") == direct(r.getAs[Int]("yr"))))
+    // union-merge associativity: monthly sketches unioned per year give
+    // the same estimate as one sketch built directly at year grain
+    val yearly = o.select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+      .groupBy("yr").agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("est"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val merged = o.select(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"), col("o_custkey"))
+      .groupBy("yr", "mo").agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      .groupBy("yr").agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == yearly)
+  }
 }
