@@ -57,6 +57,7 @@ object SparkEntry {
     "q39_gap_fill" -> (Relational.q39GapFill _),
     "q40_event_transitions" -> (Relational.q40EventTransitions _),
     "q41_hll_distinct" -> (Relational.q41HllDistinct _),
+    "q42_kll_quantiles" -> (Relational.q42KllQuantiles _),
     "t32_vocab_growth" -> (TrainingData.t32VocabGrowth _),
     "t33_zipf_fit" -> ((sp, d) => TrainingData.t33ZipfFit(sp, d)),
     "t34_source_overlap" -> (TrainingData.t34SourceOverlap _),
@@ -699,6 +700,10 @@ object SparkEntry {
       """SELECT year(CAST(o_orderdate AS DATE)) AS yr,
         |  COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS within_3pct
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_kll_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "t32_vocab_growth" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token

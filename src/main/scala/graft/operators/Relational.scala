@@ -937,4 +937,40 @@ object Relational {
           col("n_exact") * lit(0.03)).as("within_3pct"))
       .orderBy("yr")
   }
+
+  // ---------------------------------------------------------------- Q42 (KLL sketches)
+  /** Mergeable-sketch quantiles: per-return-flag price p50/p90 via
+    * DataSketches KLL, built on (flag, linestatus) sub-grain and merged
+    * upward — the partition-sketch pattern that answers any quantile on
+    * 100 TB from kilobyte summaries instead of a sort. KLL guarantees
+    * RANK accuracy (default k: ε ≈ 1.3%), and its compactors are
+    * randomized, so the contract row pins what the sketch actually
+    * promises: the TRUE rank of each estimate (one exact conditional
+    * count against the data) lands within 3% of the target quantile.
+    * The oracle recomputes the per-flag row count and claims both
+    * verdicts true; a sketch drifting outside its guarantee breaks the
+    * row hash. */
+  def q42KllQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice").cast("double").as("price"))
+    val partial = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("kll_sketch_agg_double(price)").as("sk"))
+    val merged = partial.groupBy("l_returnflag")
+      .agg(expr("kll_merge_agg_double(sk)").as("sk"))
+      .select(col("l_returnflag"),
+        expr("kll_sketch_get_quantile_double(sk, 0.5)").as("est_p50"),
+        expr("kll_sketch_get_quantile_double(sk, 0.9)").as("est_p90"))
+    li.join(broadcast(merged), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("price") <= col("est_p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("price") <= col("est_p90"), 1L).otherwise(0L)).as("r90"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (abs(col("r50").cast("double") / col("n_rows") - lit(0.5)) <= lit(0.03))
+          .as("p50_rank_ok"),
+        (abs(col("r90").cast("double") / col("n_rows") - lit(0.9)) <= lit(0.03))
+          .as("p90_rank_ok"))
+      .orderBy("l_returnflag")
+  }
 }

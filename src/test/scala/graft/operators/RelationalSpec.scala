@@ -295,4 +295,18 @@ class RelationalSpec extends SparkTestBase {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(merged == yearly)
   }
+
+  test("q42 KLL sketch: merged estimates hold their rank guarantee, counts reconcile") {
+    val rows = Relational.q42KllQuantiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("p50_rank_ok"), s"p50 rank drift: $r")
+      assert(r.getAs[Boolean]("p90_rank_ok"), s"p90 rank drift: $r")
+    }
+    val byFlag = graft.Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_rows") == byFlag(r.getString(0))))
+  }
 }
