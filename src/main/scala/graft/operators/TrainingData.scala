@@ -746,7 +746,14 @@ object TrainingData {
     * [[Dedup.keeperByScore]] policy swap). */
   def d15SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val pairs = Similarity.cosineNearDuplicates(emb, threshold = 0.4)
+    // 0.45, deliberately ABOVE d05's 0.4 pair bar: on this synthetic
+    // corpus 0.4 admits ~920 edges among 2000 vectors and the components
+    // sprawl into long chains (min-label propagation rounds = component
+    // diameter — measured 48 s in the suite); at 0.45 the graph is 121
+    // tight clusters of ≤4 with trivial diameter. The threshold is a
+    // per-corpus dial: for real unit-normalized text embeddings SemDeDup
+    // uses 0.95+, which produces exactly this tight-cluster regime.
+    val pairs = Similarity.cosineNearDuplicates(emb, threshold = 0.45)
       .select(col("d1"), col("d2"))
     val clusters = Dedup.dedupClusters(pairs)
       .withColumnRenamed("doc_id", "vec_id")

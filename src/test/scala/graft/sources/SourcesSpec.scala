@@ -90,4 +90,32 @@ class SourcesSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"))
   }
+
+  test("JSONL corpus round-trips losslessly; a torn line quarantines, not aborts") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    Sources.writeJsonlCorpus(docs, s"$dir/corpus", shards = 3)
+    val (clean, quarantined) = Sources.jsonlCorpus(spark, s"$dir/corpus")
+    assert(quarantined.count() == 0L)
+    // lossless round trip, column for column
+    assert(clean.count() == docs.count())
+    assert(clean.orderBy("doc_id").collect().toSeq ==
+      docs.select(clean.columns.head, clean.columns.tail: _*)
+        .orderBy("doc_id").collect().toSeq)
+    // shard count was chosen, not inherited
+    assert(new java.io.File(s"$dir/corpus").listFiles()
+      .count(_.getName.endsWith(".json")) == 3)
+    // a torn line lands in quarantine with the raw text; good rows survive
+    // (drop the first read's cache — same path, same plan, and Spark's
+    // CacheManager would otherwise serve the pre-append snapshot)
+    spark.catalog.clearCache()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/corpus/torn.json"),
+      """{"doc_id": 999999, "text": "ok doc", "lang": "en", "source": "s", "n_chars": 6}""" +
+        "\n" + """{"doc_id": 999998, "text": "TRUNCATED""" + "\n")
+    val (c2, q2) = Sources.jsonlCorpus(spark, s"$dir/corpus")
+    assert(c2.count() == docs.count() + 1)
+    assert(q2.count() == 1L)
+    assert(q2.head.getString(0).contains("TRUNCATED"))
+  }
 }
