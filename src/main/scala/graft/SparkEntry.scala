@@ -58,6 +58,7 @@ object SparkEntry {
     "q40_event_transitions" -> (Relational.q40EventTransitions _),
     "q41_hll_distinct" -> (Relational.q41HllDistinct _),
     "q42_kll_quantiles" -> (Relational.q42KllQuantiles _),
+    "q43_range_frame" -> (Relational.q43RangeFrame _),
     "t32_vocab_growth" -> (TrainingData.t32VocabGrowth _),
     "t33_zipf_fit" -> ((sp, d) => TrainingData.t33ZipfFit(sp, d)),
     "t34_source_overlap" -> (TrainingData.t34SourceOverlap _),
@@ -704,6 +705,21 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_range_frame" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d,
+        |    c_nationkey AS country_id, COUNT(*) AS n
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE year(CAST(l_shipdate AS DATE)) = 2000
+        |  GROUP BY 1, 2)
+        |SELECT d, country_id, n,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS trail7,
+        |  COUNT(*) OVER w AS days_observed
+        |FROM daily
+        |WINDOW w AS (PARTITION BY country_id ORDER BY d
+        |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY country_id, d""".stripMargin,
     "t32_vocab_growth" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token

@@ -704,6 +704,35 @@ object Relational {
       .orderBy("country_id", "d")
   }
 
+  // ---------------------------------------------------------------- Q43 (RANGE frame)
+  /** Calendar-interval window frame: trailing-7-DAY order totals per
+    * country — RANGE over the date VALUE, where q23's ROWS frame counts
+    * the last 7 OBSERVED rows. The two differ exactly when the series has
+    * gaps (a country with no orders on some days), which is the normal
+    * case at any grain finer than the busiest key; a rows-frame "7-day
+    * average" silently stretches its window across gaps. Spark expresses
+    * the interval as `rangeBetween` over days-since-epoch (one shuffle on
+    * the partition key, same as ROWS); the oracle uses DuckDB's native
+    * RANGE INTERVAL frame. Counts are integers — no float parity risk. */
+  def q43RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val daily = Tables(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 2000)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(to_date(col("l_shipdate")).as("d"), col("c_nationkey").as("country_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_no", datediff(col("d"), lit("1970-01-01")).cast("long"))
+    val w = Window.partitionBy("country_id").orderBy("day_no")
+      .rangeBetween(-6L, 0L)
+    daily
+      .select(col("d"), col("country_id"), col("n"),
+        sum("n").over(w).as("trail7"),
+        count(lit(1)).over(w).as("days_observed"))
+      .orderBy("country_id", "d")
+  }
+
   // ---------------------------------------------------------------- Q24 (profile)
   /** Equal-width histogram of a measure — the numeric-profile operator data
     * quality dashboards run over every column. Bounds come from a broadcast

@@ -309,4 +309,31 @@ class RelationalSpec extends SparkTestBase {
     rows.foreach(r =>
       assert(r.getAs[Long]("n_rows") == byFlag(r.getString(0))))
   }
+
+  test("q43 RANGE frame excludes calendar gaps where a ROWS frame would not") {
+    import spark.implicits._
+    // one series with a 10-day hole: the trailing-7-DAY range after the
+    // hole must see ONLY the current day, while a 7-ROWS frame would
+    // stretch back across the gap
+    val daily = Seq(
+      ("2000-01-01", 1L, 10L), ("2000-01-02", 1L, 20L),
+      ("2000-01-03", 1L, 30L), ("2000-01-20", 1L, 5L))
+      .toDF("ds", "country_id", "n")
+      .select(to_date($"ds").as("d"), $"country_id", $"n")
+      .withColumn("day_no", datediff($"d", lit("1970-01-01")).cast("long"))
+    val range7 = org.apache.spark.sql.expressions.Window
+      .partitionBy("country_id").orderBy("day_no").rangeBetween(-6L, 0L)
+    val rows7 = org.apache.spark.sql.expressions.Window
+      .partitionBy("country_id").orderBy("day_no").rowsBetween(-6, 0)
+    val got = daily.select($"d", sum("n").over(range7).as("range_sum"),
+        sum("n").over(rows7).as("rows_sum"))
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("2000-01-03") == ((60L, 60L))) // dense prefix: frames agree
+    assert(got("2000-01-20") == ((5L, 65L))) // after the gap: RANGE resets, ROWS drags history
+    // and the contract query's frame can never span more than 7 calendar days
+    Relational.q43RangeFrame(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("days_observed") <= 7L)
+      assert(r.getAs[Long]("trail7") >= r.getAs[Long]("n"))
+    }
+  }
 }
