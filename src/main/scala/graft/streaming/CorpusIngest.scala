@@ -35,7 +35,8 @@ import graft.dedup.Dedup
 object CorpusIngest {
 
   final class Merger(spark: SparkSession, corpusDir: String,
-      threshold: Double = 0.2) extends Serializable {
+      threshold: Double = 0.2,
+      qualityMin: Option[Double] = None) extends Serializable {
 
     private def part(sub: String) = s"$corpusDir/$sub"
 
@@ -90,7 +91,17 @@ object CorpusIngest {
       }
     }
 
-    def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
+    def mergeBatch(rawBatch: DataFrame, batchId: Long): Unit = {
+      // curation-at-ingest: the quality gate runs BEFORE any dedup work,
+      // so junk neither costs shingle joins nor poisons the standing
+      // index (a junk doc admitted once would shadow every future clean
+      // near-dup of it). Stateless per row — identical semantics batch
+      // or streaming, asserted in CorpusIngestSpec.
+      val batch = qualityMin match {
+        case Some(q) => rawBatch.filter(
+          graft.text.TextAnalysis.qualityScore(col("text")) >= q)
+        case None => rawBatch
+      }
       // read ONCE up front: the marker rewrite at the end truncates the
       // file first, so a later re-read mid-method would see it empty
       val highWater = maxCommitted
@@ -154,8 +165,9 @@ object CorpusIngest {
 
   /** Start the ingest over a drop-directory of parquet document files. */
   def start(spark: SparkSession, dropDir: String, corpusDir: String,
-      checkpointDir: String, threshold: Double = 0.2): StreamingQuery = {
-    val merger = new Merger(spark, corpusDir, threshold)
+      checkpointDir: String, threshold: Double = 0.2,
+      qualityMin: Option[Double] = None): StreamingQuery = {
+    val merger = new Merger(spark, corpusDir, threshold, qualityMin)
     spark.readStream
       .schema(graft.etl.Schemas.documents)
       .parquet(dropDir)

@@ -130,4 +130,30 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(ids.contains(3L))
     assert((ids - 3L).size == 1, s"corpus kept duplicate texts: $ids")
   }
+
+  test("quality gate at the door: junk never enters the corpus, stream equals batch gate") {
+    val dropDir = Files.createTempDirectory("graft_gate_drop").toString
+    val corpusDir = Files.createTempDirectory("graft_gate_out").toString
+    val ckpt = Files.createTempDirectory("graft_gate_ckpt").toString
+    val junk = "zz 11" // fails every quality component
+    docs((0L, base), (1L, junk)).coalesce(1)
+      .write.mode("append").parquet(dropDir)
+    docs((2L, other), (3L, junk)).coalesce(1)
+      .write.mode("append").parquet(dropDir)
+
+    val q = CorpusIngest.start(spark, dropDir, corpusDir, ckpt,
+      qualityMin = Some(0.3))
+    q.processAllAvailable()
+    q.stop()
+
+    val admitted = new CorpusIngest.Merger(spark, corpusDir)
+      .corpus().select("doc_id").collect().map(_.getLong(0)).toSet
+    // the gate is stateless, so the streamed outcome must equal the batch
+    // formulation: quality-filter, then admit distinct texts
+    val batchGate = spark.read.parquet(dropDir)
+      .filter(graft.text.TextAnalysis.qualityScore(org.apache.spark.sql.functions.col("text")) >= 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.subsetOf(batchGate))
+    assert(admitted == Set(0L, 2L), s"gate admitted: $admitted")
+  }
 }
