@@ -733,8 +733,10 @@ object SparkEntry {
         |tot AS (SELECT c.decile, SUM(t.n_tok) AS tokens
         |  FROM (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1) t
         |  JOIN cuts c ON t.doc_id < c.cutoff GROUP BY 1)
-        |SELECT v.decile, v.cutoff AS n_docs, tot.tokens, v.vocab,
-        |  (v.vocab * 2000000 + tot.tokens) // (tot.tokens * 2) AS ttr_ppm
+        |SELECT v.decile, v.cutoff AS n_docs,
+        |  CAST(tot.tokens AS BIGINT) AS tokens, v.vocab,
+        |  CAST((v.vocab * 2000000 + tot.tokens) // (tot.tokens * 2) AS BIGINT)
+        |    AS ttr_ppm
         |FROM vocab v JOIN tot ON v.decile = tot.decile ORDER BY 1""".stripMargin,
     // same sufficient-statistics discipline as q37: ln() per row is one
     // libm call on the identical double in either engine, sums are
@@ -802,10 +804,12 @@ object SparkEntry {
         |      - COALESCE(LAG(cs.cum_slots) OVER (ORDER BY cn.decile), 0)
         |      AS slots
         |  FROM cn JOIN cs ON cn.decile = cs.decile)
-        |SELECT decile, n_docs, cum_slots, cum_distinct, new_shingles, slots,
-        |  CASE WHEN slots = 0 THEN 0
+        |SELECT decile, n_docs, CAST(cum_slots AS BIGINT) AS cum_slots,
+        |  cum_distinct, CAST(new_shingles AS BIGINT) AS new_shingles,
+        |  CAST(slots AS BIGINT) AS slots,
+        |  CAST(CASE WHEN slots = 0 THEN 0
         |       ELSE (new_shingles * 2000000 + slots) // (slots * 2) END
-        |    AS novelty_ppm
+        |    AS BIGINT) AS novelty_ppm
         |FROM j ORDER BY decile""".stripMargin,
     "t36_source_kl_drift" ->
       """WITH tf AS (SELECT source,

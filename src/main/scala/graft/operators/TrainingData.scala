@@ -1195,16 +1195,19 @@ object TrainingData {
     val tf = Tables(spark, dir, "documents")
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-    // global window over the vocabulary: fine — vocab is corpus-bounded
-    // and tiny relative to the corpus (Heaps' law); at 100 TB the top-N
-    // cut runs over millions of rows, not the corpus
-    val w = Window.orderBy(desc("freq"), asc("token"))
-    val top = tf.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topN)
+    // top-N cut as orderBy+limit — Spark plans it TakeOrderedAndProject
+    // (per-partition heaps, fully parallel), so the 100M-row vocabulary a
+    // 100 TB corpus implies never funnels through one sorted task; only
+    // the ≤topN survivors see a window, and that window declares a
+    // partition (single constant key over ≤topN rows) so no global-sort
+    // WindowExec appears anywhere in the plan
+    val top = tf.orderBy(desc("freq"), asc("token")).limit(topN)
+    val wr = Window.partitionBy(lit(0)).orderBy(desc("freq"), asc("token"))
+    val ranked = top.withColumn("rank", row_number().over(wr))
       .select(log(col("rank").cast("double")).as("x"),
         log(col("freq").cast("double")).as("y"))
     val dec = DecimalType(27, 12)
-    val m = top.agg(
+    val m = ranked.agg(
       count(lit(1)).cast("double").as("nn"),
       sum(col("x").cast(dec)).cast("double").as("sx"),
       sum(col("y").cast(dec)).cast("double").as("sy"),

@@ -191,6 +191,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("t33: vocabulary top-N is TakeOrderedAndProject, never a global-sort window") {
+    val df = graft.SparkEntry.queries("t33_zipf_fit")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"top-N cut lost its parallel heap plan:\n$p")
+    // no WindowExec may run without a partition spec — that is the
+    // move-the-whole-vocabulary-to-one-task shape r5 flagged
+    val unpartitioned = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"unpartitioned WindowExec back in the plan:\n$p")
+  }
+
   test("persisted star: a year filter prunes to the matching year= partitions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
