@@ -88,10 +88,16 @@ object Bench {
   }
 
   /** One timed streaming-ingest drain: a quarter of the txns through the
-    * micro-batch merge path (closed input, AvailableNow, 2 files per
-    * trigger → several real micro-batches, each running enrich → gate →
-    * staged write → affected-year fact recompute). Returns (rows, sec). */
-  def streamIngestOnce(spark: SparkSession, sfDir: String): (Long, Double) = {
+    * micro-batch merge path (closed input, AvailableNow; `filesPerTrigger`
+    * bounds each micro-batch, None = one bulk trigger), each batch running
+    * enrich → gate → staged write → affected-year fact recompute. Returns
+    * (rows, sec, micro-batches run). The batch count matters for reading
+    * the number: most of a small drain's wall time is per-trigger fixed
+    * overhead (plan + checkpoint + dynamic-partition commit), so the
+    * scale-relevant figure is per-batch latency / bulk-amortized
+    * throughput, not the many-tiny-trigger total. */
+  def streamIngestOnce(spark: SparkSession, sfDir: String,
+      filesPerTrigger: Option[Int] = Some(2)): (Long, Double, Int) = {
     val in = sportsTvInputs(spark, sfDir)
     val streamTxns = in.txns.filter(col("transaction_id") % 4 === 0)
     val dropDir = java.nio.file.Files.createTempDirectory("graft_bench_drop").toString
@@ -103,14 +109,17 @@ object Bench {
       val t1 = System.nanoTime()
       val q = graft.streaming.StreamingIngest.start(
         spark, dropDir, streamStore, in.assets, in.users, in.postal, in.cities,
-        ckpt, maxFilesPerTrigger = Some(2))
+        ckpt, maxFilesPerTrigger = filesPerTrigger)
       q.processAllAvailable()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
       q.stop()
       val sec = (System.nanoTime() - t1) / 1e9
       System.err.println(
-        f"[bench] stream_ingest rows=$nStream sec=$sec%.1f " +
+        f"[bench] stream_ingest rows=$nStream sec=$sec%.1f batches=$batches " +
+          f"(filesPerTrigger=${filesPerTrigger.getOrElse(-1)}) " +
+          f"per-batch=${sec / math.max(batches, 1)}%.2f s " +
           f"throughput=${nStream / sec}%.0f rec/s")
-      (nStream, sec)
+      (nStream, sec, batches)
     } finally Seq(dropDir, streamStore, ckpt).foreach(rmTree)
   }
 
@@ -192,21 +201,62 @@ object Bench {
       Caches.releaseAll()
     }
 
-    // ---- end-to-end ETL throughput + streaming-ingest drain
+    // ---- end-to-end ETL throughput + streaming-ingest drain: the
+    // contract `stream_ingest` entry keeps r4/r5's shape (2 files per
+    // trigger → several real micro-batches) for cross-round comparability;
+    // `stream_ingest_bulk` drains the same input as ONE AvailableNow
+    // trigger — the batch-amortized number that matters at scale, where
+    // per-trigger fixed overhead (plan + checkpoint + partition commit)
+    // is noise against batch work instead of dominating it.
     results("etl_sportstv") = etlOnce(spark, sfDir)._2
     results("stream_ingest") = streamIngestOnce(spark, sfDir)._2
+    results("stream_ingest_bulk") =
+      streamIngestOnce(spark, sfDir, filesPerTrigger = None)._2
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Two renderings of the same map:
+    //  - bench_result.json: full names, full precision — the committed,
+    //    durable artifact cross-round comparisons should read;
+    //  - stdout: a COMPACT line (short keys, 2 dp) printed as the very
+    //    last output. The driver keeps only the final 2000 chars of merged
+    //    output and JSON-parses the line out of that window; r3–r5's
+    //    full-name line outgrew the window (~4.5 KB by r5), truncating
+    //    mid-line → parsed:null. Short keys are the query-id prefix
+    //    (q01, d03, t32 …) which is unique by construction; the few
+    //    multi-entry families keep a suffix (s04b/s04p = ivf build/probe).
+    def shortKey(name: String): String = name match {
+      case "etl_sportstv"       => "etl"
+      case "stream_ingest"      => "stream"
+      case "stream_ingest_bulk" => "streamblk"
+      case n if n.endsWith("_build") => n.split("_")(0) + "b"
+      case n if n.endsWith("_probe") => n.split("_")(0) + "p"
+      case n => n.split("_")(0)
+    }
+    val shortKeys = results.keys.map(shortKey).toSeq
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"short-key collision: ${shortKeys.diff(shortKeys.distinct)}")
+    def jnum(v: Double, dp: Int): String = {
+      val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+      s.underlying.stripTrailingZeros.toPlainString
+    }
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout (fork passes it through un-prefixed) AND a file — round 1's
-    // line went through sbt's [info] logger and the driver recorded
-    // parsed:null; the file is the unambiguous channel.
-    println(line)
+    val sfName = sfDir.split('/').last
+    def render(keyOf: String => String, dp: Int, legend: String) = {
+      val qs = results
+        .map { case (k, v) => "\"" + keyOf(k) + "\":" + jnum(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${jnum(total, dp)},"unit":"sec",""" +
+        s""""queries":$qs,"sf":"$sfName"$legend}"""
+    }
+    val fullLine = render(identity, 6, "")
+    val compactLine = render(shortKey, 2,
+      ""","keys":"query-id prefixes; full-name full-precision map committed as bench_result.json"""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     spark.stop()
+    // after spark.stop(): nothing (Spark shutdown logs go to stderr-level
+    // log4j, and none follow on this build) can land between this line and
+    // sbt's [success] trailer, so the whole line stays inside the window
+    println(compactLine)
   }
 }

@@ -33,12 +33,23 @@ object Caches {
 
   def persistReplacing(key: String, df: DataFrame): DataFrame = {
     val prev = last.get(key)
-    if (prev != null &&
+    // storageLevel reads the session CacheManager: a frame someone dropped
+    // behind our back (spark.catalog.clearCache(), an explicit unpersist)
+    // must count as absent, not get served stale-and-uncached — file
+    // sources re-resolve their listing on re-read, so the caller that
+    // cleared the cache to pick up appended files gets the fresh frame
+    if (prev != null && prev.storageLevel != StorageLevel.NONE &&
         prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) {
       prev
     } else {
+      // unpersist the predecessor BEFORE persisting the replacement:
+      // unpersist removes CacheManager entries by plan equality, so with
+      // a sameResult-but-dropped predecessor (cache cleared externally,
+      // fresh re-read of the same path) the reverse order would silently
+      // deregister the entry just created
+      Option(last.remove(key)).foreach(_.unpersist(false))
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      Option(last.put(key, p)).foreach(_.unpersist(false))
+      last.put(key, p)
       p
     }
   }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Golden-result hashes for the 7 `no_oracle` contract queries
+  * (d03/d04/d06/d10 LSH-family dedup, s03/s04/s07 ANN top-k): their
+  * candidate sets are seeded-hash / sketch products that no SQL oracle can
+  * reproduce, so the driver records `no_oracle` and the exact companion
+  * audits (d03a…s07a) pin semantics. What those audits can't catch is a
+  * SILENT behavior change in the probabilistic path itself (a seed, a
+  * banding constant, a quantizer default) that still passes the audit —
+  * the golden hash pins the exact output.
+  *
+  * Because the driver REGENERATES the testdata parquet between rounds, a
+  * raw committed hash would false-alarm on every regeneration (the d06a
+  * lesson). Each golden is therefore keyed to a FINGERPRINT of the input
+  * table it was computed from; the spec ([[graft.operators.NoOracleGoldenSpec]])
+  * verifies the fingerprint first and CANCELS loudly (not fails) when the
+  * corpus has changed, telling the operator to refresh:
+  *
+  *   sbt "runMain graft.Goldens"          # rewrites the goldens file
+  *
+  * Canonicalization mirrors the driver's compare: columns sorted by name,
+  * every value rendered to a string (shortest-repr doubles), rows sorted,
+  * MD5 over the joined block. Results are contract-query outputs (tens to
+  * hundreds of rows), so the collect is bounded by construction. */
+object Goldens {
+
+  val queries: Seq[String] = Seq(
+    "d03_minhash_lsh", "d04_simhash", "d06_winnowing",
+    "d10_dedup_manifest_lsh", "s03_srp_ann_topk", "s04_ivf_ann_topk",
+    "s07_pq_ann_topk")
+
+  /** documents for the d-family, embeddings for the s-family. */
+  def inputTable(query: String): String =
+    if (query.startsWith("s")) "embeddings" else "documents"
+
+  val goldensPath = "src/test/resources/no_oracle_goldens.json"
+
+  /** Order-invariant content fingerprint of one input table: row count +
+    * sum of per-row xxhash64 over the full row (via to_json so nested
+    * arrays fingerprint too). Catches any regeneration, insertion, or
+    * value drift; immune to file layout and read order. */
+  def tableFingerprint(spark: SparkSession, dir: String, table: String): String = {
+    val df = Tables(spark, dir, table)
+    val row = df
+      .select(xxhash64(to_json(struct(df.columns.map(col): _*))).as("h"))
+      // decimal sum: a long sum of ~2^63-scale hashes overflows ANSI mode
+      .agg(count(lit(1)).as("n"), sum(col("h").cast("decimal(38,0)")).as("s"))
+      .head()
+    s"n=${row.getLong(0)},s=${row.getDecimal(1).toBigInteger}"
+  }
+
+  /** Canonical MD5 of a bounded result frame (driver-compare shaped). */
+  def resultHash(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val rows = df.select(cols.map(col): _*).collect().map { r =>
+      cols.indices.map { i =>
+        val v = r.get(i)
+        if (v == null) "NULL" else v.toString
+      }.mkString("|")
+    }.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(rows.mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = Engine.session("graft-goldens")
+    val entries = for {
+      dir <- sfDirs
+      q <- queries
+    } yield {
+      val fp = tableFingerprint(spark, dir, inputTable(q))
+      val h = resultHash(SparkEntry.queries(q)(spark, dir))
+      System.err.println(s"[goldens] $dir $q input{$fp} hash=$h")
+      s"""  "${dir.split('/').last}/$q": {"input": "$fp", "hash": "$h"}"""
+    }
+    val json = entries.mkString("{\n", ",\n", "\n}\n")
+    val p = java.nio.file.Paths.get(goldensPath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, json)
+    System.err.println(s"[goldens] wrote ${entries.size} entries to $goldensPath")
+    spark.stop()
+  }
+}

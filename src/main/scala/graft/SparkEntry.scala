@@ -762,6 +762,11 @@ object SparkEntry {
         |  round(((nn*sxy - sx*sy)*(nn*sxy - sx*sy))
         |    /((nn*sxx - sx*sx)*(nn*syy - sy*sy)), 4) AS r2
         |FROM m""".stripMargin,
+    // Engine side intersects xxhash64-hashed shingles while this oracle
+    // intersects raw shingle strings — same d02 collision assumption: a
+    // 64-bit collision INSIDE one source pair's shingle union would be
+    // needed to nudge n_common, which needs ~2^32 distinct shared-corpus
+    // shingles to become likely; accepted and documented, not defended.
     "t34_source_overlap" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
@@ -795,15 +800,20 @@ object SparkEntry {
         |sl AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh0 GROUP BY 1),
         |cs AS (SELECT c.decile, SUM(s.n_sh) AS cum_slots
         |  FROM sl s JOIN cuts c ON s.doc_id < c.cutoff GROUP BY 1),
-        |j AS (SELECT cn.decile, cn.cutoff AS n_docs, cs.cum_slots,
-        |    cn.cum_distinct,
-        |    cn.cum_distinct
-        |      - COALESCE(LAG(cn.cum_distinct) OVER (ORDER BY cn.decile), 0)
+        |base AS (SELECT c.decile, c.cutoff AS n_docs,
+        |    COALESCE(cs.cum_slots, 0) AS cum_slots,
+        |    COALESCE(cn.cum_distinct, 0) AS cum_distinct
+        |  FROM cuts c
+        |  LEFT JOIN cn ON c.decile = cn.decile
+        |  LEFT JOIN cs ON c.decile = cs.decile),
+        |j AS (SELECT decile, n_docs, cum_slots, cum_distinct,
+        |    cum_distinct
+        |      - COALESCE(LAG(cum_distinct) OVER (ORDER BY decile), 0)
         |      AS new_shingles,
-        |    cs.cum_slots
-        |      - COALESCE(LAG(cs.cum_slots) OVER (ORDER BY cn.decile), 0)
+        |    cum_slots
+        |      - COALESCE(LAG(cum_slots) OVER (ORDER BY decile), 0)
         |      AS slots
-        |  FROM cn JOIN cs ON cn.decile = cs.decile)
+        |  FROM base)
         |SELECT decile, n_docs, CAST(cum_slots AS BIGINT) AS cum_slots,
         |  cum_distinct, CAST(new_shingles AS BIGINT) AS new_shingles,
         |  CAST(slots AS BIGINT) AS slots,
@@ -1101,7 +1111,7 @@ object SparkEntry {
         |  JOIN sizes s1 ON d1 = s1.doc_id
         |  JOIN sizes s2 ON d2 = s2.doc_id
         |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2)
-        |SELECT COUNT(*) AS n_exact, TRUE AS recall_90pct
+        |SELECT COUNT(*) AS n_exact, TRUE AS recall_85pct
         |FROM ep""".stripMargin,
     "d10a_manifest_agreement" ->
       s"""WITH RECURSIVE $manifestCtes

@@ -972,21 +972,25 @@ object Relational {
     * DataSketches KLL, built on (flag, linestatus) sub-grain and merged
     * upward — the partition-sketch pattern that answers any quantile on
     * 100 TB from kilobyte summaries instead of a sort. KLL guarantees
-    * RANK accuracy (default k: ε ≈ 1.3%), and its compactors are
-    * randomized, so the contract row pins what the sketch actually
-    * promises: the TRUE rank of each estimate (one exact conditional
-    * count against the data) lands within 3% of the target quantile.
-    * The oracle recomputes the per-flag row count and claims both
-    * verdicts true; a sketch drifting outside its guarantee breaks the
-    * row hash. */
+    * RANK accuracy and its compactors are randomized, so the contract row
+    * pins what the sketch actually promises: the TRUE rank of each
+    * estimate (one exact conditional count against the data) lands within
+    * 3% of the target quantile. The oracle recomputes the per-flag row
+    * count and claims both verdicts true. Sketch k is raised from the
+    * default 200 (ε ≈ 1.65%, barely 2× inside the 3% budget — an unlucky
+    * run or a regenerated corpus could flip the verdict) to 800
+    * (ε ≈ 0.44% at 99% confidence): the normal-tail probability of a
+    * 3% rank miss at that ε is < 1e-10 per quantile, so the boolean is
+    * deterministic for any practical purpose while the sketch stays a
+    * few KB. */
   def q42KllQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_linestatus"),
         col("l_extendedprice").cast("double").as("price"))
     val partial = li.groupBy("l_returnflag", "l_linestatus")
-      .agg(expr("kll_sketch_agg_double(price)").as("sk"))
+      .agg(expr("kll_sketch_agg_double(price, 800)").as("sk"))
     val merged = partial.groupBy("l_returnflag")
-      .agg(expr("kll_merge_agg_double(sk)").as("sk"))
+      .agg(expr("kll_merge_agg_double(sk, 800)").as("sk"))
       .select(col("l_returnflag"),
         expr("kll_sketch_get_quantile_double(sk, 0.5)").as("est_p50"),
         expr("kll_sketch_get_quantile_double(sk, 0.9)").as("est_p90"))

@@ -608,16 +608,20 @@ object TrainingData {
       .orderBy("d1", "d2")
 
   /** Audit row for d06: winnowing's recall of the exact Jaccard pairs,
-    * pinned as a ≥90% verdict. Winnowing GUARANTEES a shared fingerprint
+    * pinned as a ≥85% verdict. Winnowing GUARANTEES a shared fingerprint
     * only for contiguous matching runs of ≥ k+w−1 characters; a J≥0.2
     * pair whose overlap is many scattered short n-grams can legitimately
     * carry no common fingerprint, so full recall is corpus-dependent —
-    * it held on every sf0.01 generation, but one sf0.1 regeneration
-    * measured 240/256 (93.8%). The oracle recomputes n_exact and claims
-    * the verdict true; a recall collapse (a real winnowing bug) still
-    * breaks the row hash. Recall only: winnowing legitimately flags
-    * extra pairs whose sampled-fingerprint Jaccard clears the bar while
-    * full 3-gram Jaccard doesn't, so precision is not claimed. */
+    * the bar is set from the algorithm's behavior margin, not one
+    * measured corpus: generations have landed 93.8–100%, and the driver
+    * regenerates parquet between rounds, so pinning 90% (r5) left the
+    * verdict one unlucky regeneration from a false alarm. 85% still
+    * catches any real collapse (a winnowing bug drops recall far below
+    * the guarantee regime, not a few points). The oracle recomputes
+    * n_exact and claims the verdict true. Recall only: winnowing
+    * legitimately flags extra pairs whose sampled-fingerprint Jaccard
+    * clears the bar while full 3-gram Jaccard doesn't, so precision is
+    * not claimed. */
   def d06aWinnowRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2).select("d1", "d2")
@@ -626,7 +630,7 @@ object TrainingData {
       .crossJoin(exact.join(win, Seq("d1", "d2"))
         .agg(count(lit(1)).as("n_recovered")))
       .select(col("n_exact"),
-        (col("n_recovered") * 10 >= col("n_exact") * 9).as("recall_90pct"))
+        (col("n_recovered") * 20 >= col("n_exact") * 17).as("recall_85pct"))
   }
 
   /** Duplicate-cluster resolution over the exact Jaccard pairs: connected
@@ -1252,8 +1256,17 @@ object TrainingData {
       .filter(col("doc_id") < col("cutoff"))
       .groupBy("decile").agg(sum(col("n_sh")).as("cum_slots"))
     val w = Window.orderBy("decile")
-    cumNew.join(cumSlots, Seq("decile"))
+    // left-join from the 10-row cuts frame: a decile where NO shingle's
+    // first_doc (or no doc) falls below the cutoff — e.g. every doc in
+    // the first slice shorter than 3 tokens — must still appear as a
+    // zero row, not silently drop off the curve (the oracle mirrors this)
+    cuts.select(col("decile"), col("cutoff"))
+      .join(cumNew.select("decile", "cum_distinct"), Seq("decile"), "left")
+      .join(cumSlots, Seq("decile"), "left")
       .select(col("decile"), col("cutoff").as("n_docs"),
+        coalesce(col("cum_slots"), lit(0L)).as("cum_slots"),
+        coalesce(col("cum_distinct"), lit(0L)).as("cum_distinct"))
+      .select(col("decile"), col("n_docs"),
         col("cum_slots"), col("cum_distinct"),
         (col("cum_distinct") -
           coalesce(lag(col("cum_distinct"), 1).over(w), lit(0L)))

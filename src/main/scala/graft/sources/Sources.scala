@@ -63,19 +63,22 @@ object Sources {
     * over 100 TB and silently widens types on dirty data. Same quarantine
     * discipline as the CSV path: PERMISSIVE + corrupt-record column, so a
     * torn line neither aborts the scan (FAILFAST) nor vanishes. Returns
-    * (clean docs, quarantined raw lines); input persisted for the two
-    * consumers, caller unpersists. */
+    * (clean docs, quarantined raw lines); the shared input is persisted
+    * through [[Caches.persistReplacing]] keyed on the path, so re-reading
+    * the same corpus replaces the one cached copy instead of accumulating
+    * a MEMORY_AND_DISK entry per call (and `Caches.releaseAll()` covers
+    * it at workload boundaries — no caller-side unpersist contract). */
   def jsonlCorpus(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val withCorrupt = StructType(
       Schemas.documents.fields :+ StructField("_corrupt_record", StringType))
-    val raw = spark.read
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .schema(withCorrupt)
-      .json(path)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = graft.Caches.persistReplacing(s"jsonlCorpus:$path",
+      spark.read
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(withCorrupt)
+        .json(path))
     val clean = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val quarantined = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
