@@ -6,6 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // Arg-order guard: sfDir must hold the canonical tables, and outDir
+    // must NOT — a swapped invocation would otherwise spray query-result
+    // dirs into the read-only testdata tree before any query even fails.
+    require(Files.exists(Paths.get(sfDir, "lineitem.parquet")),
+      s"sfDir '$sfDir' has no lineitem.parquet — args are (sfDir, outDir)")
+    require(!Files.exists(Paths.get(outDir, "lineitem.parquet")),
+      s"outDir '$outDir' looks like a data dir — args are (sfDir, outDir)")
     // optional 3rd arg: comma-separated query-name filter for fast local
     // single-query oracle checks (the driver always passes exactly 2 args)
     val only: Option[Set[String]] =

@@ -367,10 +367,20 @@ object Similarity {
         .as(s"f$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val models = (0 until m).map { i =>
-      new KMeans().setK(k).setSeed(42L + i).setMaxIter(10)
-        .setFeaturesCol(s"f$i").setPredictionCol(s"c$i").fit(trainAll)
-    }
+    // The m subquantizer fits are independent jobs over the SAME cached
+    // sample — launch them concurrently from the driver so they share the
+    // executor pool instead of serializing m× the per-fit scheduling +
+    // iteration latency (determinism is unaffected: each fit is seeded
+    // per-subspace and reads an immutable cached frame).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    trainAll.count() // materialize the cache once, BEFORE the concurrent fits
+    val models = Await.result(
+      Future.sequence((0 until m).map { i => Future {
+        new KMeans().setK(k).setSeed(42L + i).setMaxIter(10)
+          .setFeaturesCol(s"f$i").setPredictionCol(s"c$i").fit(trainAll)
+      }}), Duration.Inf)
     trainAll.unpersist()
 
     val featured = emb.select(col("vec_id") +:
