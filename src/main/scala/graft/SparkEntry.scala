@@ -59,6 +59,8 @@ object SparkEntry {
     "q41_hll_distinct" -> (Relational.q41HllDistinct _),
     "q42_kll_quantiles" -> (Relational.q42KllQuantiles _),
     "q43_range_frame" -> (Relational.q43RangeFrame _),
+    "q44_relational_division" -> (Relational.q44RelationalDivision _),
+    "t37_weighted_sample" -> (TrainingData.t37WeightedSample _),
     "t32_vocab_growth" -> (TrainingData.t32VocabGrowth _),
     "t33_zipf_fit" -> ((sp, d) => TrainingData.t33ZipfFit(sp, d)),
     "t34_source_overlap" -> (TrainingData.t34SourceOverlap _),
@@ -821,6 +823,31 @@ object SparkEntry {
         |       ELSE (new_shingles * 2000000 + slots) // (slots * 2) END
         |    AS BIGINT) AS novelty_ppm
         |FROM j ORDER BY decile""".stripMargin,
+    "q44_relational_division" ->
+      """WITH o AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+        |n AS (SELECT COUNT(DISTINCT o_orderpriority) AS n_needed FROM o)
+        |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_priorities
+        |FROM o GROUP BY 1
+        |HAVING COUNT(*) = (SELECT n_needed FROM n)
+        |ORDER BY 1""".stripMargin,
+    // u and the A-Res key are pure functions of doc_id/text, so both
+    // engines draw the identical "random" sample; ln() parity follows the
+    // t33/t12 libm-on-identical-double discipline
+    "t37_weighted_sample" ->
+      """WITH w AS (SELECT doc_id,
+        |    GREATEST(len(regexp_extract_all(lower(trim(text)), '\S+')), 1)
+        |      AS weight
+        |  FROM documents),
+        |k AS (SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+        |    ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+        |      / CAST(weight AS DOUBLE) AS key
+        |  FROM w),
+        |top AS (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 100)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS INT)
+        |    AS rank,
+        |  doc_id, weight, round(key, 6) AS key
+        |FROM top ORDER BY rank""".stripMargin,
     "t36_source_kl_drift" ->
       """WITH tf AS (SELECT source,
         |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token

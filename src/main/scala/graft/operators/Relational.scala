@@ -1006,4 +1006,46 @@ object Relational {
           .as("p90_rank_ok"))
       .orderBy("l_returnflag")
   }
+
+  // ---------------------------------------------------------------- Q44 (division)
+  /** Relational division (the classic "for-all" operator): keys of
+    * `dividend` associated with EVERY attribute value in `divisor`.
+    *
+    * Implemented by the counting formulation, not the textbook double
+    * NOT EXISTS: restrict the dividend to divisor attributes (left-semi),
+    * dedup (key, attr) pairs, count per key, and keep keys whose count
+    * equals |divisor|. One shuffle on the key; the divisor — by the
+    * operator's nature a small set of required values — travels only as a
+    * broadcast semi-join and a broadcast 1-row cardinality, so the plan
+    * has no correlated subquery re-scan and survives an arbitrarily large
+    * dividend. Returns one row per dividing key plus the matched count
+    * (= |divisor|, kept as evidence the cover is complete). */
+  def divide(dividend: DataFrame, key: Seq[String], attr: String,
+      divisor: DataFrame): DataFrame = {
+    val needed = divisor.select(col(attr)).distinct()
+    val nNeeded = needed.agg(count(lit(1)).as("n_needed"))
+    dividend
+      .join(broadcast(needed), Seq(attr), "left_semi")
+      .select((key :+ attr).map(col): _*).distinct()
+      .groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(nNeeded))
+      .filter(col("n_matched") === col("n_needed"))
+      .drop("n_needed")
+  }
+
+  /** Division demo on the star's operational side: customers who have
+    * placed orders in EVERY order-priority class the corpus observes —
+    * the completeness question ("which accounts exercised the full
+    * product surface?") that GROUP BY alone can't ask. Selectivity is
+    * ~half the customer base at every testdata SF, so the result is a
+    * non-trivial anchor at sf0.001 through sf0.1. */
+  def q44RelationalDivision(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"))
+    divide(o, Seq("o_custkey"), "o_orderpriority",
+      o.select("o_orderpriority"))
+      .select(col("o_custkey"), col("n_matched").as("n_priorities"))
+      .orderBy("o_custkey")
+  }
 }

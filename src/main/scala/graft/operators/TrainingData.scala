@@ -1343,4 +1343,39 @@ object TrainingData {
           (col("z1") + col("z2") - col("n_common")), 4).as("jaccard"))
       .orderBy("s1", "s2")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res,
+    * IPL 2006): each doc draws key ln(u)/w — u uniform, w its weight —
+    * and the k largest keys are a weighted sample without replacement.
+    * Here w is the token count (sample proportional to training mass) and
+    * u is derived from the md5 of doc_id instead of a live RNG, making
+    * the draw a PURE FUNCTION of the data: reproducible across runs,
+    * engines and cluster layouts, and — like [[Sampling.hashBucket]] —
+    * replayable anywhere without storing the sample. The top-k is
+    * orderBy+limit (TakeOrderedAndProject: per-partition heaps of k, one
+    * k-row merge — no global sort, no shuffle of the corpus), and the
+    * rank window runs over the ≤k-row result, the t33 discipline. */
+  def t37WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val keyed = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        greatest(TextAnalysis.tokenCount(col("text")).cast("long"), lit(1L))
+          .as("weight"))
+      // u in (0,1): 32-bit md5 prefix + 0.5, over 2^32 — exactly the
+      // engine-portable t04 construction, at full 32-bit resolution
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0))
+      .withColumn("key", log(col("u")) / col("weight").cast("double"))
+    val top = keyed.orderBy(desc("key"), asc("doc_id")).limit(k)
+    // rank over the ≤k-row result; partitionBy(lit(0)) declares the single
+    // partition (t33 discipline — never an unpartitioned WindowExec)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(desc("key"), asc("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("weight"),
+        round(col("key"), 6).as("key"))
+      .orderBy("rank")
+  }
 }

@@ -281,4 +281,29 @@ class CurationSelectSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_common") == 1L)
     assert(r.getAs[Double]("jaccard") == 0.3333)
   }
+
+  test("t37 weighted sample: A-Res invariants + key formula replay") {
+    val dir = sf("sf0.001")
+    val rows = TrainingData.t37WeightedSample(spark, dir).collect()
+    assert(rows.length == 100)
+    // ranks are exactly 1..k and keys non-increasing along them
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 100))
+    val keys = rows.map(_.getAs[Double]("key"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    // every key is ln(u)/w with u ∈ (0,1) and w ≥ 1 → strictly negative
+    assert(keys.forall(_ < 0))
+    // replay the draw for the top doc outside Spark: same md5-prefix u,
+    // same ln(u)/w key (to the emitted 6-dp rounding)
+    val top = rows.head
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(top.getAs[Long]("doc_id").toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val u = (java.lang.Long.parseLong(md5hex.take(8), 16) + 0.5) / 4294967296.0
+    val expect = BigDecimal(math.log(u) / top.getAs[Long]("weight"))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top.getAs[Double]("key") == expect)
+    // the draw is a pure function of the data: a second run is identical
+    val again = TrainingData.t37WeightedSample(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

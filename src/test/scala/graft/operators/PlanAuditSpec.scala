@@ -206,6 +206,32 @@ class PlanAuditSpec extends SparkTestBase {
       s"unpartitioned WindowExec back in the plan:\n$p")
   }
 
+  test("t37: weighted-sample top-k is TakeOrderedAndProject over the corpus") {
+    val df = graft.SparkEntry.queries("t37_weighted_sample")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"A-Res top-k lost its parallel heap plan:\n$p")
+    val unpartitioned = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"unpartitioned WindowExec over the corpus:\n$p")
+  }
+
+  test("q44: division broadcasts the divisor, shuffles the dividend once") {
+    val df = graft.SparkEntry.queries("q44_relational_division")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("BroadcastExchange"),
+      s"divisor/cardinality no longer broadcast:\n$p")
+    // the only key shuffles allowed are the (key,attr) dedup + per-key
+    // count + the total ORDER BY — never a join-shaped dividend shuffle
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 3, s"unexpected dividend shuffles:\n$p")
+  }
+
   test("persisted star: a year filter prunes to the matching year= partitions") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

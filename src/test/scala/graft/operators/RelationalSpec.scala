@@ -336,4 +336,34 @@ class RelationalSpec extends SparkTestBase {
       assert(r.getAs[Long]("trail7") >= r.getAs[Long]("n"))
     }
   }
+
+  test("q44 division equals the textbook double-NOT-EXISTS formulation") {
+    import spark.implicits._
+    // hand fixture: divisor {a,b,c}; k1 covers all, k2 misses c, k3 covers
+    // all plus an attr OUTSIDE the divisor (must still divide), k4 covers
+    // only d (outside) — and duplicates must not inflate the count
+    val dividend = Seq(
+      1 -> "a", 1 -> "b", 1 -> "c", 1 -> "a",
+      2 -> "a", 2 -> "b",
+      3 -> "a", 3 -> "b", 3 -> "c", 3 -> "d",
+      4 -> "d").toDF("k", "attr")
+    val divisor = Seq("a", "b", "c").toDF("attr")
+    val got = Relational.divide(dividend, Seq("k"), "attr", divisor)
+      .orderBy("k").collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(got.toSeq == Seq(1 -> 3L, 3 -> 3L))
+    // equivalence with the textbook algebra: ÷ = K − π_k((K × V) − D)
+    // (Spark rejects the doubly-correlated NOT-EXISTS-NOT-EXISTS form)
+    val keysDf = dividend.select("k").distinct()
+    val missing = keysDf.crossJoin(divisor)
+      .except(dividend.select("k", "attr").distinct())
+    val viaAlgebra = keysDf.except(missing.select("k"))
+      .orderBy("k").collect().map(_.getInt(0)).toSeq
+    assert(viaAlgebra == Seq(1, 3))
+    // contract query: every divider covers the full observed priority set
+    val q = Relational.q44RelationalDivision(spark, dir).collect()
+    assert(q.nonEmpty)
+    val nPrio = spark.read.parquet(dir + "/orders.parquet")
+      .select("o_orderpriority").distinct().count()
+    assert(q.forall(_.getAs[Long]("n_priorities") == nPrio))
+  }
 }
