@@ -60,6 +60,11 @@ object SparkEntry {
     "q42_kll_quantiles" -> (Relational.q42KllQuantiles _),
     "q43_range_frame" -> (Relational.q43RangeFrame _),
     "q44_relational_division" -> (Relational.q44RelationalDivision _),
+    "q45_rolling_anomaly" -> (Relational.q45RollingAnomaly _),
+    "q46_attribution" -> (Relational.q46Attribution _),
+    "q47_salted_join" -> (Relational.q47SaltedJoin _),
+    "d16_bloom_decontam" -> (TrainingData.d16BloomDecontam _),
+    "d17_fuzzy_links" -> (TrainingData.d17FuzzyLinks _),
     "t37_weighted_sample" -> (TrainingData.t37WeightedSample _),
     "t32_vocab_growth" -> (TrainingData.t32VocabGrowth _),
     "t33_zipf_fit" -> ((sp, d) => TrainingData.t33ZipfFit(sp, d)),
@@ -848,6 +853,94 @@ object SparkEntry {
         |    AS rank,
         |  doc_id, weight, round(key, 6) AS key
         |FROM top ORDER BY rank""".stripMargin,
+    // z derives from exact-integer windowed sufficient statistics through
+    // one fixed double shape (the q37/t33 discipline); the anomaly flag
+    // tests the ROUNDED z so the 4-dp boundary can't disagree
+    "q45_rolling_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, d, n,
+        |    CAST(COUNT(*) OVER win AS BIGINT) AS m,
+        |    CAST(SUM(n) OVER win AS BIGINT) AS s1,
+        |    CAST(SUM(n*n) OVER win AS BIGINT) AS s2
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+        |scored AS (SELECT event_type, d, n, m,
+        |    round(CAST(s1 AS DOUBLE)/m, 4) AS mean,
+        |    round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE)/m)
+        |      / sqrt((CAST(m AS DOUBLE)*s2 - CAST(s1 AS DOUBLE)*s1)
+        |             /(CAST(m AS DOUBLE)*(m-1))), 4) AS z
+        |  FROM w WHERE m >= 14 AND m*s2 > s1*s1)
+        |SELECT event_type, d, n, m, mean, z, abs(z) >= 2 AS is_anomaly
+        |FROM scored ORDER BY event_type, d""".stripMargin,
+    // clicks pre-deduped to (user, ts) grain — as-of under ties is
+    // ill-defined; minutes derive from exact epoch-microsecond integers
+    "q46_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, ts AS click_ts,
+        |    MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |j AS (SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+        |  FROM p ASOF LEFT JOIN c
+        |    ON p.user_id = c.c_user AND p.ts >= c.click_ts),
+        |f AS (SELECT *,
+        |    (click_ts IS NOT NULL AND click_ts >= ts - INTERVAL 1 HOUR)
+        |      AS attributed
+        |  FROM j)
+        |SELECT event_id, user_id, CAST(ts AS DATE) AS d,
+        |  CASE WHEN attributed THEN click_id END AS click_id,
+        |  CASE WHEN attributed THEN round(
+        |    CAST(epoch_us(ts) - epoch_us(click_ts) AS DOUBLE) / 60000000.0,
+        |    2) END AS mins_before,
+        |  attributed
+        |FROM f ORDER BY event_id""".stripMargin,
+    // the salted physical rewrite is semantics-preserving, so the oracle
+    // is the PLAIN join (d16's physical-only discipline)
+    "q47_salted_join" ->
+      """SELECT c.c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact 5-gram decontamination (the Bloom gate is physical-only: no
+    // false negatives, so the verified result equals this ungated SQL)
+    "d16_bloom_decontam" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t)-3, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |        || ' ' || t[i+4])) AS shingle
+        |  FROM toks WHERE len(t) >= 5),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+        |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 17 <> 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+        |  FROM train JOIN bench USING (shingle) GROUP BY 1),
+        |m AS (SELECT s.doc_id, s.n_shingles,
+        |    CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap
+        |  FROM sizes s LEFT JOIN hits h USING (doc_id))
+        |SELECT doc_id, n_shingles, n_overlap,
+        |  n_overlap >= 1 AS contaminated
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // blocking (shared first token) is part of the link contract and the
+    // oracle mirrors it; both engines compute classic unit-cost
+    // Levenshtein, and the length prefilter is a necessary condition of
+    // dist <= 4 so it cannot change the result
+    "d17_fuzzy_links" ->
+      """WITH names AS (SELECT p_name AS name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    split_part(p_name, ' ', 1) AS blk FROM part GROUP BY 1),
+        |links AS (SELECT a.name AS name_a, b.name AS name_b,
+        |    levenshtein(a.name, b.name) AS dist,
+        |    a.n_rows AS rows_a, b.n_rows AS rows_b
+        |  FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+        |    AND abs(len(a.name) - len(b.name)) <= 4)
+        |SELECT name_a, name_b, CAST(dist AS INT) AS dist, rows_a, rows_b
+        |FROM links WHERE dist <= 4 ORDER BY name_a, name_b""".stripMargin,
     "t36_source_kl_drift" ->
       """WITH tf AS (SELECT source,
         |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token

@@ -703,4 +703,95 @@ object Dedup {
   def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text"): DataFrame =
     hammingNearPairs(simhash64(docs, textCol), "doc_id", "simhash", maxHamming)
+
+  // ------------------------------------------------------------- bloom gate
+  /** Exact n-gram decontamination through a Bloom-filter pre-gate — the
+    * 100 TB-shaped twin of [[contamination]]'s plain semi-join.
+    *
+    * [[contamination]] ships the benchmark's distinct shingle hashes to
+    * the semi-join as a broadcast SET — exact, but the broadcast grows
+    * with the benchmark and EVERY training shingle flows into the join
+    * operator. Here the benchmark side collapses further, into Bloom bits
+    * (`fpp` default 1%, ~1.2 bytes/item): a codegen'd
+    * [[graft.plans.BloomMightContainLong]] probe filters the training
+    * shingle stream inside its scan stage, and only the survivors — true
+    * hits plus the fpp tail — reach the exact verify semi-join. Because a
+    * Bloom filter has no false negatives, the verified result is exactly
+    * the ungated one (asserted frame-equal in DedupSpec), so the oracle
+    * for this query is the same exact SQL as d13's; the gate only changes
+    * WHERE the data dies (in the scan, before the shuffle).
+    *
+    * The filter is built distributed (`stat.bloomFilter` runs
+    * treeAggregate over the benchmark partitions); only the merged bits —
+    * sized by the benchmark's distinct-shingle count, never the corpus —
+    * land on the driver, same bounded-driver-state discipline as the PQ
+    * codebooks. */
+  def bloomDecontam(train: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", n: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.plans.BloomMightContainLong
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+
+    val trainSh = persistReplacing(s"bloomTrain_n$n",
+      hashedShingleSets(train, textCol, n).withColumnRenamed("g", "h"))
+    val benchSh = persistReplacing(s"bloomBench_n$n",
+      shingleGrams(benchmark, textCol, n)
+        .select(xxhash64(col("shingle")).as("h")).distinct())
+    // expectedNumItems sizes the bit array; the count is one job over the
+    // (persisted) benchmark side — bounded by the eval suite, not the corpus
+    val nBench = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("h", nBench, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val gate = ColumnBridge.column(
+      BloomMightContainLong(ColumnBridge.expression(col("h")), bos.toByteArray))
+
+    val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.filter(gate)
+      .join(benchSh, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= 1)
+  }
+
+  // ---------------------------------------------------------- record linkage
+  /** Fuzzy record linkage over a string attribute: pairs of DISTINCT
+    * attribute values within `maxDist` Levenshtein edits, each link
+    * carrying both values' row multiplicities.
+    *
+    * The scale architecture is the point. Edit distance doesn't hash, so
+    * a naive formulation is an O(rows²) theta join — at sf0.1 the part
+    * table alone holds 3.1 M row-level name pairs at distance 0. Instead:
+    *
+    *  1. collapse rows to DISTINCT values first (`groupBy(attr)`, one
+    *     shuffle). Attribute vocabularies are Heaps-bounded — they grow
+    *     sublinearly in rows — so every later stage works on a frame that
+    *     stays small as the fact grows 1000×;
+    *  2. block the self-join on a cheap equivalence proxy (default: the
+    *     value's first whitespace token) — an EQUI-join, so Catalyst
+    *     plans a hash join, never BroadcastNestedLoopJoin;
+    *  3. inside a block, a length-difference prefilter (|len a − len b| ≤
+    *     maxDist, a necessary condition for edit distance) kills most
+    *     survivors before the O(len²) Levenshtein evaluates.
+    *
+    * Blocking is part of the operator's CONTRACT, not an approximation
+    * hack: a link is reported iff the pair shares a block AND is within
+    * `maxDist` (the recall boundary — e.g. a typo in the first token — is
+    * documented behavior, mirrored exactly by the oracle). `a < b`
+    * canonicalizes pair order. */
+  def fuzzyLinks(rows: DataFrame, attrCol: String, maxDist: Int,
+      blockExpr: Column => Column = split_part(_, lit(" "), lit(1))): DataFrame = {
+    val names = rows.groupBy(col(attrCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", blockExpr(col("name")))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name") &&
+          abs(length(col("a.name")) - length(col("b.name"))) <= maxDist)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"),
+        col("a.n_rows").as("rows_a"), col("b.n_rows").as("rows_b"))
+      .filter(col("dist") <= maxDist)
+  }
 }

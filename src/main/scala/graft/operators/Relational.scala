@@ -1048,4 +1048,112 @@ object Relational {
       .select(col("o_custkey"), col("n_matched").as("n_priorities"))
       .orderBy("o_custkey")
   }
+
+  // ---------------------------------------------------------------- Q45 (anomaly)
+  /** Rolling z-score anomaly detection over per-type daily event volumes:
+    * each day scores against the trailing 28 OBSERVED days' mean/stddev
+    * (current day excluded, so a spike can't mask itself), flagged at
+    * |z| ≥ 2. The monitoring primitive a warehouse runs on its own ingest
+    * counters.
+    *
+    * Cross-engine parity rides the q37/t33 sufficient-statistics
+    * discipline: the windowed aggregates are COUNT/SUM/SUM-of-squares of
+    * BIGINT daily counts — exact integers, order-invariant — and mean/z
+    * derive from those integers through one fixed double-arithmetic
+    * shape, so both engines evaluate identical doubles (sample variance
+    * (m·s2 − s1²)/(m·(m−1)); exact while m·s2 < 2⁵³, i.e. daily volumes
+    * to ~10⁸ — beyond that, move s2 to DECIMAL, noted in SCALING.md).
+    * Warm-up rows (m < 14) and zero-variance windows are excluded on both
+    * sides; the flag tests the ROUNDED z so the 4-dp boundary can't
+    * disagree.
+    *
+    * Scale shape: one groupBy to daily grain (the only corpus-sized
+    * shuffle), then windows partitioned BY event_type whose rows are
+    * calendar-bounded (days, not events) — no unpartitioned WindowExec
+    * anywhere. */
+  def q45RollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-28, -1)
+    val md = col("m").cast("double")
+    val s1d = col("s1").cast("double")
+    val z = (col("n").cast("double") - s1d / col("m")) /
+      sqrt((md * col("s2") - s1d * col("s1")) / (md * (col("m") - lit(1))))
+    daily
+      .withColumn("m", count(lit(1)).over(win))
+      .withColumn("s1", sum(col("n")).over(win))
+      .withColumn("s2", sum(col("n") * col("n")).over(win))
+      .filter(col("m") >= 14 &&
+        col("m") * col("s2") > col("s1") * col("s1"))
+      .select(col("event_type"), col("d"), col("n"), col("m"),
+        round(s1d / col("m"), 4).as("mean"),
+        round(z, 4).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) >= 2)
+      .orderBy("event_type", "d")
+  }
+
+  // ---------------------------------------------------------------- Q46 (attribution)
+  /** Last-touch attribution with a bounded lookback: each purchase
+    * attributes to the same user's MOST RECENT click within the hour
+    * before it (inclusive of the same instant); purchases with no such
+    * click stay unattributed — the batch twin of the streaming
+    * interval-join deployment ([[graft.streaming.StreamJoins.attribution]]),
+    * here anchored to the DuckDB `ASOF LEFT JOIN` oracle.
+    *
+    * Rides [[Temporal.asofJoin]]'s no-join form (tagged union + one
+    * running `last(ignoreNulls)` window per user — a single shuffle), then
+    * applies the lookback as a post-filter: the as-of match is the latest
+    * click overall, so "latest within the window" ≡ "latest overall, if
+    * within the window". Clicks are pre-deduplicated to (user, ts) grain
+    * (max event_id) because as-of semantics are ill-defined under ties.
+    * Minutes-before derives from exact microsecond integers (one double
+    * division, q37 discipline). */
+  def q46Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val joined = Temporal.asofJoin(purchases, clicks,
+      leftKey = "user_id", rightKey = "c_user",
+      leftTs = "ts", rightTs = "click_ts",
+      valueCols = Seq("click_id", "click_ts"))
+    val inWindow = col("click_ts").isNotNull &&
+      col("click_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+    joined
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"),
+        when(inWindow, col("click_id")).as("click_id"),
+        when(inWindow, round(
+          (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .cast("double") / 60000000.0, 2)).as("mins_before"),
+        inWindow.as("attributed"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- Q47 (salted join)
+  /** Skew-salted fact-to-dimension join, oracle-anchored: event volume and
+    * value by customer market segment, where the events→customer join runs
+    * through [[Skew.saltedJoin]] (probe key extended with a salt, build
+    * side replicated per salt) so a hot user key spreads over `buckets`
+    * reducers instead of flooding one. Salting is a PHYSICAL rewrite —
+    * every probe row still meets every matching build row exactly once —
+    * so the oracle is the plain join SQL, same physical-only discipline as
+    * d16's Bloom gate. The deployment where this beats AQE's runtime skew
+    * split: deterministic layouts and stream-static joins where AQE can't
+    * re-plan. Value sums ride DECIMAL(18,4) (order-invariant). */
+  def q47SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("value"))
+    val dim = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Skew.saltedJoin(ev, dim, "user_id", buckets = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 2)
+          .cast("double").as("total_value"))
+      .orderBy("c_mktsegment")
+  }
 }

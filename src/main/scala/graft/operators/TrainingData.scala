@@ -1378,4 +1378,32 @@ object TrainingData {
         round(col("key"), 6).as("key"))
       .orderBy("rank")
   }
+
+  /** Bloom-gated exact 5-gram decontamination — [[d13ExactNgramDecontam]]'s
+    * scale-path twin (same benchmark split, shorter grams so mid-length
+    * docs participate): the benchmark's distinct shingle hashes collapse
+    * into Bloom bits probed by a codegen'd expression INSIDE the training
+    * scan, so only Bloom survivors reach the exact verify semi-join. No
+    * false negatives ⇒ the result is exactly the ungated one; the oracle
+    * is the plain exact SQL. See [[graft.dedup.Dedup.bloomDecontam]]. */
+  def d16BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.bloomDecontam(
+      docs.filter(col("doc_id") % 17 =!= 0),
+      docs.filter(col("doc_id") % 17 === 0),
+      n = 5)
+      .orderBy("doc_id")
+  }
+
+  /** Fuzzy record linkage over part names: distinct-value collapse →
+    * first-token blocking → length prefilter → Levenshtein ≤ 4, reported
+    * with each side's row multiplicity. The entity-resolution operator a
+    * warehouse needs when the "same" dimension member arrives spelled
+    * differently across feeds. See [[graft.dedup.Dedup.fuzzyLinks]] for
+    * the scale argument (vocabulary-sized, equi-join-blocked). */
+  def d17FuzzyLinks(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyLinks(Tables(spark, dir, "part"), "p_name", maxDist = 4)
+      .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"),
+        col("rows_a"), col("rows_b"))
+      .orderBy("name_a", "name_b")
 }

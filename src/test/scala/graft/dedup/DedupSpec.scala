@@ -320,4 +320,59 @@ class DedupSpec extends SparkTestBase {
     assert(got.values.forall(_._1 == 2L)) // the only scored doc wins
     assert(got(2L)._2 && !got(1L)._2 && !got(3L)._2)
   }
+
+  test("bloomDecontam: the Bloom gate is exact — result equals the ungated semi-join") {
+    // real-data check on sf0.001 with the d16 split: the Bloom prefilter
+    // must be a pure physical optimization (no false negatives), so the
+    // gated result and the plain contamination semi-join are frame-equal
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val gated = Dedup.bloomDecontam(train, bench, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    val exact = Dedup.contamination(train, bench, threshold = 1.0, n = 5)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap") >= 1).as("contaminated"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(gated == exact, "Bloom gate changed the exact result")
+    assert(exact.exists(_._4) && exact.exists(!_._4),
+      "fixture degenerate: need both contaminated and clean docs")
+  }
+
+  test("bloom filter: no false negatives on members; fpp holds on non-members") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val members = (0L until 10000L).map(_ * 2654435761L)
+    val bloom = BloomFilter.create(members.size.toLong, 0.01)
+    members.foreach(bloom.putLong)
+    assert(members.forall(bloom.mightContainLong),
+      "Bloom filter dropped a true member — the exactness argument breaks")
+    val nonMembers = (1L to 100000L).map(_ * 7046029254386353131L + 13L)
+      .filterNot(members.toSet)
+    val fp = nonMembers.count(bloom.mightContainLong).toDouble / nonMembers.size
+    assert(fp < 0.03, s"false-positive rate $fp way past the 1% design point")
+  }
+
+  test("fuzzyLinks: blocked edit-distance linkage on a known fixture") {
+    val rows = Seq(
+      "acme corp", "acme corp", "acme corp", // 3 rows, one value
+      "acme corpp",  //                   dist 1 from "acme corp"
+      "acme co",     //                   dist 2 from "acme corp"
+      "acmee corp",  //                   FIRST token differs → other block
+      "beta llc")    //                   unrelated
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
+    val links = Dedup.fuzzyLinks(rows, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    // pairs sharing the "acme" block within 2 edits, with multiplicities
+    assert(links(("acme corp", "acme corpp")) == ((1, 3L, 1L)))
+    assert(links(("acme co", "acme corp")) == ((2, 1L, 3L)))
+    // dist("acme co","acme corpp") = 3 → over budget, absent
+    assert(!links.contains(("acme co", "acme corpp")))
+    // the blocking contract: a typo in the FIRST token lands in another
+    // block and is not linked, however close — documented recall boundary
+    assert(!links.keySet.exists(p => p._1 == "acmee corp" || p._2 == "acmee corp"))
+    assert(!links.keySet.exists(p => p._1.startsWith("beta") || p._2.startsWith("beta")))
+  }
 }

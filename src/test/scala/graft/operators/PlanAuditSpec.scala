@@ -257,4 +257,65 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected 1 pruned partition, scanned ${scans.head.selectedPartitions.partitionCount}")
     assert(filtered.select("total_minutes_streamed").as[Long].collect().toSeq == Seq(20L))
   }
+
+  test("d16: the Bloom probe filters the training side BEFORE the exact semi-join") {
+    val df = graft.SparkEntry.queries("d16_bloom_decontam")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    // the codegen'd gate must sit in the plan as a Filter on the corpus
+    // side — that is the whole point: rows die in the scan stage, not in
+    // the join's shuffle
+    assert(p.contains("bloom_might_contain_long"),
+      s"Bloom gate missing from the physical plan:\n$p")
+    assert(p.contains("LeftSemi"), s"exact verify lost its semi-join shape:\n$p")
+    assert(!p.contains("NestedLoop"), s"d16 degenerated to nested-loop:\n$p")
+  }
+
+  test("d17: fuzzy linkage is a hash join on the block key, vocabulary-sized") {
+    val df = graft.SparkEntry.queries("d17_fuzzy_links")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    // the blocking design's contract: Levenshtein never rides a
+    // nested-loop — the block key gives Catalyst an equi-join
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"fuzzy join degenerated to all-pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no hash-shaped join on the block key:\n$p")
+  }
+
+  test("q45: anomaly windows are partitioned; the only corpus shuffle is the daily rollup") {
+    val df = graft.SparkEntry.queries("q45_rolling_anomaly")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"unpartitioned WindowExec over the daily series:\n$plan")
+    // shuffles: daily-grain hash agg + the window's event_type exchange +
+    // the total ORDER BY range exchange — never a raw-events window
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 3, s"unexpected extra shuffles:\n$plan")
+  }
+
+  test("q46: attribution keeps the as-of no-join shape — window, not nested loop") {
+    val df = graft.SparkEntry.queries("q46_attribution")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan
+    assert(!p.toString.contains("NestedLoop"),
+      s"as-of attribution degenerated to a theta join:\n$p")
+    assert(p.toString.contains("Window"), s"expected the running-fill window:\n$p")
+    val unpartitioned = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"as-of window lost its user partitioning:\n$p")
+  }
+
+  test("q47: the salted join really joins on (key, salt)") {
+    val df = graft.SparkEntry.queries("q47_salted_join")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"salt column missing — rewrite optimized away?\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"salted join lost its equi shape:\n$p")
+  }
 }

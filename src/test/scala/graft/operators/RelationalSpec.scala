@@ -366,4 +366,48 @@ class RelationalSpec extends SparkTestBase {
       .select("o_orderpriority").distinct().count()
     assert(q.forall(_.getAs[Long]("n_priorities") == nPrio))
   }
+
+  test("q46 attribution: lookback boundary is inclusive at exactly 1 h, exclusive past it") {
+    import spark.implicits._
+    // crafted events dir: the boundary cases real data won't hit
+    val tmp = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val t0 = "2024-03-01 12:00:00"
+    Seq(
+      // user 1: click at the same instant as the purchase → attributed, 0 min
+      (100L, ts(t0), 1L, "click", 0.0, "{}"),
+      (101L, ts(t0), 1L, "purchase", 5.0, "{}"),
+      // user 2: click exactly 1 h before → still attributed (inclusive), 60 min
+      (200L, ts("2024-03-01 11:00:00"), 2L, "purchase", 5.0, "{}"),
+      (199L, ts("2024-03-01 10:00:00"), 2L, "click", 0.0, "{}"),
+      // user 3: click just over 1 h before → outside the window, unattributed
+      (300L, ts("2024-03-01 11:00:00"), 3L, "purchase", 5.0, "{}"),
+      (299L, ts("2024-03-01 09:58:59"), 3L, "click", 0.0, "{}"),
+      // user 4: two clicks in-window at the SAME ts → max event_id wins
+      (400L, ts(t0), 4L, "purchase", 5.0, "{}"),
+      (397L, ts("2024-03-01 11:30:00"), 4L, "click", 0.0, "{}"),
+      (398L, ts("2024-03-01 11:30:00"), 4L, "click", 0.0, "{}"),
+      // user 5: no click at all
+      (500L, ts(t0), 5L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(tmp + "/events.parquet")
+    val got = Relational.q46Attribution(spark, tmp).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("mins_before")).map(_.toDouble),
+          r.getAs[Boolean]("attributed")))).toMap
+    assert(got(101L) == ((Some(100L), Some(0.0), true)))
+    assert(got(200L) == ((Some(199L), Some(60.0), true)))
+    assert(got(300L) == ((None, None, false)))
+    assert(got(400L) == ((Some(398L), Some(30.0), true))) // tie → max id
+    assert(got(500L) == ((None, None, false)))
+  }
+
+  test("q45 anomaly: warm-up rows absent; flag matches the rounded-z contract") {
+    val rows = Relational.q45RollingAnomaly(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("m") >= 14), "warm-up row leaked through")
+    assert(rows.forall(r =>
+      r.getAs[Boolean]("is_anomaly") == (math.abs(r.getAs[Double]("z")) >= 2)))
+  }
 }
