@@ -63,6 +63,8 @@ object SparkEntry {
     "q45_rolling_anomaly" -> (Relational.q45RollingAnomaly _),
     "q46_attribution" -> (Relational.q46Attribution _),
     "q47_salted_join" -> (Relational.q47SaltedJoin _),
+    "q48_sliding_distinct" -> (Relational.q48SlidingDistinct _),
+    "d18_semantic_decontam" -> (TrainingData.d18SemanticDecontam _),
     "d16_bloom_decontam" -> (TrainingData.d16BloomDecontam _),
     "d17_fuzzy_links" -> (TrainingData.d17FuzzyLinks _),
     "t37_weighted_sample" -> (TrainingData.t37WeightedSample _),
@@ -905,6 +907,36 @@ object SparkEntry {
         |    AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // contribution explode: a (day, customer) pair feeds the 7 windows
+    // ending d..d+6; the span clamp drops overhang past the last
+    // observed day — mirrored exactly by the engine
+    "q48_sliding_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d0,
+        |    o_custkey AS u FROM orders),
+        |contrib AS (SELECT du.d0 + CAST(g.o AS INTEGER) AS d, du.u
+        |  FROM du, LATERAL unnest(generate_series(0, 6)) AS g(o)),
+        |span AS (SELECT MIN(d0) AS lo, MAX(d0) AS hi FROM du)
+        |SELECT c.d, CAST(COUNT(DISTINCT c.u) AS BIGINT) AS u7
+        |FROM contrib c, span WHERE c.d BETWEEN span.lo AND span.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // float->double casts + in-index-order sums = bit-identical cosines
+    // (the s01 discipline); the flag tests the ROUNDED cosine
+    "d18_semantic_decontam" ->
+      """WITH b AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) nv
+        |  FROM embeddings WHERE vec_id % 17 = 0),
+        |t AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv
+        |  FROM embeddings WHERE vec_id % 17 <> 0),
+        |p AS (SELECT qid, nid,
+        |    list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
+        |     / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+        |      * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum')))
+        |      AS cos
+        |  FROM t, b),
+        |r AS (SELECT qid, nid, cos, ROW_NUMBER() OVER
+        |    (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p)
+        |SELECT qid, nid AS nearest_bench, round(cos, 4) AS max_cos,
+        |  round(cos, 4) >= 0.4 AS flagged
+        |FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
     // exact 5-gram decontamination (the Bloom gate is physical-only: no
     // false negatives, so the verified result equals this ungated SQL)
     "d16_bloom_decontam" ->

@@ -1156,4 +1156,37 @@ object Relational {
           .cast("double").as("total_value"))
       .orderBy("c_mktsegment")
   }
+
+  // ---------------------------------------------------------------- Q48 (sliding distinct)
+  /** Trailing-7-day DISTINCT customer count per day — the sliding-window
+    * distinct that SQL window frames cannot express (COUNT(DISTINCT) OVER
+    * is unsupported in Spark and DuckDB alike, because distinct-over-frame
+    * doesn't decompose into running state).
+    *
+    * Form: contribution explode. Dedup to (day, customer) grain first
+    * (the only corpus-sized shuffle), then each pair CONTRIBUTES to the 7
+    * windows ending on days d..d+6 — a ×7 linear explode of the already
+    * day-deduped frame — and one groupBy(day) counts distinct
+    * contributors. Cost is window-length × |day-grain|, linear in data
+    * and embarrassingly parallel, vs the quadratic re-scan a per-day
+    * self-join would do. For long windows (90 d+) where ×W hurts, the
+    * mergeable-HLL path (q41) is the approximate alternative — this is
+    * the exact one. Days inside the observed span with no contributor in
+    * range would be absent (impossible with a 7-day window over this
+    * data; the span clamp drops the explode's overhang past the last
+    * observed day). */
+  def q48SlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d0"),
+        col("o_custkey").as("u"))
+      .distinct()
+    val span = du.agg(min(col("d0")).as("lo"), max(col("d0")).as("hi"))
+    du.select(explode(sequence(lit(0), lit(6))).as("o"), col("d0"), col("u"))
+      .select(date_add(col("d0"), col("o")).as("d"), col("u"))
+      .groupBy("d").agg(countDistinct(col("u")).as("u7"))
+      .crossJoin(broadcast(span))
+      .filter(col("d") >= col("lo") && col("d") <= col("hi"))
+      .select(col("d"), col("u7"))
+      .orderBy("d")
+  }
 }

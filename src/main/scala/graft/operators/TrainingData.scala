@@ -1406,4 +1406,15 @@ object TrainingData {
       .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"),
         col("rows_a"), col("rows_b"))
       .orderBy("name_a", "name_b")
+
+  /** Semantic (embedding-space) decontamination: each train vector's
+    * nearest benchmark vector by exact cosine, flagged at 0.4 — catches
+    * the paraphrased eval leak n-gram checks (d13/d16) can't see. Same
+    * benchmark split convention as d09/d13/d16 (`vec_id % 17`). See
+    * [[graft.similarity.Similarity.semanticDecontam]] for the
+    * broadcast-benchmark scale shape. */
+  def d18SemanticDecontam(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDecontam(Tables(spark, dir, "embeddings"),
+      col("vec_id") % 17 === 0, threshold = 0.4)
+      .orderBy("qid")
 }

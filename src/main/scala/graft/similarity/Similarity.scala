@@ -44,6 +44,42 @@ object Similarity {
         (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
   }
 
+  /** Semantic decontamination against a benchmark set: every non-benchmark
+    * vector's single nearest benchmark vector by exact cosine, flagged at
+    * `threshold` — the embedding-space twin of the n-gram decontamination
+    * family (a training item can leak an eval item's CONTENT with zero
+    * shared n-grams; cosine proximity is the detector).
+    *
+    * Scale shape mirrors [[cosinePairs]]: the benchmark side — bounded by
+    * the eval suite, never the corpus — broadcasts with precomputed norms,
+    * and the corpus streams through one codegen'd dot-product scan. The
+    * per-query argmax is a struct-MAX aggregate (cos, then −nid so ties
+    * break to the SMALLEST benchmark id), which partial-aggregates
+    * map-side: the |corpus|×|bench| pair stream collapses to |corpus|
+    * rows inside the scan stage and only those shuffle — an argmax WINDOW
+    * here would shuffle every pair. When the benchmark outgrows
+    * broadcast, the SRP gate ([[cosineNearDuplicates]]) bounds candidates
+    * first — same exact-verify discipline. The flag tests the ROUNDED
+    * cosine so the threshold boundary can't disagree across engines. */
+  def semanticDecontam(emb: DataFrame, benchFilter: Column,
+      threshold: Double): DataFrame = {
+    val bench = emb.filter(benchFilter)
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
+    val train = emb.filter(!benchFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    train.join(broadcast(bench))
+      .select(col("qid"),
+        struct(
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"),
+          (-col("nid")).as("negnid")).as("cand"))
+      .groupBy("qid").agg(max(col("cand")).as("b"))
+      .select(col("qid"), (-col("b.negnid")).as("nearest_bench"),
+        round(col("b.cos"), 4).as("max_cos"),
+        (round(col("b.cos"), 4) >= threshold).as("flagged"))
+  }
+
   /** Exact top-k nearest neighbours (excluding self) for each query. */
   def bruteForceTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))

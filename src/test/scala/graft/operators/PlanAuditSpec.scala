@@ -311,6 +311,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(unpartitioned.isEmpty, s"as-of window lost its user partitioning:\n$p")
   }
 
+  test("q48: sliding distinct is explode + two-phase aggregate, no window at all") {
+    val df = graft.SparkEntry.queries("q48_sliding_distinct")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("Generate"),
+      s"contribution explode missing:\n$plan")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"sliding distinct must not plan a window:\n$plan")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // (day,cust) dedup + the count-distinct pair dedup + final count +
+    // presentation sort — all hash-partitioned, never a global sort task
+    assert(shuffles.length <= 4, s"unexpected extra shuffles:\n$plan")
+  }
+
+  test("d18: pair stream collapses map-side — only |corpus| rows ever shuffle") {
+    val df = graft.SparkEntry.queries("d18_semantic_decontam")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("float_vector_dot"),
+      s"codegen'd dot product missing from the scan stage:\n$p")
+    // the struct-max argmax must partial-aggregate BEFORE the exchange;
+    // a window-based argmax would shuffle the full |corpus|×|bench| pairs
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 2, s"pair frame is being shuffled:\n$p")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"argmax regressed to a window over the pairs:\n$p")
+  }
+
   test("q47: the salted join really joins on (key, salt)") {
     val df = graft.SparkEntry.queries("q47_salted_join")(spark, sf("sf0.001"))
     val p = df.queryExecution.executedPlan.toString

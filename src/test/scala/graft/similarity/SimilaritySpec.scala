@@ -301,4 +301,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("semanticDecontam: struct-max argmax equals the brute-force window argmax") {
+    import org.apache.spark.sql.expressions.Window
+    val benchFilter = col("vec_id") % 17 === 0
+    val got = Similarity.semanticDecontam(emb, benchFilter, threshold = 0.4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    // reference: all pairs + explicit (cos desc, nid asc) window pick
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    val ref = emb.filter(benchFilter)
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .crossJoin(emb.filter(!benchFilter)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      .select(col("qid"), col("nid"),
+        Similarity.cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect()
+      .map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Long]("nid"), math.rint(r.getAs[Double]("cos") * 1e4) / 1e4)))
+      .toMap
+    assert(got.keySet == ref.keySet, "qid coverage differs")
+    // argmax id must match exactly; cosine to the same 4-dp contract
+    got.foreach { case (q, (nid, cos, flagged)) =>
+      assert(nid == ref(q)._1, s"qid $q picked nid $nid, reference ${ref(q)._1}")
+      assert(math.abs(cos - ref(q)._2) <= 1e-4)
+      assert(flagged == (cos >= 0.4))
+    }
+    val benchIds = emb.filter(benchFilter).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.values.forall(v => benchIds.contains(v._1)))
+  }
 }
