@@ -65,6 +65,7 @@ object SparkEntry {
     "q47_salted_join" -> (Relational.q47SaltedJoin _),
     "q48_sliding_distinct" -> (Relational.q48SlidingDistinct _),
     "d18_semantic_decontam" -> (TrainingData.d18SemanticDecontam _),
+    "t38_rule_ablation" -> (TrainingData.t38RuleAblation _),
     "d16_bloom_decontam" -> (TrainingData.d16BloomDecontam _),
     "d17_fuzzy_links" -> (TrainingData.d17FuzzyLinks _),
     "t37_weighted_sample" -> (TrainingData.t37WeightedSample _),
@@ -937,6 +938,50 @@ object SparkEntry {
         |SELECT qid, nid AS nearest_bench, round(cos, 4) AS max_cos,
         |  round(cos, 4) >= 0.4 AS flagged
         |FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
+    // t17's rule flags aggregated once: n_fail per rule + sole-blocker
+    // counts (fails this rule, passes the other three)
+    "t38_rule_ablation" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INT) AS nonspace,
+        |  CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'),
+        |    w -> regexp_matches(w, '[a-z]'))) AS INT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS INT) AS n_stopwords
+        |FROM documents),
+        |r AS (SELECT doc_id, n_words,
+        |    round(CAST(nonspace AS DOUBLE) / n_words, 4) AS mean_word_len,
+        |    round(CAST(n_alpha AS DOUBLE) / n_words, 4) AS frac_alpha_words,
+        |    n_stopwords
+        |  FROM s WHERE n_words > 0),
+        |f AS (SELECT
+        |    n_words >= 50 AND n_words <= 100000 AS ok_len,
+        |    mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mwl,
+        |    frac_alpha_words >= 0.8 AS ok_alp,
+        |    n_stopwords >= 2 AS ok_stp
+        |  FROM r),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN ok_len AND ok_mwl AND ok_alp AND ok_stp
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |    CAST(SUM(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+        |    CAST(SUM(CASE WHEN NOT ok_len AND ok_mwl AND ok_alp AND ok_stp
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s_len,
+        |    CAST(SUM(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END) AS BIGINT) AS f_mwl,
+        |    CAST(SUM(CASE WHEN NOT ok_mwl AND ok_len AND ok_alp AND ok_stp
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s_mwl,
+        |    CAST(SUM(CASE WHEN NOT ok_alp THEN 1 ELSE 0 END) AS BIGINT) AS f_alp,
+        |    CAST(SUM(CASE WHEN NOT ok_alp AND ok_len AND ok_mwl AND ok_stp
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s_alp,
+        |    CAST(SUM(CASE WHEN NOT ok_stp THEN 1 ELSE 0 END) AS BIGINT) AS f_stp,
+        |    CAST(SUM(CASE WHEN NOT ok_stp AND ok_len AND ok_mwl AND ok_alp
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s_stp
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT 'alpha' AS rule, f_alp AS n_fail, s_alp AS n_sole_blocker,
+        |    n_docs, n_keep FROM a
+        |  UNION ALL SELECT 'length', f_len, s_len, n_docs, n_keep FROM a
+        |  UNION ALL SELECT 'mean_word_len', f_mwl, s_mwl, n_docs, n_keep FROM a
+        |  UNION ALL SELECT 'stop', f_stp, s_stp, n_docs, n_keep FROM a)
+        |ORDER BY rule""".stripMargin,
     // exact 5-gram decontamination (the Bloom gate is physical-only: no
     // false negatives, so the verified result equals this ungated SQL)
     "d16_bloom_decontam" ->

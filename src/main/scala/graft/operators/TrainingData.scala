@@ -1417,4 +1417,43 @@ object TrainingData {
     Similarity.semanticDecontam(Tables(spark, dir, "embeddings"),
       col("vec_id") % 17 === 0, threshold = 0.4)
       .orderBy("qid")
+
+  /** Quality-rule ablation: per gate rule, how many documents it fails
+    * outright and how many it is the SOLE blocker for (docs passing every
+    * other rule) — the marginal-cost table that tells a curator which
+    * rule to tune when the funnel is too aggressive. A rule with a large
+    * `n_fail` but near-zero `n_sole_blocker` is redundant (its kills are
+    * all co-blocked); a large sole-blocker count is exactly the data a
+    * threshold change would recover.
+    *
+    * One corpus scan: t17's per-doc rule booleans feed a single 10-way
+    * aggregate (partial map-side), and the 1-row result unstacks to the
+    * 4-row report — no second pass, no join, nothing corpus-sized moves. */
+  def t38RuleAblation(spark: SparkSession, dir: String): DataFrame = {
+    val f = t17QualityRules(spark, dir)
+    def fails(rule: String): org.apache.spark.sql.Column =
+      sum(when(!col(rule), 1L).otherwise(0L))
+    def sole(rule: String, others: String*): org.apache.spark.sql.Column =
+      sum(when(!col(rule) && others.map(col).reduce(_ && _), 1L).otherwise(0L))
+    f.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        fails("ok_length").as("f_len"),
+        sole("ok_length", "ok_mean_word_len", "ok_alpha", "ok_stop").as("s_len"),
+        fails("ok_mean_word_len").as("f_mwl"),
+        sole("ok_mean_word_len", "ok_length", "ok_alpha", "ok_stop").as("s_mwl"),
+        fails("ok_alpha").as("f_alp"),
+        sole("ok_alpha", "ok_length", "ok_mean_word_len", "ok_stop").as("s_alp"),
+        fails("ok_stop").as("f_stp"),
+        sole("ok_stop", "ok_length", "ok_mean_word_len", "ok_alpha").as("s_stp"))
+      .selectExpr("n_docs", "n_keep",
+        """stack(4,
+          |  'alpha', f_alp, s_alp,
+          |  'length', f_len, s_len,
+          |  'mean_word_len', f_mwl, s_mwl,
+          |  'stop', f_stp, s_stp) AS (rule, n_fail, n_sole_blocker)""".stripMargin)
+      .select(col("rule"), col("n_fail"), col("n_sole_blocker"),
+        col("n_docs"), col("n_keep"))
+      .orderBy("rule")
+  }
 }

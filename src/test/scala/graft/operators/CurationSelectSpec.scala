@@ -306,4 +306,37 @@ class CurationSelectSpec extends SparkTestBase {
     val again = TrainingData.t37WeightedSample(spark, dir).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("t38 rule ablation: counts reconcile with the t17 per-doc flags") {
+    val dir = sf("sf0.001")
+    val report = TrainingData.t38RuleAblation(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(report.keySet ==
+      Set("alpha", "length", "mean_word_len", "stop"))
+    val flags = TrainingData.t17QualityRules(spark, dir)
+      .select("ok_length", "ok_mean_word_len", "ok_alpha", "ok_stop", "keep")
+      .collect()
+    val nDocs = flags.length.toLong
+    val nKeep = flags.count(_.getAs[Boolean]("keep")).toLong
+    report.values.foreach { case (nFail, nSole, d, k) =>
+      assert(d == nDocs && k == nKeep)
+      assert(nSole <= nFail, "a sole blocker must also be a failure")
+      assert(nFail <= nDocs - nKeep || nFail == 0,
+        "more failures than rejected docs")
+    }
+    // per-rule recount straight from the flags
+    def recount(ok: String, others: String*): (Long, Long) = (
+      flags.count(r => !r.getAs[Boolean](ok)).toLong,
+      flags.count(r => !r.getAs[Boolean](ok) &&
+        others.forall(r.getAs[Boolean](_))).toLong)
+    assert(report("length") ==
+      ((recount("ok_length", "ok_mean_word_len", "ok_alpha", "ok_stop")._1,
+        recount("ok_length", "ok_mean_word_len", "ok_alpha", "ok_stop")._2,
+        nDocs, nKeep)))
+    assert(report("stop") ==
+      ((recount("ok_stop", "ok_length", "ok_mean_word_len", "ok_alpha")._1,
+        recount("ok_stop", "ok_length", "ok_mean_word_len", "ok_alpha")._2,
+        nDocs, nKeep)))
+  }
 }
