@@ -64,6 +64,7 @@ object SparkEntry {
     "q46_attribution" -> (Relational.q46Attribution _),
     "q47_salted_join" -> (Relational.q47SaltedJoin _),
     "q48_sliding_distinct" -> (Relational.q48SlidingDistinct _),
+    "q49_rank_functions" -> (Relational.q49RankFunctions _),
     "d18_semantic_decontam" -> (TrainingData.d18SemanticDecontam _),
     "t38_rule_ablation" -> (TrainingData.t38RuleAblation _),
     "d16_bloom_decontam" -> (TrainingData.d16BloomDecontam _),
@@ -920,6 +921,22 @@ object SparkEntry {
         |SELECT c.d, CAST(COUNT(DISTINCT c.u) AS BIGINT) AS u7
         |FROM contrib c, span WHERE c.d BETWEEN span.lo AND span.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // unique ORDER tuple (spend desc, cust) ⇒ every rank function is
+    // deterministic; pct_rank/cume are exact small-integer ratios
+    "q49_rank_functions" ->
+      """WITH sp AS (SELECT o_orderpriority AS prio, o_custkey AS cust,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |      AS spend
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT prio, cust, spend,
+        |    CAST(RANK() OVER w AS INT) AS rnk,
+        |    CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |    CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        |    round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |    round(CUME_DIST() OVER w, 6) AS cume,
+        |    CAST(NTILE(4) OVER w AS INT) AS quartile
+        |  FROM sp WINDOW w AS (PARTITION BY prio ORDER BY spend DESC, cust))
+        |SELECT * FROM r WHERE rn <= 10 ORDER BY prio, rn""".stripMargin,
     // float->double casts + in-index-order sums = bit-identical cosines
     // (the s01 discipline); the flag tests the ROUNDED cosine
     "d18_semantic_decontam" ->

@@ -87,6 +87,46 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
+  /** Compact a parquet directory's small files toward `targetBytes` per
+    * output file — the small-file remedy every long-lived table needs:
+    * micro-batch ingest (streaming sinks, the 50 K-row upsert cadence the
+    * reference runs) accretes files far below a sane scan unit, and at
+    * 100 TB the resulting per-file open/footer/seek overhead and starved
+    * row-group statistics dominate scan cost long before data volume
+    * does.
+    *
+    * File count = ceil(current on-disk bytes / targetBytes), computed
+    * from the directory listing (no data pass); the rewrite itself is one
+    * scan + round-robin repartition — content-preserving, no shuffle key,
+    * optionally `sortBy` within files to restore row-group min/max
+    * pruning on a key the ingest cadence scattered. Returns
+    * (filesBefore, filesAfter). Overwrite-into-place is deliberately NOT
+    * offered: compaction targets a fresh directory and the caller swaps
+    * pointers, the same publish discipline as [[graft.etl.StarStore]]. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Nil): (Int, Int) = {
+    // Hadoop FS listing, not java.io — the same call works on HDFS/object
+    // stores where production compaction actually runs
+    def listParquet(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val parts = listParquet(inDir)
+    val totalBytes = parts.map(_.getLen).sum
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val out =
+      if (sortBy.isEmpty) df.repartition(numFiles)
+      else df.repartitionByRange(numFiles, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    out.write.mode(SaveMode.Overwrite).parquet(outDir)
+    (parts.length, listParquet(outDir).length)
+  }
+
   /** Write `df` with parquet BLOOM FILTERS on `bloomCols` — the pruning
     * primitive for point lookups on high-cardinality, scatter-valued keys
     * (user ids, asset ids) where min/max windows are useless because every

@@ -1189,4 +1189,39 @@ object Relational {
       .select(col("d"), col("u7"))
       .orderBy("d")
   }
+
+  // ---------------------------------------------------------------- Q49 (rank family)
+  /** The complete rank-function surface in one query — RANK, DENSE_RANK,
+    * ROW_NUMBER, PERCENT_RANK, CUME_DIST, NTILE — top-10 customers by
+    * spend within each order priority. The ORDER BY tuple (spend desc,
+    * cust) is unique, so every function is deterministic and cross-engine
+    * exact: pct_rank/cume are small-integer ratios evaluated identically
+    * in double.
+    *
+    * Scale shape: the corpus-sized shuffle is the (priority, customer)
+    * spend rollup; the window partitions by priority over the CUSTOMER
+    * grain. Rank/dense_rank/row_number are prefix-computable (they depend
+    * only on sort predecessors) and pct_rank/cume/ntile only add the
+    * partition count N — so if the per-priority customer count ever makes
+    * one sorted partition the bottleneck, the same output derives from a
+    * per-group top-k heap + a broadcast N without ranking the tail. At
+    * the dimension cardinalities this serves (customers per priority
+    * class), the partitioned sort spills fine and the rewrite is
+    * documented, not needed. */
+  def q49RankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"), col("o_custkey").as("cust"))
+      .agg(round(sum(col("o_totalprice").cast(DecimalType(18, 4))), 2)
+        .cast("double").as("spend"))
+    val w = Window.partitionBy("prio").orderBy(desc("spend"), asc("cust"))
+    sp.select(col("prio"), col("cust"), col("spend"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .filter(col("rn") <= 10)
+      .orderBy("prio", "rn")
+  }
 }

@@ -148,4 +148,36 @@ class LayoutSpec extends SparkTestBase {
     assert(z(2) == 0x5555L)
     assert(z(3) == 0xFFFFL)
   }
+
+  test("compact: many small files collapse to the byte-target count, content intact") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out").toString + "/c"
+    // simulate micro-batch accretion: 40 tiny files
+    (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(40).write.mode("overwrite").parquet(in)
+    val small = graft.etl.Layout.compact(spark, in, out,
+      targetBytes = Long.MaxValue) // everything fits one file
+    assert(small._1 == 40, s"expected 40 input files, saw ${small._1}")
+    assert(small._2 == 1, s"expected 1 output file, saw ${small._2}")
+    // content checksum unchanged (same discipline as clusterBy's test)
+    val a = spark.read.parquet(in).agg(
+      expr("bit_xor(xxhash64(id, s))").as("h"), count(lit(1)).as("n")).head()
+    val b = spark.read.parquet(out).agg(
+      expr("bit_xor(xxhash64(id, s))").as("h"), count(lit(1)).as("n")).head()
+    assert(a == b, "compaction changed row content")
+    // sorted variant restores per-file key locality for row-group pruning
+    val out2 = java.nio.file.Files.createTempDirectory("graft_compact_out2").toString + "/c"
+    val sorted = graft.etl.Layout.compact(spark, in, out2,
+      targetBytes = 40 * 1024, sortBy = Seq("id"))
+    assert(sorted._2 > 1, "want multiple files to check disjoint ranges")
+    val ranges = graft.etl.Layout.fileRanges(spark, out2, "id")
+      .sortBy(_._2)
+    // range-partitioned on id: file ranges must not overlap
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi1), (_, lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file ranges after sorted compact: $ranges")
+      case _ => ()
+    }
+  }
 }
