@@ -67,6 +67,7 @@ object SparkEntry {
     "q49_rank_functions" -> (Relational.q49RankFunctions _),
     "d18_semantic_decontam" -> (TrainingData.d18SemanticDecontam _),
     "t38_rule_ablation" -> (TrainingData.t38RuleAblation _),
+    "t39_cluster_split" -> (TrainingData.t39ClusterSplit _),
     "d16_bloom_decontam" -> (TrainingData.d16BloomDecontam _),
     "d17_fuzzy_links" -> (TrainingData.d17FuzzyLinks _),
     "t37_weighted_sample" -> (TrainingData.t37WeightedSample _),
@@ -999,6 +1000,39 @@ object SparkEntry {
         |  UNION ALL SELECT 'mean_word_len', f_mwl, s_mwl, n_docs, n_keep FROM a
         |  UNION ALL SELECT 'stop', f_stp, s_stp, n_docs, n_keep FROM a)
         |ORDER BY rule""".stripMargin,
+    // split keyed on the dedup-cluster KEEPER (t04's md5 bucket, applied
+    // to keeper_id): clusters move atomically, so cluster_leak is 0 by
+    // construction and naive_leak shows what doc-keyed hashing would leak
+    "t39_cluster_split" ->
+      s"""WITH RECURSIVE $manifestCtes,
+        |toksz AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\\S+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |base AS (SELECT m.doc_id, m.keeper_id, t.n_tok,
+        |    CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(m.keeper_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 100 AS INT) < 80 THEN 'train'
+        |      WHEN CAST(CAST(('0x' || substr(md5(CAST(m.keeper_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 100 AS INT) < 90 THEN 'val'
+        |      ELSE 'test' END AS split,
+        |    CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 100 AS INT) < 80 THEN 'train'
+        |      WHEN CAST(CAST(('0x' || substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 100 AS INT) < 90 THEN 'val'
+        |      ELSE 'test' END AS naive_split
+        |  FROM manifest m JOIN toksz t USING (doc_id)),
+        |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS naive_leak_clusters FROM
+        |  (SELECT keeper_id FROM base GROUP BY 1
+        |   HAVING COUNT(DISTINCT naive_split) > 1)),
+        |cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS cluster_leak_clusters FROM
+        |  (SELECT keeper_id FROM base GROUP BY 1
+        |   HAVING COUNT(DISTINCT split) > 1))
+        |SELECT b.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT b.keeper_id) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(b.n_tok) AS BIGINT) AS n_tokens,
+        |  nl.naive_leak_clusters, cl.cluster_leak_clusters
+        |FROM base b, nl, cl
+        |GROUP BY 1, 5, 6 ORDER BY 1""".stripMargin,
     // exact 5-gram decontamination (the Bloom gate is physical-only: no
     // false negatives, so the verified result equals this ungated SQL)
     "d16_bloom_decontam" ->

@@ -1429,6 +1429,44 @@ object TrainingData {
     * One corpus scan: t17's per-doc rule booleans feed a single 10-way
     * aggregate (partial map-side), and the 1-row result unstacks to the
     * 4-row report — no second pass, no join, nothing corpus-sized moves. */
+  /** Dedup-cluster-aware train/val/test split — the REMEDY for the
+    * leakage t29 measures: hashing each DOCUMENT into a split
+    * (t04) lets near-duplicate pairs straddle train/test, silently
+    * inflating eval; hashing the document's dedup-cluster KEEPER instead
+    * moves whole clusters atomically, so cross-split near-dup leakage is
+    * zero by construction. The report shows both worlds: per-split
+    * doc/cluster/token masses under the cluster split, the straddling
+    * cluster count the naive split WOULD have produced
+    * (`naive_leak_clusters`, the operator's reason to exist), and the
+    * cluster split's own straddle count (`cluster_leak_clusters`,
+    * provably 0 — in the contract so a future split-keying change breaks
+    * the hash loudly, same discipline as d16's gate).
+    *
+    * Cost is the d08 manifest's (persisted once per session, shared with
+    * t23/t30); everything after is one join + two grain aggregates. */
+  def t39ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val manifest = Dedup.dedupManifest(docs, threshold = 0.2)
+    val base = manifest
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok")), Seq("doc_id"))
+      .select(col("doc_id"), col("keeper_id"), col("n_tok"),
+        Sampling.split(col("keeper_id")).as("split"),
+        Sampling.split(col("doc_id")).as("naive_split"))
+    def straddlers(splitCol: String, out: String) = base
+      .groupBy("keeper_id")
+      .agg(countDistinct(col(splitCol)).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as(out))
+    base.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("keeper_id")).as("n_clusters"),
+        sum(col("n_tok")).as("n_tokens"))
+      .crossJoin(broadcast(straddlers("naive_split", "naive_leak_clusters")))
+      .crossJoin(broadcast(straddlers("split", "cluster_leak_clusters")))
+      .orderBy("split")
+  }
+
   def t38RuleAblation(spark: SparkSession, dir: String): DataFrame = {
     val f = t17QualityRules(spark, dir)
     def fails(rule: String): org.apache.spark.sql.Column =

@@ -307,6 +307,27 @@ class CurationSelectSpec extends SparkTestBase {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("t39 cluster split: clusters move atomically; totals reconcile") {
+    val dir = sf("sf0.001")
+    val rows = TrainingData.t39ClusterSplit(spark, dir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    // the whole point: keeper-keyed hashing can never straddle a cluster
+    assert(rows.forall(_.getAs[Long]("cluster_leak_clusters") == 0L))
+    // doc mass conservation vs the corpus
+    val nDocs = spark.read.parquet(dir + "/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // independent straddle check straight from the manifest + doc-hash split
+    val manifest = graft.dedup.Dedup.dedupManifest(
+      graft.Tables(spark, dir, "documents"), threshold = 0.2)
+    val naive = manifest
+      .select(col("keeper_id"), Sampling.split(col("doc_id")).as("s"))
+      .groupBy("keeper_id").agg(countDistinct(col("s")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(rows.forall(_.getAs[Long]("naive_leak_clusters") == naive))
+    // and the operator's reason to exist: the naive split DOES leak here
+    assert(naive > 0, "fixture degenerate: naive split leaked nothing")
+  }
+
   test("t38 rule ablation: counts reconcile with the t17 per-doc flags") {
     val dir = sf("sf0.001")
     val report = TrainingData.t38RuleAblation(spark, dir).collect()
