@@ -65,6 +65,7 @@ object SparkEntry {
     "q47_salted_join" -> (Relational.q47SaltedJoin _),
     "q48_sliding_distinct" -> (Relational.q48SlidingDistinct _),
     "q49_rank_functions" -> (Relational.q49RankFunctions _),
+    "q50_sliding_hll" -> (Relational.q50SlidingDistinctHll _),
     "d18_semantic_decontam" -> (TrainingData.d18SemanticDecontam _),
     "t38_rule_ablation" -> (TrainingData.t38RuleAblation _),
     "t39_cluster_split" -> (TrainingData.t39ClusterSplit _),
@@ -938,6 +939,18 @@ object SparkEntry {
         |    CAST(NTILE(4) OVER w AS INT) AS quartile
         |  FROM sp WINDOW w AS (PARTITION BY prio ORDER BY spend DESC, cust))
         |SELECT * FROM r WHERE rn <= 10 ORDER BY prio, rn""".stripMargin,
+    // q41 verdict discipline: oracle recomputes the exact side, claims
+    // the sketch-accuracy boolean true
+    "q50_sliding_hll" ->
+      """WITH du AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d0,
+        |    o_custkey AS u FROM orders),
+        |contrib AS (SELECT du.d0 + CAST(g.o AS INTEGER) AS d, du.u
+        |  FROM du, LATERAL unnest(generate_series(0, 6)) AS g(o)),
+        |span AS (SELECT MIN(d0) AS lo, MAX(d0) AS hi FROM du)
+        |SELECT c.d, CAST(COUNT(DISTINCT c.u) AS BIGINT) AS u7,
+        |  TRUE AS within_3pct
+        |FROM contrib c, span WHERE c.d BETWEEN span.lo AND span.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // float->double casts + in-index-order sums = bit-identical cosines
     // (the s01 discipline); the flag tests the ROUNDED cosine
     "d18_semantic_decontam" ->

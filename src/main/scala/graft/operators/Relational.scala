@@ -1224,4 +1224,34 @@ object Relational {
       .filter(col("rn") <= 10)
       .orderBy("prio", "rn")
   }
+
+  // ---------------------------------------------------------------- Q50 (sliding HLL)
+  /** [[q48SlidingDistinct]]'s long-window scale path, made concrete: the
+    * trailing-7-day distinct count from DAILY HLL sketches exploded onto
+    * the windows they feed and union-merged per day. q48's exact explode
+    * multiplies the (day, customer) PAIR table by the window length W; here
+    * the corpus is touched ONCE (daily sketch build) and the ×W explode
+    * moves kilobyte sketches, so a 90-day window costs the same corpus
+    * scan as a 7-day one — this is why the approximate twin exists. The
+    * estimate is engine-specific, so the contract row follows the q41
+    * verdict discipline: exact count (q48's plan) + a within-3% boolean
+    * the oracle claims true — an HLL drifting past lgK=12's error budget
+    * (σ ≈ 0.8%) breaks the row hash. */
+  def q50SlidingDistinctHll(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d0"),
+        col("o_custkey").as("u"))
+      .groupBy("d0").agg(expr("hll_sketch_agg(u)").as("sk"))
+    val est = daily
+      .select(explode(sequence(lit(0), lit(6))).as("o"), col("d0"), col("sk"))
+      .select(date_add(col("d0"), col("o")).as("d"), col("sk"))
+      .groupBy("d")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    q48SlidingDistinct(spark, dir)
+      .join(est, "d")
+      .select(col("d"), col("u7"),
+        (abs(col("est") - col("u7")) <= col("u7") * lit(0.03))
+          .as("within_3pct"))
+      .orderBy("d")
+  }
 }
