@@ -69,6 +69,7 @@ object SparkEntry {
     "d18_semantic_decontam" -> (TrainingData.d18SemanticDecontam _),
     "t38_rule_ablation" -> (TrainingData.t38RuleAblation _),
     "t39_cluster_split" -> (TrainingData.t39ClusterSplit _),
+    "t40_dataset_card" -> (TrainingData.t40DatasetCard _),
     "d16_bloom_decontam" -> (TrainingData.d16BloomDecontam _),
     "d17_fuzzy_links" -> (TrainingData.d17FuzzyLinks _),
     "t37_weighted_sample" -> (TrainingData.t37WeightedSample _),
@@ -1046,6 +1047,56 @@ object SparkEntry {
         |  nl.naive_leak_clusters, cl.cluster_leak_clusters
         |FROM base b, nl, cl
         |GROUP BY 1, 5, 6 ORDER BY 1""".stripMargin,
+    // composes the d01 fingerprint, t17 gate, and d16 5-gram check at
+    // source grain; rates are exact half-up integer ppm (t32 idiom)
+    "t40_dataset_card" ->
+      """WITH s AS (SELECT doc_id, source, lang,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS INT) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INT) AS nonspace,
+        |  CAST(len(list_filter(regexp_extract_all(lower(trim(text)), '\S+'),
+        |    w -> regexp_matches(w, '[a-z]'))) AS INT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b')) AS INT) AS n_stop,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents),
+        |f AS (SELECT doc_id, source, lang, n_words, fp,
+        |    (n_words > 0 AND n_words >= 50 AND n_words <= 100000
+        |     AND round(CAST(nonspace AS DOUBLE)/n_words, 4) >= 3.0
+        |     AND round(CAST(nonspace AS DOUBLE)/n_words, 4) <= 10.0
+        |     AND round(CAST(n_alpha AS DOUBLE)/n_words, 4) >= 0.8
+        |     AND n_stop >= 2) AS keep
+        |  FROM s),
+        |toks AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t)-3, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |        || ' ' || t[i+4])) AS shingle
+        |  FROM toks WHERE len(t) >= 5),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+        |hits AS (SELECT DISTINCT t.doc_id
+        |  FROM sh t JOIN bench USING (shingle) WHERE t.doc_id % 17 <> 0),
+        |a AS (SELECT f.source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dup_docs,
+        |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS keep_docs,
+        |    CAST(SUM(CASE WHEN f.doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bench_docs,
+        |    CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS contam_docs
+        |  FROM f LEFT JOIN hits h ON f.doc_id = h.doc_id
+        |  GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, n_langs, dup_docs,
+        |  CAST((dup_docs * 2000000 + n_docs) // (n_docs * 2) AS BIGINT)
+        |    AS dup_ppm,
+        |  keep_docs,
+        |  CAST((keep_docs * 2000000 + n_docs) // (n_docs * 2) AS BIGINT)
+        |    AS keep_ppm,
+        |  bench_docs, contam_docs,
+        |  CAST((contam_docs * 2000000 + (n_docs - bench_docs))
+        |    // ((n_docs - bench_docs) * 2) AS BIGINT) AS contam_ppm
+        |FROM a ORDER BY source""".stripMargin,
     // exact 5-gram decontamination (the Bloom gate is physical-only: no
     // false negatives, so the verified result equals this ungated SQL)
     "d16_bloom_decontam" ->

@@ -1467,6 +1467,57 @@ object TrainingData {
       .orderBy("split")
   }
 
+  /** Per-source dataset card — the one-table datasheet a training run
+    * reads before mixing: volume (docs, tokens, languages), exact-dup
+    * mass (normalized-fingerprint d01 convention), quality pass rate
+    * (t17's Gopher gate), and benchmark contamination (d16's exact 5-gram
+    * check over the %17 split, rated against the source's TRAIN docs).
+    * Rates are exact half-up integer ppm (the t32 idiom), so the row is
+    * bit-stable across engines.
+    *
+    * One corpus scan builds the per-doc enriched frame; the contamination
+    * column rides the same broadcast semi-join as d16; everything else is
+    * one grain aggregate. The operator families this composes are each
+    * oracle-anchored on their own — this is the composition a curator
+    * actually consults. */
+  def t40DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val gate = col("n_words") >= 50 && col("n_words") <= 100000 &&
+      col("mwl") >= 3.0 && col("mwl") <= 10.0 &&
+      col("faw") >= 0.8 && col("n_stop") >= 2
+    val base = docs.select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        TextAnalysis.meanWordLen(col("text")).as("mwl"),
+        TextAnalysis.alphaWordFraction(col("text")).as("faw"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("keep", col("n_words") > 0 && gate)
+    val contam = Dedup.contamination(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0), threshold = 1.0, n = 5)
+      .select(col("doc_id"), (col("n_overlap") >= 1).as("contam"))
+    base.join(contam, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("dup_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("keep_docs"),
+        sum(when(col("doc_id") % 17 === 0, 1L).otherwise(0L)).as("bench_docs"),
+        sum(when(coalesce(col("contam"), lit(false)), 1L).otherwise(0L))
+          .as("contam_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("dup_docs"),
+        expr("(dup_docs * 2000000L + n_docs) div (n_docs * 2)").as("dup_ppm"),
+        col("keep_docs"),
+        expr("(keep_docs * 2000000L + n_docs) div (n_docs * 2)").as("keep_ppm"),
+        col("bench_docs"), col("contam_docs"),
+        expr("""(contam_docs * 2000000L + (n_docs - bench_docs))
+          div ((n_docs - bench_docs) * 2)""").as("contam_ppm"))
+      .orderBy("source")
+  }
+
   def t38RuleAblation(spark: SparkSession, dir: String): DataFrame = {
     val f = t17QualityRules(spark, dir)
     def fails(rule: String): org.apache.spark.sql.Column =

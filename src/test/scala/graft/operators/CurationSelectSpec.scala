@@ -328,6 +328,44 @@ class CurationSelectSpec extends SparkTestBase {
     assert(naive > 0, "fixture degenerate: naive split leaked nothing")
   }
 
+  test("t40 dataset card: per-source rows reconcile with the component operators") {
+    val dir = sf("sf0.001")
+    val card = TrainingData.t40DatasetCard(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = graft.Tables(spark, dir, "documents")
+    // volume columns straight off the corpus
+    val vol = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(card.keySet == vol.keySet)
+    card.foreach { case (s, r) =>
+      assert(r.getAs[Long]("n_docs") == vol(s)._1)
+      assert(r.getAs[Long]("n_tokens") == vol(s)._2)
+      // rate sanity: ppm fields derive from their count fields
+      val n = r.getAs[Long]("n_docs")
+      def ppm(x: Long, d: Long) = (x * 2000000L + d) / (d * 2)
+      assert(r.getAs[Long]("dup_ppm") == ppm(r.getAs[Long]("dup_docs"), n))
+      assert(r.getAs[Long]("keep_ppm") == ppm(r.getAs[Long]("keep_docs"), n))
+      val train = n - r.getAs[Long]("bench_docs")
+      assert(r.getAs[Long]("contam_ppm") ==
+        ppm(r.getAs[Long]("contam_docs"), train))
+      assert(r.getAs[Long]("keep_docs") <= n &&
+        r.getAs[Long]("contam_docs") <= train)
+    }
+    // corpus-level keep mass equals the t17 gate's keeper count
+    val keepTotal = card.values.map(_.getAs[Long]("keep_docs")).sum
+    assert(keepTotal ==
+      TrainingData.t17QualityRules(spark, dir).filter(col("keep")).count())
+    // exact-dup mass equals the d01 grouping's surplus copies
+    val dupTotal = card.values.map(_.getAs[Long]("dup_docs")).sum
+    val d01Surplus = graft.dedup.Dedup.exactGroups(docs)
+      .agg(sum(col("copies") - 1)).head().getLong(0)
+    // per-source fp dedup can only find duplicates WITHIN a source, so the
+    // card's dup mass is bounded by the corpus-wide surplus
+    assert(dupTotal <= d01Surplus)
+  }
+
   test("t38 rule ablation: counts reconcile with the t17 per-doc flags") {
     val dir = sf("sf0.001")
     val report = TrainingData.t38RuleAblation(spark, dir).collect()
