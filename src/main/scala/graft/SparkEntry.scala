@@ -66,6 +66,7 @@ object SparkEntry {
     "q48_sliding_distinct" -> (Relational.q48SlidingDistinct _),
     "q49_rank_functions" -> (Relational.q49RankFunctions _),
     "q50_sliding_hll" -> (Relational.q50SlidingDistinctHll _),
+    "q51_mad_outliers" -> (Relational.q51MadOutliers _),
     "d18_semantic_decontam" -> (TrainingData.d18SemanticDecontam _),
     "t38_rule_ablation" -> (TrainingData.t38RuleAblation _),
     "t39_cluster_split" -> (TrainingData.t39ClusterSplit _),
@@ -951,6 +952,41 @@ object SparkEntry {
         |SELECT c.d, CAST(COUNT(DISTINCT c.u) AS BIGINT) AS u7,
         |  TRUE AS within_3pct
         |FROM contrib c, span WHERE c.d BETWEEN span.lo AND span.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q33's nearest-rank pick twice (median, then MAD over deviations);
+    // the 3x fence compares unrounded doubles in both engines
+    "q51_mad_outliers" ->
+      """WITH h AS (SELECT event_type, value, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, value,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY value) AS hi_rn,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY value) - c + 1 AS lo_rn,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |md AS (SELECT event_type,
+        |    MAX(CASE WHEN CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |      BETWEEN lo_rn AND hi_rn THEN value END) AS med
+        |  FROM r GROUP BY 1),
+        |dv AS (SELECT e.event_type, abs(e.value - md.med) AS dev
+        |  FROM events e JOIN md USING (event_type)),
+        |h2 AS (SELECT event_type, dev, COUNT(*) AS c
+        |  FROM dv GROUP BY 1, 2),
+        |r2 AS (SELECT event_type, dev,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS hi_rn,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY dev) - c + 1 AS lo_rn,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h2),
+        |md2 AS (SELECT event_type,
+        |    MAX(CASE WHEN CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |      BETWEEN lo_rn AND hi_rn THEN dev END) AS mad
+        |  FROM r2 GROUP BY 1)
+        |SELECT dv.event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  round(MIN(md.med), 4) AS median,
+        |  round(MIN(md2.mad), 4) AS mad,
+        |  CAST(SUM(CASE WHEN dv.dev > md2.mad * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dv JOIN md USING (event_type) JOIN md2 USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // float->double casts + in-index-order sums = bit-identical cosines
     // (the s01 discipline); the flag tests the ROUNDED cosine

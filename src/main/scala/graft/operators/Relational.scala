@@ -1225,6 +1225,40 @@ object Relational {
       .orderBy("prio", "rn")
   }
 
+  // ---------------------------------------------------------------- Q51 (MAD outliers)
+  /** Robust outlier detection per event type: median absolute deviation
+    * (MAD) with a 3×MAD fence — the outlier test that, unlike the q45
+    * z-score, a heavy tail cannot poison (mean/stddev move with the
+    * outliers they're supposed to catch; the median doesn't).
+    *
+    * Every statistic is a rank-PICK of an actual data value (q33's
+    * nearest-rank histogram discipline — no interpolation, so no FP
+    * divergence can flip a fence), deviations are exact double
+    * subtractions of picked values, and the fence comparison happens on
+    * unrounded doubles identically in both engines; only the two
+    * REPORTED columns round. Three passes over the per-type value
+    * histogram (median → deviation histogram → fence count), each a
+    * distinct-value frame, never a raw-row sort. */
+  def q51MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val med = histogramRanks(ev, Seq("event_type"), "value")
+      .groupBy("event_type").agg(nearestRankPick(0.5, "value").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = histogramRanks(dev.select(col("event_type"), col("dev")),
+        Seq("event_type"), "dev")
+      .groupBy("event_type").agg(nearestRankPick(0.5, "dev").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("med")), 4).as("median"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- Q50 (sliding HLL)
   /** [[q48SlidingDistinct]]'s long-window scale path, made concrete: the
     * trailing-7-day distinct count from DAILY HLL sketches exploded onto

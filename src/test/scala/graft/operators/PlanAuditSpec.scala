@@ -345,6 +345,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(windows.isEmpty, s"argmax regressed to a window over the pairs:\n$p")
   }
 
+  test("q51: MAD rank windows run over value histograms, never raw events") {
+    val df = graft.SparkEntry.queries("q51_mad_outliers")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"unpartitioned window:\n$plan")
+    // both medians broadcast back onto the event stream
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"median frames no longer broadcast:\n$plan")
+  }
+
   test("q47: the salted join really joins on (key, salt)") {
     val df = graft.SparkEntry.queries("q47_salted_join")(spark, sf("sf0.001"))
     val p = df.queryExecution.executedPlan.toString
