@@ -67,6 +67,7 @@ object SparkEntry {
     "q49_rank_functions" -> (Relational.q49RankFunctions _),
     "q50_sliding_hll" -> (Relational.q50SlidingDistinctHll _),
     "q51_mad_outliers" -> (Relational.q51MadOutliers _),
+    "q52_event_paths" -> (Relational.q52EventPaths _),
     "d18_semantic_decontam" -> (TrainingData.d18SemanticDecontam _),
     "t38_rule_ablation" -> (TrainingData.t38RuleAblation _),
     "t39_cluster_split" -> (TrainingData.t39ClusterSplit _),
@@ -988,6 +989,18 @@ object SparkEntry {
         |    AS BIGINT) AS n_outliers
         |FROM dv JOIN md USING (event_type) JOIN md2 USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-user sequence order is the unique (ts, event_id) tuple, so the
+    // trigram stream — and the hash — is deterministic under ts ties
+    "q52_event_paths" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
     // float->double casts + in-index-order sums = bit-identical cosines
     // (the s01 discipline); the flag tests the ROUNDED cosine
     "d18_semantic_decontam" ->

@@ -1259,6 +1259,29 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- Q52 (event paths)
+  /** Top event-path trigrams: the 10 most common 3-step behavioral
+    * sequences across user timelines — q40's transition matrix extended
+    * one more step, the path-analysis grain funnels are designed from.
+    * Per-user windows ordered by the unique (ts, event_id) tuple (ties on
+    * ts are real in event data; the id tiebreak makes the sequence — and
+    * the hash — deterministic); the top-k cut is orderBy+limit, planned
+    * as TakeOrderedAndProject per-partition heaps, with (desc n, path) a
+    * total order. Window partitions are per-user timelines — bounded —
+    * and the path table the heap runs over is |event_type|³ at most. */
+  def q52EventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path")).limit(10)
+  }
+
   // ---------------------------------------------------------------- Q50 (sliding HLL)
   /** [[q48SlidingDistinct]]'s long-window scale path, made concrete: the
     * trailing-7-day distinct count from DAILY HLL sketches exploded onto
