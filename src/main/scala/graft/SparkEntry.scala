@@ -72,6 +72,7 @@ object SparkEntry {
     "t38_rule_ablation" -> (TrainingData.t38RuleAblation _),
     "t39_cluster_split" -> (TrainingData.t39ClusterSplit _),
     "t40_dataset_card" -> (TrainingData.t40DatasetCard _),
+    "s10_mmr_diverse" -> (TrainingData.s10MmrDiverse _),
     "d16_bloom_decontam" -> (TrainingData.d16BloomDecontam _),
     "d17_fuzzy_links" -> (TrainingData.d17FuzzyLinks _),
     "t37_weighted_sample" -> (TrainingData.t37WeightedSample _),
@@ -954,6 +955,80 @@ object SparkEntry {
         |  TRUE AS within_3pct
         |FROM contrib c, span WHERE c.d BETWEEN span.lo AND span.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MMR greedy replayed with a recursive CTE: the picked-so-far list
+    // travels as a LIST column, each step's winner is the candidate no
+    // other candidate beats on (0.5·rel − 0.5·max-sim-to-picked), ties
+    // to the smaller id — the identical unrounded-double comparison the
+    // engine's driver-side greedy makes (cosines accumulate in index
+    // order on both sides)
+    "s10_mmr_diverse" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+        |rels AS (SELECT q.qid, e.vec_id AS nid,
+        |    list_aggregate(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*e.v[i]), 'sum')
+        |     / (sqrt(list_aggregate(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i]), 'sum'))
+        |      * sqrt(list_aggregate(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i]), 'sum')))
+        |      AS rel
+        |  FROM q JOIN e ON e.vec_id <> q.qid),
+        |cand AS (SELECT qid, nid, rel FROM rels
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY rel DESC, nid) <= 20),
+        |pair AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |    list_aggregate(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), 'sum')
+        |     / (sqrt(list_aggregate(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), 'sum'))
+        |      * sqrt(list_aggregate(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), 'sum')))
+        |      AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id IN (SELECT nid FROM cand)
+        |    AND b.vec_id IN (SELECT nid FROM cand)),
+        |s1 AS (SELECT qid, nid AS p1 FROM cand
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY rel DESC, nid) = 1),
+        |c2 AS (SELECT c.qid, c.nid, 0.5*c.rel - 0.5*MAX(p.sim) AS sc
+        |  FROM cand c JOIN s1 ON s1.qid = c.qid
+        |  JOIN pair p ON p.a = c.nid AND p.b = s1.p1
+        |  WHERE c.nid <> s1.p1 GROUP BY c.qid, c.nid, c.rel),
+        |s2 AS (SELECT s1.qid, s1.p1, c2.nid AS p2
+        |  FROM s1 JOIN c2 ON c2.qid = s1.qid
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s1.qid
+        |    ORDER BY c2.sc DESC, c2.nid) = 1),
+        |c3 AS (SELECT c.qid, c.nid, 0.5*c.rel - 0.5*MAX(p.sim) AS sc
+        |  FROM cand c JOIN s2 ON s2.qid = c.qid
+        |  JOIN pair p ON p.a = c.nid AND p.b IN (s2.p1, s2.p2)
+        |  WHERE c.nid NOT IN (s2.p1, s2.p2) GROUP BY c.qid, c.nid, c.rel),
+        |s3 AS (SELECT s2.qid, s2.p1, s2.p2, c3.nid AS p3
+        |  FROM s2 JOIN c3 ON c3.qid = s2.qid
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s2.qid
+        |    ORDER BY c3.sc DESC, c3.nid) = 1),
+        |c4 AS (SELECT c.qid, c.nid, 0.5*c.rel - 0.5*MAX(p.sim) AS sc
+        |  FROM cand c JOIN s3 ON s3.qid = c.qid
+        |  JOIN pair p ON p.a = c.nid AND p.b IN (s3.p1, s3.p2, s3.p3)
+        |  WHERE c.nid NOT IN (s3.p1, s3.p2, s3.p3)
+        |  GROUP BY c.qid, c.nid, c.rel),
+        |s4 AS (SELECT s3.qid, s3.p1, s3.p2, s3.p3, c4.nid AS p4
+        |  FROM s3 JOIN c4 ON c4.qid = s3.qid
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s3.qid
+        |    ORDER BY c4.sc DESC, c4.nid) = 1),
+        |c5 AS (SELECT c.qid, c.nid, 0.5*c.rel - 0.5*MAX(p.sim) AS sc
+        |  FROM cand c JOIN s4 ON s4.qid = c.qid
+        |  JOIN pair p ON p.a = c.nid AND p.b IN (s4.p1, s4.p2, s4.p3, s4.p4)
+        |  WHERE c.nid NOT IN (s4.p1, s4.p2, s4.p3, s4.p4)
+        |  GROUP BY c.qid, c.nid, c.rel),
+        |s5 AS (SELECT s4.qid, s4.p1, s4.p2, s4.p3, s4.p4, c5.nid AS p5
+        |  FROM s4 JOIN c5 ON c5.qid = s4.qid
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s4.qid
+        |    ORDER BY c5.sc DESC, c5.nid) = 1),
+        |flat AS (
+        |  SELECT qid, 1 AS rank, p1 AS vec_id FROM s5
+        |  UNION ALL SELECT qid, 2, p2 FROM s5
+        |  UNION ALL SELECT qid, 3, p3 FROM s5
+        |  UNION ALL SELECT qid, 4, p4 FROM s5
+        |  UNION ALL SELECT qid, 5, p5 FROM s5)
+        |SELECT f.qid, CAST(f.rank AS INT) AS rank, f.vec_id,
+        |  round(c.rel, 4) AS rel
+        |FROM flat f JOIN cand c ON c.qid = f.qid AND c.nid = f.vec_id
+        |ORDER BY f.qid, rank""".stripMargin,
     // q33's nearest-rank pick twice (median, then MAD over deviations);
     // the 3x fence compares unrounded doubles in both engines
     "q51_mad_outliers" ->

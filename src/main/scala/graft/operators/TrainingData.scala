@@ -1418,6 +1418,14 @@ object TrainingData {
       col("vec_id") % 17 === 0, threshold = 0.4)
       .orderBy("qid")
 
+  /** MMR diverse retrieval for 3 query vectors: relevant-AND-different
+    * top-5 from a 20-candidate exact shortlist. See
+    * [[graft.similarity.Similarity.mmrDiverseTopK]]; the DuckDB oracle
+    * replays the greedy selection with a recursive CTE. */
+  def s10MmrDiverse(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrDiverseTopK(Tables(spark, dir, "embeddings"),
+      col("vec_id") < 3)
+
   /** Quality-rule ablation: per gate rule, how many documents it fails
     * outright and how many it is the SOLE blocker for (docs passing every
     * other rule) — the marginal-cost table that tells a curator which

@@ -80,6 +80,71 @@ object Similarity {
         (round(col("b.cos"), 4) >= threshold).as("flagged"))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998) diverse
+    * top-k: greedily pick the candidate maximizing
+    * `λ·rel − (1−λ)·max-sim-to-selected` — the retrieval operator that
+    * returns RELEVANT-AND-DIFFERENT results where plain top-k returns k
+    * near-copies of the best hit (the difference between "5 views of the
+    * duplicate cluster" and "5 distinct training examples").
+    *
+    * Scale shape: the corpus work is exactly [[bruteForceTopK]]'s one
+    * scan (shortlist per query by unrounded cosine, self excluded,
+    * deterministic (rel desc, nid) order); the O(k·shortlist²) greedy
+    * then runs driver-side over the collected shortlist — a CONSTANT
+    * `|queries| × shortlist` frame, the same bounded-driver-state
+    * justification as the PQ codebooks (at production scale the
+    * shortlist comes from the ANN index, s03/s04/s07, not brute force).
+    * Selection compares unrounded doubles with ties to the smaller id,
+    * and every cosine accumulates in index order ([[FloatVectorDot]]'s
+    * convention), so the DuckDB recursive-CTE oracle replays the
+    * identical greedy choice sequence. */
+  def mmrDiverseTopK(emb: DataFrame, queryFilter: Column, k: Int = 5,
+      shortlist: Int = 20, lambda: Double = 0.5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(desc("rel"), asc("nid"))
+    val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .join(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(col("qv"), col("nv")).as("rel"), col("nv"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cosD(a: Array[Float], b: Array[Float]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val picked = cand.select("qid", "nid", "rel", "nv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getSeq[Float](3).toArray))
+      .groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+        var selected = Vector.empty[(Long, Array[Float])]
+        var remaining = cs.map(c => (c._2, c._3, c._4)).toBuffer
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+        while (selected.size < k && remaining.nonEmpty) {
+          val best = remaining.map { case (nid, rel, v) =>
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.map(s => cosD(v, s._2)).max
+            (nid, rel, v, lambda * rel - (1 - lambda) * maxSim)
+          }.reduceLeft((a, b) =>
+            if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a)
+          out += ((qid, selected.size + 1, best._1, best._2))
+          selected = selected :+ ((best._1, best._3))
+          remaining = remaining.filterNot(_._1 == best._1)
+        }
+        out
+      }
+    picked.toSeq.toDF("qid", "rank", "vec_id", "rel0")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("rel0"), 4).as("rel"))
+      .orderBy("qid", "rank")
+  }
+
   /** Exact top-k nearest neighbours (excluding self) for each query. */
   def bruteForceTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))

@@ -302,6 +302,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("mmrDiverseTopK: first pick is the relevance argmax; picks distinct; diversity bites") {
+    val got = Similarity.mmrDiverseTopK(emb, col("vec_id") < 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    val top = Similarity.bruteForceTopK(emb, col("vec_id") < 3, 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nid")))
+    val topByQ = top.groupBy(_._1)
+    byQ.foreach { case (q, picks) =>
+      val ids = picks.sortBy(_._2).map(_._3)
+      assert(ids.distinct.length == 5, s"repeat pick for query $q")
+      // rank 1 must be the plain relevance argmax (empty selected set)
+      assert(ids.head == topByQ(q).minBy(_._2)._3)
+      // every pick comes from the relevance shortlist universe
+      val shortlist = Similarity.bruteForceTopK(emb, col("vec_id") === q, 20)
+        .collect().map(_.getAs[Long]("nid")).toSet
+      assert(ids.forall(shortlist.contains))
+    }
+    // the operator's reason to exist: for at least one query, the diverse
+    // pick differs from the plain top-5
+    val differs = byQ.exists { case (q, picks) =>
+      picks.sortBy(_._2).map(_._3).toSeq !=
+        topByQ(q).sortBy(_._2).map(_._3).toSeq
+    }
+    assert(differs, "MMR degenerated to plain top-k on this corpus")
+  }
+
   test("semanticDecontam: struct-max argmax equals the brute-force window argmax") {
     import org.apache.spark.sql.expressions.Window
     val benchFilter = col("vec_id") % 17 === 0
