@@ -68,6 +68,7 @@ object SparkEntry {
     "q50_sliding_hll" -> (Relational.q50SlidingDistinctHll _),
     "q51_mad_outliers" -> (Relational.q51MadOutliers _),
     "q52_event_paths" -> (Relational.q52EventPaths _),
+    "q53_grouping_sets" -> (Relational.q53GroupingSets _),
     "d18_semantic_decontam" -> (TrainingData.d18SemanticDecontam _),
     "t38_rule_ablation" -> (TrainingData.t38RuleAblation _),
     "t39_cluster_split" -> (TrainingData.t39ClusterSplit _),
@@ -1076,6 +1077,20 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM s WHERE e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // the arbitrary lattice ROLLUP/CUBE can't write: detail + both
+    // margins, deliberately no grand total
+    "q53_grouping_sets" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+        |  c.c_mktsegment AS mkt,
+        |  CAST(GROUPING(year(o.o_orderdate)) AS INT) AS g_yr,
+        |  CAST(GROUPING(c.c_mktsegment) AS INT) AS g_mkt,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY GROUPING SETS ((year(o.o_orderdate), c.c_mktsegment),
+        |  (year(o.o_orderdate)), (c.c_mktsegment))
+        |ORDER BY g_yr, g_mkt, yr, mkt""".stripMargin,
     // float->double casts + in-index-order sums = bit-identical cosines
     // (the s01 discipline); the flag tests the ROUNDED cosine
     "d18_semantic_decontam" ->

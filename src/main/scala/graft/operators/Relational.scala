@@ -1259,6 +1259,32 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- Q53 (grouping sets)
+  /** Explicit GROUPING SETS — the arbitrary-lattice shape ROLLUP (q22)
+    * and CUBE (q28) can't write: detail plus BOTH one-dimension margins
+    * and deliberately NO grand total, {(yr, mkt), (yr), (mkt)}. Same
+    * single-pass execution argument as the other two (Spark expands the
+    * sets map-side; the input is scanned once, not once per set), same
+    * GROUPING-flag disambiguation of margin nulls. */
+  def q53GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(year(col("o_orderdate")).as("yr"),
+        col("c_mktsegment").as("mkt"), col("o_totalprice"))
+    df.groupingSets(
+        Seq(Seq(col("yr"), col("mkt")), Seq(col("yr")), Seq(col("mkt"))),
+        col("yr"), col("mkt"))
+      .agg(
+        grouping("yr").cast("int").as("g_yr"),
+        grouping("mkt").cast("int").as("g_mkt"),
+        count(lit(1)).as("n"),
+        money(dsum(col("o_totalprice"))).as("revenue"))
+      .select(col("yr"), col("mkt"), col("g_yr"), col("g_mkt"),
+        col("n"), col("revenue"))
+      .orderBy("g_yr", "g_mkt", "yr", "mkt")
+  }
+
   // ---------------------------------------------------------------- Q52 (event paths)
   /** Top event-path trigrams: the 10 most common 3-step behavioral
     * sequences across user timelines — q40's transition matrix extended
