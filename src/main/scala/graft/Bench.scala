@@ -132,8 +132,14 @@ object Bench {
     def materialize(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // contract verdict rows + the raw probabilistic forms they replaced
+    // in the oracle sweep (the `<id>r` keys) — both belong in the timing
+    // suite: the verdict is what the driver runs, the raw form is the
+    // production operator whose throughput the suite tracks
+    val suite = SparkEntry.queries ++ SparkEntry.benchOnly
+
     // ---- warmup on the smallest SF (not timed)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    suite.foreach { case (_, fn) =>
       try materialize(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
@@ -141,7 +147,7 @@ object Bench {
     // ---- timed suite
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     var prevFamily = ""
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    suite.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // workload-boundary hygiene: frames cached for one operator family
       // (the dedup shingle/signature sets are the big ones) must not
       // squeeze executor storage for the next family's queries — the same
@@ -223,12 +229,20 @@ object Bench {
     //    mid-line → parsed:null. Short keys are the query-id prefix
     //    (q01, d03, t32 …) which is unique by construction; the few
     //    multi-entry families keep a suffix (s04b/s04p = ivf build/probe).
+    //    ONE suffix scheme (r6 advice: `s04ap` vs `s07a` special-cased
+    //    cross-round tooling): the first "_"-token is the short key —
+    //    q01, d03, d03r, s04a … — and ONLY the four held-index split
+    //    entries append b/p. The old rule keyed on an `_build`/`_probe`
+    //    name suffix, which also caught `s04a_ivf_full_probe` → "s04ap"
+    //    while `s07a_pq_rerank_exact` stayed "s07a".
     def shortKey(name: String): String = name match {
       case "etl_sportstv"       => "etl"
       case "stream_ingest"      => "stream"
       case "stream_ingest_bulk" => "streamblk"
-      case n if n.endsWith("_build") => n.split("_")(0) + "b"
-      case n if n.endsWith("_probe") => n.split("_")(0) + "p"
+      case "s04_ivf_build" => "s04b"
+      case "s04_ivf_probe" => "s04p"
+      case "s07_pq_build"  => "s07b"
+      case "s07_pq_probe"  => "s07p"
       case n => n.split("_")(0)
     }
     val shortKeys = results.keys.map(shortKey).toSeq

@@ -3,14 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Golden-result hashes for the 7 `no_oracle` contract queries
-  * (d03/d04/d06/d10 LSH-family dedup, s03/s04/s07 ANN top-k): their
-  * candidate sets are seeded-hash / sketch products that no SQL oracle can
-  * reproduce, so the driver records `no_oracle` and the exact companion
-  * audits (d03a…s07a) pin semantics. What those audits can't catch is a
-  * SILENT behavior change in the probabilistic path itself (a seed, a
-  * banding constant, a quantizer default) that still passes the audit —
-  * the golden hash pins the exact output.
+/** Golden-result hashes for the 7 RAW probabilistic bench-only queries
+  * (d03r/d04r/d06r/d10r LSH-family dedup, s03r/s04r/s07r ANN top-k):
+  * their candidate sets are seeded-hash / sketch products that no SQL
+  * oracle can reproduce, so the CONTRACT keys carry oracle-checkable
+  * verdict forms (see [[SparkEntry.benchOnly]]) and the raw forms live
+  * outside the driver sweep. What the verdicts and audits can't catch is
+  * a SILENT behavior change in the probabilistic path itself (a seed, a
+  * banding constant, a quantizer default) that still passes them — the
+  * golden hash pins the exact output.
   *
   * Because the driver REGENERATES the testdata parquet between rounds, a
   * raw committed hash would false-alarm on every regeneration (the d06a
@@ -28,9 +29,13 @@ import org.apache.spark.sql.functions._
 object Goldens {
 
   val queries: Seq[String] = Seq(
-    "d03_minhash_lsh", "d04_simhash", "d06_winnowing",
-    "d10_dedup_manifest_lsh", "s03_srp_ann_topk", "s04_ivf_ann_topk",
-    "s07_pq_ann_topk")
+    "d03r_lsh_pairs", "d04r_simhash_pairs", "d06r_winnow_pairs",
+    "d10r_manifest_lsh", "s03r_srp_topk", "s04r_ivf_topk",
+    "s07r_pq_topk")
+
+  /** Contract + bench-only entry points, for golden resolution. */
+  def allQueries: Map[String, (SparkSession, String) => DataFrame] =
+    SparkEntry.queries ++ SparkEntry.benchOnly
 
   /** documents for the d-family, embeddings for the s-family. */
   def inputTable(query: String): String =
@@ -76,7 +81,7 @@ object Goldens {
       q <- queries
     } yield {
       val fp = tableFingerprint(spark, dir, inputTable(q))
-      val h = resultHash(SparkEntry.queries(q)(spark, dir))
+      val h = resultHash(allQueries(q)(spark, dir))
       System.err.println(s"[goldens] $dir $q input{$fp} hash=$h")
       s"""  "${dir.split('/').last}/$q": {"input": "$fp", "hash": "$h"}"""
     }

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× input replay — the stress test behind SCALING.md's scale table.
+  *
+  * Materializes a deterministic `factor`× copy of an SF directory by
+  * unioning re-keyed copies of the big tables, then times the most
+  * expensive contract entries on both inputs and prints the wall-time
+  * scaling factor. Near-linear factors validate the plan arguments
+  * ("one scan per stage", "pairs meet on an equi-join", "cost scales with
+  * the batch"); anything super-linear is the next round's target.
+  *
+  * Corpus-construction choices, so the factors measure PLANS and not
+  * artifacts of the replication itself:
+  *
+  *  - Join keys are offset per copy (`key + i · (max+1)`) CONSISTENTLY
+  *    across tables (l_orderkey/o_orderkey, o_custkey/c_custkey,
+  *    l_partkey/p_partkey), so every join's selectivity per key is
+  *    unchanged and fact/dimension relations stay intact. Dimension
+  *    tables bounded by the schema (nation, region) are NOT replicated —
+  *    at 100 TB the dims don't grow with the fact either.
+  *  - Document text is re-tokenized per copy (every token prefixed with
+  *    `c<i>`): token counts, per-doc shingle counts, and the WITHIN-copy
+  *    near-duplicate structure are exactly isomorphic to the original,
+  *    while ACROSS copies no shingle collides — the corpus becomes
+  *    `factor` independent shards with the original's duplicate rate, so
+  *    pair-producing dedup work scales ×factor. (Naively unioning
+  *    IDENTICAL copies would instead explode every fingerprint group
+  *    quadratically — a 100× pair blowup that measures the replication
+  *    trick, not the operator. All copies are transformed, including
+  *    copy 0, so per-doc work matches across the comparison only modulo
+  *    the 3-char token prefix.)
+  *  - Embeddings are re-keyed but content-identical; the pinned query
+  *    set (`vec_id < 5`) stays constant size, so ANN entries measure
+  *    corpus-side scaling of build + probe.
+  *
+  * Usage: runMain graft.ScaleReplay [baseSfDir] [outDir] [factor] [entries]
+  * Writes the replicated tables once (skipped when `_READY` exists) and
+  * prints one `[replay]` line per (entry, input) plus a factor summary.
+  */
+object ScaleReplay {
+
+  /** Tables replicated with key offsets; everything else copies as-is. */
+  private def replicate(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    val ready = Paths.get(out, "_READY")
+    if (Files.exists(ready)) {
+      System.err.println(s"[replay] reusing $out")
+      return
+    }
+    require(!base.contains(out) && !out.startsWith("/root/testdata"),
+      s"refusing to write replicated corpus into the testdata tree: $out")
+    Files.createDirectories(Paths.get(out))
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
+    def off(df: DataFrame, keyCol: String): Long =
+      df.agg(max(col(keyCol))).head.getLong(0) + 1
+    def write(t: String, df: DataFrame): Unit = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+      System.err.println(s"[replay] wrote $t")
+    }
+    def copies(df: DataFrame)(rekey: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => rekey(df, i)).reduce(_ unionByName _)
+
+    val (li, o, c, p) = (read("lineitem"), read("orders"), read("customer"), read("part"))
+    val (oOff, cOff, pOff) = (off(o, "o_orderkey"), off(c, "c_custkey"), off(p, "p_partkey"))
+    write("lineitem", copies(li)((df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + i * oOff)
+      .withColumn("l_partkey", col("l_partkey") + i * pOff)))
+    write("orders", copies(o)((df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + i * oOff)
+      .withColumn("o_custkey", col("o_custkey") + i * cOff)))
+    write("customer", copies(c)((df, i) => df
+      .withColumn("c_custkey", col("c_custkey") + i * cOff)))
+    write("part", copies(p)((df, i) => df
+      .withColumn("p_partkey", col("p_partkey") + i * pOff)))
+
+    val docs = read("documents")
+    val dOff = off(docs, "doc_id")
+    write("documents", copies(docs)((df, i) => df
+      .withColumn("doc_id", col("doc_id") + i * dOff)
+      .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))))
+
+    val emb = read("embeddings")
+    val vOff = off(emb, "vec_id")
+    write("embeddings", copies(emb)((df, i) =>
+      df.withColumn("vec_id", col("vec_id") + i * vOff)))
+
+    Seq("nation", "region", "supplier", "events").foreach(t =>
+      write(t, read(t)))
+    Files.createFile(ready)
+  }
+
+  /** The round-6 verdict's "10 most expensive entries" list. */
+  private val defaultEntries = Seq(
+    "d02_ngram_jaccard", "d03r_lsh_pairs", "d07_dedup_clusters",
+    "d08_dedup_manifest", "d10r_manifest_lsh", "t12_lm_bigram_score",
+    "t15_curation_funnel", "q17_etl_star_rollup", "q48_sliding_distinct",
+    "stream_ingest_bulk")
+
+  private def runOnce(spark: SparkSession, name: String, dir: String): Double =
+    name match {
+      case "stream_ingest_bulk" =>
+        Bench.streamIngestOnce(spark, dir, filesPerTrigger = None)._2
+      case q =>
+        val t0 = System.nanoTime()
+        Goldens.allQueries(q)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+    }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_replay10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val entries = args.lift(3).map(_.split(',').toSeq).getOrElse(defaultEntries)
+    val spark = Engine.session("graft-scale-replay")
+    replicate(spark, base, out, factor)
+
+    // warmup (classload/codegen) on the smallest SF, like Bench
+    entries.foreach { e =>
+      try runOnce(spark, e, "/root/testdata/sf0.001")
+      catch { case _: Throwable => () }
+    }
+    val rows = entries.map { e =>
+      // base first, then the replicated input; caches dropped between
+      // entries so one entry's shingle/signature reuse can't subsidize
+      // the next measurement
+      val tBase = runOnce(spark, e, base)
+      Caches.releaseAll(); graft.operators.Prefix.releaseAll()
+      val tBig = runOnce(spark, e, out)
+      Caches.releaseAll(); graft.operators.Prefix.releaseAll()
+      val f = tBig / tBase
+      println(f"[replay] $e%-24s base=$tBase%7.1f s  x$factor=$tBig%7.1f s  factor=$f%5.1f")
+      (e, tBase, tBig, f)
+    }
+    val worst = rows.maxBy(_._4)
+    println(f"[replay] worst factor: ${worst._1} ${worst._4}%.1f " +
+      f"(budget ${factor * 1.5}%.0f = factor×1.5 for shuffle growth)")
+    spark.stop()
+  }
+}

@@ -163,6 +163,22 @@ object SparkEntry {
     "a11_peak_day_country" -> (AnalyticsSuite.a11PeakDayByCountry _)
   )
 
+  /** Raw probabilistic forms of the verdict-registered contract rows
+    * (d03/d04/d06/d10, s03/s04/s07). Their candidate sets are seeded-hash
+    * / sketch products no SQL engine can reproduce, so they sit OUTSIDE
+    * the driver's oracle sweep: the bench times them (the `<id>r` keys)
+    * and [[graft.operators.NoOracleGoldenSpec]] pins their exact output
+    * via committed input-fingerprinted goldens. The CONTRACT keys in
+    * [[queries]] carry the oracle-checkable verdict forms instead. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d03r_lsh_pairs" -> (TrainingData.d03RawPairs _),
+    "d04r_simhash_pairs" -> (TrainingData.d04RawPairs _),
+    "d06r_winnow_pairs" -> (TrainingData.d06RawPairs _),
+    "d10r_manifest_lsh" -> (TrainingData.d10RawManifest _),
+    "s03r_srp_topk" -> (TrainingData.s03RawTopK _),
+    "s04r_ivf_topk" -> (TrainingData.s04RawTopK _),
+    "s07r_pq_topk" -> (TrainingData.s07RawTopK _))
+
   /** DuckDB replica of the [[graft.etl.TpchStar]] star derivation — the
     * WITH prefix shared by every a-query oracle, so all twelve check the
     * same fact the Spark side materializes. Unused CTEs are free. */
@@ -1233,8 +1249,10 @@ object SparkEntry {
         |  CAST((keep_docs * 2000000 + n_docs) // (n_docs * 2) AS BIGINT)
         |    AS keep_ppm,
         |  bench_docs, contam_docs,
-        |  CAST((contam_docs * 2000000 + (n_docs - bench_docs))
-        |    // ((n_docs - bench_docs) * 2) AS BIGINT) AS contam_ppm
+        |  CAST(CASE WHEN n_docs > bench_docs
+        |    THEN (contam_docs * 2000000 + (n_docs - bench_docs))
+        |      // ((n_docs - bench_docs) * 2)
+        |    ELSE 0 END AS BIGINT) AS contam_ppm
         |FROM a ORDER BY source""".stripMargin,
     // exact 5-gram decontamination (the Bloom gate is physical-only: no
     // false negatives, so the verified result equals this ungated SQL)
@@ -1556,6 +1574,50 @@ object SparkEntry {
         |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2)
         |SELECT COUNT(*) AS n_exact, COUNT(*) AS n_lsh, COUNT(*) AS n_both
         |FROM ep""".stripMargin,
+    // CONTRACT verdict forms of the probabilistic dedup/ANN rows (the raw
+    // candidate sets are bench-only `<id>r` entries pinned by goldens):
+    // d03 = per-pair full-outer diff vs the exact pairs — the oracle
+    // emits exactly the exact pairs with both flags TRUE, so a missed
+    // pair flips in_lsh and a spurious pair breaks the row count
+    "d03_minhash_lsh" ->
+      s"""WITH $ngramCtes,
+        |ep AS (SELECT d1, d2 FROM common
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2)
+        |SELECT d1, d2, TRUE AS in_exact, TRUE AS in_lsh
+        |FROM ep ORDER BY d1, d2""".stripMargin,
+    // d04 = count + verdict row: exact-fingerprint pair count with a
+    // full-recall claim (identical fingerprints => hamming-0 SimHashes =>
+    // certain pigeonhole recovery; vacuous on a dup-free generation) plus
+    // structural claims over the SimHash output that always bite
+    "d04_simhash" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents)
+        |SELECT COUNT(*) AS n_fp_pairs, TRUE AS fp_full_recall,
+        |  TRUE AS hamming_in_range, TRUE AS pairs_canonical
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+    // d06 = count + verdict row: exact-pair count, ≥85% recall claim
+    // (margin rationale on d06aWinnowRecall), plus structural claims on
+    // the winnowing output itself (scores in [minJaccard, 1], d1 < d2)
+    "d06_winnowing" ->
+      s"""WITH $ngramCtes,
+        |ep AS (SELECT d1, d2 FROM common
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2)
+        |SELECT COUNT(*) AS n_exact, TRUE AS recall_85pct,
+        |  TRUE AS scores_in_range, TRUE AS pairs_canonical
+        |FROM ep""".stripMargin,
+    // d10 = the approximate manifest per document with an agreement flag;
+    // the oracle recomputes the EXACT manifest recursively and claims
+    // agreement everywhere, so a divergent keeper fails value AND flag
+    "d10_dedup_manifest_lsh" ->
+      s"""WITH RECURSIVE $manifestCtes
+        |SELECT doc_id, keeper_id, doc_id = keeper_id AS is_keeper,
+        |  TRUE AS agrees_exact
+        |FROM manifest ORDER BY doc_id""".stripMargin,
     "d06a_winnow_recall" ->
       s"""WITH $ngramCtes,
         |ep AS (SELECT d1, d2 FROM common
@@ -2004,6 +2066,26 @@ object SparkEntry {
     // PQ with the exact-rerank dial covering the whole corpus equals
     // brute force — same oracle, same dial trick as s03a/s04a
     "s07a_pq_rerank_exact" -> bruteTopkSql,
+    // CONTRACT verdict forms for the ANN rows (annVerdict): one row per
+    // pinned query, every column a deterministic claim — production-dial
+    // structure (+ exact scoring for SRP/IVF, which rank with true
+    // cosine) and the exact-dial ≡ brute-force equality that chains the
+    // index pipeline to the s02 cross-engine oracle. The raw approximate
+    // top-k sets are bench-only `s03r`/`s04r`/`s07r` entries.
+    "s03_srp_ann_topk" ->
+      """SELECT vec_id AS qid, TRUE AS prod_ranks_dense,
+        |  TRUE AS prod_self_excluded, TRUE AS prod_scores_match,
+        |  TRUE AS zero_plane_matches_brute
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    "s04_ivf_ann_topk" ->
+      """SELECT vec_id AS qid, TRUE AS prod_ranks_dense,
+        |  TRUE AS prod_self_excluded, TRUE AS prod_scores_match,
+        |  TRUE AS full_probe_matches_brute
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    "s07_pq_ann_topk" ->
+      """SELECT vec_id AS qid, TRUE AS prod_ranks_dense,
+        |  TRUE AS prod_self_excluded, TRUE AS rerank_matches_brute
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "s08_knn_label_agreement" ->
       """WITH q AS (SELECT vec_id AS qid, label AS q_label,
         |             CAST(embedding AS DOUBLE[]) qv

@@ -12,7 +12,7 @@ object Time {
   def main(args: Array[String]): Unit = {
     val spark = Engine.session("graft-time")
     val names = args.headOption.map(_.split(',').toSeq)
-      .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+      .getOrElse(SparkEntry.queries.keys.toSeq.sorted)  // bench-only <id>r keys also resolve
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(1)
 
@@ -21,7 +21,7 @@ object Time {
       case "stream_ingest" => Bench.streamIngestOnce(spark, d)._2
       case q =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, d)
+        Goldens.allQueries(q)(spark, d)
           .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
     }

@@ -97,12 +97,16 @@ object Layout {
     *
     * File count = ceil(current on-disk bytes / targetBytes), computed
     * from the directory listing (no data pass); the rewrite itself is one
-    * scan + round-robin repartition — content-preserving, no shuffle key,
-    * optionally `sortBy` within files to restore row-group min/max
-    * pruning on a key the ingest cadence scattered. Returns
-    * (filesBefore, filesAfter). Overwrite-into-place is deliberately NOT
-    * offered: compaction targets a fresh directory and the caller swaps
-    * pointers, the same publish discipline as [[graft.etl.StarStore]]. */
+    * scan + repartition — round-robin with no shuffle key by default, or
+    * RANGE-partitioned on `sortBy` (+ sortWithinPartitions) to restore
+    * row-group min/max pruning on a key the ingest cadence scattered.
+    * Under `sortBy` the file count is best-effort: range boundaries come
+    * from sampling, so low key cardinality can legally yield fewer output
+    * files than the byte-derived target. Returns (filesBefore,
+    * filesAfter); an empty or absent input directory returns (0, 0)
+    * without writing. Overwrite-into-place is deliberately NOT offered:
+    * compaction targets a fresh directory and the caller swaps pointers,
+    * the same publish discipline as [[graft.etl.StarStore]]. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024,
       sortBy: Seq[String] = Nil): (Int, Int) = {
@@ -116,6 +120,9 @@ object Layout {
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     }
     val parts = listParquet(inDir)
+    // empty/absent input: nothing to compact — return instead of letting
+    // spark.read.parquet throw "unable to infer schema" on the scan
+    if (parts.isEmpty) return (0, 0)
     val totalBytes = parts.map(_.getLen).sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inDir)

@@ -415,19 +415,39 @@ object Relational {
     * (a double sum's partition-order drift could flip adjacent ranks);
     * ties break on the customer key.
     *
-    * Scale shape: the global NTILE is a total order, but over the
-    * PRE-AGGREGATED customer frame (orders of magnitude smaller than the
-    * fact input — the aggregate does the data reduction before the sort).
-    * At extreme customer cardinality the same table comes from bucketing
-    * on sketch-derived decile boundaries ([[Sketches]]) instead of an
-    * exact global sort; this entry is the exact form. */
+    * Scale shape: the global NTILE is a total order over the
+    * PRE-AGGREGATED customer frame — but customers GROW with the corpus,
+    * so `ntile(10).over(Window.orderBy(...))` would still funnel every
+    * customer through one task (the t33/q34 single-task class; caught by
+    * the PlanAuditSpec window sweep once AQE-wrapped plans were
+    * unwrapped). The global rank instead rides
+    * [[Prefix.cumSumTwoPhase]] (range-partition by (spend, custkey),
+    * per-slice counts, broadcast offsets) and the NTILE bucket is derived
+    * arithmetically from (rank, n) with the standard remainder rule —
+    * first n mod 10 buckets one row larger — which is exactly the SQL
+    * NTILE the oracle runs. Spend is summed as DECIMAL(18,4) so the rank
+    * order is exact and engine-independent; ties break on the key. */
   def q29SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("spend"), col("o_custkey"))
-    Tables(spark, dir, "orders")
+    val spend = Tables(spark, dir, "orders")
       .groupBy("o_custkey")
       .agg(dsum(col("o_totalprice")).as("spend"))
-      .withColumn("decile", ntile(10).over(w))
+      .withColumn("one", lit(1L))
+    val ranked = Prefix
+      .cumSumTwoPhase(spend, Nil, Seq("spend", "o_custkey"), "one")
+      .withColumnRenamed("cum", "rn")
+    ranked
+      .crossJoin(broadcast(ranked.agg(max(col("rn")).as("n"))))
+      // NTILE(k): q = n div k, r = n mod k; buckets 1..r hold q+1 rows,
+      // buckets r+1..k hold q. (The otherwise-branch `div q` is reached
+      // only when rn > r·(q+1), which requires q ≥ 1 — no division by
+      // zero under ANSI.)
+      .withColumn("q", expr("n div 10"))
+      .withColumn("r", expr("n % 10"))
+      .withColumn("decile",
+        when(col("rn") <= (col("q") + 1) * col("r"),
+          expr("(rn - 1) div (q + 1) + 1"))
+          .otherwise(expr("r + (rn - r * (q + 1) - 1) div q + 1"))
+          .cast("int"))
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n_customers"),
@@ -563,16 +583,33 @@ object Relational {
     * windows run over distinct values only). */
   private def histogramRanks(df: DataFrame, partCols: Seq[String],
       valueCol: String): DataFrame = {
-    val wOrd =
-      if (partCols.isEmpty) Window.orderBy(valueCol)
-      else Window.partitionBy(partCols.map(col): _*).orderBy(valueCol)
-    val wAll =
-      if (partCols.isEmpty) Window.partitionBy()
-      else Window.partitionBy(partCols.map(col): _*)
-    df.groupBy((partCols :+ valueCol).map(col): _*).agg(count(lit(1)).as("c"))
-      .withColumn("hi_rn", sum(col("c")).over(wOrd))
-      .withColumn("lo_rn", col("hi_rn") - col("c") + 1)
-      .withColumn("n", sum(col("c")).over(wAll))
+    val hist = df.groupBy((partCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    if (partCols.isEmpty) {
+      // ungrouped: `Window.orderBy(value)` would funnel every DISTINCT
+      // value through one task — and distinct durations/values grow with
+      // observation span (a year-long lookback ≈ 31 M distinct seconds),
+      // the exact t33 single-task pattern. The Blelloch two-phase scan
+      // ([[Prefix.cumSumTwoPhase]]) computes the same cumulative count
+      // range-partitioned by value, and the 1-row grand total rides a
+      // broadcast instead of an empty-frame window.
+      val cum = Prefix.cumSumTwoPhase(hist, Nil, Seq(valueCol), "c")
+        .withColumnRenamed("cum", "hi_rn")
+      // grand total = the last running sum; aggregating the scan output
+      // (whose partitioned RDD is persisted) avoids re-running the
+      // histogram groupBy for a second pass
+      cum.withColumn("lo_rn", col("hi_rn") - col("c") + 1)
+        .crossJoin(broadcast(cum.agg(max(col("hi_rn")).as("n"))))
+    } else {
+      // grouped: groups are numerous and individually bounded (years,
+      // flags), so the per-group window parallelizes correctly
+      val wOrd = Window.partitionBy(partCols.map(col): _*).orderBy(valueCol)
+      val wAll = Window.partitionBy(partCols.map(col): _*)
+      hist
+        .withColumn("hi_rn", sum(col("c")).over(wOrd))
+        .withColumn("lo_rn", col("hi_rn") - col("c") + 1)
+        .withColumn("n", sum(col("c")).over(wAll))
+    }
   }
 
   /** The value whose rank span covers the nearest-rank position
@@ -588,8 +625,10 @@ object Relational {
     * integer seconds (floor-divided milliseconds), so every statistic —
     * including the rank-picked percentiles, same histogram discipline as
     * q33 — is exact integer arithmetic with zero cross-engine FP risk;
-    * only the mean divides, and it rides the DECIMAL sum. The global
-    * rank windows run over the distinct-duration frame, not raw events. */
+    * only the mean divides, and it rides the DECIMAL sum. The global rank
+    * spans come from the two-phase prefix scan over the distinct-duration
+    * histogram (no single-task window even as distinct durations grow
+    * with observation span — see [[histogramRanks]]). */
   def q34TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
     val durations = funnelFlags(Tables(spark, dir, "events"))
       .groupBy("user_id")
@@ -949,13 +988,15 @@ object Relational {
     * row emits the exact count plus a `within_3pct` accuracy verdict
     * computed against the estimate — the oracle recomputes the exact side
     * and claims the verdict true, so a sketch drifting past its error
-    * budget (HLL lgK=12 has σ ≈ 0.8%) breaks the row hash. */
+    * budget breaks the row hash. lgK is pinned at 14 (σ ≈ 0.4%) so the
+    * 3% budget sits ≈ 7.5σ out — the TRUE claim is not scale-fragile:
+    * at any corpus size a tail excursion is a code defect, not noise. */
   def q41HllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders").select(
       year(col("o_orderdate")).as("yr"),
       month(col("o_orderdate")).as("mo"), col("o_custkey"))
     val monthly = o.groupBy("yr", "mo")
-      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
     val merged = monthly.groupBy("yr")
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
     val exact = o.groupBy("yr")
@@ -1318,13 +1359,14 @@ object Relational {
     * scan as a 7-day one — this is why the approximate twin exists. The
     * estimate is engine-specific, so the contract row follows the q41
     * verdict discipline: exact count (q48's plan) + a within-3% boolean
-    * the oracle claims true — an HLL drifting past lgK=12's error budget
-    * (σ ≈ 0.8%) breaks the row hash. */
+    * the oracle claims true. lgK is pinned at 14 (σ ≈ 0.4%, 3% ≈ 7.5σ)
+    * so the claim holds at any data scale — a budget excursion means a
+    * broken sketch path, not an unlucky regeneration. */
   def q50SlidingDistinctHll(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir, "orders")
       .select(to_date(col("o_orderdate")).as("d0"),
         col("o_custkey").as("u"))
-      .groupBy("d0").agg(expr("hll_sketch_agg(u)").as("sk"))
+      .groupBy("d0").agg(expr("hll_sketch_agg(u, 14)").as("sk"))
     val est = daily
       .select(explode(sequence(lit(0), lit(6))).as("o"), col("d0"), col("sk"))
       .select(date_add(col("d0"), col("o")).as("d"), col("sk"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -549,9 +549,31 @@ object TrainingData {
     Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), threshold = 0.2)
       .orderBy("d1", "d2")
 
-  /** MinHash+LSH near-duplicates (no SQL oracle: seeded xxhash64 has no
-    * DuckDB equivalent; validated against d02's exact Jaccard in tests). */
-  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+  /** MinHash+LSH contract row, VERDICT form: the LSH pair set laid over
+    * the exact Jaccard pair set as a per-pair full-outer diff —
+    * `(d1, d2, in_exact, in_lsh)`. The oracle recomputes the exact pairs
+    * in DuckDB and claims both flags TRUE for exactly those pairs, so ANY
+    * divergence is row-pinpointed: a missed pair surfaces as
+    * `in_lsh = false` (hash mismatch), a spurious pair as an extra
+    * `in_exact = false` row (row-count mismatch). This is the per-pair
+    * strengthening of the d03a count audit; seeded-xxhash64 signatures
+    * themselves have no SQL form, so the RAW pair set ships as the
+    * bench-only `d03r` entry pinned by its committed golden. */
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2).select("d1", "d2")
+    val lsh = Dedup.minhashNearDuplicates(docs, threshold = 0.2).select("d1", "d2")
+    exact.withColumn("in_exact", lit(true))
+      .join(lsh.withColumn("in_lsh", lit(true)), Seq("d1", "d2"), "full_outer")
+      .select(col("d1"), col("d2"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"),
+        coalesce(col("in_lsh"), lit(false)).as("in_lsh"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Raw MinHash+LSH pair set (bench + golden entry; the d03 contract row
+    * is the oracle-checkable verdict form above). */
+  def d03RawPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDuplicates(Tables(spark, dir, "documents"), threshold = 0.2)
       .orderBy("d1", "d2")
 
@@ -572,8 +594,42 @@ object TrainingData {
       .crossJoin(exact.join(lsh, Seq("d1", "d2")).agg(count(lit(1)).as("n_both")))
   }
 
-  /** SimHash near-duplicates (no SQL oracle; validated in tests). */
-  def d04Simhash(spark: SparkSession, dir: String): DataFrame =
+  /** SimHash contract row, VERDICT form: one hash-checkable row —
+    * `(n_fp_pairs, fp_full_recall, hamming_in_range, pairs_canonical)`.
+    * Equal content fingerprints (lower-case + whitespace-collapse) mean
+    * identical token streams, bit-equal SimHashes, hamming 0, and
+    * CERTAIN recovery by the pigeonhole banding — the oracle recomputes
+    * the fp-pair count in DuckDB and claims full recall (vacuously true
+    * on a generation without exact dups, which is why the row also
+    * carries claims that always bite: every emitted pair's verified
+    * hamming within [0, maxHamming] and canonical d1 < d2 form).
+    * Near-pairs beyond the fingerprint relation carry no recall
+    * guarantee (see [[Dedup.simhashNearDuplicates]]) and ship as the
+    * bench-only `d04r` raw entry pinned by its golden. */
+  def d04Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val fp = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val exactPairs = fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val sim = Dedup.simhashNearDuplicates(docs, maxHamming = 6)
+    exactPairs.agg(count(lit(1)).as("n_fp_pairs"))
+      .crossJoin(broadcast(exactPairs
+        .join(sim.select("d1", "d2"), Seq("d1", "d2")).agg(count(lit(1)).as("nr"))))
+      .crossJoin(broadcast(sim.agg(
+        coalesce(min(col("hamming").between(0, 6)), lit(true))
+          .as("hamming_in_range"),
+        coalesce(min(col("d1") < col("d2")), lit(true))
+          .as("pairs_canonical"))))
+      .select(col("n_fp_pairs"),
+        (col("nr") === col("n_fp_pairs")).as("fp_full_recall"),
+        col("hamming_in_range"), col("pairs_canonical"))
+  }
+
+  /** Raw SimHash pair set (bench + golden entry; the d04 contract row is
+    * the oracle-checkable verdict form above). */
+  def d04RawPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDuplicates(Tables(spark, dir, "documents"), maxHamming = 6)
       .orderBy("d1", "d2")
 
@@ -601,9 +657,37 @@ object TrainingData {
         .agg(count(lit(1)).as("n_recovered")))
   }
 
-  /** Winnowing rolling-hash near-duplicates (no SQL oracle: xxhash64 has
-    * no DuckDB equivalent; validated against fixtures in DedupSpec). */
-  def d06Winnowing(spark: SparkSession, dir: String): DataFrame =
+  /** Winnowing contract row, VERDICT form: one hash-checkable row —
+    * `(n_exact, recall_85pct, scores_in_range, pairs_canonical)`. The
+    * oracle recomputes the exact-Jaccard pair count and claims all three
+    * booleans TRUE: recall of the exact pairs ≥ 85% (the margin rationale
+    * lives on [[d06aWinnowRecall]] — winnowing only GUARANTEES shared
+    * fingerprints for ≥ k+w−1-char contiguous runs, so full recall is
+    * corpus-dependent and the bar sits under the observed 93.8–100%
+    * generation band), every emitted sampled-Jaccard within [minJaccard,
+    * 1], and every pair in canonical d1 < d2 form. The raw pair set
+    * (xxhash64 fingerprints, no SQL form) ships as the bench-only `d06r`
+    * entry pinned by its golden. */
+  def d06Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2).select("d1", "d2")
+    val win = Dedup.winnowingNearDuplicates(docs, minJaccard = 0.2)
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(exact.join(win.select("d1", "d2"), Seq("d1", "d2"))
+        .agg(count(lit(1)).as("nr"))))
+      .crossJoin(broadcast(win.agg(
+        coalesce(min(col("jaccard").between(0.2, 1.0)), lit(true))
+          .as("scores_in_range"),
+        coalesce(min(col("d1") < col("d2")), lit(true))
+          .as("pairs_canonical"))))
+      .select(col("n_exact"),
+        (col("nr") * 20 >= col("n_exact") * 17).as("recall_85pct"),
+        col("scores_in_range"), col("pairs_canonical"))
+  }
+
+  /** Raw winnowing pair set (bench + golden entry; the d06 contract row
+    * is the oracle-checkable verdict form above). */
+  def d06RawPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowingNearDuplicates(Tables(spark, dir, "documents"), minJaccard = 0.2)
       .orderBy("d1", "d2")
 
@@ -646,10 +730,30 @@ object TrainingData {
     Dedup.dedupManifest(Tables(spark, dir, "documents"), threshold = 0.2)
       .orderBy("doc_id")
 
-  /** Scale-path dedup manifest: MinHash+LSH near-dup evidence instead of
-    * the exact Jaccard join (no SQL oracle: seeded xxhash64; recall vs the
-    * exact manifest is asserted in DedupSpec). */
-  def d10DedupManifestApprox(spark: SparkSession, dir: String): DataFrame =
+  /** Scale-path dedup manifest contract row, VERDICT form: the
+    * LSH-evidence manifest per document, annotated with its agreement
+    * against the exact manifest DuckDB recomputes via recursive CTE —
+    * `(doc_id, keeper_id, is_keeper, agrees_exact)` where `keeper_id` /
+    * `is_keeper` come from the APPROXIMATE path. The oracle produces the
+    * exact manifest and claims `agrees_exact = TRUE` everywhere, so a
+    * document the LSH path assigns to a different cluster fails BOTH the
+    * keeper_id value and the flag — the per-document strengthening of the
+    * d10a count audit. The raw approximate manifest ships as the
+    * bench-only `d10r` entry pinned by its golden. */
+  def d10DedupManifestApprox(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val approx = Dedup.dedupManifestApprox(docs, threshold = 0.2)
+    val exact = Dedup.dedupManifest(docs, threshold = 0.2)
+      .select(col("doc_id"), col("keeper_id").as("k_exact"))
+    approx.join(exact, "doc_id")
+      .select(col("doc_id"), col("keeper_id"), col("is_keeper"),
+        (col("keeper_id") === col("k_exact")).as("agrees_exact"))
+      .orderBy("doc_id")
+  }
+
+  /** Raw LSH-evidence manifest (bench + golden entry; the d10 contract
+    * row is the oracle-checkable verdict form above). */
+  def d10RawManifest(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupManifestApprox(Tables(spark, dir, "documents"), threshold = 0.2)
       .orderBy("doc_id")
 
@@ -798,8 +902,80 @@ object TrainingData {
       col("vec_id") < 5, k = 5)
       .orderBy("qid", "rank")
 
-  /** SRP-LSH approximate top-5 (no SQL oracle; recall vs s02 in tests). */
-  def s03SrpAnnTopK(spark: SparkSession, dir: String): DataFrame =
+  /** Shared ANN contract-verdict skeleton (s03/s04/s07): one row per
+    * pinned query with every column an oracle-claimable constant —
+    * `(qid, prod_ranks_dense, prod_self_excluded, [prod_scores_match,]
+    * <dial column>)`.
+    *
+    * The PRODUCTION-dial result is checked structurally (ranks are a
+    * dense 1..n, self never returned) and — where the index scores with
+    * true cosine (SRP, IVF) — every returned score is re-derived from the
+    * stored vectors and must match within 2e-4 (the score is exact by
+    * construction; the tolerance only absorbs 1-ulp float-association
+    * drift, the same budget SimilaritySpec uses). The EXACT-dial run
+    * (zero planes / full probe / whole-corpus rerank) is compared
+    * row-for-row against [[Similarity.bruteForceTopK]] — the frame the
+    * driver separately hash-verifies against DuckDB as s02 — so the
+    * `<dial>` flag chains the whole index pipeline to the cross-engine
+    * oracle. Every claim is DETERMINISTICALLY true for a correct engine
+    * regardless of how the driver regenerates the corpus: nothing here
+    * pins the probabilistic candidate sets themselves (those ship as the
+    * bench-only `s03r`/`s04r`/`s07r` entries pinned by goldens).
+    *
+    * Queries with an empty production bucket (possible for SRP at 8
+    * planes) still emit their row: structural checks are vacuously TRUE
+    * on a LEFT join, while a missing dial comparison coalesces to FALSE —
+    * loud, because brute force always returns rows. */
+  private def annVerdict(emb: DataFrame, queryFilter: Column, k: Int,
+      prod: DataFrame, checkScores: Boolean,
+      exactDial: DataFrame, dialColName: String): DataFrame = {
+    val queries = emb.filter(queryFilter).select(col("vec_id").as("qid"))
+    val prodChecks0 = prod
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
+      .groupBy("qid").agg(
+        (sort_array(collect_list(col("rank"))) ===
+          sequence(lit(1), count(lit(1)).cast("int"))).as("prod_ranks_dense"),
+        min(col("nid") =!= col("qid")).as("prod_self_excluded"),
+        min(abs(col(if (checkScores) "cos" else "rank").cast("double") -
+          (if (checkScores) Similarity.cosine(col("qv"), col("nv"))
+           else col("rank").cast("double"))) <= 2e-4).as("prod_scores_match"))
+    val fd = exactDial.select("qid", "rank", "nid", "cos")
+      .withColumn("in_fd", lit(true))
+    val bf = Similarity.bruteForceTopK(emb, queryFilter, k)
+      .select("qid", "rank", "nid", "cos").withColumn("in_bf", lit(true))
+    val dial = fd.join(bf, Seq("qid", "rank", "nid", "cos"), "full_outer")
+      .groupBy("qid")
+      .agg(min(col("in_fd").isNotNull && col("in_bf").isNotNull).as("dial_ok"))
+    val base = queries
+      .join(prodChecks0, Seq("qid"), "left")
+      .join(dial, Seq("qid"), "left")
+    val cols = Seq(
+      col("qid"),
+      coalesce(col("prod_ranks_dense"), lit(true)).as("prod_ranks_dense"),
+      coalesce(col("prod_self_excluded"), lit(true)).as("prod_self_excluded")) ++
+      (if (checkScores)
+        Seq(coalesce(col("prod_scores_match"), lit(true)).as("prod_scores_match"))
+      else Nil) :+
+      coalesce(col("dial_ok"), lit(false)).as(dialColName)
+    base.select(cols: _*).orderBy("qid")
+  }
+
+  /** SRP-LSH contract row, VERDICT form (see [[annVerdict]]): production
+    * 8-plane run checked structurally + score-exactly, zero-plane dial
+    * checked equal to brute force. Raw top-k is the bench-only `s03r`. */
+  def s03SrpAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val qf = col("vec_id") < 5
+    annVerdict(emb, qf, k = 5,
+      prod = Similarity.srpBucketTopK(emb, qf, k = 5), checkScores = true,
+      exactDial = Similarity.srpBucketTopK(emb, qf, k = 5, numPlanes = 0),
+      dialColName = "zero_plane_matches_brute")
+  }
+
+  /** Raw SRP-LSH approximate top-5 (bench + golden entry; the s03
+    * contract row is the oracle-checkable verdict form above). */
+  def s03RawTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.srpBucketTopK(Tables(spark, dir, "embeddings"),
       col("vec_id") < 5, k = 5)
       .orderBy("qid", "rank")
@@ -814,9 +990,23 @@ object TrainingData {
       col("vec_id") < 5, k = 5, numPlanes = 0)
       .orderBy("qid", "rank")
 
-  /** IVF ANN top-5 (no SQL oracle: KMeans cells have no DuckDB analog;
-    * exactness at full probe + structure verified in SimilaritySpec). */
-  def s04IvfAnnTopK(spark: SparkSession, dir: String): DataFrame =
+  /** IVF contract row, VERDICT form (see [[annVerdict]]): production
+    * partial-probe run checked structurally + score-exactly, full-probe
+    * dial checked equal to brute force. One index build serves both
+    * probes (the production shape). Raw top-k is the bench-only `s04r`. */
+  def s04IvfAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val qf = col("vec_id") < 5
+    val idx = Similarity.buildIvfIndex(emb, nlist = 8)
+    annVerdict(emb, qf, k = 5,
+      prod = idx.topK(qf, k = 5), checkScores = true,
+      exactDial = idx.topK(qf, k = 5, nprobe = 8),
+      dialColName = "full_probe_matches_brute")
+  }
+
+  /** Raw IVF approximate top-5 (bench + golden entry; the s04 contract
+    * row is the oracle-checkable verdict form above). */
+  def s04RawTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables(spark, dir, "embeddings"),
       col("vec_id") < 5, k = 5)
       .orderBy("qid", "rank")
@@ -843,10 +1033,24 @@ object TrainingData {
     Similarity.quantizationProfile(Tables(spark, dir, "embeddings"))
       .orderBy("vec_id")
 
-  /** Product-quantization ANN top-k via asymmetric distance (no SQL
-    * oracle: Spark-ML KMeans codebooks; exactness on lossless fixtures and
-    * shape on real data are asserted in SimilaritySpec). */
-  def s07PqTopK(spark: SparkSession, dir: String): DataFrame =
+  /** PQ contract row, VERDICT form (see [[annVerdict]]): production
+    * ADC-only run checked structurally (ADC scores are approximate by
+    * design, so no score claim), whole-corpus-rerank dial checked equal
+    * to brute force. One codebook build serves both probes. Raw ADC
+    * top-k is the bench-only `s07r`. */
+  def s07PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val qf = col("vec_id") < 5
+    val idx = Similarity.buildPqIndex(emb)
+    annVerdict(emb, qf, k = 5,
+      prod = Similarity.pqProbe(idx, emb, qf, topK = 5), checkScores = false,
+      exactDial = Similarity.pqProbe(idx, emb, qf, topK = 5, rerank = Int.MaxValue),
+      dialColName = "rerank_matches_brute")
+  }
+
+  /** Raw PQ ADC-only top-5 (bench + golden entry; the s07 contract row is
+    * the oracle-checkable verdict form above). */
+  def s07RawTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(Tables(spark, dir, "embeddings"),
       col("vec_id") < 5, topK = 5)
       .orderBy("qid", "rank")
@@ -1521,8 +1725,14 @@ object TrainingData {
         col("keep_docs"),
         expr("(keep_docs * 2000000L + n_docs) div (n_docs * 2)").as("keep_ppm"),
         col("bench_docs"), col("contam_docs"),
-        expr("""(contam_docs * 2000000L + (n_docs - bench_docs))
-          div ((n_docs - bench_docs) * 2)""").as("contam_ppm"))
+        // a source whose docs are ALL benchmark rows has zero training
+        // docs — the rate's denominator vanishes; report 0 explicitly on
+        // both sides (Spark `div` would yield NULL, DuckDB `//` would
+        // ERROR, so an unguarded divide diverges cross-engine)
+        when(col("n_docs") > col("bench_docs"),
+          expr("""(contam_docs * 2000000L + (n_docs - bench_docs))
+            div ((n_docs - bench_docs) * 2)"""))
+          .otherwise(lit(0L)).as("contam_ppm"))
       .orderBy("source")
   }
 

@@ -31,6 +31,19 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain_long"
 
+  // Array[Byte] equality is reference-based, so the synthesized case-class
+  // equals/hashCode would treat two gates over IDENTICAL filter bits as
+  // distinct expressions — defeating Catalyst canonicalization /
+  // semanticEquals and common-subexpression elimination. Compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case that: BloomMightContainLong =>
+      child == that.child &&
+        java.util.Arrays.equals(bloomBytes, that.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
 

@@ -90,9 +90,9 @@ object Similarity {
     * Scale shape: the corpus work is exactly [[bruteForceTopK]]'s one
     * scan (shortlist per query by unrounded cosine, self excluded,
     * deterministic (rel desc, nid) order); the O(k·shortlist²) greedy
-    * then runs driver-side over the collected shortlist — a CONSTANT
-    * `|queries| × shortlist` frame, the same bounded-driver-state
-    * justification as the PQ codebooks (at production scale the
+    * then runs EXECUTOR-side, one `flatMapGroups` group per query with
+    * ≤`shortlist` rows of state — queries distribute across the cluster,
+    * nothing query-sized touches the driver (at production scale the
     * shortlist comes from the ANN index, s03/s04/s07, not brute force).
     * Selection compares unrounded doubles with ties to the smaller id,
     * and every cosine accumulates in index order ([[FloatVectorDot]]'s
@@ -118,12 +118,19 @@ object Similarity {
     }
     def cosD(a: Array[Float], b: Array[Float]): Double =
       dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
-    val picked = cand.select("qid", "nid", "rel", "nv").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getSeq[Float](3).toArray))
-      .groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+    // the O(k·shortlist²) greedy runs EXECUTOR-side, one group per query
+    // via flatMapGroups: per-group state is the ≤`shortlist`-row slice,
+    // so a 10 M-row queryFilter distributes across the cluster instead of
+    // materializing on the driver (the r6 audit's silent-OOM hole). The
+    // selection rule is order-independent (strictly-greater-or-smaller-id
+    // wins), so the group iterator's arrival order cannot change a pick.
+    cand.select("qid", "nid", "rel", "nv")
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
         var selected = Vector.empty[(Long, Array[Float])]
-        var remaining = cs.map(c => (c._2, c._3, c._4)).toBuffer
+        val remaining =
+          scala.collection.mutable.ArrayBuffer.from(it.map(c => (c._2, c._3, c._4)))
         val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
         while (selected.size < k && remaining.nonEmpty) {
           val best = remaining.map { case (nid, rel, v) =>
@@ -135,11 +142,11 @@ object Similarity {
             if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a)
           out += ((qid, selected.size + 1, best._1, best._2))
           selected = selected :+ ((best._1, best._3))
-          remaining = remaining.filterNot(_._1 == best._1)
+          remaining.filterInPlace(_._1 != best._1)
         }
-        out
+        out.iterator
       }
-    picked.toSeq.toDF("qid", "rank", "vec_id", "rel0")
+      .toDF("qid", "rank", "vec_id", "rel0")
       .select(col("qid"), col("rank"), col("vec_id"),
         round(col("rel0"), 4).as("rel"))
       .orderBy("qid", "rank")
@@ -503,11 +510,12 @@ object Similarity {
 
   /** PQ approximate top-k via asymmetric distance computation: per query,
     * the m·k dot products query-subvector · centroid are precomputed into
-    * a tiny table (driver-side — codebooks live on the driver after
-    * training), and the corpus scan scores each vector by m table lookups
-    * on its CODES, never touching the original floats. The lookup is a
-    * native fold expression over a literal table — codegen-friendly, no
-    * UDF, and the scan reads m ints per row instead of dim floats. */
+    * a tiny per-row table (in-plan — only the codebooks live on the
+    * driver after training), and the corpus scan scores each vector by m
+    * table lookups on its CODES, never touching the original floats. The
+    * lookup is a native fold expression over a literal table —
+    * codegen-friendly, no UDF, and the scan reads m ints per row instead
+    * of dim floats. */
   def pqTopK(emb: DataFrame, queryFilter: Column, topK: Int, m: Int = 8,
       k: Int = 16, maxTrainRows: Int = 100000, rerank: Int = 0): DataFrame = {
     val idx = buildPqIndex(emb, m, k, maxTrainRows)
@@ -531,28 +539,28 @@ object Similarity {
   def pqProbe(idx: PqIndex, emb: DataFrame, queryFilter: Column,
       topK: Int, m: Int = 8, rerank: Int = 0): DataFrame = {
     val dsub = idx.codebooks(0)(0).length
-      val queries = emb.filter(queryFilter)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
-      // tables(q)(i)(c) = dot(query q's subvector i, centroid c)
-      val tables: Seq[Seq[Seq[Double]]] = queries.toSeq.map { case (_, qv) =>
-        (0 until m).map { i =>
-          idx.codebooks(i).toSeq.map { cent =>
-            var acc = 0.0
-            var d = 0
-            while (d < dsub) { acc += qv(i * dsub + d).toDouble * cent(d); d += 1 }
-            acc
-          }
-        }
-      }
-      // each query's m×k table rides the broadcast frame as DATA, not as
-      // one literal expression: a typedlit of ALL tables grows the
-      // generated code O(|queries|·m·k) and becomes the bottleneck at
-      // thousands of queries, while a per-row array column keeps codegen
-      // constant-size and the broadcast a few KB per query
-      val qdf = emb.sparkSession.createDataFrame(
-        queries.toSeq.zip(tables).map { case ((q, _), t) => (q, t) })
-        .toDF("qid", "qtab")
+      // ADC tables are built IN-PLAN: the codebooks (m·k·dsub floats — a
+      // few KB of driver state bounded by the INDEX, never by the corpus
+      // or the query count) enter as one complex literal, and each query
+      // row derives its own m×k table qtab[i][c] = dot(query subvector i,
+      // centroid c) with native fold expressions — float operands widened
+      // to double and accumulated in index order, the same arithmetic the
+      // old driver loop ran. Nothing query-sized is ever collected, so a
+      // 10 M-row queryFilter stays distributed end to end (the r6 audit's
+      // silent-driver-OOM hole). Each query's table still rides the
+      // broadcast frame as DATA, not as one literal expression: a
+      // typedlit of ALL tables would grow the generated code
+      // O(|queries|·m·k), while the per-row column keeps codegen
+      // constant-size and the broadcast a few KB per query.
+      val cb = typedlit(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val qdf = emb.filter(queryFilter)
+        .select(col("vec_id").as("qid"),
+          transform(sequence(lit(1), lit(m)), i =>
+            transform(element_at(cb, i), cent =>
+              aggregate(sequence(lit(1), lit(dsub)), lit(0.0d), (acc, d) =>
+                acc + element_at(col("embedding"), (i - lit(1)) * dsub + d)
+                  .cast("double") * element_at(cent, d).cast("double"))))
+            .as("qtab"))
       val scored = idx.codes.crossJoin(broadcast(qdf))
         .filter(col("qid") =!= col("vec_id"))
         .withColumn("approx_dot",

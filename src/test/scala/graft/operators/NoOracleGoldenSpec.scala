@@ -2,8 +2,10 @@ package graft.operators
 
 import graft.{Goldens, SparkTestBase}
 
-/** Pins the 7 `no_oracle` contract queries (LSH/ANN candidate sets the
-  * driver can't SQL-diff) to committed golden hashes at sf0.01 and sf0.1 —
+/** Pins the 7 raw probabilistic bench-only queries (LSH/ANN candidate
+  * sets the driver can't SQL-diff; their CONTRACT keys carry
+  * oracle-checkable verdict forms) to committed golden hashes at sf0.01
+  * and sf0.1 —
   * see [[graft.Goldens]] for why each golden is keyed to an input-table
   * fingerprint. A fingerprint mismatch means the driver regenerated the
   * testdata, NOT an engine bug: the test CANCELS with the refresh command
@@ -40,7 +42,7 @@ class NoOracleGoldenSpec extends SparkTestBase {
           s"(recorded $wantInput, found $gotInput) — refresh with: " +
           "sbt \"runMain graft.Goldens\"")
       val gotHash = Goldens.resultHash(
-        graft.SparkEntry.queries(q)(spark, sf(sfName)))
+        Goldens.allQueries(q)(spark, sf(sfName)))
       assert(gotHash == wantHash,
         s"$key output changed on UNCHANGED input data — a probabilistic-" +
           s"path behavior change (seed/banding/quantizer), not a corpus " +
