@@ -128,6 +128,7 @@ object SparkEntry {
     "d06_winnowing" -> (TrainingData.d06Winnowing _),
     "d06a_winnow_recall" -> (TrainingData.d06aWinnowRecall _),
     "d07_dedup_clusters" -> (TrainingData.d07DedupClusters _),
+    "d19_clusters_logstar" -> (TrainingData.d19ClustersLogStar _),
     "d08_dedup_manifest" -> (TrainingData.d08DedupManifest _),
     "d09_contamination" -> (TrainingData.d09Contamination _),
     "d10_dedup_manifest_lsh" -> (TrainingData.d10DedupManifestApprox _),
@@ -242,6 +243,24 @@ object SparkEntry {
       |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Recursive-CTE connected components over the exact Jaccard pairs —
+    * the single oracle both cluster algorithms (d07 min-label
+    * propagation, d19 large-star/small-star) must reproduce. */
+  private lazy val clustersOracleSql: String =
+    s"""WITH RECURSIVE $ngramCtes,
+      |pairs AS (SELECT d1, d2 FROM common
+      |  JOIN sizes s1 ON d1 = s1.doc_id
+      |  JOIN sizes s2 ON d2 = s2.doc_id
+      |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION ALL SELECT d2, d1 FROM pairs),
+      |walk AS (
+      |  SELECT src AS id, src AS label FROM edges
+      |  UNION
+      |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id)
+      |SELECT id AS doc_id, MIN(label) AS cluster_id
+      |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared DuckDB CTE chain for the dedup MANIFEST (d08/d12): exact
     * evidence from fingerprint groups, near evidence computed over the
@@ -1630,20 +1649,10 @@ object SparkEntry {
       s"""WITH RECURSIVE $manifestCtes
         |SELECT COUNT(*) AS n_docs, COUNT(*) AS n_agree
         |FROM manifest""".stripMargin,
-    "d07_dedup_clusters" ->
-      s"""WITH RECURSIVE $ngramCtes,
-        |pairs AS (SELECT d1, d2 FROM common
-        |  JOIN sizes s1 ON d1 = s1.doc_id
-        |  JOIN sizes s2 ON d2 = s2.doc_id
-        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
-        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-        |  UNION ALL SELECT d2, d1 FROM pairs),
-        |walk AS (
-        |  SELECT src AS id, src AS label FROM edges
-        |  UNION
-        |  SELECT e.src AS id, w.label FROM walk w JOIN edges e ON e.dst = w.id)
-        |SELECT id AS doc_id, MIN(label) AS cluster_id
-        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d07_dedup_clusters" -> clustersOracleSql,
+    // the O(log n) star-rewrite variant resolves the SAME components —
+    // one oracle, two engines' worth of algorithms checked against it
+    "d19_clusters_logstar" -> clustersOracleSql,
     "d08_dedup_manifest" ->
       s"""WITH RECURSIVE $manifestCtes
         |SELECT doc_id, keeper_id, doc_id = keeper_id AS is_keeper

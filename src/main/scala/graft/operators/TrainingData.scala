@@ -724,6 +724,15 @@ object TrainingData {
       Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), threshold = 0.2))
       .orderBy("doc_id")
 
+  /** d07's components via the O(log n) large-star/small-star rewrite
+    * ([[Dedup.dedupClustersLogStar]]) — same answer against the same
+    * recursive-CTE oracle, with a round count independent of component
+    * diameter (the chain-shaped-graph insurance d07's scaladoc cites). */
+  def d19ClustersLogStar(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClustersLogStar(
+      Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), threshold = 0.2))
+      .orderBy("doc_id")
+
   /** End-to-end dedup manifest: exact + near-dup evidence resolved to one
     * keeper per document — the corpus keep/drop decision. */
   def d08DedupManifest(spark: SparkSession, dir: String): DataFrame =

@@ -106,6 +106,33 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("log-star components equal propagation on fixtures and real pairs") {
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixture = Seq((10L, 20L), (20L, 30L), (50L, 60L)).toDF("d1", "d2")
+    assert(asMap(Dedup.dedupClustersLogStar(fixture)) ==
+      Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 50L -> 50L, 60L -> 50L))
+    val real = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(real, threshold = 0.2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(asMap(Dedup.dedupClustersLogStar(pairs)) ==
+      asMap(Dedup.dedupClusters(pairs)))
+    pairs.unpersist()
+  }
+
+  test("log-star resolves the chain graph the propagation form refuses") {
+    // a 201-node path has diameter 200: one-hop min-label propagation
+    // needs 200 rounds and must REFUSE at its cap rather than return a
+    // split component; the star rewrite contracts it in O(log n) rounds
+    val chain = (0 until 200).map(i => (i.toLong, i + 1L)).toDF("d1", "d2")
+    val labels = Dedup.dedupClustersLogStar(chain).collect()
+    assert(labels.length == 201)
+    assert(labels.forall(_.getLong(1) == 0L), "chain must be ONE cluster")
+    val refusal = intercept[IllegalArgumentException](
+      Dedup.dedupClusters(chain, maxIter = 20))
+    assert(refusal.getMessage.contains("did not converge"))
+  }
+
   test("dedup manifest: exact + near evidence resolve to one keeper per doc") {
     val got = Dedup.dedupManifest(docs, threshold = 0.2).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
