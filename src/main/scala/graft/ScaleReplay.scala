@@ -42,8 +42,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleReplay {
 
-  /** Tables replicated with key offsets; everything else copies as-is. */
-  private def replicate(spark: SparkSession, base: String, out: String,
+  /** Tables replicated with key offsets; everything else copies as-is.
+    * `private[graft]` so ScaleReplaySpec can exercise the builder without
+    * going through main() (which owns and stops its own session). */
+  private[graft] def replicate(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {
     import java.nio.file.{Files, Paths}
     val ready = Paths.get(out, "_READY")

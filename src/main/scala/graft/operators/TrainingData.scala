@@ -939,6 +939,11 @@ object TrainingData {
       prod: DataFrame, checkScores: Boolean,
       exactDial: DataFrame, dialColName: String): DataFrame = {
     val queries = emb.filter(queryFilter).select(col("vec_id").as("qid"))
+    val scoreOk: Column =
+      if (checkScores)
+        min(abs(col("cos").cast("double") -
+          Similarity.cosine(col("qv"), col("nv"))) <= 2e-4)
+      else min(lit(true)) // vacuous for score-approximate indexes (PQ ADC)
     val prodChecks0 = prod
       .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
       .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
@@ -946,9 +951,7 @@ object TrainingData {
         (sort_array(collect_list(col("rank"))) ===
           sequence(lit(1), count(lit(1)).cast("int"))).as("prod_ranks_dense"),
         min(col("nid") =!= col("qid")).as("prod_self_excluded"),
-        min(abs(col(if (checkScores) "cos" else "rank").cast("double") -
-          (if (checkScores) Similarity.cosine(col("qv"), col("nv"))
-           else col("rank").cast("double"))) <= 2e-4).as("prod_scores_match"))
+        scoreOk.as("prod_scores_match"))
     val fd = exactDial.select("qid", "rank", "nid", "cos")
       .withColumn("in_fd", lit(true))
     val bf = Similarity.bruteForceTopK(emb, queryFilter, k)
