@@ -118,6 +118,7 @@ object SparkEntry {
     "t20_importance_weights" -> (TrainingData.t20ImportanceWeights _),
     "t21_source_cap" -> ((s, d) => TrainingData.t21SourceCap(s, d)),
     "t22_temperature_mix" -> (TrainingData.t22TemperatureMix _),
+    "t41_stratified_quota" -> (TrainingData.t41StratifiedQuota _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -1273,6 +1274,16 @@ object SparkEntry {
         |      // ((n_docs - bench_docs) * 2)
         |    ELSE 0 END AS BIGINT) AS contam_ppm
         |FROM a ORDER BY source""".stripMargin,
+    // deterministic md5 ranking: DuckDB replays the identical per-stratum
+    // selection (fixed-width lowercase hex => string order = hash order)
+    "t41_stratified_quota" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '-graft'), doc_id)
+        |      AS INT) AS rank
+        |  FROM documents)
+        |SELECT lang, rank, doc_id FROM r
+        |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
     // exact 5-gram decontamination (the Bloom gate is physical-only: no
     // false negatives, so the verified result equals this ungated SQL)
     "d16_bloom_decontam" ->

@@ -47,4 +47,51 @@ object Sampling {
   def stratified(df: DataFrame, strataCol: String,
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Exact per-stratum k-sample: for every stratum, the k rows with the
+    * smallest engine-portable hash `md5(key ‖ '-' ‖ salt)` (full-hex
+    * lexicographic order — fixed-width lowercase hex, so string order IS
+    * numeric order — ties to the key). A fixed QUOTA per class where
+    * [[stratified]] gives a fixed rate: the balanced-eval-set /
+    * per-language-probe sampler, deterministic like every sampler here
+    * (new rows never displace a selected row unless they hash below it).
+    *
+    * Scale shape: a per-stratum rank window alone would pull each
+    * stratum through one task — and strata are Zipfian (one language is
+    * most of a crawl). Instead the hash PREFIX (first 8 hex digits as a
+    * uniform u ∈ (0,1)) is thresholded map-side at `margin·k/n` per
+    * stratum (per-stratum counts ride a broadcast), so the window ranks
+    * an expected `margin·k` survivors per stratum, not the corpus. The
+    * prune is provably safe unless a stratum's k-th-smallest hash falls
+    * above the threshold — probability ≈ e^{-k(margin−1)²/(2·margin)}
+    * (Chernoff), ~10⁻¹⁰ at k=20, margin=4 — and that tail is handled by
+    * a LOUD refusal (the [[graft.dedup.Dedup.dedupClusters]] discipline:
+    * never silently wrong), telling the caller to raise `margin`. */
+  def stratifiedTopK(df: DataFrame, strataCol: String, keyCol: String,
+      k: Int, salt: String = "graft", margin: Double = 4.0): DataFrame = {
+    val hex = md5(concat(col(keyCol).cast("string"), lit(s"-$salt")))
+    val u = (conv(substring(hex, 1, 8), 16, 10).cast("long").cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    val hashed = df.withColumn("__hex", hex).withColumn("__u", u)
+    val counts = hashed.groupBy(strataCol)
+      .agg(count(lit(1)).as("__n"))
+    val pruned = hashed
+      .join(broadcast(counts), strataCol)
+      .filter(col("__u") <= least(lit(1.0),
+        lit(margin * k) / col("__n").cast("double")))
+    // sufficiency: every stratum must keep min(k, n) rows after the
+    // prune, or the threshold clipped a potential winner — refuse loudly
+    val short = pruned.groupBy(strataCol).agg(count(lit(1)).as("__kept"))
+      .join(broadcast(counts), strataCol)
+      .filter(col("__kept") < least(lit(k.toLong), col("__n")))
+      .limit(1).count()
+    require(short == 0L,
+      s"stratifiedTopK prune clipped a stratum below k=$k — raise margin ($margin)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("__hex"), col(keyCol))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .drop("__hex", "__u", "__n")
+  }
 }

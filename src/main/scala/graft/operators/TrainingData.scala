@@ -1595,6 +1595,18 @@ object TrainingData {
       .orderBy("rank")
   }
 
+  /** Exact per-language k-quota sample ([[Sampling.stratifiedTopK]]):
+    * the 20 smallest-hashed documents per language — the balanced
+    * eval-set draw. Deterministic md5 ranking, so the DuckDB oracle
+    * replays the identical selection; the map-side prune + loud
+    * sufficiency refusal keep Zipfian strata off the single-task path. */
+  def t41StratifiedQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedTopK(
+      Tables(spark, dir, "documents").select("doc_id", "lang"),
+      strataCol = "lang", keyCol = "doc_id", k = 20)
+      .select(col("lang"), col("rank"), col("doc_id"))
+      .orderBy("lang", "rank")
+
   /** Bloom-gated exact 5-gram decontamination — [[d13ExactNgramDecontam]]'s
     * scale-path twin (same benchmark split, shorter grams so mid-length
     * docs participate): the benchmark's distinct shingle hashes collapse

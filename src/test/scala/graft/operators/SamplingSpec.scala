@@ -84,4 +84,41 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(byLang("en").toDouble / totals("en") - 0.5) < 0.2)
     assert(byLang.getOrElse("de", 0L).toDouble / totals("de") < 0.35)
   }
+
+  test("stratifiedTopK: exact min(k,n) per stratum; growth never evicts unfairly") {
+    import spark.implicits._
+    val docs = ((0 until 300).map(i => (i.toLong, "en")) ++
+      (1000 until 1010).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val got = Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 20)
+    val byLang = got.collect().groupBy(_.getAs[String]("lang"))
+    assert(byLang("en").length == 20)
+    assert(byLang("fr").length == 10) // stratum smaller than k: keep all
+    assert(byLang("en").map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 20))
+    // determinism + stability: re-running and ADDING rows never changes
+    // which of the ORIGINAL rows would win against the same competitors
+    val again = Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 20)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == got.collect().map(_.getAs[Long]("doc_id")).toSet)
+    val grown = Sampling.stratifiedTopK(
+      docs.union(Seq((5000L, "en")).toDF("doc_id", "lang")),
+      "lang", "doc_id", k = 20).collect()
+      .filter(_.getAs[String]("lang") == "en")
+    assert(grown.length >= 0) // shape sanity; membership check below
+    val grownIds = Sampling.stratifiedTopK(
+      docs.union(Seq((5000L, "en")).toDF("doc_id", "lang")),
+      "lang", "doc_id", k = 20)
+      .filter(col("lang") === "en").collect().map(_.getAs[Long]("doc_id")).toSet
+    val origIds = byLang("en").map(_.getAs[Long]("doc_id")).toSet
+    // the newcomer either displaced exactly the largest-hash winner or
+    // nothing — the original selection minus at most one member survives
+    assert((origIds -- grownIds).size <= 1)
+  }
+
+  test("stratifiedTopK refuses loudly when the prune margin clips a stratum") {
+    import spark.implicits._
+    val docs = (0 until 5000).map(i => (i.toLong, "en")).toDF("doc_id", "lang")
+    val e = intercept[IllegalArgumentException](
+      Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 20, margin = 0.01))
+    assert(e.getMessage.contains("raise margin"))
+  }
 }
