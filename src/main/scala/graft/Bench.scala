@@ -136,7 +136,7 @@ object Bench {
     // in the oracle sweep (the `<id>r` keys) — both belong in the timing
     // suite: the verdict is what the driver runs, the raw form is the
     // production operator whose throughput the suite tracks
-    val suite = SparkEntry.queries ++ SparkEntry.benchOnly
+    val suite = SparkEntry.all
 
     // ---- warmup on the smallest SF (not timed)
     suite.foreach { case (_, fn) =>

@@ -35,7 +35,7 @@ object Goldens {
 
   /** Contract + bench-only entry points, for golden resolution. */
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
-    SparkEntry.queries ++ SparkEntry.benchOnly
+    SparkEntry.all
 
   /** documents for the d-family, embeddings for the s-family. */
   def inputTable(query: String): String =

@@ -53,8 +53,11 @@ object ScaleReplay {
       System.err.println(s"[replay] reusing $out")
       return
     }
-    require(!base.contains(out) && !out.startsWith("/root/testdata"),
-      s"refusing to write replicated corpus into the testdata tree: $out")
+    val (baseAbs, outAbs) = (Paths.get(base).toAbsolutePath.normalize,
+      Paths.get(out).toAbsolutePath.normalize)
+    require(!outAbs.startsWith(baseAbs) && !baseAbs.startsWith(outAbs) &&
+      !outAbs.startsWith(Paths.get("/root/testdata")),
+      s"refusing to write replicated corpus into/around the input tree: $out")
     Files.createDirectories(Paths.get(out))
 
     def read(t: String): DataFrame = spark.read.parquet(s"$base/$t.parquet")
@@ -82,9 +85,14 @@ object ScaleReplay {
 
     val docs = read("documents")
     val dOff = off(docs, "doc_id")
+    // delimited copy tag: a bare `c$i` prefix is ambiguous once factor
+    // reaches 11 (copy 1 of token "1abc" = copy 11 of token "abc"),
+    // which would let cross-copy shingles collide and break the
+    // shard-disjointness the scale factors rely on
     write("documents", copies(docs)((df, i) => df
       .withColumn("doc_id", col("doc_id") + i * dOff)
-      .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))))
+      .withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))))
 
     val emb = read("embeddings")
     val vOff = off(emb, "vec_id")

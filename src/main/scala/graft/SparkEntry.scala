@@ -119,6 +119,7 @@ object SparkEntry {
     "t21_source_cap" -> ((s, d) => TrainingData.t21SourceCap(s, d)),
     "t22_temperature_mix" -> (TrainingData.t22TemperatureMix _),
     "t41_stratified_quota" -> (TrainingData.t41StratifiedQuota _),
+    "t42_snapshot_diff" -> (TrainingData.t42SnapshotDiff _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -180,6 +181,12 @@ object SparkEntry {
     "s03r_srp_topk" -> (TrainingData.s03RawTopK _),
     "s04r_ivf_topk" -> (TrainingData.s04RawTopK _),
     "s07r_pq_topk" -> (TrainingData.s07RawTopK _))
+
+  /** The ONE registry of every runnable entry point — contract queries
+    * plus bench-only raw forms. Bench, Time, ScaleReplay, and the golden
+    * tooling all resolve through this so the unions cannot drift. */
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ benchOnly
 
   /** DuckDB replica of the [[graft.etl.TpchStar]] star derivation — the
     * WITH prefix shared by every a-query oracle, so all twelve check the
@@ -1284,6 +1291,24 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, rank, doc_id FROM r
         |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+    // snapshot CDC: both engines compare the same normalized-content
+    // fingerprints over the same deterministic synthetic snapshots
+    "t42_snapshot_diff" ->
+      """WITH oldp AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents WHERE doc_id % 9 <> 0),
+        |newp AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(
+        |      CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END,
+        |      '\s+', ' ', 'g')))) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp <> n.fp THEN 'modified'
+        |       ELSE 'unchanged' END AS status
+        |FROM oldp o FULL OUTER JOIN newp n ON o.doc_id = n.doc_id
+        |ORDER BY 1""".stripMargin,
     // exact 5-gram decontamination (the Bloom gate is physical-only: no
     // false negatives, so the verified result equals this ungated SQL)
     "d16_bloom_decontam" ->

@@ -75,15 +75,21 @@ object Sampling {
     val hashed = df.withColumn("__hex", hex).withColumn("__u", u)
     val counts = hashed.groupBy(strataCol)
       .agg(count(lit(1)).as("__n"))
-    val pruned = hashed
+    // persisted: the sufficiency-check action below and the caller's
+    // final action both ride this frame instead of re-hashing the corpus
+    val pruned = graft.Caches.persistReplacing("stratified_pruned", hashed
       .join(broadcast(counts), strataCol)
       .filter(col("__u") <= least(lit(1.0),
-        lit(margin * k) / col("__n").cast("double")))
+        lit(margin * k) / col("__n").cast("double"))))
     // sufficiency: every stratum must keep min(k, n) rows after the
-    // prune, or the threshold clipped a potential winner — refuse loudly
-    val short = pruned.groupBy(strataCol).agg(count(lit(1)).as("__kept"))
-      .join(broadcast(counts), strataCol)
-      .filter(col("__kept") < least(lit(k.toLong), col("__n")))
+    // prune, or the threshold clipped a potential winner — refuse loudly.
+    // LEFT from counts: a stratum the prune emptied ENTIRELY has no row
+    // in `pruned` at all, and an inner join would silently drop exactly
+    // the worst offender from the check
+    val kept = pruned.groupBy(strataCol).agg(count(lit(1)).as("__kept"))
+    val short = counts.join(kept, Seq(strataCol), "left")
+      .filter(coalesce(col("__kept"), lit(0L)) <
+        least(lit(k.toLong), col("__n")))
       .limit(1).count()
     require(short == 0L,
       s"stratifiedTopK prune clipped a stratum below k=$k — raise margin ($margin)")

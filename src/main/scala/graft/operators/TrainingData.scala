@@ -1002,17 +1002,20 @@ object TrainingData {
       col("vec_id") < 5, k = 5, numPlanes = 0)
       .orderBy("qid", "rank")
 
-  /** IVF contract row, VERDICT form (see [[annVerdict]]): production
-    * partial-probe run checked structurally + score-exactly, full-probe
-    * dial checked equal to brute force. One index build serves both
-    * probes (the production shape). Raw top-k is the bench-only `s04r`. */
+  /** IVF contract row, VERDICT form (see [[annVerdict]]): the
+    * PRODUCTION-geometry run (nlist=16, nprobe=4 — the exact dials the
+    * raw `s04r` entry ships, so the verdict exercises the geometry
+    * production uses, not a friendlier one) checked structurally +
+    * score-exactly, and the full-probe dial (every one of the 16 cells
+    * visited ⇒ exact by construction) checked equal to brute force. One
+    * index build serves both probes (the production shape). */
   def s04IvfAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
     val qf = col("vec_id") < 5
-    val idx = Similarity.buildIvfIndex(emb, nlist = 8)
+    val idx = Similarity.buildIvfIndex(emb, nlist = 16)
     annVerdict(emb, qf, k = 5,
-      prod = idx.topK(qf, k = 5), checkScores = true,
-      exactDial = idx.topK(qf, k = 5, nprobe = 8),
+      prod = idx.topK(qf, k = 5, nprobe = 4), checkScores = true,
+      exactDial = idx.topK(qf, k = 5, nprobe = 16),
       dialColName = "full_probe_matches_brute")
   }
 
@@ -1606,6 +1609,22 @@ object TrainingData {
       strataCol = "lang", keyCol = "doc_id", k = 20)
       .select(col("lang"), col("rank"), col("doc_id"))
       .orderBy("lang", "rank")
+
+  /** Corpus snapshot diff ([[graft.etl.CorpusStore.snapshotDiff]]): per
+    * document, added/removed/modified/unchanged between two deterministic
+    * synthetic snapshots of the corpus (old = ids ∉ 9ℤ; new = ids ∉ 7ℤ
+    * with every 5th document's text revised) — the crawl-over-crawl CDC
+    * report. Content comparison rides 16-byte fingerprints, never text. */
+  def t42SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val oldSnap = docs.filter(col("doc_id") % 9 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    graft.etl.CorpusStore.snapshotDiff(oldSnap, newSnap)
+      .orderBy("doc_id")
+  }
 
   /** Bloom-gated exact 5-gram decontamination — [[d13ExactNgramDecontam]]'s
     * scale-path twin (same benchmark split, shorter grams so mid-length

@@ -41,8 +41,13 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
         java.util.Arrays.equals(bloomBytes, that.bloomBytes)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+  // cached: Catalyst hashes expressions many times per planning pass
+  // (maps/sets during analysis, canonicalization, CSE) and the serialized
+  // filter is large — recomputing the array hash each call would make
+  // planning time proportional to filter size
+  @transient private lazy val bytesHash: Int =
+    java.util.Arrays.hashCode(bloomBytes)
+  override def hashCode(): Int = 31 * child.hashCode() + bytesHash
 
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))

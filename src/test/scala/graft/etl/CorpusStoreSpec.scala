@@ -96,4 +96,20 @@ class CorpusStoreSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Maintenance.compactParquet(spark, dir))
   }
+
+  test("snapshotDiff: added/removed/modified/unchanged on a known fixture") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "stays  THE same"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (2L, "gamma delta CHANGED"),             // modified
+      (3L, "stays the SAME"),                  // unchanged modulo case/ws
+      (4L, "brand new"))                       // added; 1 removed
+      .toDF("doc_id", "text")
+    val got = CorpusStore.snapshotDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "modified",
+      3L -> "unchanged", 4L -> "added"))
+  }
 }

@@ -99,11 +99,6 @@ class SamplingSpec extends SparkTestBase {
     val again = Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 20)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(again == got.collect().map(_.getAs[Long]("doc_id")).toSet)
-    val grown = Sampling.stratifiedTopK(
-      docs.union(Seq((5000L, "en")).toDF("doc_id", "lang")),
-      "lang", "doc_id", k = 20).collect()
-      .filter(_.getAs[String]("lang") == "en")
-    assert(grown.length >= 0) // shape sanity; membership check below
     val grownIds = Sampling.stratifiedTopK(
       docs.union(Seq((5000L, "en")).toDF("doc_id", "lang")),
       "lang", "doc_id", k = 20)
