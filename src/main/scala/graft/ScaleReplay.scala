@@ -94,14 +94,65 @@ object ScaleReplay {
       .withColumn("text",
         regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))))
 
+    // Embeddings: each copy i>0 is ROTATED by a deterministic random
+    // orthogonal matrix Q_i. Cosine is rotation-invariant, so the
+    // WITHIN-copy similarity structure (near-dup pairs, kNN graphs,
+    // centroids) is exactly the original's; ACROSS copies a random
+    // rotation decorrelates vectors (cross-copy cosine concentrates at
+    // ~N(0, 1/dim)), so pair-producing embedding ops scale ×factor
+    // instead of quadratically exploding on 30 exact copies of every
+    // vector — the embedding-space analog of the c<i>_ token tag. The
+    // pinned query set (vec_id < 5) lives in the unrotated copy 0, so
+    // per-query work stays comparable to the base run.
     val emb = read("embeddings")
     val vOff = off(emb, "vec_id")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    def rotated(df: DataFrame, i: Int): DataFrame =
+      if (i == 0) df
+      else {
+        val q = typedlit(orthogonal(dim, seed = 0xC0FFEE + i).map(_.toSeq).toSeq)
+        df.withColumn("embedding",
+          transform(sequence(lit(1), lit(dim)), j =>
+            aggregate(sequence(lit(1), lit(dim)), lit(0.0d), (acc, d) =>
+              acc + element_at(element_at(q, j), d) *
+                element_at(col("embedding"), d).cast("double"))
+              .cast("float")))
+      }
     write("embeddings", copies(emb)((df, i) =>
-      df.withColumn("vec_id", col("vec_id") + i * vOff)))
+      rotated(df, i).withColumn("vec_id", col("vec_id") + i * vOff)))
 
     Seq("nation", "region", "supplier", "events").foreach(t =>
       write(t, read(t)))
     Files.createFile(ready)
+  }
+
+  /** Deterministic random orthogonal dim×dim matrix: Gram-Schmidt over a
+    * seeded Gaussian matrix (full rank with probability 1; the loop
+    * re-draws a column in the measure-zero degenerate case). Driver-side,
+    * O(dim³) once per copy — microseconds at embedding dims. */
+  private[graft] def orthogonal(dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val q = Array.ofDim[Double](dim, dim)
+    var j = 0
+    while (j < dim) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      var k = 0
+      while (k < j) {
+        var dot = 0.0
+        var d = 0
+        while (d < dim) { dot += v(d) * q(k)(d); d += 1 }
+        d = 0
+        while (d < dim) { v(d) -= dot * q(k)(d); d += 1 }
+        k += 1
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 1e-9) { // re-draw on degeneracy instead of dividing by ~0
+        var d = 0
+        while (d < dim) { q(j)(d) = v(d) / n; d += 1 }
+        j += 1
+      }
+    }
+    q
   }
 
   /** The round-6 verdict's "10 most expensive entries" list. */

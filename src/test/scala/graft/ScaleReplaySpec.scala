@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.similarity.Similarity
 
 /** The 10× replay corpus ([[ScaleReplay]]) is only evidence if the
   * replication preserves what it claims: per-key join selectivity, and a
@@ -68,5 +69,30 @@ class ScaleReplaySpec extends SparkTestBase {
         .map { case (a, b) => (a - i * docOff, b - i * docOff) }.toSet
       assert(shard == basePairs, s"copy $i pair structure diverged")
     }
+  }
+
+  test("embedding copies: rotation matrix orthonormal; within-copy cosine structure preserved") {
+    // orthonormality of the per-copy rotation (cosine invariance hinges on it)
+    val q = ScaleReplay.orthogonal(16, seed = 7)
+    for (a <- 0 until 16; b <- 0 until 16) {
+      val dot = (0 until 16).map(d => q(a)(d) * q(b)(d)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9,
+        s"Q row $a . row $b = $dot")
+    }
+    // copy 1 is rotated + re-quantized to float: its EXACT near-dup pair
+    // set must equal the base corpus's (offset-normalized). Pairs within
+    // 1e-3 of the threshold are excluded on both sides — float
+    // re-quantization moves a cosine by ~1e-6, never 1e-3 — so the check
+    // cannot flake on a boundary pair.
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+    val base = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val vOff = base.agg(max(col("vec_id"))).head.getLong(0) + 1
+    def pairSet(df: org.apache.spark.sql.DataFrame, off: Long) =
+      Similarity.cosineNearDuplicatesExact(df, 0.45).collect()
+        .filter(r => math.abs(r.getAs[Double]("cos") - 0.45) > 1e-3)
+        .map(r => (r.getAs[Long]("d1") - off, r.getAs[Long]("d2") - off)).toSet
+    val basePairs = pairSet(base, 0)
+    assert(basePairs.nonEmpty)
+    assert(pairSet(emb.filter(col("vec_id") >= vOff), vOff) == basePairs)
   }
 }
