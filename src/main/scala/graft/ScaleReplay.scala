@@ -32,9 +32,19 @@ import org.apache.spark.sql.functions._
   *    trick, not the operator. All copies are transformed, including
   *    copy 0, so per-doc work matches across the comparison only modulo
   *    the 3-char token prefix.)
-  *  - Embeddings are re-keyed but content-identical; the pinned query
-  *    set (`vec_id < 5`) stays constant size, so ANN entries measure
-  *    corpus-side scaling of build + probe.
+  *  - Embeddings are re-keyed and each copy i>0 is rotated by a random
+  *    orthogonal matrix (see `rotated` below): within-copy cosine
+  *    structure is exactly the original's, cross-copy cosines
+  *    concentrate at ~N(0, 1/dim). The pinned query set (`vec_id < 5`)
+  *    lives in the unrotated copy 0 and stays constant size, so ANN
+  *    entries measure corpus-side scaling of build + probe.
+  *    PAIR-PRODUCING embedding entries (d05 cosine near-dup, d15
+  *    SemDeDup) stay OUT of the replay list: at dim 64 a cross-copy
+  *    cosine is ~N(0, 1/64), and with ~factor²·n²/2 cross pairs the
+  *    tail above a low near-dup threshold is not negligibly rare — the
+  *    replica cannot guarantee shard isolation for them the way the
+  *    `c<i>_` token tag does for shingles, so their factors would mix
+  *    operator cost with replication noise.
   *
   * Usage: runMain graft.ScaleReplay [baseSfDir] [outDir] [factor] [entries]
   * Writes the replicated tables once (skipped when `_READY` exists) and
