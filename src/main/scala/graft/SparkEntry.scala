@@ -120,6 +120,11 @@ object SparkEntry {
     "t22_temperature_mix" -> (TrainingData.t22TemperatureMix _),
     "t41_stratified_quota" -> (TrainingData.t41StratifiedQuota _),
     "t42_snapshot_diff" -> (TrainingData.t42SnapshotDiff _),
+    "t43_budget_waterfill" -> (TrainingData.t43BudgetWaterfill _),
+    "t44_curriculum_interleave" -> (TrainingData.t44CurriculumInterleave _),
+    "t45_k_anonymity" -> (TrainingData.t45KAnonymity _),
+    "q54_key_skew_report" -> (Relational.q54KeySkewReport _),
+    "s11_matryoshka_overlap" -> (TrainingData.s11MatryoshkaOverlap _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -1309,6 +1314,116 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status
         |FROM oldp o FULL OUTER JOIN newp n ON o.doc_id = n.doc_id
         |ORDER BY 1""".stripMargin,
+    // waterfilling: identical closed form — sort ascending, first source
+    // whose availability covers its candidate level fixes the level
+    "t43_budget_waterfill" ->
+      """WITH a AS (SELECT source,
+        |    CAST(SUM(len(regexp_extract_all(lower(trim(text)), '\S+')))
+        |      AS BIGINT) AS available
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(available) // 2 AS BIGINT) AS budget,
+        |    CAST(COUNT(*) AS BIGINT) AS n_src FROM a),
+        |r AS (SELECT source, available, budget, n_src,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY available, source) AS BIGINT) AS i,
+        |    CAST(COALESCE(SUM(available) OVER (ORDER BY available, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM a, tot),
+        |l AS (SELECT min_by(CAST(budget - cum_before AS DOUBLE)
+        |      / (n_src - i + 1), i) AS level
+        |  FROM r
+        |  WHERE CAST(budget - cum_before AS DOUBLE) / (n_src - i + 1)
+        |    <= CAST(available AS DOUBLE))
+        |SELECT a.source, a.available,
+        |  round(LEAST(CAST(a.available AS DOUBLE), l.level), 2) AS allocated,
+        |  CAST(a.available AS DOUBLE) <= l.level AS saturated
+        |FROM a, l ORDER BY source""".stripMargin,
+    // the oracle states the interleave as the global row_number the
+    // Spark side computes by formula (never sorting the corpus)
+    "t44_curriculum_interleave" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+'))
+        |      AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS src_rank
+        |  FROM d),
+        |g AS (SELECT doc_id, source, score, src_rank,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY src_rank, source)
+        |      AS BIGINT) AS pos
+        |  FROM r)
+        |SELECT pos, source, CAST(src_rank AS INT) AS src_rank,
+        |  doc_id, score
+        |FROM g WHERE pos <= 100 ORDER BY pos""".stripMargin,
+    "t45_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |    AS BIGINT) AS l_div,
+        |  COUNT(*) < 10 AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q54_key_skew_report" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT cnt, COUNT(*) AS hc FROM c GROUP BY 1),
+        |rk AS (SELECT cnt, hc,
+        |    SUM(hc) OVER (ORDER BY cnt) AS hi_rn,
+        |    SUM(hc) OVER (ORDER BY cnt) - hc + 1 AS lo_rn,
+        |    SUM(hc) OVER () AS n
+        |  FROM h),
+        |p AS (SELECT
+        |    CAST(MAX(CASE WHEN CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |      BETWEEN lo_rn AND hi_rn THEN cnt END) AS BIGINT) AS p50_cnt,
+        |    CAST(MAX(CASE WHEN CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+        |      BETWEEN lo_rn AND hi_rn THEN cnt END) AS BIGINT) AS p90_cnt,
+        |    CAST(MAX(CASE WHEN CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1
+        |      BETWEEN lo_rn AND hi_rn THEN cnt END) AS BIGINT) AS p99_cnt
+        |  FROM rk),
+        |s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c),
+        |t AS (SELECT MIN(user_id) AS top_key FROM c
+        |  WHERE cnt = (SELECT MAX(cnt) FROM c))
+        |SELECT s.n_rows, s.n_keys, s.max_cnt,
+        |  p.p50_cnt, p.p90_cnt, p.p99_cnt,
+        |  round(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows, 4) AS skew_x,
+        |  t.top_key,
+        |  CAST((s.max_cnt * 2000000 + s.n_rows) // (s.n_rows * 2)
+        |    AS BIGINT) AS top_ppm
+        |FROM s, p, t""".stripMargin,
+    // full-dim vs first-16-dim retrieval agreement; both rankings replay
+    // the s02 cosine with the same summation order
+    "s11_matryoshka_overlap" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) nv
+        |      FROM embeddings),
+        |sf AS (SELECT qid, nid,
+        |  list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
+        |   / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))) AS cos
+        |  FROM c, q WHERE qid <> nid),
+        |rf AS (SELECT qid, nid,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+        |      AS INT) AS rank FROM sf),
+        |q2 AS (SELECT qid, qv[1:16] AS qv FROM q),
+        |c2 AS (SELECT nid, nv[1:16] AS nv FROM c),
+        |st AS (SELECT qid, nid,
+        |  list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
+        |   / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))) AS cos
+        |  FROM c2, q2 WHERE qid <> nid),
+        |rt AS (SELECT qid, nid,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+        |      AS INT) AS rank FROM st)
+        |SELECT f.qid, CAST(10 AS INT) AS k,
+        |  CAST(COUNT(t.nid) AS BIGINT) AS n_overlap,
+        |  round(COUNT(t.nid) / 10.0, 4) AS overlap_ratio
+        |FROM (SELECT qid, nid FROM rf WHERE rank <= 10) f
+        |LEFT JOIN (SELECT qid, nid FROM rt WHERE rank <= 10) t
+        |  ON f.qid = t.qid AND f.nid = t.nid
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact 5-gram decontamination (the Bloom gate is physical-only: no
     // false negatives, so the verified result equals this ungated SQL)
     "d16_bloom_decontam" ->

@@ -1379,4 +1379,42 @@ object Relational {
           .as("within_3pct"))
       .orderBy("d")
   }
+
+  // ---------------------------------------------------------------- Q54 (key skew)
+  /** Key-skew diagnostic over the per-user event distribution — the
+    * pre-flight report that tells an operator whether a key is safe to
+    * shuffle on or needs the q47 salted path: row/key totals, the
+    * hottest key and its traffic share (ppm, t40's round-half-up
+    * convention), nearest-rank p50/p90/p99 of per-key counts, and the
+    * max/mean skew factor. One groupBy produces the per-key counts; the
+    * percentiles ride [[histogramRanks]] over the DISTINCT-count
+    * histogram (support is ≪ keys — bounded by the count range, not the
+    * corpus — and the ungrouped branch is the two-phase prefix scan, so
+    * no single-task window even if it were not). The hottest key is a
+    * max-count broadcast back over the counts frame — never a global
+    * sort. Everything after the first shuffle is histogram-sized. */
+  def q54KeySkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val pct = histogramRanks(cnts.select("cnt"), Nil, "cnt")
+      .agg(
+        nearestRankPick(0.5, "cnt").as("p50_cnt"),
+        nearestRankPick(0.9, "cnt").as("p90_cnt"),
+        nearestRankPick(0.99, "cnt").as("p99_cnt"))
+    val tot = cnts.agg(
+      sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    // hottest key: equality filter against the broadcast 1-row max —
+    // map-side, no sort, ties to the smallest key id
+    val top = cnts.join(broadcast(tot.select(col("max_cnt").as("mc"))),
+        col("cnt") === col("mc"))
+      .agg(min(col("user_id")).as("top_key"))
+    tot.crossJoin(broadcast(pct)).crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 4)
+          .as("skew_x"),
+        col("top_key"),
+        expr("(max_cnt * 2000000L + n_rows) div (n_rows * 2)").as("top_ppm"))
+  }
 }

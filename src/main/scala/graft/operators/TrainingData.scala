@@ -1626,6 +1626,118 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Token-budget waterfilling across sources: given each source's
+    * available token mass and a global budget (half the corpus here),
+    * allocate `min(available, L)` per source with the water level `L`
+    * chosen so allocations exactly exhaust the budget — the
+    * max-min-fair split a mixture designer starts from before applying
+    * priors (t22's temperature reweighting is the *biased* cousin; this
+    * is the neutral baseline that never lets one giant source starve the
+    * rest). Closed form, no iteration: with sources sorted by
+    * availability ascending, the level is `(B − cum_before) / #remaining`
+    * at the FIRST source whose availability covers it — sources below
+    * the level saturate, sources above share the remainder equally.
+    *
+    * Scale shape: one corpus aggregate to per-source token sums, then
+    * everything runs on the #sources-row frame (window explicitly
+    * single-partition over that bounded frame — sources are a catalog,
+    * not data) and the 1-row level broadcasts back. The corpus is
+    * scanned once. */
+  def t43BudgetWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val avail = Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("available"))
+    val tot = avail.agg(expr("sum(available) div 2").as("budget"),
+      count(lit(1)).as("n_src"))
+    val w = Window.partitionBy(lit(0)).orderBy(asc("available"), asc("source"))
+    val ranked = avail.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum_before", coalesce(
+        sum(col("available")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("cand",
+        (col("budget") - col("cum_before")).cast("double") /
+          (col("n_src") - col("i") + 1))
+    val level = ranked.filter(col("cand") <= col("available").cast("double"))
+      .agg(min_by(col("cand"), col("i")).as("level"))
+    avail.crossJoin(broadcast(level))
+      .select(col("source"), col("available"),
+        round(least(col("available").cast("double"), col("level")), 2)
+          .as("allocated"),
+        (col("available").cast("double") <= col("level")).as("saturated"))
+      .orderBy("source")
+  }
+
+  /** Curriculum interleave: every source's documents ranked by a quality
+    * proxy (token mass, ties to doc_id), then merged round-robin — the
+    * ordering that feeds trainers their best documents early WITHOUT
+    * letting the largest source monopolize the head of the stream. The
+    * first 100 global positions are reported.
+    *
+    * The scale point is what is NOT here: the global position is a pure
+    * FORMULA over (within-source rank, per-source counts) — the rank of
+    * `(r, source)` in lexicographic order, i.e.
+    * `Σ_s' min(c_s', r−1) + |{s' ≤ s : c_s' ≥ r}|` — so the corpus is
+    * never globally sorted and no unpartitioned window exists. The
+    * per-source rank is a correctly-partitioned window; candidates for
+    * the first `limit` positions are exactly those with `r ≤ limit`
+    * (a global position can only exceed the within-source rank), a
+    * ≤ limit·#sources-row frame that then cross-joins the broadcast
+    * #sources-row count table to evaluate the formula. Emitting the FULL
+    * curriculum at 100 TB is the same formula as a projection — a write
+    * ordered by `(r, source)`, which range-partitions. */
+  def t44CurriculumInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val limit = 100
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("score"))
+    val wSrc = Window.partitionBy("source").orderBy(desc("score"), asc("doc_id"))
+    val counts = docs.groupBy(col("source").as("src2"))
+      .agg(count(lit(1)).as("c"))
+    docs.withColumn("r", row_number().over(wSrc).cast("long"))
+      .filter(col("r") <= limit)
+      .crossJoin(broadcast(counts))
+      .groupBy("doc_id", "source", "score", "r")
+      .agg((sum(least(col("c"), col("r") - 1)) +
+        sum(when(col("c") >= col("r") && col("src2") <= col("source"), 1L)
+          .otherwise(0L))).as("pos"))
+      .filter(col("pos") <= limit)
+      .select(col("pos"), col("source"), col("r").cast("int").as("src_rank"),
+        col("doc_id"), col("score"))
+      .orderBy("pos")
+  }
+
+  /** k-anonymity / l-diversity audit over the customer dimension: for
+    * each quasi-identifier combination (nation × market segment), the
+    * group size, the diversity of a sensitive attribute (distinct
+    * thousand-dollar balance bands), and whether the group is
+    * re-identifiable at k=10 — the governance gate a training-data
+    * release runs before shipping anything derived from user records
+    * (a group smaller than k means those members are linkable from the
+    * quasi-identifiers alone; low l means the sensitive value leaks even
+    * without linkage). One groupBy at the quasi-identifier grain; the
+    * distinct-band count partial-aggregates map-side. */
+  def t45KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    Tables(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("band")).as("l_div"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        col("l_div"), (col("n") < k).as("at_risk"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  /** Matryoshka truncation eval for the pinned query set: overlap@10
+    * between full-dimension and first-16-coordinate retrieval. See
+    * [[graft.similarity.Similarity.matryoshkaOverlap]]. */
+  def s11MatryoshkaOverlap(spark: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaOverlap(Tables(spark, dir, "embeddings"),
+      col("vec_id") < 5, k = 10, subDim = 16)
+
   /** Bloom-gated exact 5-gram decontamination — [[d13ExactNgramDecontam]]'s
     * scale-path twin (same benchmark split, shorter grams so mid-length
     * docs participate): the benchmark's distinct shingle hashes collapse

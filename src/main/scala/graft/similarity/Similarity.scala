@@ -162,6 +162,36 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Matryoshka truncation eval: for each query, exact top-`k` by
+    * full-dimension cosine vs top-`k` by the first-`subDim` coordinates
+    * only, reported as overlap@k — the measurement behind
+    * Matryoshka-style dimension reduction (Kusupati et al., NeurIPS
+    * 2022): how much retrieval quality survives storing/searching a
+    * prefix of the vector. A high overlap licenses running ANN (and its
+    * memory) at `subDim` with a full-dim rerank; a low one says the
+    * embedding model doesn't front-load information and truncation must
+    * be trained, not sliced.
+    *
+    * Cost is two [[bruteForceTopK]] passes (broadcast queries × corpus,
+    * no corpus shuffle) whose q·k outputs join driver-free; at 100 TB
+    * the eval runs over a sampled query set exactly like
+    * [[knnLabelAgreement]]. The truncated pass slices the stored vector
+    * in the scan projection — no second copy of the corpus. */
+  def matryoshkaOverlap(emb: DataFrame, queryFilter: Column, k: Int,
+      subDim: Int): DataFrame = {
+    val full = bruteForceTopK(emb, queryFilter, k).select("qid", "nid")
+    val trunc = bruteForceTopK(
+        emb.withColumn("embedding", slice(col("embedding"), 1, subDim)),
+        queryFilter, k)
+      .select(col("qid"), col("nid"), lit(1L).as("hit"))
+    full.join(trunc, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("qid"), lit(k).cast("int").as("k"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / k, 4).as("overlap_ratio"))
+      .orderBy("qid")
+  }
+
   /** Neighbor-label agreement — the standard intrinsic eval of an
     * embedding space (does cosine proximity predict the label?): for each
     * query vector, its exact top-`k` cosine neighbours (excluding self)

@@ -222,7 +222,8 @@ class PlanAuditSpec extends SparkTestBase {
     "a09_yoy_growth",      // lag over year totals (≤ #years rows)
     "t33_zipf_fit",        // rank over the TakeOrderedAndProject top-N vocabulary
     "t35_ngram_novelty",   // rank over the TakeOrderedAndProject top-N novel n-grams
-    "t37_weighted_sample"  // keys over the TakeOrderedAndProject top-k sample
+    "t37_weighted_sample", // keys over the TakeOrderedAndProject top-k sample
+    "t43_budget_waterfill" // rank/cumsum over the per-source token AGGREGATE (≤ #sources rows — a catalog, not data)
   )
 
   test("sweep: every contract plan — no CartesianProduct, no NEW unpartitioned window") {

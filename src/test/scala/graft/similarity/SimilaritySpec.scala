@@ -96,6 +96,28 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("matryoshka overlap: full sub-dimension agrees exactly; truncation bounded by k") {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // subDim = dim is the identity truncation — overlap must be k for
+    // every query (both rankings are the same frame)
+    val ident = Similarity.matryoshkaOverlap(emb, col("vec_id") < 5,
+      k = 10, subDim = dim).collect()
+    assert(ident.length == 5)
+    ident.foreach { r =>
+      assert(r.getAs[Long]("n_overlap") == 10L)
+      assert(r.getAs[Double]("overlap_ratio") == 1.0)
+    }
+    // a real truncation: one row per query, overlap within [0, k]
+    val cut = Similarity.matryoshkaOverlap(emb, col("vec_id") < 5,
+      k = 10, subDim = 16).collect()
+    assert(cut.map(_.getAs[Long]("qid")).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    cut.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0L && n <= 10L)
+      assert(r.getAs[Double]("overlap_ratio") == n / 10.0)
+    }
+  }
+
   test("knn label agreement is 1.0 on perfectly separated clusters") {
     val sep = Seq(
       (0L, Array(1f, 0.00f), 0), (1L, Array(1f, 0.01f), 0),
