@@ -124,7 +124,10 @@ object SparkEntry {
     "t44_curriculum_interleave" -> (TrainingData.t44CurriculumInterleave _),
     "t45_k_anonymity" -> (TrainingData.t45KAnonymity _),
     "q54_key_skew_report" -> (Relational.q54KeySkewReport _),
+    "q55_join_size_planner" -> (Relational.q55JoinSizePlanner _),
     "s11_matryoshka_overlap" -> (TrainingData.s11MatryoshkaOverlap _),
+    "s12_anisotropy" -> (TrainingData.s12AnisotropyProfile _),
+    "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -1424,6 +1427,61 @@ object SparkEntry {
         |LEFT JOIN (SELECT qid, nid FROM rt WHERE rank <= 10) t
         |  ON f.qid = t.qid AND f.nid = t.nid
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q55_join_size_planner" ->
+      """WITH cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    CAST(SUM(c * c) AS BIGINT) AS join_rows,
+        |    CAST(MAX(c) AS BIGINT) AS max_c FROM cnt),
+        |t AS (SELECT MIN(l_partkey) AS top_key FROM cnt
+        |  WHERE c = (SELECT MAX(c) FROM cnt))
+        |SELECT s.n_keys, s.n_rows, s.join_rows, s.max_c,
+        |  round(CAST(s.join_rows AS DOUBLE) / s.n_rows, 4) AS amplification,
+        |  t.top_key,
+        |  CAST((s.max_c * s.max_c * 2000000 + s.join_rows)
+        |    // (s.join_rows * 2) AS BIGINT) AS hot_share_ppm
+        |FROM s, t""".stripMargin,
+    "d20_prefix_boilerplate" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    array_to_string(
+        |      (regexp_extract_all(lower(trim(text)), '\S+'))[1:5], ' ')
+        |      AS prefix
+        |  FROM documents)
+        |SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  MIN(doc_id) AS first_doc
+        |FROM p GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY n_docs DESC, prefix""".stripMargin,
+    // Σ_{i≠j} cos = |Σ x̂|² − n over unit vectors: the O(n·d) identity;
+    // component sums are DECIMAL on both sides, so the statistic is
+    // order-invariant and the 4-dp round cannot sit on an engine gap
+    "s12_anisotropy" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) v
+        |  FROM embeddings),
+        |nv AS (SELECT label, v,
+        |    sqrt(list_aggregate(list_transform(range(1, len(v)+1),
+        |      i -> v[i]*v[i]), 'sum')) AS norm
+        |  FROM e),
+        |c AS (SELECT label,
+        |    CAST(norm AS DECIMAL(38,18)) AS nrm,
+        |    unnest(list_transform(range(1, len(v)+1), i ->
+        |      struct_pack(d := i,
+        |        u := CAST(v[i] / norm AS DECIMAL(38,18))))) AS z
+        |  FROM nv WHERE norm > 0),
+        |byd AS (SELECT label, z.d AS d, SUM(z.u) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n, SUM(nrm) AS nrm_sum
+        |  FROM c GROUP BY 1, 2),
+        |byl AS (SELECT label, MAX(n) AS n,
+        |    CAST(SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+        |    CAST(SUM(nrm_sum) AS DOUBLE) / (MAX(n) * COUNT(*))
+        |      AS mean_norm0,
+        |    CAST(COUNT(*) AS INT) AS dims
+        |  FROM byd GROUP BY 1)
+        |SELECT label, n, dims, round(mean_norm0, 4) AS mean_norm,
+        |  round((s2 - n) / (n * (n - 1)), 4) AS mean_pair_cos
+        |FROM byl WHERE n >= 2 ORDER BY label""".stripMargin,
     // exact 5-gram decontamination (the Bloom gate is physical-only: no
     // false negatives, so the verified result equals this ungated SQL)
     "d16_bloom_decontam" ->

@@ -1417,4 +1417,34 @@ object Relational {
         col("top_key"),
         expr("(max_cnt * 2000000L + n_rows) div (n_rows * 2)").as("top_ppm"))
   }
+
+  // ---------------------------------------------------------------- Q55 (join-size planner)
+  /** Exact join-cardinality pre-flight WITHOUT running the join: for the
+    * many-to-many self-join of lineitem on `l_partkey`, the output size
+    * is `Σ_k c(k)²` over the per-key count table — computable from ONE
+    * groupBy whose output is keys, not rows. The report an optimizer (or
+    * an operator deciding between the plain and q47-salted path) wants
+    * before committing a cluster to a blowup: exact output rows, the
+    * amplification factor over the input, the hottest key and the share
+    * of join output it alone produces (ppm — `max_c²/Σc²`, the number
+    * that says "salt this key or don't run this"). The hottest key rides
+    * the q54 broadcast max-filter; nothing after the count groupBy is
+    * data-proportional. */
+  def q55JoinSizePlanner(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables(spark, dir, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(
+      count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+      sum(col("c") * col("c")).as("join_rows"), max(col("c")).as("max_c"))
+    val top = cnt.join(broadcast(tot.select(col("max_c").as("mc"))),
+        col("c") === col("mc"))
+      .agg(min(col("l_partkey")).as("top_key"))
+    tot.crossJoin(broadcast(top))
+      .select(col("n_keys"), col("n_rows"), col("join_rows"), col("max_c"),
+        round(col("join_rows").cast("double") / col("n_rows"), 4)
+          .as("amplification"),
+        col("top_key"),
+        expr("(max_c * max_c * 2000000L + join_rows) div (join_rows * 2)")
+          .as("hot_share_ppm"))
+  }
 }

@@ -1738,6 +1738,36 @@ object TrainingData {
     Similarity.matryoshkaOverlap(Tables(spark, dir, "embeddings"),
       col("vec_id") < 5, k = 10, subDim = 16)
 
+  /** Embedding-space anisotropy profile per label. See
+    * [[graft.similarity.Similarity.anisotropyProfile]]. */
+  def s12AnisotropyProfile(spark: SparkSession, dir: String): DataFrame =
+    Similarity.anisotropyProfile(Tables(spark, dir, "embeddings"))
+
+  /** Boilerplate-prefix clustering: documents grouped by their first-5
+    * normalized tokens, clusters of ≥ 2 reported with their source
+    * spread — the cheap detector for templated intros ("sign in to
+    * continue", license headers, scaffold text) that near-dup passes
+    * with document-level thresholds don't flag because the BODY differs.
+    * A prefix shared across many sources is near-certain boilerplate; a
+    * prefix confined to one source is that source's template. One
+    * groupBy on a ≤5-token string (bounded bytes per key, Zipf-headed —
+    * AQE's skew split handles the giant "the quick brown" bucket);
+    * everything downstream of the groupBy is cluster-sized. Surviving
+    * docs are NOT enumerated per cluster — `first_doc` is the exemplar,
+    * and a remover joins back on the prefix projection, exactly like
+    * d01's fingerprint discipline. */
+  def d20PrefixBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 5), " ")
+          .as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), asc("prefix"))
+
   /** Bloom-gated exact 5-gram decontamination — [[d13ExactNgramDecontam]]'s
     * scale-path twin (same benchmark split, shorter grams so mid-length
     * docs participate): the benchmark's distinct shingle hashes collapse

@@ -192,6 +192,55 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Embedding-space anisotropy profile (Ethayarajh, EMNLP 2019): per
+    * label, the MEAN PAIRWISE COSINE across all vector pairs — without
+    * enumerating pairs. With unit-normalized vectors x̂ and their sum
+    * S = Σ x̂, the identity `Σ_{i≠j} cos(i,j) = |S|² − n` turns the
+    * O(n²) statistic into one O(n·d) pass: explode unit components to
+    * (label, dim) scalars, sum per dim, square and re-sum. High
+    * anisotropy (vectors crowd a narrow cone) means raw cosine has
+    * little dynamic range — thresholds like d05/d15/d18's must be
+    * calibrated against this baseline, and centering is worth it;
+    * near-zero means the space is isotropic and cosine behaves.
+    *
+    * Component sums are DECIMAL — exact and order-invariant, so the
+    * statistic is bit-stable across partitionings and engines (the dsum
+    * discipline); the quadratic combine happens on the d-row frame.
+    * Shuffle volume is (labels × dims) scalars, never vectors. */
+  def anisotropyProfile(emb: DataFrame): DataFrame = {
+    val unit = emb.select(col("label"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+      col("embedding"))
+      .filter(col("norm") > 0) // a zero vector has no direction to count
+    val comps = unit
+      .select(col("label"), col("norm"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        (col("x").cast("double") / col("norm")).cast("decimal(38,18)").as("u"),
+        // carry the per-row norm once per component; dividing by dims
+        // later recovers the per-vector mean without a second aggregate
+        col("norm").cast("decimal(38,18)").as("nrm"))
+    comps.groupBy("label", "d")
+      .agg(sum(col("u")).as("s"), count(lit(1)).as("n"),
+        sum(col("nrm")).as("nrm_sum"))
+      .groupBy("label")
+      .agg(max(col("n")).as("n"),
+        // S_d² re-enters DECIMAL before the cross-dim sum so the d-row
+        // combine is order-invariant too — the whole statistic is then
+        // bit-stable across partitionings and engines
+        sum((col("s").cast("double") * col("s").cast("double"))
+          .cast("decimal(38,12)")).cast("double").as("s2"),
+        (sum(col("nrm_sum")).cast("double") /
+          (max(col("n")) * count(lit(1)))).as("mean_norm0"),
+        count(lit(1)).as("dims"))
+      .filter(col("n") >= 2)
+      .select(col("label"), col("n"), col("dims").cast("int").as("dims"),
+        round(col("mean_norm0"), 4).as("mean_norm"),
+        round((col("s2") - col("n")) / (col("n") * (col("n") - 1)), 4)
+          .as("mean_pair_cos"))
+      .orderBy("label")
+  }
+
   /** Neighbor-label agreement — the standard intrinsic eval of an
     * embedding space (does cosine proximity predict the label?): for each
     * query vector, its exact top-`k` cosine neighbours (excluding self)

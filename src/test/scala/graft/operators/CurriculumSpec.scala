@@ -118,6 +118,41 @@ class CurriculumSpec extends SparkTestBase {
     assert(row.getAs[Long]("top_ppm") == 500000L) // 4/8 round-half-up
   }
 
+  test("q55: join size, amplification and hot share from planted key counts") {
+    val dir = java.nio.file.Files.createTempDirectory("joinsize").toString
+    // partkey counts 1, 2, 3 → self-join rows 1 + 4 + 9 = 14
+    Seq((1L, 100L), (2L, 200L), (3L, 200L), (4L, 300L), (5L, 300L), (6L, 300L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Relational.q55JoinSizePlanner(spark, dir).collect().head
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("join_rows") == 14L)
+    assert(r.getAs[Long]("max_c") == 3L)
+    assert(r.getAs[Double]("amplification") == 2.3333)
+    assert(r.getAs[Long]("top_key") == 300L)
+    assert(r.getAs[Long]("hot_share_ppm") == 642857L) // round(9e6/14)
+  }
+
+  test("d20: shared 5-token prefixes cluster; unique prefixes drop") {
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    Seq(
+      (0L, "Sign in to continue reading this article about storks", "en", "srcA"),
+      (1L, "sign in to continue reading something else entirely here", "en", "srcB"),
+      (2L, "SIGN IN TO CONTINUE READING the park gazette daily", "en", "srcB"),
+      (3L, "a totally unique document body with no template", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TrainingData.d20PrefixBoilerplate(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("prefix") == "sign in to continue reading")
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("first_doc") == 0L)
+  }
+
   test("t45: groups below k are flagged, sensitive diversity counted") {
     val dir = java.nio.file.Files.createTempDirectory("kanon").toString
     // combo (1, SEG-A): 12 members in 2 balance bands — safe, l_div 2;

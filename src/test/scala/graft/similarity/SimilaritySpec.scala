@@ -118,6 +118,26 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("anisotropy: |S|²−n identity equals the brute-force pairwise mean; zero vectors excluded") {
+    // label 0: unit vectors (1,0), (0,1), (1,0) → pair cosines 0, 1, 0
+    // → mean 1/3; a zero vector must not poison the statistic.
+    // label 1: two antiparallel vectors → mean −1. label 2: singleton,
+    // dropped (no pairs).
+    val df = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (2L, Array(1f, 0f), 0), (3L, Array(0f, 0f), 0),
+      (4L, Array(2f, 0f), 1), (5L, Array(-3f, 0f), 1),
+      (6L, Array(1f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.anisotropyProfile(df).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_norm"),
+          r.getAs[Double]("mean_pair_cos")))).toMap
+    assert(out.keySet == Set(0, 1))
+    assert(out(0) == ((3L, 1.0, 0.3333)))
+    assert(out(1) == ((2L, 2.5, -1.0)))
+  }
+
   test("knn label agreement is 1.0 on perfectly separated clusters") {
     val sep = Seq(
       (0L, Array(1f, 0.00f), 0), (1L, Array(1f, 0.01f), 0),
