@@ -125,6 +125,7 @@ object SparkEntry {
     "t45_k_anonymity" -> (TrainingData.t45KAnonymity _),
     "q54_key_skew_report" -> (Relational.q54KeySkewReport _),
     "q55_join_size_planner" -> (Relational.q55JoinSizePlanner _),
+    "q56_ivm_rollup" -> (Relational.q56IvmRollup _),
     "s11_matryoshka_overlap" -> (TrainingData.s11MatryoshkaOverlap _),
     "s12_anisotropy" -> (TrainingData.s12AnisotropyProfile _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
@@ -1427,6 +1428,21 @@ object SparkEntry {
         |LEFT JOIN (SELECT qid, nid FROM rt WHERE rank <= 10) t
         |  ON f.qid = t.qid AND f.nid = t.nid
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the contract IS the IVM equivalence: the incremental path must
+    // hash-equal this full recompute over the final membership
+    "q56_ivm_rollup" ->
+      """WITH fin AS (SELECT o_orderdate, o_orderstatus, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 10 = 0
+        |     OR (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0))
+        |SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  o_orderstatus AS status,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS revenue,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*), 4) AS avg_price
+        |FROM fin GROUP BY 1, 2 ORDER BY yr, status""".stripMargin,
     "q55_join_size_planner" ->
       """WITH cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
         |  FROM lineitem GROUP BY 1),

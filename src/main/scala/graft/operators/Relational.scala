@@ -1447,4 +1447,40 @@ object Relational {
         expr("(max_c * max_c * 2000000L + join_rows) div (join_rows * 2)")
           .as("hot_share_ppm"))
   }
+
+  // ---------------------------------------------------------------- Q56 (incremental view maintenance)
+  /** Incremental maintenance of an aggregate rollup under inserts AND
+    * retractions — the differential pattern that keeps a 100 TB
+    * materialized view current without ever re-scanning it: each change
+    * batch contributes a SIGNED partial aggregate (+1 inserts, −1
+    * retractions), and merging is just re-aggregation, because COUNT and
+    * SUM are abelian-group aggregates (AVG is maintained as the ratio of
+    * maintained sums — merging averages directly would be wrong, which
+    * is exactly why the view stores sums). Groups whose membership
+    * reaches zero vanish. Cost per refresh is the CHANGE batch scan +
+    * a rollup-sized merge; the base is touched once, ever.
+    *
+    * The fixture partitions orders deterministically (base = keys ∉ 10ℤ,
+    * inserts = keys ∈ 10ℤ, retractions = base keys ∈ 7ℤ), so the oracle
+    * can state the contract as the thing IVM must equal: a full
+    * recompute over the final membership. */
+  def q56IvmRollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val base = orders.filter(col("o_orderkey") % 10 =!= 0)
+    val ins = orders.filter(col("o_orderkey") % 10 === 0)
+    val ret = base.filter(col("o_orderkey") % 7 === 0)
+    def part(df: DataFrame, sign: Int): DataFrame = df
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        col("o_orderstatus").as("status"))
+      .agg((count(lit(1)) * sign).as("n"),
+        (dsum(col("o_totalprice")) * sign).as("rev"))
+    part(base, 1).unionByName(part(ins, 1)).unionByName(part(ret, -1))
+      .groupBy("yr", "status")
+      .agg(sum(col("n")).as("n"), sum(col("rev")).as("rev"))
+      .filter(col("n") > 0)
+      .select(col("yr"), col("status"), col("n"),
+        money(col("rev")).as("revenue"),
+        round(col("rev").cast("double") / col("n"), 4).as("avg_price"))
+      .orderBy("yr", "status")
+  }
 }

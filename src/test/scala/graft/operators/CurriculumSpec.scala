@@ -153,6 +153,31 @@ class CurriculumSpec extends SparkTestBase {
     assert(r.getAs[Long]("first_doc") == 0L)
   }
 
+  test("q56: signed-partial merge equals the full recompute over final membership") {
+    val orders = graft.Tables(spark, sf("sf0.001"), "orders")
+    val fin = orders.filter(
+      col("o_orderkey") % 10 === 0 ||
+        (col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 =!= 0))
+    val direct = fin.groupBy(year(col("o_orderdate")).as("yr"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4))), 2)
+          .cast("double").as("revenue"))
+      .orderBy("yr", "status")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val ivm = Relational.q56IvmRollup(spark, sf("sf0.001"))
+      .collect().map(r => (r.getAs[Int]("yr"), r.getAs[String]("status"),
+        r.getAs[Long]("n"), r.getAs[Double]("revenue"))).toSeq
+    assert(ivm == direct)
+    // retractions really removed something: some group differs from the
+    // pre-retraction world
+    val pre = orders.groupBy(year(col("o_orderdate")), col("o_orderstatus"))
+      .count().collect().map(_.getLong(2)).sum
+    assert(ivm.map(_._3).sum < pre)
+  }
+
   test("t45: groups below k are flagged, sensitive diversity counted") {
     val dir = java.nio.file.Files.createTempDirectory("kanon").toString
     // combo (1, SEG-A): 12 members in 2 balance bands — safe, l_div 2;
