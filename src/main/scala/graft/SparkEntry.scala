@@ -128,7 +128,10 @@ object SparkEntry {
     "q56_ivm_rollup" -> (Relational.q56IvmRollup _),
     "s11_matryoshka_overlap" -> (TrainingData.s11MatryoshkaOverlap _),
     "s12_anisotropy" -> (TrainingData.s12AnisotropyProfile _),
+    "s13_hard_negatives" -> (TrainingData.s13HardNegatives _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
+    "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
+    "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
     "d01_exact_dup_groups" -> (TrainingData.d01ExactDupGroups _),
     "d02_ngram_jaccard" -> (TrainingData.d02NgramJaccard _),
     "d03_minhash_lsh" -> (TrainingData.d03MinhashLsh _),
@@ -1428,6 +1431,57 @@ object SparkEntry {
         |LEFT JOIN (SELECT qid, nid FROM rt WHERE rank <= 10) t
         |  ON f.qid = t.qid AND f.nid = t.nid
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one threshold sweep over the d02 exact pair table; th literals
+    // cast to DOUBLE so both engines compare identical values
+    "t46_threshold_sweep" ->
+      s"""WITH $ngramCtes,
+        |p AS (SELECT d1, d2,
+        |    round(CAST(c AS DOUBLE)/(s1.sz + s2.sz - c), 4) AS jaccard
+        |  FROM common
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2),
+        |th AS (SELECT CAST(unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |    AS DOUBLE) AS th),
+        |x AS (SELECT th.th, p.d1, p.d2 FROM p, th WHERE p.jaccard >= th.th),
+        |e AS (SELECT th, d1 AS doc, 0 AS side FROM x
+        |      UNION ALL SELECT th, d2, 1 FROM x)
+        |SELECT th,
+        |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT CASE WHEN side = 1 THEN doc END) AS BIGINT)
+        |    AS n_removed
+        |FROM e GROUP BY 1 ORDER BY th""".stripMargin,
+    // verdict form (q41 discipline): DuckDB recomputes the exact pair
+    // count and claims the calibration bounds; the signature estimates
+    // themselves are seeded-xxhash64 with no SQL twin
+    "d21_minhash_calibration" ->
+      s"""WITH $ngramCtes,
+        |p AS (SELECT d1, d2 FROM common
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  TRUE AS mae_within_015, TRUE AS bias_within_010
+        |FROM p""".stripMargin,
+    // the s02 cosine with the label-inequality cut applied in the scan
+    "s13_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv,
+        |             label AS q_label
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) nv,
+        |        label AS n_label FROM embeddings),
+        |s AS (SELECT qid, nid, n_label,
+        |  list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
+        |   / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))) AS cos
+        |FROM c, q WHERE n_label <> q_label),
+        |r AS (SELECT qid, nid, n_label, cos,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+        |    AS INT) AS rank
+        |FROM s)
+        |SELECT qid, rank, nid, n_label, round(cos, 4) AS cos FROM r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // the contract IS the IVM equivalence: the incremental path must
     // hash-equal this full recompute over the final membership
     "q56_ivm_rollup" ->

@@ -1743,6 +1743,66 @@ object TrainingData {
   def s12AnisotropyProfile(spark: SparkSession, dir: String): DataFrame =
     Similarity.anisotropyProfile(Tables(spark, dir, "embeddings"))
 
+  /** Hard-negative mining for the pinned query set: top-5 most similar
+    * items with a DIFFERENT label. See
+    * [[graft.similarity.Similarity.hardNegatives]]. */
+  def s13HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(Tables(spark, dir, "embeddings"),
+      col("vec_id") < 5, k = 5)
+
+  /** Dedup threshold-sensitivity sweep: the d02 exact-Jaccard pair table
+    * re-cut at every candidate threshold 0.2…0.9, reporting pairs, docs
+    * touched, and docs a keep-lowest-id policy would remove — the table
+    * a curator reads to PICK the near-dup threshold before committing a
+    * 100 TB dedup pass to it (t38's rule-ablation, aimed at the dedup
+    * knob). Costs ONE inverted-index pair generation (the shared
+    * `ngram_pairs` persist); the sweep itself is an 8× explode of the
+    * near-dup pair table, which is output-sized, not corpus-sized. */
+  def t46ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"),
+      threshold = 0.2)
+    val ths = array((2 to 9).map(i => lit(i / 10.0)): _*)
+    pairs.select(col("d1"), col("d2"), col("jaccard"),
+        explode(ths).as("th"))
+      .filter(col("jaccard") >= col("th"))
+      .select(col("th"), explode(array(
+        struct(col("d1").as("doc"), lit(0).as("side")),
+        struct(col("d2").as("doc"), lit(1).as("side")))).as("e"))
+      .select(col("th"), col("e.doc").as("doc"), col("e.side").as("side"))
+      .groupBy("th")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs"),
+        countDistinct(when(col("side") === 1, col("doc"))).as("n_removed"))
+      .orderBy("th")
+  }
+
+  /** MinHash calibration audit, verdict form (q41 discipline): over the
+    * exact near-dup pairs, the 64-hash signature estimate of Jaccard
+    * (fraction of agreeing positions) must track the true value — mean
+    * absolute error ≤ 0.15 (per-pair σ = √(j(1−j)/64) ≤ 0.0625, so the
+    * bound is ~3× the expected MAE) and |mean signed error| ≤ 0.10 (the
+    * estimator is unbiased; the bound is ~8σ of the mean over the
+    * fixture's pair count, and TIGHTENS as corpora grow). The oracle
+    * recomputes the exact pair count and claims both booleans — this
+    * chains d03's signatures to exact Jaccard VALUES, where d03a's
+    * recall audit only chains the candidate SETS. Signature join is
+    * pair-bounded; signatures build in one corpus groupBy. */
+  def d21MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
+    val sigs = Dedup.minhashSignatures(docs)
+    exact
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
+      .select(col("jaccard"),
+        (aggregate(zip_with(col("s1"), col("s2"),
+          (a, b) => when(a === b, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / 64).as("est"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (avg(abs(col("est") - col("jaccard"))) <= 0.15).as("mae_within_015"),
+        (abs(avg(col("est") - col("jaccard"))) <= 0.10).as("bias_within_010"))
+  }
+
   /** Boilerplate-prefix clustering: documents grouped by their first-5
     * normalized tokens, clusters of ≥ 2 reported with their source
     * spread — the cheap detector for templated intros ("sign in to

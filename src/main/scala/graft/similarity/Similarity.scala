@@ -152,6 +152,35 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: each query's top-`k`
+    * most-similar items carrying a DIFFERENT label — the near-miss
+    * examples a metric-learning objective needs (easy negatives are
+    * already far away and contribute no gradient; random sampling finds
+    * almost none of these). Same broadcast-queries × corpus scan as
+    * [[bruteForceTopK]] with the label inequality applied INSIDE the
+    * scan (before any shuffle), so mined negatives cost exactly one
+    * corpus pass per query batch; at 100 TB the query side is the
+    * sampled training batch, refreshed per epoch. */
+  def hardNegatives(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nn"),
+        col("label").as("n_label"))
+      .join(broadcast(q))
+      .filter(col("n_label") =!= col("q_label"))
+      .select(col("qid"), col("nid"), col("n_label"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"),
+        col("n_label"), round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** Exact top-k nearest neighbours (excluding self) for each query. */
   def bruteForceTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))

@@ -178,6 +178,28 @@ class CurriculumSpec extends SparkTestBase {
     assert(ivm.map(_._3).sum < pre)
   }
 
+  test("t46: sweep is monotone in the threshold and anchored to the d02 pair table") {
+    val sweep = TrainingData.t46ThresholdSweep(spark, sf("sf0.001"))
+      .collect().map(r => (r.getAs[Double]("th"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_removed")))
+    assert(sweep.map(_._1).toSeq == (2 to 9).map(_ / 10.0))
+    // a higher bar can only cut pairs/docs/removals
+    sweep.zip(sweep.tail).foreach { case (lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3 && lo._4 >= hi._4) }
+    // the 0.2 row IS the d02 frame
+    val d02 = TrainingData.d02NgramJaccard(spark, sf("sf0.001")).count()
+    assert(sweep.head._2 == d02)
+    assert(sweep.head._4 < sweep.head._3) // keep-lowest keeps ≥1 doc per pair-set
+  }
+
+  test("d21: signature estimates calibrate against exact Jaccard") {
+    val r = TrainingData.d21MinhashCalibration(spark, sf("sf0.001")).collect().head
+    assert(r.getAs[Long]("n_pairs") ==
+      TrainingData.d02NgramJaccard(spark, sf("sf0.001")).count())
+    assert(r.getAs[Boolean]("mae_within_015"))
+    assert(r.getAs[Boolean]("bias_within_010"))
+  }
+
   test("t45: groups below k are flagged, sensitive diversity counted") {
     val dir = java.nio.file.Files.createTempDirectory("kanon").toString
     // combo (1, SEG-A): 12 members in 2 balance bands — safe, l_div 2;

@@ -138,6 +138,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(1) == ((2L, 2.5, -1.0)))
   }
 
+  test("hard negatives: labels always differ, ranks dense, scores descending") {
+    val labels = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.hardNegatives(emb, col("vec_id") < 5, k = 5).collect()
+    assert(out.length == 25)
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      rows.foreach { r =>
+        assert(r.getAs[Int]("n_label") != labels(qid),
+          s"negative shares query $qid's label")
+        assert(labels(r.getAs[Long]("nid")) == r.getAs[Int]("n_label"))
+      }
+      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("knn label agreement is 1.0 on perfectly separated clusters") {
     val sep = Seq(
       (0L, Array(1f, 0.00f), 0), (1L, Array(1f, 0.01f), 0),
