@@ -126,6 +126,7 @@ object SparkEntry {
     "q54_key_skew_report" -> (Relational.q54KeySkewReport _),
     "q55_join_size_planner" -> (Relational.q55JoinSizePlanner _),
     "q56_ivm_rollup" -> (Relational.q56IvmRollup _),
+    "q57_pagerank" -> (Relational.q57PageRank _),
     "s11_matryoshka_overlap" -> (TrainingData.s11MatryoshkaOverlap _),
     "s12_anisotropy" -> (TrainingData.s12AnisotropyProfile _),
     "s13_hard_negatives" -> (TrainingData.s13HardNegatives _),
@@ -267,6 +268,46 @@ object SparkEntry {
   /** Recursive-CTE connected components over the exact Jaccard pairs —
     * the single oracle both cluster algorithms (d07 min-label
     * propagation, d19 large-star/small-star) must reproduce. */
+  /** q57 oracle: the PageRank fixpoint UNROLLED into one CTE pair per
+    * power iteration (the s10 discipline for iterated algorithms). Every
+    * arithmetic step mirrors the Spark side exactly — unrounded
+    * row-normalized weights, DECIMAL(38,18) inflow sums (order-invariant
+    * on both engines), double teleport/damping combine — so iteration k's
+    * ranks are bit-identical and the 6-dp round at the end cannot sit on
+    * an engine gap. Generated by loop: the SQL is mechanical and the
+    * iteration count must track `q57PageRank`'s. */
+  private lazy val pagerankOracleSql: String = {
+    val iters = 20
+    val head =
+      """WITH p0 AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |m AS (SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+        |  FROM p0 WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |edges AS (SELECT src, dst,
+        |    CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS w
+        |  FROM m),
+        |nodes AS (SELECT DISTINCT src AS id FROM m
+        |          UNION SELECT DISTINCT dst FROM m),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes, nn)"""
+        .stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS id,
+         |    CAST(SUM(CAST(p.r * e.w AS DECIMAL(38,18))) AS DOUBLE) AS inflow
+         |  FROM edges e JOIN r${k - 1} p ON p.id = e.src GROUP BY 1),
+         |r$k AS (SELECT n.id,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(c.inflow, CAST(0 AS DOUBLE))
+         |      AS r
+         |  FROM nodes n CROSS JOIN nn LEFT JOIN c$k c ON c.id = n.id)"""
+        .stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT id AS event_type, round(r, 6) AS rank FROM r$iters ORDER BY 1"
+  }
+
   private lazy val clustersOracleSql: String =
     s"""WITH RECURSIVE $ngramCtes,
       |pairs AS (SELECT d1, d2 FROM common
@@ -1431,6 +1472,7 @@ object SparkEntry {
         |LEFT JOIN (SELECT qid, nid FROM rt WHERE rank <= 10) t
         |  ON f.qid = t.qid AND f.nid = t.nid
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_pagerank" -> pagerankOracleSql,
     // one threshold sweep over the d02 exact pair table; th literals
     // cast to DOUBLE so both engines compare identical values
     "t46_threshold_sweep" ->

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge-list DataFrames — the family the
+  * connected-components resolvers (d07 min-label propagation, d19
+  * large-star/small-star) belong to, generalized to value propagation.
+  *
+  * Everything here is expressed as joins + aggregates per iteration, so
+  * each round is one shuffle on the edge partitioning and the lineage is
+  * truncated with periodic `localCheckpoint` (the d07 discipline — 20
+  * logical plans deep is where Catalyst analysis time, not data, becomes
+  * the bottleneck). */
+object Graph {
+
+  /** Power-iteration PageRank over a weighted edge list `(src, dst, w)`
+    * where `w` is the src-normalized transition probability (rows sum to
+    * 1 per src). Fixed iteration count — the deterministic form an
+    * oracle can replay step for step; convergence-threshold stopping is
+    * a caller loop around the same body.
+    *
+    * Per-node inflow contributions are cast to DECIMAL(38,18) before the
+    * SUM, so each iteration's ranks are ORDER-INVARIANT across
+    * partitionings and bit-identical between engines (the dsum
+    * discipline applied to an iterated fixpoint — double partial sums
+    * would drift a few ulps per round and compound across iterations).
+    *
+    * Dangling nodes (rank mass with no out-edges) would silently leak
+    * mass from the system; rather than hide a per-iteration correction
+    * term in the plan, the operator REFUSES loudly and tells the caller
+    * to pre-normalize (self-loop or uniform out-edges) — the
+    * `dedupClusters` round-budget precedent: never silently wrong.
+    *
+    * Scale shape: one `edges ⋈ rank` shuffle + one `groupBy(dst)` per
+    * iteration; rank rows are `(id, double)` — 16 bytes of state per
+    * node, never adjacency. The node count is a 1-row aggregate
+    * (bounded metadata, the d07 pattern). */
+  def pageRank(edges: DataFrame, damping: Double = 0.85,
+      iters: Int = 20, checkpointEvery: Int = 5): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    val dangling = nodes.join(edges.select("src").distinct(),
+      col("id") === col("src"), "left_anti").count()
+    require(dangling == 0,
+      s"$dangling dangling node(s) would leak rank mass each iteration; " +
+        "pre-normalize the edge list (self-loop or uniform out-edges) " +
+        "so every node has outgoing probability 1")
+    val teleport = (1 - damping) / n
+    var rank = nodes.withColumn("r", lit(1.0 / n))
+    for (i <- 1 to iters) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("id", "src0"), col("src") === col("src0"))
+        .groupBy(col("dst"))
+        .agg(sum((col("r") * col("w")).cast("decimal(38,18)"))
+          .cast("double").as("inflow"))
+      rank = nodes.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0d)))
+            .as("r"))
+      if (i % checkpointEvery == 0) rank = rank.localCheckpoint()
+    }
+    rank
+  }
+}

@@ -1483,4 +1483,36 @@ object Relational {
         round(col("rev").cast("double") / col("n"), 4).as("avg_price"))
       .orderBy("yr", "status")
   }
+
+  // ---------------------------------------------------------------- Q57 (PageRank)
+  /** PageRank over the q40 behavioral transition graph: which event type
+    * is the "center of gravity" of user journeys once indirect flows
+    * count (a type reached mostly FROM other heavily-visited types
+    * outranks one with the same in-degree from cold starts — the
+    * stationary-distribution question raw transition counts can't
+    * answer). Edges are the q40 matrix with UNROUNDED row-normalized
+    * weights; 20 fixed power iterations at damping 0.85 through
+    * [[Graph.pageRank]] (decimal-summed inflows ⇒ every iteration is
+    * bit-identical across engines, so the DuckDB oracle replays the
+    * fixpoint as 20 unrolled CTEs — the s10 discipline applied to an
+    * iterated algorithm). The graph here is |event_type|-sized; the
+    * operator's per-iteration shape (edge ⋈ rank, groupBy dst) is the
+    * one that scales to user-level graphs. */
+  def q57PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val m = pairs.groupBy(col("event_type").as("src"),
+        col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val edges = m
+      .withColumn("w", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("src")))
+      .select("src", "dst", "w")
+    Graph.pageRank(edges, damping = 0.85, iters = 20)
+      .select(col("id").as("event_type"), round(col("r"), 6).as("rank"))
+      .orderBy("event_type")
+  }
 }
