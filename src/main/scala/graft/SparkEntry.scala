@@ -130,6 +130,7 @@ object SparkEntry {
     "s11_matryoshka_overlap" -> (TrainingData.s11MatryoshkaOverlap _),
     "s12_anisotropy" -> (TrainingData.s12AnisotropyProfile _),
     "s13_hard_negatives" -> (TrainingData.s13HardNegatives _),
+    "s14_label_propagation" -> (TrainingData.s14LabelPropagation _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
     "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
@@ -306,6 +307,48 @@ object SparkEntry {
     }
     (head +: steps).mkString(",\n") +
       s"\nSELECT id AS event_type, round(r, 6) AS rank FROM r$iters ORDER BY 1"
+  }
+
+  /** s14 oracle: exact 5-NN graph over the pinned 500-vector pool, then
+    * the 5 majority-vote rounds unrolled (q57/s10 discipline). The
+    * majority tie-break (votes DESC, label ASC) replays Spark's
+    * struct-MAX exactly. */
+  private lazy val labelPropOracleSql: String = {
+    val iters = 5
+    val head =
+      """WITH e0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) v, label
+        |  FROM embeddings WHERE vec_id < 500),
+        |pc AS (SELECT a.id AS qid, b.id AS nid,
+        |  list_aggregate(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), 'sum')
+        |   / (sqrt(list_aggregate(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), 'sum'))) AS cos
+        |  FROM e0 a, e0 b WHERE a.id <> b.id),
+        |knn AS (SELECT qid AS src, nid AS dst FROM (
+        |    SELECT qid, nid,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        |    FROM pc) WHERE rn <= 5),
+        |seeds AS (SELECT id, label FROM e0 WHERE id % 5 = 0),
+        |l0 AS (SELECT e0.id, s.label AS lab FROM e0 LEFT JOIN seeds s USING (id))"""
+        .stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""v$k AS (SELECT kk.src, l.lab, COUNT(*) AS v
+         |  FROM knn kk JOIN l${k - 1} l ON l.id = kk.dst
+         |  WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+         |w$k AS (SELECT src, lab FROM (
+         |    SELECT src, lab, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY v DESC, lab) AS rn FROM v$k) WHERE rn = 1),
+         |l$k AS (SELECT p.id, COALESCE(s.label, w.lab, p.lab) AS lab
+         |  FROM l${k - 1} p
+         |  LEFT JOIN seeds s ON s.id = p.id
+         |  LEFT JOIN w$k w ON w.src = p.id)"""
+        .stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT e0.id AS vec_id,
+         |  CAST(COALESCE(l$iters.lab, -1) AS INT) AS propagated,
+         |  e0.label AS true_label, e0.id % 5 = 0 AS is_seed
+         |FROM e0 JOIN l$iters ON l$iters.id = e0.id ORDER BY 1""".stripMargin
   }
 
   private lazy val clustersOracleSql: String =
@@ -1473,6 +1516,7 @@ object SparkEntry {
         |  ON f.qid = t.qid AND f.nid = t.nid
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q57_pagerank" -> pagerankOracleSql,
+    "s14_label_propagation" -> labelPropOracleSql,
     // one threshold sweep over the d02 exact pair table; th literals
     // cast to DOUBLE so both engines compare identical values
     "t46_threshold_sweep" ->

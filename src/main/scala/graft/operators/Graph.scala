@@ -64,4 +64,50 @@ object Graph {
     }
     rank
   }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    * hard-label variant): seed nodes are clamped to their labels; every
+    * other node takes the MAJORITY label among its labeled neighbours
+    * each round (ties to the smallest label id; nodes with no labeled
+    * neighbour keep their current state). The weak-supervision operator
+    * that turns a small labeled pool into corpus-wide training labels —
+    * at scale the `edges` list comes from the ANN index (s03/s04/s07),
+    * not exact kNN, and this operator is agnostic to which.
+    *
+    * `edges` is directed `(src, dst)` — src reads its neighbours dst;
+    * `seeds` is `(id, label)`. Fixed `iters` rounds make the fixpoint
+    * oracle-replayable (the q57 discipline). Per round: one edges⋈labels
+    * join + a two-level majority aggregate — label state is one int per
+    * node, the same 16-byte discipline as [[pageRank]]. The majority
+    * argmax is a struct-MAX aggregate (partial-aggregates map-side),
+    * never a window over the vote stream. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+      iters: Int, checkpointEvery: Int = 3): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .unionByName(seeds.select(col("id")))
+      .distinct().localCheckpoint()
+    var lab = nodes
+      .join(seeds.select(col("id"), col("label").as("seed_label")),
+        Seq("id"), "left")
+      .select(col("id"), col("seed_label"),
+        col("seed_label").as("label"))
+    for (i <- 1 to iters) {
+      val votes = edges
+        .join(lab.select(col("id").as("dst0"), col("label").as("nbr_label")),
+          col("dst") === col("dst0"))
+        .filter(col("nbr_label").isNotNull)
+        .groupBy(col("src"), col("nbr_label"))
+        .agg(count(lit(1)).as("v"))
+      val winner = votes.groupBy("src")
+        .agg(max(struct(col("v"), (-col("nbr_label")).as("neg"),
+          col("nbr_label").as("lab")))("lab").as("maj"))
+      lab = lab.join(winner, col("id") === col("src"), "left")
+        .select(col("id"), col("seed_label"),
+          coalesce(col("seed_label"), col("maj"), col("label")).as("label"))
+      if (i % checkpointEvery == 0) lab = lab.localCheckpoint()
+    }
+    lab.select(col("id"), col("label"),
+      col("seed_label").isNotNull.as("is_seed"))
+  }
 }

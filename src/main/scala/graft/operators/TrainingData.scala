@@ -1750,6 +1750,29 @@ object TrainingData {
     Similarity.hardNegatives(Tables(spark, dir, "embeddings"),
       col("vec_id") < 5, k = 5)
 
+  /** Semi-supervised label propagation over the exact 5-NN graph of a
+    * pinned 500-vector pool: every 5th vector seeds its true label, 5
+    * majority-vote rounds spread them ([[graft.operators.Graph.labelPropagation]]),
+    * and the output carries the true label so the row itself IS the
+    * accuracy record — the weak-supervision eval a labeling pipeline
+    * runs before trusting propagated labels at corpus scale (where the
+    * kNN edges come from the ANN index, not brute force; the pool is
+    * pinned so the oracle's exact-kNN replay stays bounded at any SF). */
+  def s14LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val pool = Tables(spark, dir, "embeddings").filter(col("vec_id") < 500)
+    val knn = Similarity.bruteForceTopK(pool, lit(true), k = 5)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    val seeds = pool.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("id"), col("label"))
+    Graph.labelPropagation(knn, seeds, iters = 5)
+      .join(pool.select(col("vec_id").as("id"),
+        col("label").as("true_label")), "id")
+      .select(col("id").as("vec_id"),
+        coalesce(col("label"), lit(-1)).cast("int").as("propagated"),
+        col("true_label"), col("is_seed"))
+      .orderBy("vec_id")
+  }
+
   /** Dedup threshold-sensitivity sweep: the d02 exact-Jaccard pair table
     * re-cut at every candidate threshold 0.2…0.9, reporting pairs, docs
     * touched, and docs a keep-lowest-id policy would remove — the table

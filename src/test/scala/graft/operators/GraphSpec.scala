@@ -50,6 +50,41 @@ class GraphSpec extends SparkTestBase {
     assert(e.getMessage.contains("dangling"))
   }
 
+  test("label propagation: clamped seeds, majority vote, smallest-label ties, multi-hop reach") {
+    // a(seed 1) ← c → b(seed 2): tie at c breaks to label 1.
+    // d reads only b → 2. e reads only d → unlabeled after round 1,
+    // inherits 2 on round 2. Seed a reads b but stays clamped to 1.
+    val edges = Seq(
+      ("c", "a"), ("c", "b"), ("d", "b"), ("e", "d"), ("a", "b"))
+      .toDF("src", "dst")
+    val seeds = Seq(("a", 1), ("b", 2)).toDF("id", "label")
+    val out = Graph.labelPropagation(edges, seeds, iters = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.get(1), r.getBoolean(2)))).toMap
+    assert(out("a") == ((1, true)))
+    assert(out("b") == ((2, true)))
+    assert(out("c") == ((1, false))) // tie → smallest label
+    assert(out("d") == ((2, false)))
+    assert(out("e") == ((2, false))) // reached on the second hop
+  }
+
+  test("s14: propagation saturates the pool; seeds stay clamped to truth") {
+    // The synthetic corpus assigns labels INDEPENDENTLY of geometry
+    // (measured 1-NN label agreement ≈ 0.14 ≈ chance over 10 classes),
+    // so propagated accuracy on non-seeds is ~chance BY CONSTRUCTION —
+    // that is the honest reading the accuracy columns exist to surface
+    // (a labeling pipeline must measure this before trusting spread
+    // labels). What the operator owes: labels REACH the pool through
+    // the 5-NN graph, and clamped seeds never drift.
+    val rows = TrainingData.s14LabelPropagation(spark, sf("sf0.001")).collect()
+    val (seedRows, rest) = rows.partition(_.getAs[Boolean]("is_seed"))
+    assert(seedRows.nonEmpty && rest.nonEmpty)
+    seedRows.foreach(r => assert(
+      r.getAs[Int]("propagated") == r.getAs[Int]("true_label")))
+    val labeled = rest.filter(_.getAs[Int]("propagated") != -1)
+    assert(labeled.length >= rest.length / 2, "propagation barely spread")
+  }
+
   test("q57: ranks are a probability distribution over event types") {
     val out = Relational.q57PageRank(spark, sf("sf0.001")).collect()
     assert(out.length >= 3)
