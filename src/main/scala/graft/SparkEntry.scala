@@ -131,6 +131,7 @@ object SparkEntry {
     "s12_anisotropy" -> (TrainingData.s12AnisotropyProfile _),
     "s13_hard_negatives" -> (TrainingData.s13HardNegatives _),
     "s14_label_propagation" -> (TrainingData.s14LabelPropagation _),
+    "s15_ivfpq_rerank_exact" -> (TrainingData.s15IvfPqRerankExact _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
     "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
@@ -194,7 +195,8 @@ object SparkEntry {
     "d10r_manifest_lsh" -> (TrainingData.d10RawManifest _),
     "s03r_srp_topk" -> (TrainingData.s03RawTopK _),
     "s04r_ivf_topk" -> (TrainingData.s04RawTopK _),
-    "s07r_pq_topk" -> (TrainingData.s07RawTopK _))
+    "s07r_pq_topk" -> (TrainingData.s07RawTopK _),
+    "s15r_ivfpq_topk" -> (TrainingData.s15RawTopK _))
 
   /** The ONE registry of every runnable entry point — contract queries
     * plus bench-only raw forms. Bench, Time, ScaleReplay, and the golden
@@ -2434,6 +2436,7 @@ object SparkEntry {
     // brute-force oracle hash-verifies the full IVF pipeline (quantizer,
     // routing, per-cell scan); s04 keeps the production nprobe setting
     "s04a_ivf_full_probe" -> bruteTopkSql,
+    "s15_ivfpq_rerank_exact" -> bruteTopkSql,
     // SRP with zero planes is exact the same way: one bucket = whole-corpus
     // candidate set, so the SAME oracle hash-verifies the SRP machinery
     "s03a_srp_full_dial" -> bruteTopkSql,

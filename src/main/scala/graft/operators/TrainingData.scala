@@ -1082,6 +1082,31 @@ object TrainingData {
       col("vec_id") < 5, topK = 5, rerank = Int.MaxValue)
       .orderBy("qid", "rank")
 
+  /** IVF-PQ composite at the production dial (nprobe 4 of 16 cells, PQ
+    * ADC scoring, 50-deep exact rerank) — bench-only raw form, pinned by
+    * a committed golden. See [[graft.similarity.Similarity.ivfPqTopK]]. */
+  def s15RawTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val ivf = Similarity.buildIvfIndex(emb)
+    val pq = Similarity.buildPqIndex(emb)
+    Similarity.ivfPqTopK(ivf, pq, emb, col("vec_id") < 5, topK = 5)
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-PQ with every dial open — all 16 cells probed, whole-corpus
+    * rerank — which provably equals brute force: the contract row that
+    * chains the COMPOSITE routing+coding+rerank pipeline to the same
+    * DuckDB oracle as s02 (the s04a/s07a discipline applied to the
+    * production topology). */
+  def s15IvfPqRerankExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val ivf = Similarity.buildIvfIndex(emb)
+    val pq = Similarity.buildPqIndex(emb)
+    Similarity.ivfPqTopK(ivf, pq, emb, col("vec_id") < 5, topK = 5,
+      nprobe = 16, rerank = Int.MaxValue)
+      .orderBy("qid", "rank")
+  }
+
   /** Sequence-packing manifest: documents concatenated in global doc_id
     * order and cut into fixed `seqLen`-token training sequences (the
     * standard "concat-and-chunk" LLM pretraining layout — docs straddle

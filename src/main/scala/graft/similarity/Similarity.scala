@@ -706,6 +706,70 @@ object Similarity {
     // away unused; the shared registry reclaims it at workload boundaries
   }
 
+  /** IVF-PQ composite probe — the production ANN topology (FAISS's
+    * default IndexIVFPQ): IVF routing confines each query to `nprobe`
+    * Voronoi cells, PQ asymmetric-distance scoring ranks ONLY those
+    * cells' code rows (never their float vectors), and the ADC shortlist
+    * is exact-reranked from stored vectors. At 100 TB this is the only
+    * dial that holds both axes down: routing caps the SCAN at
+    * nprobe/nlist of the corpus, codes cap the BYTES at m bytes/vector,
+    * and the exact rerank touches `rerank` float rows per query.
+    *
+    * Per-query ADC tables derive in-plan from the codebook literal (the
+    * [[pqProbe]] discipline — nothing query-sized on the driver); the
+    * codes⋈cell join is vec_id-co-partitioned here, and a production
+    * layout stores codes WITH the cell id (one table, partitioned by
+    * cell) so routing becomes partition pruning instead of a join. With
+    * `nprobe` = nlist and `rerank` ≥ the corpus, the result provably
+    * equals [[bruteForceTopK]] — the dial the s15 contract pins to the
+    * cross-engine oracle. */
+  def ivfPqTopK(ivf: IvfIndex, pq: PqIndex, emb: DataFrame,
+      queryFilter: Column, topK: Int, nprobe: Int = 4, m: Int = 8,
+      rerank: Int = 50): DataFrame = {
+    val dsub = pq.codebooks(0)(0).length
+    val cb = typedlit(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = ivf.assigned.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wCells = Window.partitionBy("qid").orderBy(asc("d2"), asc("cell"))
+    val probed = q.crossJoin(broadcast(ivf.centroids))
+      .withColumn("d2",
+        dot(col("qv"), col("qv")) + dot(col("centroid"), col("centroid"))
+          - lit(2.0) * dot(col("qv"), col("centroid")))
+      .withColumn("cr", row_number().over(wCells))
+      .filter(col("cr") <= nprobe)
+      .withColumn("qtab", transform(sequence(lit(1), lit(m)), i =>
+        transform(element_at(cb, i), cent =>
+          aggregate(sequence(lit(1), lit(dsub)), lit(0.0d), (acc, d) =>
+            acc + element_at(col("qv"), (i - lit(1)) * dsub + d)
+              .cast("double") * element_at(cent, d).cast("double")))))
+      .select("qid", "cell", "qtab")
+    val codesWithCell = pq.codes
+      .join(ivf.assigned.select(col("vec_id"), col("cell")), "vec_id")
+    val scored = codesWithCell.join(broadcast(probed), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("approx_dot",
+        aggregate(sequence(lit(1), lit(m)), lit(0.0d), (acc, i) =>
+          acc + element_at(
+            element_at(col("qtab"), i),
+            element_at(col("code"), i) + 1)))
+    val w = Window.partitionBy("qid").orderBy(desc("approx_dot"), asc("vec_id"))
+    val shortlist = scored
+      .withColumn("arank", row_number().over(w).cast("int"))
+      .filter(col("arank") <= rerank)
+      .select(col("qid"), col("vec_id").as("nid"))
+    val qv = emb.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = shortlist
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val we = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+    exact.withColumn("rank", row_number().over(we).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Symmetric int8 scalar quantization profile per vector: the 4×
     * memory-compression step an ANN index applies before sharding, plus
     * the reconstruction-error audit that decides whether int8 is safe for

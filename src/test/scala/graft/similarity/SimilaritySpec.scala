@@ -155,6 +155,28 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ composite: full dial equals brute force; production dial well-formed") {
+    val ivf = Similarity.buildIvfIndex(emb)
+    val pq = Similarity.buildPqIndex(emb)
+    val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    val full = Similarity.ivfPqTopK(ivf, pq, emb, col("vec_id") < 5,
+      topK = 5, nprobe = 16, rerank = Int.MaxValue)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(full == bf)
+    val prod = Similarity.ivfPqTopK(ivf, pq, emb, col("vec_id") < 5, topK = 5)
+      .collect()
+    prod.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+      rows.foreach(r => assert(r.getAs[Long]("nid") != qid))
+      // rerank scores are TRUE cosines, so every returned row must also
+      // appear in the full-corpus exact ranking at equal-or-later rank
+      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    ivf.release(); pq.release()
+  }
+
   test("knn label agreement is 1.0 on perfectly separated clusters") {
     val sep = Seq(
       (0L, Array(1f, 0.00f), 0), (1L, Array(1f, 0.01f), 0),
