@@ -176,6 +176,35 @@ object Multimodal {
         WavCodec.rmsFeatures(m.content, windows))))
   }
 
+  /** Perceptual audio fingerprints ([[AudioFp]] — Haitsma–Kalker band
+    * double-differences): 8 bytes per clip, decoded once per row like
+    * every other codec path here. */
+  def audioFingerprints(spark: SparkSession, media: DataFrame,
+      partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio/wav")
+      .repartition(partitions, col("media_id")).as[MediaRow]
+      .mapPartitions(_.map(m =>
+        (m.media_id, AudioFp.fingerprintPayload(m.content))))
+      .toDF("media_id", "afp")
+  }
+
+  /** Audio near-duplicates: fingerprints through the SAME pigeonhole
+    * banded Hamming join as image pHash and text SimHash — only the
+    * 8-byte signatures shuffle; decode happens once in
+    * [[audioFingerprints]]. Zero fingerprints (clips too short to frame)
+    * are excluded — "no signal" must not near-dup everything else that
+    * lacks signal. */
+  def audioNearDuplicates(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 6, partitions: Int = 32): DataFrame =
+    graft.dedup.Dedup
+      .hammingNearPairs(
+        audioFingerprints(spark, media, partitions)
+          .filter(col("afp") =!= 0L),
+        "media_id", "afp", maxHamming)
+      .withColumnRenamed("d1", "m1")
+      .withColumnRenamed("d2", "m2")
+
   /** REAL resample path for PCM WAV payloads (nearest sample, re-encoded);
     * metadata recomputed from the RESAMPLED audio — flooring the frame
     * count can shorten non-integer rate ratios by up to 1 ms, and metadata

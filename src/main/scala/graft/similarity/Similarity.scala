@@ -383,6 +383,38 @@ object Similarity {
         .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
     }
 
+    /** Incremental index maintenance: assign a NEW vector batch to the
+      * EXISTING centroids and return an index over the union — the
+      * daily-ingest path (the d11 incremental-dedup / q56 IVM shape
+      * applied to ANN): cost scales with the BATCH, the standing corpus
+      * is never re-assigned and KMeans never retrains. Assignment uses
+      * the same squared-euclidean argmin as the trainer, expressed as a
+      * struct-MIN aggregate over the broadcast centroid table (map-side
+      * partials — no window over the batch×centroid stream). Centroids
+      * drift as the distribution does; the accepted practice is periodic
+      * REBUILD when probe recall decays, which [[buildIvfIndex]] does
+      * from scratch — this method is the cheap path between rebuilds.
+      * The previous index's cache is left to the caller to release
+      * after the swap (the VersionedFactSink pointer-swap discipline). */
+    def addBatch(batch: DataFrame): IvfIndex = {
+      val assignedNew = batch
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"),
+          struct(
+            (dot(col("embedding"), col("embedding"))
+              + dot(col("centroid"), col("centroid"))
+              - lit(2.0) * dot(col("embedding"), col("centroid"))).as("d2"),
+            col("cell")).as("sc"))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          min(col("sc"))("cell").as("cell"))
+      IvfIndex(
+        assigned.unionByName(assignedNew)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        centroids)
+    }
+
     /** Drop the cached assignment (the index is unusable afterwards). */
     def release(): Unit = { assigned.unpersist(); () }
   }

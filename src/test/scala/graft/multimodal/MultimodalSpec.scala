@@ -423,4 +423,58 @@ class MultimodalSpec extends SparkTestBase {
     } yield (i, j)).toSet
     assert(pairs == brute)
   }
+
+  // 9-segment "melody" aligned with AudioFp's 9 frames: each segment one
+  // tone, so band energies genuinely evolve and the double-difference
+  // bits carry signal (a steady tone is the degenerate near-tie case)
+  private def melody(freqs: Seq[Double], sr: Int = 8000,
+      perSeg: Int = 1800, amp: Int = 8000): WavCodec.Audio = {
+    val samples = freqs.flatMap(f => (0 until perSeg).map(i =>
+      (amp * math.sin(2 * math.Pi * f * i / sr)).toShort)).toArray
+    WavCodec.Audio(sr, 1, samples)
+  }
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("audio fingerprint: deterministic, noise-robust, resample-stable, melody-discriminating") {
+    val fa = Seq(300.0, 700, 1500, 400, 3000, 900, 2000, 500, 1200)
+    val fb = Seq(2800.0, 350, 1900, 3100, 600, 2500, 800, 1700, 450)
+    val a = melody(fa)
+    val fpA = AudioFp.fingerprint(a)
+    assert(fpA == AudioFp.fingerprint(melody(fa))) // pure function
+    // deterministic ±50 pseudo-noise (~0.6% of amplitude): few bits move
+    val noisy = a.copy(samples = a.samples.zipWithIndex.map { case (s, i) =>
+      (s + (i * 2654435761L % 101).toInt - 50).toShort })
+    assert(hamming(fpA, AudioFp.fingerprint(noisy)) <= 6)
+    // canonical-rate analysis: a 2× upsampled copy canonicalizes back to
+    // the identical sample stream, so the fingerprint is EXACTLY stable
+    // under integer-ratio rate changes (non-integer nearest-sample
+    // resampling aliases — a genuinely different signal, out of scope)
+    assert(hamming(fpA,
+      AudioFp.fingerprint(WavCodec.resampleAudio(a, 16000))) == 0)
+    // a different melody is far away
+    assert(hamming(fpA, AudioFp.fingerprint(melody(fb))) > 16)
+    // too short to frame → the sentinel zero
+    assert(AudioFp.fingerprint(
+      WavCodec.Audio(8000, 1, Array.fill(4)(100.toShort))) == 0L)
+  }
+
+  test("audio near-duplicates: planted noisy copy found, stranger and short clips excluded") {
+    val fa = Seq(300.0, 700, 1500, 400, 3000, 900, 2000, 500, 1200)
+    val a = melody(fa)
+    val noisy = a.copy(samples = a.samples.zipWithIndex.map { case (s, i) =>
+      (s + (i * 2654435761L % 101).toInt - 50).toShort })
+    val stranger = melody(Seq(2800.0, 350, 1900, 3100, 600, 2500, 800, 1700, 450))
+    val tiny = WavCodec.Audio(8000, 1, Array.fill(4)(100.toShort))
+    val media = Seq(
+      MediaRow(1L, "audio/wav", WavCodec.encode(a), 0, 0, 8000, a.durationMs),
+      MediaRow(2L, "audio/wav", WavCodec.encode(noisy), 0, 0, 8000, noisy.durationMs),
+      MediaRow(3L, "audio/wav", WavCodec.encode(stranger), 0, 0, 8000, stranger.durationMs),
+      MediaRow(4L, "audio/wav", WavCodec.encode(tiny), 0, 0, 8000, tiny.durationMs),
+      MediaRow(5L, "audio/wav", WavCodec.encode(tiny), 0, 0, 8000, tiny.durationMs))
+      .toDS().toDF()
+    val pairs = audioNearDuplicates(spark, media, maxHamming = 6, partitions = 2)
+      .collect().map(r => (r.getAs[Long]("m1"), r.getAs[Long]("m2"))).toSet
+    // the two zero-fingerprint shorts (4,5) must NOT pair up
+    assert(pairs == Set((1L, 2L)))
+  }
 }

@@ -155,6 +155,32 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF addBatch: batch lands on its nearest existing centroid; probe covers the union") {
+    val idx = Similarity.buildIvfIndex(emb.filter(col("vec_id") < 400))
+    val idx2 = idx.addBatch(emb.filter(col("vec_id") >= 400))
+    assert(idx2.assigned.count() == emb.count())
+    // every batch row's cell re-derived driver-side with the operator's
+    // exact arithmetic (three index-order double dots)
+    val cents = idx2.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    def dot2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    idx2.assigned.filter(col("vec_id") >= 400).collect().foreach { r =>
+      val v = r.getSeq[Float](1)
+      val best = cents.toSeq.map { case (c, cent) =>
+        (dot2(v, v) + dot2(cent, cent) - 2.0 * dot2(v, cent), c)
+      }.min._2
+      assert(r.getAs[Int]("cell") == best, s"vec ${r.getLong(0)}")
+    }
+    // the updated index at full probe equals brute force over the union —
+    // new vectors are immediately retrievable
+    val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 5, k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(idx2.topK(col("vec_id") < 5, 5, nprobe = 16)
+      .orderBy("qid", "rank").collect().toSeq == bf)
+    idx2.release(); idx.release()
+  }
+
   test("IVF-PQ composite: full dial equals brute force; production dial well-formed") {
     val ivf = Similarity.buildIvfIndex(emb)
     val pq = Similarity.buildPqIndex(emb)
