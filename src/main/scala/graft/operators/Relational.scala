@@ -1394,8 +1394,13 @@ object Relational {
     * max-count broadcast back over the counts frame — never a global
     * sort. Everything after the first shuffle is histogram-sized. */
   def q54KeySkewReport(spark: SparkSession, dir: String): DataFrame = {
-    val cnts = Tables(spark, dir, "events")
-      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    // three consumers (percentiles, totals, hottest-key) read the per-key
+    // count table; persisting it makes the corpus scan happen ONCE and
+    // the re-reads touch a #keys-row frame (at 100 TB: millions of rows
+    // vs re-scanning the corpus three times)
+    val cnts = graft.Caches.persistReplacing(s"q54_cnts:$dir",
+      Tables(spark, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt")))
     val pct = histogramRanks(cnts.select("cnt"), Nil, "cnt")
       .agg(
         nearestRankPick(0.5, "cnt").as("p50_cnt"),
@@ -1431,8 +1436,11 @@ object Relational {
     * the q54 broadcast max-filter; nothing after the count groupBy is
     * data-proportional. */
   def q55JoinSizePlanner(spark: SparkSession, dir: String): DataFrame = {
-    val cnt = Tables(spark, dir, "lineitem")
-      .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    // both consumers (totals, hottest-key) read the count table off one
+    // persisted corpus scan — the q54 discipline
+    val cnt = graft.Caches.persistReplacing(s"q55_cnt:$dir",
+      Tables(spark, dir, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("c")))
     val tot = cnt.agg(
       count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
       sum(col("c") * col("c")).as("join_rows"), max(col("c")).as("max_c"))
