@@ -127,6 +127,8 @@ object SparkEntry {
     "q55_join_size_planner" -> (Relational.q55JoinSizePlanner _),
     "q56_ivm_rollup" -> (Relational.q56IvmRollup _),
     "q57_pagerank" -> (Relational.q57PageRank _),
+    "q58_heavy_hitters" -> (TrainingData.q58HeavyHitters _),
+    "t47_mix_schedule" -> (TrainingData.t47MixSchedule _),
     "s11_matryoshka_overlap" -> (TrainingData.s11MatryoshkaOverlap _),
     "s12_anisotropy" -> (TrainingData.s12AnisotropyProfile _),
     "s13_hard_negatives" -> (TrainingData.s13HardNegatives _),
@@ -1519,6 +1521,42 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q57_pagerank" -> pagerankOracleSql,
     "s14_label_propagation" -> labelPropOracleSql,
+    // CMS verdict: the oracle recomputes the exact top-10 and claims the
+    // sketch guarantees (one-sided error; 2·⌈εN⌉ at confidence 0.9999)
+    "q58_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS INT)
+        |      AS rank
+        |  FROM c)
+        |SELECT rank, user_id, cnt,
+        |  TRUE AS never_under, TRUE AS within_eps
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // geometric annealing natural→uniform; 6-dp decimal normalizer terms
+    // absorb pow's last-ulp engine differences (t22 discipline)
+    "t47_mix_schedule" ->
+      """WITH a AS (SELECT source,
+        |    CAST(SUM(len(regexp_extract_all(lower(trim(text)), '\S+')))
+        |      AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS nn,
+        |    CAST(COUNT(*) AS BIGINT) AS n_src FROM a),
+        |s AS (SELECT source, tokens,
+        |    CAST(tokens AS DOUBLE) / nn AS p0,
+        |    CAST(1 AS DOUBLE) / n_src AS p1,
+        |    CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS epoch
+        |  FROM a, tot),
+        |w AS (SELECT source, epoch,
+        |    CAST(round(pow(p0, 1.0 - CAST(epoch AS DOUBLE) / 4) *
+        |      pow(p1, CAST(epoch AS DOUBLE) / 4), 6) AS DECIMAL(18,6))
+        |      AS w_raw
+        |  FROM s),
+        |z AS (SELECT epoch, SUM(w_raw) AS z FROM w GROUP BY 1)
+        |SELECT CAST(w.epoch AS INT) AS epoch, w.source,
+        |  round(CAST(w.w_raw AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight
+        |FROM w JOIN z ON w.epoch = z.epoch
+        |ORDER BY epoch, source""".stripMargin,
     // one threshold sweep over the d02 exact pair table; th literals
     // cast to DOUBLE so both engines compare identical values
     "t46_threshold_sweep" ->

@@ -1824,6 +1824,75 @@ object TrainingData {
       .orderBy("th")
   }
 
+  /** Epoch-annealed mixture schedule: per training epoch, source weights
+    * interpolate GEOMETRICALLY from the corpus's natural token shares to
+    * the uniform target (`w ∝ p0^(1−α)·p1^α`, α = epoch/(E−1)) — the
+    * "start where the data is, end where you want to be" curriculum a
+    * mixture designer anneals over a run (the DoReMi-family shape with a
+    * fixed uniform reference). Everything runs on the #sources catalog
+    * frame after one corpus aggregate; per-epoch normalizers sum 6-dp
+    * DECIMAL terms (the t22 discipline), so pow's last-ulp engine
+    * differences are absorbed before the ratio. */
+  def t47MixSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val epochs = 5
+    val avail = Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("tokens"))
+    val tot = avail.agg(sum(col("tokens")).as("nn"), count(lit(1)).as("n_src"))
+    val sched = avail.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        (col("tokens").cast("double") / col("nn")).as("p0"),
+        (lit(1.0) / col("n_src")).as("p1"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("alpha", col("epoch").cast("double") / (epochs - 1))
+      .withColumn("w_raw",
+        round(pow(col("p0"), lit(1.0) - col("alpha")) *
+          pow(col("p1"), col("alpha")), 6).cast("decimal(18,6)"))
+    val z = sched.groupBy(col("epoch").as("e2"))
+      .agg(sum(col("w_raw")).as("z"))
+    sched.join(broadcast(z), col("epoch") === col("e2"))
+      .select(col("epoch").cast("int").as("epoch"), col("source"),
+        round(col("w_raw").cast("double") / col("z").cast("double"), 6)
+          .as("weight"))
+      .orderBy("epoch", "source")
+  }
+
+  /** Count-Min heavy hitters, verdict form (q41 discipline): the exact
+    * top-10 keys by event count, each annotated with the sketch
+    * guarantees the CMS estimate must satisfy — never an underestimate
+    * (structural), and within 2·⌈ε·N⌉ above truth (depth from
+    * confidence 0.9999, so a budget excursion means a broken sketch,
+    * not an unlucky seed). The exact top-10 is TakeOrderedAndProject;
+    * the sketch is ONE mergeable aggregate over the corpus; only the
+    * 10-row result and the kilobyte sketch reach the driver (the q·k
+    * bounded-collect pattern). */
+  def q58HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val eps = 0.0005
+    val ev = Tables(spark, dir, "events").select(col("user_id"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("user_id")).limit(10)
+    val bytes = ev
+      .agg(expr(s"count_min_sketch(user_id, ${eps}d, 0.9999d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val slack = 2L * math.ceil(eps * cms.totalCount()).toLong
+    val rows = top.collect()
+      .sortBy(r => (-r.getAs[Long]("cnt"), r.getAs[Long]("user_id")))
+      .zipWithIndex
+      .map { case (r, i) =>
+        val u = r.getAs[Long]("user_id")
+        val c = r.getAs[Long]("cnt")
+        val est = cms.estimateCount(java.lang.Long.valueOf(u))
+        (i + 1, u, c, est >= c, est <= c + slack)
+      }.toSeq
+    val session = spark
+    import session.implicits._
+    rows.toDF("rank", "user_id", "cnt", "never_under", "within_eps")
+      .orderBy("rank")
+  }
+
   /** MinHash calibration audit, verdict form (q41 discipline): over the
     * exact near-dup pairs, the 64-hash signature estimate of Jaccard
     * (fraction of agreeing positions) must track the true value — mean

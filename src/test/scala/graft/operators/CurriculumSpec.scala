@@ -200,6 +200,38 @@ class CurriculumSpec extends SparkTestBase {
     assert(r.getAs[Boolean]("bias_within_010"))
   }
 
+  test("t47: schedule starts at natural shares, ends uniform, normalizes per epoch") {
+    val out = TrainingData.t47MixSchedule(spark, sf("sf0.001"))
+      .collect().map(r => (r.getAs[Int]("epoch"), r.getAs[String]("source"),
+        r.getAs[Double]("weight")))
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1, 2, 3, 4))
+    // every epoch's weights are a distribution (6-dp rounding slack)
+    byEpoch.values.foreach { rows =>
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4 * rows.size) }
+    // epoch 4 is the uniform target
+    val n = byEpoch(4).size
+    byEpoch(4).foreach { case (_, _, w) =>
+      assert(math.abs(w - 1.0 / n) < 1e-4) }
+    // epoch 0 is the natural token share: biggest source carries the
+    // biggest weight, and the spread strictly shrinks toward uniform
+    def spread(e: Int): Double =
+      byEpoch(e).map(_._3).max - byEpoch(e).map(_._3).min
+    assert(spread(0) > spread(2) && spread(2) > spread(4))
+  }
+
+  test("q58: exact top-10 with CMS guarantees holding on the real corpus") {
+    val out = TrainingData.q58HeavyHitters(spark, sf("sf0.001")).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+    val cnts = out.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("never_under"), "CMS underestimated — impossible")
+      assert(r.getAs[Boolean]("within_eps"), "CMS blew the 2eN budget")
+    }
+  }
+
   test("t45: groups below k are flagged, sensitive diversity counted") {
     val dir = java.nio.file.Files.createTempDirectory("kanon").toString
     // combo (1, SEG-A): 12 members in 2 balance bands — safe, l_div 2;
