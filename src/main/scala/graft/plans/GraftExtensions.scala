@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // config-gated COUNT(DISTINCT) → HLL++ rewrite (see
+    // [[ApproxDistinctRewrite]]); a no-op until the conf flag flips, so
+    // oracle runs and audits keep exact semantics by default
+    ext.injectOptimizerRule(session => ApproxDistinctRewrite(session))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_dot"),
