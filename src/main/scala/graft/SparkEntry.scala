@@ -1635,7 +1635,7 @@ object SparkEntry {
         |SELECT s.n_keys, s.n_rows, s.join_rows, s.max_c,
         |  round(CAST(s.join_rows AS DOUBLE) / s.n_rows, 4) AS amplification,
         |  t.top_key,
-        |  CAST((s.max_c * s.max_c * 2000000 + s.join_rows)
+        |  CAST((CAST(s.max_c AS HUGEINT) * s.max_c * 2000000 + s.join_rows)
         |    // (s.join_rows * 2) AS BIGINT) AS hot_share_ppm
         |FROM s, t""".stripMargin,
     "d20_prefix_boilerplate" ->

@@ -240,10 +240,17 @@ object Dedup {
     * base-hash collision merges two shingles — noise far below MinHash's
     * own estimation variance (and DedupSpec's recall bound guards it). */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64,
-      textCol: String = "text", n: Int = 3): DataFrame = {
-    val sh = shingleGrams(docs, textCol, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
-      .distinct()
+      textCol: String = "text", n: Int = 3,
+      shingles: Option[DataFrame] = None): DataFrame = {
+    // `shingles`: a pre-built (doc_id, g) set to sign INSTEAD of deriving
+    // one — the caller's tool for keeping signatures consistent with a
+    // df-capped exact side (d21's calibration audit must estimate the
+    // SAME Jaccard the capped pair generator computes, or a binding cap
+    // reads as sketch bias)
+    val sh = shingles.getOrElse(
+      shingleGrams(docs, textCol, n)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
+        .distinct())
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("g"), lit(i))).as(s"h$i"))
     sh.groupBy("doc_id")

@@ -1452,8 +1452,13 @@ object Relational {
         round(col("join_rows").cast("double") / col("n_rows"), 4)
           .as("amplification"),
         col("top_key"),
-        expr("(max_c * max_c * 2000000L + join_rows) div (join_rows * 2)")
-          .as("hot_share_ppm"))
+        // DECIMAL intermediates: max_c² · 2e6 overflows Long exactly in
+        // the extreme-skew regime this planner exists to detect (a 2.2M-
+        // row hot key already wraps) — silent garbage in Spark, a raise
+        // in the DuckDB twin. Exact integer ppm either way.
+        expr("""(cast(max_c as decimal(38,0)) * max_c * 2000000
+               |  + join_rows) div (cast(join_rows as decimal(38,0)) * 2)"""
+          .stripMargin).as("hot_share_ppm"))
   }
 
   // ---------------------------------------------------------------- Q56 (incremental view maintenance)

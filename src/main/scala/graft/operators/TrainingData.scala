@@ -1863,33 +1863,41 @@ object TrainingData {
     * guarantees the CMS estimate must satisfy — never an underestimate
     * (structural), and within 2·⌈ε·N⌉ above truth (depth from
     * confidence 0.9999, so a budget excursion means a broken sketch,
-    * not an unlucky seed). The exact top-10 is TakeOrderedAndProject;
-    * the sketch is ONE mergeable aggregate over the corpus; only the
-    * 10-row result and the kilobyte sketch reach the driver (the q·k
-    * bounded-collect pattern). */
+    * not an unlucky seed).
+    *
+    * FULLY LAZY — nothing executes at construction (review finding,
+    * round 7: an eager collect here made the plan audit inspect a
+    * localized 10-row frame instead of the corpus subtrees). The exact
+    * top-10 is TakeOrderedAndProject; the sketch is ONE mergeable
+    * aggregate whose 1-row binary result broadcasts; the per-key
+    * estimate lookup is a Scala UDF evaluated on the ≤10-row joined
+    * frame ONLY (there is no built-in point-query function for a CMS
+    * binary — the no-UDF-in-the-hot-path rule is about corpus scans,
+    * and the corpus side here is pure aggregates). The rank window runs
+    * above the top-10 cut (t33/t37 discipline). */
   def q58HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
     val eps = 0.0005
     val ev = Tables(spark, dir, "events").select(col("user_id"))
     val top = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("user_id")).limit(10)
-    val bytes = ev
-      .agg(expr(s"count_min_sketch(user_id, ${eps}d, 0.9999d, 42)"))
-      .head.getAs[Array[Byte]](0)
-    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-    val slack = 2L * math.ceil(eps * cms.totalCount()).toLong
-    val rows = top.collect()
-      .sortBy(r => (-r.getAs[Long]("cnt"), r.getAs[Long]("user_id")))
-      .zipWithIndex
-      .map { case (r, i) =>
-        val u = r.getAs[Long]("user_id")
-        val c = r.getAs[Long]("cnt")
-        val est = cms.estimateCount(java.lang.Long.valueOf(u))
-        (i + 1, u, c, est >= c, est <= c + slack)
-      }.toSeq
-    val session = spark
-    import session.implicits._
-    rows.toDF("rank", "user_id", "cnt", "never_under", "within_eps")
+    val sk = ev
+      .agg(expr(s"count_min_sketch(user_id, ${eps}d, 0.9999d, 42)").as("sk"))
+    val est = udf((bytes: Array[Byte], u: Long) =>
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(java.lang.Long.valueOf(u)))
+    val total = udf((bytes: Array[Byte]) =>
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+        .totalCount())
+    val w = Window.partitionBy(lit(0)).orderBy(desc("cnt"), asc("user_id"))
+    top.crossJoin(broadcast(sk))
+      .withColumn("est", est(col("sk"), col("user_id")))
+      .withColumn("slack",
+        lit(2L) * ceil(lit(eps) * total(col("sk"))).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("user_id"), col("cnt"),
+        (col("est") >= col("cnt")).as("never_under"),
+        (col("est") <= col("cnt") + col("slack")).as("within_eps"))
       .orderBy("rank")
   }
 
@@ -1906,8 +1914,20 @@ object TrainingData {
     * pair-bounded; signatures build in one corpus groupBy. */
   def d21MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
-    val sigs = Dedup.minhashSignatures(docs)
+    // ONE df-capped shingle table feeds BOTH sides: the exact pair
+    // generator and the signatures. Signing the uncapped sets while the
+    // exact side caps at maxDf would make the audit measure the cap, not
+    // the sketch, on any corpus where a shingle's df actually exceeds the
+    // cap (boilerplate-heavy corpora — exactly where calibration runs).
+    // At fixture dfs the cap never binds, so results equal the uncapped
+    // form and the oracle is unchanged.
+    val shAll = Dedup.hashedShingleSets(docs, "text", n = 3)
+    val rare = shAll.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 1000).select("g")
+    val capped = shAll.join(rare, "g")
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2,
+      shingles = Some(capped))
+    val sigs = Dedup.minhashSignatures(docs, shingles = Some(capped))
     exact
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")

@@ -659,7 +659,7 @@ object Similarity {
   def pqTopK(emb: DataFrame, queryFilter: Column, topK: Int, m: Int = 8,
       k: Int = 16, maxTrainRows: Int = 100000, rerank: Int = 0): DataFrame = {
     val idx = buildPqIndex(emb, m, k, maxTrainRows)
-    pqProbe(idx, emb, queryFilter, topK, m, rerank)
+    pqProbe(idx, emb, queryFilter, topK, rerank = rerank)
   }
 
   /** Probe a HELD [[PqIndex]] — the production shape (build once, probe
@@ -677,7 +677,11 @@ object Similarity {
     * size the shortlist is the whole corpus and the result equals brute
     * force, which is the oracle dial the s07a audit row uses. */
   def pqProbe(idx: PqIndex, emb: DataFrame, queryFilter: Column,
-      topK: Int, m: Int = 8, rerank: Int = 0): DataFrame = {
+      topK: Int, rerank: Int = 0): DataFrame = {
+    // both geometry parameters come from the INDEX — a caller-supplied m
+    // that disagreed with the codebooks would silently score a truncated
+    // ADC distance (review finding, round 7)
+    val m = idx.codebooks.length
     val dsub = idx.codebooks(0)(0).length
       // ADC tables are built IN-PLAN: the codebooks (m·k·dsub floats — a
       // few KB of driver state bounded by the INDEX, never by the corpus
@@ -756,8 +760,10 @@ object Similarity {
     * equals [[bruteForceTopK]] — the dial the s15 contract pins to the
     * cross-engine oracle. */
   def ivfPqTopK(ivf: IvfIndex, pq: PqIndex, emb: DataFrame,
-      queryFilter: Column, topK: Int, nprobe: Int = 4, m: Int = 8,
+      queryFilter: Column, topK: Int, nprobe: Int = 4,
       rerank: Int = 50): DataFrame = {
+    // geometry from the index, never the caller (see pqProbe)
+    val m = pq.codebooks.length
     val dsub = pq.codebooks(0)(0).length
     val cb = typedlit(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     val q = ivf.assigned.filter(queryFilter)

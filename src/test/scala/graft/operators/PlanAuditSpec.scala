@@ -223,7 +223,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t33_zipf_fit",        // rank over the TakeOrderedAndProject top-N vocabulary
     "t35_ngram_novelty",   // rank over the TakeOrderedAndProject top-N novel n-grams
     "t37_weighted_sample", // keys over the TakeOrderedAndProject top-k sample
-    "t43_budget_waterfill" // rank/cumsum over the per-source token AGGREGATE (≤ #sources rows — a catalog, not data)
+    "t43_budget_waterfill", // rank/cumsum over the per-source token AGGREGATE (≤ #sources rows — a catalog, not data)
+    "q58_heavy_hitters"    // rank over the TakeOrderedAndProject top-10 ⨯ 1-row sketch
   )
 
   test("sweep: every contract plan — no CartesianProduct, no NEW unpartitioned window") {
