@@ -128,6 +128,7 @@ object SparkEntry {
     "q56_ivm_rollup" -> (Relational.q56IvmRollup _),
     "q57_pagerank" -> (Relational.q57PageRank _),
     "q58_heavy_hitters" -> (TrainingData.q58HeavyHitters _),
+    "q59_ab_test" -> (Relational.q59AbTest _),
     "t47_mix_schedule" -> (TrainingData.t47MixSchedule _),
     "s11_matryoshka_overlap" -> (TrainingData.s11MatryoshkaOverlap _),
     "s12_anisotropy" -> (TrainingData.s12AnisotropyProfile _),
@@ -1533,6 +1534,43 @@ object SparkEntry {
         |SELECT rank, user_id, cnt,
         |  TRUE AS never_under, TRUE AS within_eps
         |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // hash-randomized A/A calibration: same md5 arm split, same pooled
+    // two-proportion z — every column is deterministic arithmetic
+    "q59_ab_test" ->
+      """WITH u0 AS (SELECT user_id, MIN(ts) AS t0,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT user_id,
+        |    CASE WHEN tp <= t0 + INTERVAL 1 DAY THEN 1 ELSE 0 END
+        |      AS converted
+        |  FROM u0),
+        |ar AS (SELECT CASE WHEN
+        |      CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS arm, converted FROM u),
+        |s AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT)
+        |      AS a_conv,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS b_n,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT)
+        |      AS b_conv
+        |  FROM ar),
+        |c AS (SELECT *,
+        |    CAST(a_conv AS DOUBLE) / a_n AS pa,
+        |    CAST(b_conv AS DOUBLE) / b_n AS pb,
+        |    CAST(a_conv + b_conv AS DOUBLE) / (a_n + b_n) AS p
+        |  FROM s),
+        |zc AS (SELECT *,
+        |    CASE WHEN p > 0 AND p < 1 THEN
+        |      (pa - pb) / sqrt(p * (1.0 - p) *
+        |        (CAST(1 AS DOUBLE) / a_n + CAST(1 AS DOUBLE) / b_n))
+        |    ELSE CAST(0 AS DOUBLE) END AS zv
+        |  FROM c)
+        |SELECT a_n, a_conv, round(pa, 4) AS a_rate,
+        |  b_n, b_conv, round(pb, 4) AS b_rate,
+        |  round(zv, 4) AS z, abs(zv) > 1.96 AS significant
+        |FROM zc""".stripMargin,
     // geometric annealing natural→uniform; 6-dp decimal normalizer terms
     // absorb pow's last-ulp engine differences (t22 discipline)
     "t47_mix_schedule" ->

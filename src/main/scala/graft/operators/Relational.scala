@@ -1497,6 +1497,63 @@ object Relational {
       .orderBy("yr", "status")
   }
 
+  // ---------------------------------------------------------------- Q59 (A/B test)
+  /** Two-proportion z-test over a hash-randomized experiment split — the
+    * statistical-testing primitive every product warehouse runs on
+    * feature flags: users hash into arms (the t04 engine-portable md5
+    * split, so assignment is reproducible anywhere without storing it),
+    * conversion is "ever purchased", and the pooled two-proportion
+    * z-statistic decides significance at 1.96. Because the split is
+    * hash-random against a common population, this doubles as the A/A
+    * calibration run (the null is true by construction — a significant
+    * result here means the assignment or the stat is broken, which is
+    * exactly what the oracle hash locks). One groupBy to per-user
+    * conversion flags, one 2-row aggregate, arithmetic on a 1-row frame:
+    * at 100 TB the cost is the event scan. */
+  def q59AbTest(spark: SparkSession, dir: String): DataFrame = {
+    // conversion = purchased within 1 day of first activity — a windowed
+    // definition with real variance ("ever purchased" saturates to 100%
+    // on long-lived users, making the pooled p hit 1.0 and the z
+    // denominator zero; found the hard way on the fixture)
+    val users = Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .select(col("user_id"),
+        when(col("tp") <= col("t0") + expr("INTERVAL 1 DAY"), 1)
+          .otherwise(0).as("converted"))
+      .withColumn("arm",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, "A").otherwise("B"))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val wide = arms
+      .agg(
+        max(when(col("arm") === "A", col("n"))).as("a_n"),
+        max(when(col("arm") === "A", col("conv"))).as("a_conv"),
+        max(when(col("arm") === "B", col("n"))).as("b_n"),
+        max(when(col("arm") === "B", col("conv"))).as("b_conv"))
+      .withColumn("pa", col("a_conv").cast("double") / col("a_n"))
+      .withColumn("pb", col("b_conv").cast("double") / col("b_n"))
+      .withColumn("p",
+        (col("a_conv") + col("b_conv")).cast("double") /
+          (col("a_n") + col("b_n")))
+      // degenerate pools (everyone or no one converted) have a zero
+      // denominator — report z = 0 / not-significant instead of crashing
+      // (the t40 divisor-guard discipline), mirrored in the oracle
+      .withColumn("z",
+        when(col("p") > 0 && col("p") < 1,
+          (col("pa") - col("pb")) /
+            sqrt(col("p") * (lit(1.0) - col("p")) *
+              (lit(1.0) / col("a_n") + lit(1.0) / col("b_n"))))
+          .otherwise(lit(0.0)))
+    wide.select(
+      col("a_n"), col("a_conv"), round(col("pa"), 4).as("a_rate"),
+      col("b_n"), col("b_conv"), round(col("pb"), 4).as("b_rate"),
+      round(col("z"), 4).as("z"),
+      (abs(col("z")) > 1.96).as("significant"))
+  }
+
   // ---------------------------------------------------------------- Q57 (PageRank)
   /** PageRank over the q40 behavioral transition graph: which event type
     * is the "center of gravity" of user journeys once indirect flows

@@ -232,6 +232,29 @@ class CurriculumSpec extends SparkTestBase {
     }
   }
 
+  test("q59: arm counts partition the population; z replays driver-side; A/A sanity") {
+    val r = Relational.q59AbTest(spark, sf("sf0.001")).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (an, ac) = (row.getAs[Long]("a_n"), row.getAs[Long]("a_conv"))
+    val (bn, bc) = (row.getAs[Long]("b_n"), row.getAs[Long]("b_conv"))
+    val users = graft.Tables(spark, sf("sf0.001"), "events")
+      .select(col("user_id")).distinct().count()
+    assert(an + bn == users)
+    assert(ac <= an && bc <= bn && an > 0 && bn > 0)
+    // replay the pooled two-proportion z from the four counts
+    val (pa, pb) = (ac.toDouble / an, bc.toDouble / bn)
+    val p = (ac + bc).toDouble / (an + bn)
+    val z = (pa - pb) / math.sqrt(p * (1.0 - p) * (1.0 / an + 1.0 / bn))
+    assert(row.getAs[Double]("z") == math.rint(z * 1e4) / 1e4 ||
+      math.abs(row.getAs[Double]("z") - z) < 1e-3)
+    assert(row.getAs[Boolean]("significant") == (math.abs(z) > 1.96))
+    // no A/A-null assertion: the flag is deterministic PER CORPUS, but a
+    // regenerated fixture re-rolls the 5% tail — the driver's oracle
+    // hash (which recomputes the same flag) is the right lock, not a
+    // spec that would flake once every ~20 regenerations
+  }
+
   test("t45: groups below k are flagged, sensitive diversity counted") {
     val dir = java.nio.file.Files.createTempDirectory("kanon").toString
     // combo (1, SEG-A): 12 members in 2 balance bands — safe, l_div 2;
