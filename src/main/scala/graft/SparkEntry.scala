@@ -291,9 +291,13 @@ object SparkEntry {
         |  FROM events),
         |m AS (SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
         |  FROM p0 WHERE next_type IS NOT NULL GROUP BY 1, 2),
-        |edges AS (SELECT src, dst,
+        |edges0 AS (SELECT src, dst,
         |    CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS w
         |  FROM m),
+        |sinks AS (SELECT DISTINCT dst AS id FROM m d
+        |  WHERE NOT EXISTS (SELECT 1 FROM m s WHERE s.src = d.dst)),
+        |edges AS (SELECT * FROM edges0
+        |  UNION ALL SELECT id, id, CAST(1 AS DOUBLE) FROM sinks),
         |nodes AS (SELECT DISTINCT src AS id FROM m
         |          UNION SELECT DISTINCT dst FROM m),
         |nn AS (SELECT COUNT(*) AS n FROM nodes),
@@ -2034,20 +2038,26 @@ object SparkEntry {
         |  JOIN sizes s1 ON d1 = s1.doc_id
         |  JOIN sizes s2 ON d2 = s2.doc_id
         |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2)
-        |SELECT COUNT(*) AS n_exact, COUNT(*) AS n_lsh, COUNT(*) AS n_both
+        |SELECT COUNT(*) AS n_exact, TRUE AS certain_full_recall,
+        |  TRUE AS recall_85_mid, TRUE AS no_spurious_explosion
         |FROM ep""".stripMargin,
     // CONTRACT verdict forms of the probabilistic dedup/ANN rows (the raw
     // candidate sets are bench-only `<id>r` entries pinned by goldens):
-    // d03 = per-pair full-outer diff vs the exact pairs — the oracle
-    // emits exactly the exact pairs with both flags TRUE, so a missed
-    // pair flips in_lsh and a spurious pair breaks the row count
+    // d03 = one row per exact pair with margin-aware claims — full recall
+    // is pinned only where banding recall is deterministic (J >= 0.6,
+    // rationale on TrainingData.LshCertainJaccard); near-threshold pairs
+    // are covered by the aggregate 85%-recall and spurious-bound flags,
+    // so a regenerated corpus with a near-threshold pair cannot false-
+    // alarm (ADVICE r7). All margin arithmetic is Spark-side — the
+    // oracle recomputes only the exact pair set and literal TRUEs.
     "d03_minhash_lsh" ->
       s"""WITH $ngramCtes,
         |ep AS (SELECT d1, d2 FROM common
         |  JOIN sizes s1 ON d1 = s1.doc_id
         |  JOIN sizes s2 ON d2 = s2.doc_id
         |  WHERE CAST(c AS DOUBLE)/(s1.sz + s2.sz - c) >= 0.2)
-        |SELECT d1, d2, TRUE AS in_exact, TRUE AS in_lsh
+        |SELECT d1, d2, TRUE AS caught_or_marginal,
+        |  TRUE AS recall_85_mid, TRUE AS no_spurious_explosion
         |FROM ep ORDER BY d1, d2""".stripMargin,
     // d04 = count + verdict row: exact-fingerprint pair count with a
     // full-recall claim (identical fingerprints => hamming-0 SimHashes =>
@@ -2530,13 +2540,19 @@ object SparkEntry {
         |  TRUE AS prod_self_excluded, TRUE AS prod_scores_match,
         |  TRUE AS zero_plane_matches_brute
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // IVF/PQ additionally claim prod_nonempty: their production probes
+    // cannot return an empty candidate set, so an empty result must FAIL
+    // rather than pass the structural checks vacuously (ADVICE r7); SRP
+    // alone may land in a legitimately empty bucket and omits the claim
     "s04_ivf_ann_topk" ->
-      """SELECT vec_id AS qid, TRUE AS prod_ranks_dense,
+      """SELECT vec_id AS qid, TRUE AS prod_nonempty,
+        |  TRUE AS prod_ranks_dense,
         |  TRUE AS prod_self_excluded, TRUE AS prod_scores_match,
         |  TRUE AS full_probe_matches_brute
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "s07_pq_ann_topk" ->
-      """SELECT vec_id AS qid, TRUE AS prod_ranks_dense,
+      """SELECT vec_id AS qid, TRUE AS prod_nonempty,
+        |  TRUE AS prod_ranks_dense,
         |  TRUE AS prod_self_excluded, TRUE AS rerank_matches_brute
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "s08_knn_label_agreement" ->

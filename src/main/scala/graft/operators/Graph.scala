@@ -27,39 +27,71 @@ object Graph {
     * would drift a few ulps per round and compound across iterations).
     *
     * Dangling nodes (rank mass with no out-edges) would silently leak
-    * mass from the system; rather than hide a per-iteration correction
-    * term in the plan, the operator REFUSES loudly and tells the caller
-    * to pre-normalize (self-loop or uniform out-edges) — the
-    * `dedupClusters` round-budget precedent: never silently wrong.
+    * mass from the system. `dangling` picks the policy — every one
+    * explicit, never a hidden correction:
+    *  - `"refuse"` (default): REFUSE loudly and tell the caller to
+    *    pre-normalize — the `dedupClusters` round-budget precedent:
+    *    never silently wrong. The right default for transition graphs
+    *    whose rows are SUPPOSED to sum to 1 (a sink there is a data bug).
+    *  - `"selfloop"`: add `(id, id, 1.0)` for every sink before
+    *    iterating — sinks hold their mass. Deterministic edge rewrite,
+    *    so an unrolled SQL oracle mirrors it exactly (q57 uses this).
+    *  - `"uniform"`: the classical correction — each iteration the
+    *    total sink mass is redistributed uniformly over all nodes
+    *    (Page et al. 1999 §2.7's dangling handling). The sink-mass
+    *    scalar is a DECIMAL(38,18) sum like the inflows, so iterations
+    *    stay order-invariant.
     *
     * Scale shape: one `edges ⋈ rank` shuffle + one `groupBy(dst)` per
     * iteration; rank rows are `(id, double)` — 16 bytes of state per
     * node, never adjacency. The node count is a 1-row aggregate
-    * (bounded metadata, the d07 pattern). */
+    * (bounded metadata, the d07 pattern); the uniform-mode sink mass is
+    * a 1-row broadcast per iteration, never a driver collect. */
   def pageRank(edges: DataFrame, damping: Double = 0.85,
-      iters: Int = 20, checkpointEvery: Int = 5): DataFrame = {
+      iters: Int = 20, checkpointEvery: Int = 5,
+      dangling: String = "refuse"): DataFrame = {
+    require(Set("refuse", "selfloop", "uniform")(dangling),
+      s"unknown dangling policy '$dangling' (refuse | selfloop | uniform)")
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id")))
       .distinct().localCheckpoint()
     val n = nodes.count()
-    val dangling = nodes.join(edges.select("src").distinct(),
-      col("id") === col("src"), "left_anti").count()
-    require(dangling == 0,
-      s"$dangling dangling node(s) would leak rank mass each iteration; " +
-        "pre-normalize the edge list (self-loop or uniform out-edges) " +
-        "so every node has outgoing probability 1")
+    val sinks = nodes.join(edges.select("src").distinct(),
+      col("id") === col("src"), "left_anti").localCheckpoint()
+    val nSinks = sinks.count()
+    if (dangling == "refuse") require(nSinks == 0,
+      s"$nSinks dangling node(s) would leak rank mass each iteration; " +
+        "pre-normalize the edge list, or pick dangling = \"selfloop\" " +
+        "(sinks hold their mass) or \"uniform\" (sink mass redistributed " +
+        "over all nodes each iteration)")
+    val e = if (dangling == "selfloop" && nSinks > 0)
+      edges.unionByName(sinks.select(col("id").as("src"),
+        col("id").as("dst"), lit(1.0d).as("w"))).localCheckpoint()
+    else edges
+    val redistribute = dangling == "uniform" && nSinks > 0
     val teleport = (1 - damping) / n
     var rank = nodes.withColumn("r", lit(1.0 / n))
     for (i <- 1 to iters) {
-      val contrib = edges
+      val contrib = e
         .join(rank.withColumnRenamed("id", "src0"), col("src") === col("src0"))
         .groupBy(col("dst"))
         .agg(sum((col("r") * col("w")).cast("decimal(38,18)"))
           .cast("double").as("inflow"))
-      rank = nodes.join(contrib, col("id") === col("dst"), "left")
-        .select(col("id"),
-          (lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0d)))
-            .as("r"))
+      val base = nodes.join(contrib, col("id") === col("dst"), "left")
+      rank =
+        if (redistribute) {
+          val dm = rank.join(sinks, Seq("id"), "left_semi")
+            .agg(coalesce(sum(col("r").cast("decimal(38,18)")),
+              lit(0).cast("decimal(38,18)")).cast("double").as("__dm"))
+          base.crossJoin(broadcast(dm))
+            .select(col("id"),
+              (lit(teleport) + lit(damping) *
+                (coalesce(col("inflow"), lit(0.0d)) + col("__dm") / n))
+                .as("r"))
+        } else
+          base.select(col("id"),
+            (lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0d)))
+              .as("r"))
       if (i % checkpointEvery == 0) rank = rank.localCheckpoint()
     }
     rank

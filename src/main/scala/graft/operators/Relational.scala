@@ -1565,9 +1565,15 @@ object Relational {
     * [[Graph.pageRank]] (decimal-summed inflows ⇒ every iteration is
     * bit-identical across engines, so the DuckDB oracle replays the
     * fixpoint as 20 unrolled CTEs — the s10 discipline applied to an
-    * iterated algorithm). The graph here is |event_type|-sized; the
-    * operator's per-iteration shape (edge ⋈ rank, groupBy dst) is the
-    * one that scales to user-level graphs. */
+    * iterated algorithm). `dangling = "selfloop"`: an event type that
+    * only ever closes journeys (never a `src`) is a sink, and a
+    * regenerated corpus may legally contain one — the contract query
+    * must be TOTAL over any generation (ADVICE r7), so sinks hold their
+    * mass via a self-loop, mirrored edge-for-edge in the unrolled
+    * oracle; [[Graph.pageRank]] keeps its loud refusal as the library
+    * default. The graph here is |event_type|-sized; the operator's
+    * per-iteration shape (edge ⋈ rank, groupBy dst) is the one that
+    * scales to user-level graphs. */
   def q57PageRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables(spark, dir, "events")
@@ -1581,7 +1587,7 @@ object Relational {
       .withColumn("w", col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy("src")))
       .select("src", "dst", "w")
-    Graph.pageRank(edges, damping = 0.85, iters = 20)
+    Graph.pageRank(edges, damping = 0.85, iters = 20, dangling = "selfloop")
       .select(col("id").as("event_type"), round(col("r"), 6).as("rank"))
       .orderBy("event_type")
   }

