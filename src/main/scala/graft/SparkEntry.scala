@@ -135,6 +135,7 @@ object SparkEntry {
     "s13_hard_negatives" -> (TrainingData.s13HardNegatives _),
     "s14_label_propagation" -> (TrainingData.s14LabelPropagation _),
     "s15_ivfpq_rerank_exact" -> (TrainingData.s15IvfPqRerankExact _),
+    "s16_mmr_ann" -> (TrainingData.s16MmrAnn _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
     "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
@@ -199,7 +200,9 @@ object SparkEntry {
     "s03r_srp_topk" -> (TrainingData.s03RawTopK _),
     "s04r_ivf_topk" -> (TrainingData.s04RawTopK _),
     "s07r_pq_topk" -> (TrainingData.s07RawTopK _),
-    "s15r_ivfpq_topk" -> (TrainingData.s15RawTopK _))
+    "s15r_ivfpq_topk" -> (TrainingData.s15RawTopK _),
+    "s16r_mmr_ann" -> (TrainingData.s16RawMmrAnn _),
+    "s13r_hardneg_ann" -> (TrainingData.s13RawHardNegAnn _))
 
   /** The ONE registry of every runnable entry point — contract queries
     * plus bench-only raw forms. Bench, Time, ScaleReplay, and the golden
@@ -2554,6 +2557,12 @@ object SparkEntry {
       """SELECT vec_id AS qid, TRUE AS prod_nonempty,
         |  TRUE AS prod_ranks_dense,
         |  TRUE AS prod_self_excluded, TRUE AS rerank_matches_brute
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // s16: the composed ANN-MMR path with the probe dial fully open must
+    // equal brute-force MMR row for row (rank, pick, AND relevance) —
+    // the oracle claims TRUE per pinned query
+    "s16_mmr_ann" ->
+      """SELECT vec_id AS qid, TRUE AS full_dial_matches_brute
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     "s08_knn_label_agreement" ->
       """WITH q AS (SELECT vec_id AS qid, label AS q_label,

@@ -22,6 +22,12 @@ object Schemas {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Embedding stream for vector ingest (the `embeddings` testdata shape). */
+  val embeddings: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
   val streamingTxns: StructType = StructType(Seq(
     StructField("transaction_id", LongType),
     StructField("user_id", StringType),

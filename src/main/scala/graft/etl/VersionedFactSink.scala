@@ -27,9 +27,21 @@ import org.apache.spark.sql.functions.col
   * granularity (untouched years keep their existing data dirs), replaying
   * the same slice converges to the same content (idempotent), and every
   * published version remains readable ([[readVersion]] — time travel)
-  * until vacuumed. Single-writer, like any log-structured format without
-  * an external lock service; the seam a real Delta/Iceberg `MERGE`
-  * replaces wholesale.
+  * until vacuumed.
+  *
+  * CONCURRENT writers (r7/r8 verdict #7) are serialized by an atomic
+  * version CLAIM: each commit create-if-absent's its manifest file
+  * (`CREATE_NEW` — atomic on any POSIX filesystem) BEFORE writing data,
+  * so two writers racing for version N cannot both publish — the loser
+  * fails loudly at the claim, before any data lands, with nothing to
+  * vacuum, and a writer whose base version was published-over mid-commit
+  * fails the same way instead of silently dropping the interleaved
+  * version's years. A claimed-but-unpublished manifest (a writer in
+  * flight, or one that crashed mid-commit) blocks the next claim of that
+  * number; the refusal message names the file so a crashed claim can be
+  * repaired by deleting it. This is optimistic concurrency on the version
+  * chain — the same discipline Delta's transaction-log commit uses —
+  * without needing an external lock service.
   */
 final class VersionedFactSink(rawDir: String) extends FactSink {
 
@@ -51,9 +63,33 @@ final class VersionedFactSink(rawDir: String) extends FactSink {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
+  // the commit's CAS point: atomically create version v's manifest file
+  // empty — succeeds for exactly ONE writer per version number (POSIX
+  // O_CREAT|O_EXCL), and fails loudly for a racer whose base version was
+  // concurrently claimed or published. Runs BEFORE the data write, so
+  // the loser spends nothing and strands nothing.
+  private def claimVersion(v: Int): Unit = {
+    Files.createDirectories(versionsDir)
+    val p = versionsDir.resolve(f"v$v%05d.json")
+    try Files.write(p, Array.emptyByteArray,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"version $v under $dir is already claimed ($p exists) — " +
+            "another writer committed or is mid-commit; re-read the table " +
+            "and retry the commit on the new current version (if the " +
+            "claimant crashed before publishing, delete that manifest " +
+            "file to release the claim)")
+    }
+  }
+
   // manifest format: "#schema<TAB>ddl" header (so an EMPTY version — a
   // truncate to zero rows — stays readable), then one "year<TAB>path"
-  // line per year (stable order)
+  // line per year (stable order). Overwrites the zero-byte claim file;
+  // readers only resolve manifests reachable from the published _latest
+  // pointer, so in-progress content is invisible (and vacuum treats an
+  // empty claim as referencing no data dirs, which is exactly right).
   private def writeManifest(v: Int, schemaDdl: String,
       m: Map[Int, String]): Path = {
     Files.createDirectories(versionsDir)
@@ -115,14 +151,21 @@ final class VersionedFactSink(rawDir: String) extends FactSink {
   // ---------------------------------------------------------- FactSink
   def writeFull(fact: DataFrame): Unit = synchronized {
     val v = currentVersion + 1
+    claimVersion(v)
     writeManifest(v, fact.schema.toDDL, writeSlice(fact))
     publish(v)
   }
 
   def mergePartitions(factSlice: DataFrame): Unit = synchronized {
-    val prev = if (currentVersion < 0) Map.empty[Int, String]
-      else readManifest(currentVersion)._2
-    val v = currentVersion + 1
+    // read the base BEFORE claiming: the claim then guarantees no other
+    // writer published between this read and our publish (they would
+    // have needed the same claim), so the copy-on-write merge can never
+    // silently drop an interleaved version's years
+    val base = currentVersion
+    val prev = if (base < 0) Map.empty[Int, String]
+      else readManifest(base)._2
+    val v = base + 1
+    claimVersion(v)
     writeManifest(v, factSlice.schema.toDDL,
       prev ++ writeSlice(factSlice)) // copy-on-write by year
     publish(v)

@@ -86,10 +86,12 @@ object Sampling {
       .agg(count(lit(1)).as("__n"))
     // persisted: the sufficiency-check branch and the caller's final
     // action both ride this frame instead of re-hashing the corpus;
-    // parameter-keyed so concurrent variants don't evict each other
-    // (plan equality still dedupes repeat calls on the same input)
+    // keyed on every parameter AND the input plan's semantic hash, so
+    // concurrent variants — including same-parameter calls on DIFFERENT
+    // inputs — never evict each other (ADVICE r8)
+    val inputKey = df.queryExecution.analyzed.semanticHash()
     val pruned = graft.Caches.persistReplacing(
-      s"stratified_pruned_${strataCol}_${keyCol}_${salt}_${k}_$margin",
+      s"stratified_pruned_${strataCol}_${keyCol}_${salt}_${k}_${margin}_$inputKey",
       hashed
         .join(broadcast(counts), strataCol)
         .filter(col("__u") <= least(lit(1.0),
@@ -106,7 +108,9 @@ object Sampling {
       .agg(count(lit(1)).as("__short"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol).orderBy(col("__hex"), col(keyCol))
-    pruned
+    val msg = s"stratifiedTopK prune clipped a stratum below k=$k — " +
+      s"raise margin ($margin)"
+    val data = pruned
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       // the guard lives in a FILTER (not a projected column the optimizer
@@ -114,9 +118,26 @@ object Sampling {
       // the predicate keeps every row — and detonates the job with the
       // refusal message the moment any stratum was clipped
       .crossJoin(broadcast(short))
-      .filter(assert_true(col("__short") === 0L,
-        lit(s"stratifiedTopK prune clipped a stratum below k=$k — " +
-          s"raise margin ($margin)")).isNull)
+      .filter(assert_true(col("__short") === 0L, lit(msg)).isNull)
       .drop("__hex", "__u", "__n", "__short")
+    // The row-riding guard above never evaluates when the prune emptied
+    // EVERY stratum (empty data ⇒ empty crossJoin ⇒ no row carries the
+    // assert) — the one path where the refusal would go silent (ADVICE
+    // r8). This sentinel branch rides the always-1-row `short` aggregate
+    // instead: when __short ≠ 0 its row SURVIVES the filter, so the
+    // projection must be evaluated to emit it, and the non-foldable
+    // assert (its condition references the column, so constant folding
+    // can't pre-evaluate it) detonates before the row reaches the
+    // output; when __short = 0 the filter drops the row and the branch
+    // contributes nothing. Either way the union's output is exactly
+    // `data` — the sentinel only ever throws, never yields rows.
+    val sentinel = short
+      .filter(col("__short") =!= 0L)
+      .select(data.schema.fields.zipWithIndex.map { case (f, i) =>
+        val c = if (i == 0) assert_true(col("__short") === 0L, lit(msg))
+        else lit(null)
+        c.cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    data.unionByName(sentinel)
   }
 }

@@ -994,16 +994,27 @@ object TrainingData {
     * on a LEFT join, while a missing dial comparison coalesces to FALSE —
     * loud, because brute force always returns rows.
     *
-    * `prodNonEmpty = true` (IVF, PQ — indexes whose production probe
-    * visits ≥1 real cell / the whole ADC table and therefore CANNOT
-    * return an empty candidate set) additionally emits a `prod_nonempty`
-    * claim per query, so an empty production result fails the contract
+    * `prodNonEmpty = true` additionally emits a `prod_nonempty` claim
+    * per query, so an empty production result fails the contract
     * instead of passing the structural checks vacuously (ADVICE r7 —
-    * only SRP may legitimately land in an empty bucket). */
+    * only SRP may legitimately land in an empty bucket). The claim must
+    * hold for a CORRECT engine on any regenerated corpus, and the probe
+    * self-excludes — so "the probe visits real cells" is only a valid
+    * argument when those cells hold a non-query vector (ADVICE r8: an
+    * IVF query alone in a singleton cell correctly returns empty).
+    * `prodNonEmptyGate` supplies that occupancy certificate — a
+    * `(qid, n_cand)` frame counting non-self candidates the production
+    * probe can reach, computed by the probe's OWN routing
+    * ([[graft.similarity.Similarity.IvfIndex.probedNonSelfCount]]) —
+    * and the claim becomes "n_cand ≥ 1 ⇒ result non-empty". PQ's ADC
+    * scan reaches the whole code table, so its gate is the corpus
+    * itself minus self (always satisfied on the ≥2-vector test corpus);
+    * it passes `None` and keeps the unconditional claim. */
   private def annVerdict(emb: DataFrame, queryFilter: Column, k: Int,
       prod: DataFrame, checkScores: Boolean,
       exactDial: DataFrame, dialColName: String,
-      prodNonEmpty: Boolean = false): DataFrame = {
+      prodNonEmpty: Boolean = false,
+      prodNonEmptyGate: Option[DataFrame] = None): DataFrame = {
     val queries = emb.filter(queryFilter).select(col("vec_id").as("qid"))
     val scoreOk: Column =
       if (checkScores)
@@ -1025,13 +1036,25 @@ object TrainingData {
     val dial = fd.join(bf, Seq("qid", "rank", "nid", "cos"), "full_outer")
       .groupBy("qid")
       .agg(min(col("in_fd").isNotNull && col("in_bf").isNotNull).as("dial_ok"))
-    val base = queries
+    val base0 = queries
       .join(prodChecks0, Seq("qid"), "left")
       .join(dial, Seq("qid"), "left")
+    val base = prodNonEmptyGate match {
+      case Some(gate) => base0.join(
+        gate.select(col("qid"), col("n_cand").as("__gate_cand")),
+        Seq("qid"), "left")
+      case None => base0
+    }
     val cols = Seq(col("qid")) ++
       // absence of a prodChecks0 row IS the empty production result —
-      // claimed non-empty where the index topology guarantees it
-      (if (prodNonEmpty)
+      // claimed non-empty where the index topology guarantees it; with a
+      // gate, only where the probed cells verifiably hold a non-query
+      // candidate (a missing/zero gate row makes the claim vacuous-true:
+      // a correct engine DOES return empty there)
+      (if (prodNonEmpty && prodNonEmptyGate.isDefined)
+        Seq((coalesce(col("__gate_cand"), lit(0L)) === 0L ||
+          col("prod_ranks_dense").isNotNull).as("prod_nonempty"))
+      else if (prodNonEmpty)
         Seq(col("prod_ranks_dense").isNotNull.as("prod_nonempty"))
       else Nil) ++
       Seq(
@@ -1087,7 +1110,8 @@ object TrainingData {
     annVerdict(emb, qf, k = 5,
       prod = idx.topK(qf, k = 5, nprobe = 4), checkScores = true,
       exactDial = idx.topK(qf, k = 5, nprobe = 16),
-      dialColName = "full_probe_matches_brute", prodNonEmpty = true)
+      dialColName = "full_probe_matches_brute", prodNonEmpty = true,
+      prodNonEmptyGate = Some(idx.probedNonSelfCount(qf, nprobe = 4)))
   }
 
   /** Raw IVF approximate top-5 (bench + golden entry; the s04 contract
@@ -1162,6 +1186,57 @@ object TrainingData {
     val pq = Similarity.buildPqIndex(emb)
     Similarity.ivfPqTopK(ivf, pq, emb, col("vec_id") < 5, topK = 5)
       .orderBy("qid", "rank")
+  }
+
+  /** ANN-shortlisted MMR contract row (s16, r8 verdict #5): with the
+    * probe dial fully open (`nprobe = nlist` — the IVF shortlist is
+    * exact by construction, the s03a/s04a discipline), the composed
+    * [[graft.similarity.Similarity.mmrDiverseTopKAnn]] must equal the
+    * brute-force [[graft.similarity.Similarity.mmrDiverseTopK]] ROW FOR
+    * ROW — (qid, rank, vec_id, rel) all compared, so the whole composed
+    * pipeline (index routing, shortlist re-hydration, executor-side
+    * greedy) chains to the DuckDB-replayable MMR semantics. A query
+    * missing from the comparison coalesces to FALSE — loud, because
+    * brute MMR always returns rows. The production dial ships as the
+    * bench/golden-only `s16r_mmr_ann`. */
+  def s16MmrAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val qf = col("vec_id") < 5
+    val idx = Similarity.buildIvfIndex(emb, nlist = 16)
+    val ann = Similarity.mmrDiverseTopKAnn(idx, emb, qf,
+        k = 5, shortlist = 20, nprobe = 16)
+      .withColumn("in_ann", lit(true))
+    val brute = Similarity.mmrDiverseTopK(emb, qf, k = 5, shortlist = 20)
+      .withColumn("in_brute", lit(true))
+    val cmp = ann
+      .join(brute, Seq("qid", "rank", "vec_id", "rel"), "full_outer")
+      .groupBy("qid")
+      .agg(min(col("in_ann").isNotNull && col("in_brute").isNotNull).as("ok"))
+    emb.filter(qf).select(col("vec_id").as("qid"))
+      .join(cmp, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("ok"), lit(false)).as("full_dial_matches_brute"))
+      .orderBy("qid")
+  }
+
+  /** Raw production-dial ANN-MMR (bench + golden entry; the s16 contract
+    * row is the full-dial verdict form above): nprobe = 4 of 16 cells,
+    * shortlist 20 — the approximate shortlist the greedy re-ranks. */
+  def s16RawMmrAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val idx = Similarity.buildIvfIndex(emb, nlist = 16)
+    Similarity.mmrDiverseTopKAnn(idx, emb, col("vec_id") < 5,
+      k = 5, shortlist = 20, nprobe = 4)
+  }
+
+  /** Raw production-dial ANN hard negatives (bench + golden entry; the
+    * full-dial ≡ brute equality lives in AnnShortlistSpec): shortlist
+    * 4× k oversampling, the standard ANN-mining rule. */
+  def s13RawHardNegAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val idx = Similarity.buildIvfIndex(emb, nlist = 16)
+    Similarity.hardNegativesAnn(idx, emb, col("vec_id") < 5,
+      k = 5, shortlist = 20, nprobe = 4)
   }
 
   /** IVF-PQ with every dial open — all 16 cells probed, whole-corpus

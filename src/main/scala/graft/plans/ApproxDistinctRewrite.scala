@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{CreateStruct, Expression, If, IsNull, Literal, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -21,11 +22,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * aggregate-navigation pattern scoped to where Spark gives an exact
   * drop-in: same LongType result, same grouping, same filter clause.
   *
-  * Scope guards: only `Count` with a single DISTINCT child is touched
-  * (plain counts, multi-column distincts, and every other aggregate pass
-  * through untouched); `resultId` is preserved so downstream attribute
-  * references stay resolved; the relative standard deviation comes from
+  * Scope guards: only DISTINCT `Count` is touched (plain counts and
+  * every other aggregate pass through untouched); `resultId` is
+  * preserved so downstream attribute references stay resolved; the
+  * relative standard deviation comes from
   * `spark.graft.approxDistinct.rsd` (default 0.05).
+  *
+  * Multi-column `COUNT(DISTINCT a, b, …)` (r7/r8 verdict: previously a
+  * prose-only exclusion) struct-packs the children before the sketch.
+  * SQL's multi-argument COUNT DISTINCT drops a tuple when ANY argument
+  * is NULL, while a struct containing nulls is itself non-null and
+  * WOULD be counted — so the packed child is nulled out whenever any
+  * original child is null, preserving exact-COUNT semantics
+  * (spec-pinned in ApproxDistinctRewriteSpec against the exact result
+  * on data with nulls in each position).
   *
   * Registered by [[GraftExtensions]] via `injectOptimizerRule`, so it
   * reaches SQL-first users through the same
@@ -46,10 +56,19 @@ case class ApproxDistinctRewrite(spark: SparkSession)
         agg.transformExpressions {
           case ae @ AggregateExpression(
                 Count(children), _, true, _, _)
-              if children.length == 1 && children.head.deterministic =>
+              if children.nonEmpty && children.forall(_.deterministic) =>
+            val child: Expression =
+              if (children.length == 1) children.head
+              else {
+                // tuple-null semantics: COUNT(DISTINCT a, b) skips rows
+                // where ANY argument is null; struct(a, b) would not
+                val tuple = CreateStruct(children)
+                If(children.map(IsNull(_): Expression).reduce(Or(_, _)),
+                  Literal.create(null, tuple.dataType), tuple)
+              }
             ae.copy(
               aggregateFunction =
-                HyperLogLogPlusPlus(children.head, relativeSD = rsd),
+                HyperLogLogPlusPlus(child, relativeSD = rsd),
               isDistinct = false)
         }
     }

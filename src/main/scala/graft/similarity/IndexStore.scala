@@ -45,11 +45,11 @@ object IndexStore {
     * deliberately, the VersionedFactSink pointer-swap discipline). */
   def saveIvf(idx: Similarity.IvfIndex, path: String,
       overwrite: Boolean = false): Unit = {
-    val mode = writeMode(idx.assigned.sparkSession, path, overwrite)
+    prepareTarget(idx.assigned.sparkSession, path, overwrite)
     idx.assigned.select("vec_id", "embedding", "cell")
-      .write.mode(mode).parquet(s"$path/assigned")
+      .write.parquet(s"$path/assigned")
     idx.centroids.select("cell", "centroid")
-      .write.mode(mode).parquet(s"$path/centroids")
+      .write.parquet(s"$path/centroids")
     writeMeta(idx.assigned.sparkSession, path, "ivf")
   }
 
@@ -72,14 +72,14 @@ object IndexStore {
   def savePq(idx: Similarity.PqIndex, path: String,
       overwrite: Boolean = false): Unit = {
     val spark = idx.codes.sparkSession
-    val mode = writeMode(spark, path, overwrite)
-    idx.codes.select("vec_id", "code").write.mode(mode).parquet(s"$path/codes")
+    prepareTarget(spark, path, overwrite)
+    idx.codes.select("vec_id", "code").write.parquet(s"$path/codes")
     import spark.implicits._
     idx.codebooks.zipWithIndex.flatMap { case (book, m) =>
       book.zipWithIndex.map { case (c, k) => (m, k, c) }
     }.toSeq.toDF("m", "k", "centroid")
       .coalesce(1) // codebook-geometry-sized, one tiny file
-      .write.mode(mode).parquet(s"$path/codebooks")
+      .write.parquet(s"$path/codebooks")
     writeMeta(spark, path, "pq")
   }
 
@@ -109,14 +109,32 @@ object IndexStore {
 
   private def metaPath(path: String) = new Path(s"$path/_graft_index.json")
 
-  private def writeMode(spark: SparkSession, path: String,
-      overwrite: Boolean): String = {
-    if (!overwrite) require(!fs(spark, path).exists(metaPath(path)),
-      s"$path already holds a graft index — pass overwrite = true to replace")
-    if (overwrite) "overwrite" else "errorifexists"
+  private val ComponentDirs = Seq("assigned", "centroids", "codes", "codebooks")
+
+  /** Invalidate-first, publish-last (ADVICE r8): an overwrite DELETES the
+    * manifest before touching any component, so no window exists where a
+    * stale manifest validates against a half-replaced mix of old and new
+    * components — a concurrent or post-crash [[loadIvf]]/[[loadPq]]
+    * refuses on the missing manifest instead of returning an
+    * inconsistent index. Every component dir (both kinds) is cleared
+    * too, so overwriting an IVF store with a PQ index cannot strand the
+    * old kind's tables; the new manifest is written LAST, only after
+    * every component landed. */
+  private def prepareTarget(spark: SparkSession, path: String,
+      overwrite: Boolean): Unit = {
+    val f = fs(spark, path)
+    if (!overwrite) {
+      require(!f.exists(metaPath(path)),
+        s"$path already holds a graft index — pass overwrite = true to replace")
+    } else {
+      f.delete(metaPath(path), false)
+      ComponentDirs.foreach(c => f.delete(new Path(s"$path/$c"), true))
+    }
   }
 
-  private def writeMeta(spark: SparkSession, path: String,
+  // private[graft]: the streaming VectorIngest publishes the same
+  // manifest over its per-batch layout so loadIvf opens streamed indexes
+  private[graft] def writeMeta(spark: SparkSession, path: String,
       kind: String): Unit = {
     val out = fs(spark, path).create(metaPath(path), true)
     try out.write(
@@ -124,6 +142,15 @@ object IndexStore {
         .getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** The manifest grammar [[writeMeta]] emits, matched STRICTLY: exactly
+    * one format_version, exactly one kind, nothing else. A substring
+    * check here would accept `"format_version": 10` for version 1 and a
+    * manifest naming BOTH kinds (ADVICE r8 / verdict r8 #8) — the strict
+    * whole-document match refuses ambiguous, extended, or truncated
+    * manifests the same loud way it refuses a missing one. */
+  private val MetaRe =
+    """\{\s*"format_version"\s*:\s*(\d+)\s*,\s*"kind"\s*:\s*"([a-z]+)"\s*\}""".r
 
   private def requireKind(spark: SparkSession, path: String,
       kind: String): Unit = {
@@ -133,10 +160,17 @@ object IndexStore {
     val in = f.open(p)
     val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    require(meta.contains(s""""kind": "$kind""""),
-      s"$path holds a different index kind than '$kind' (meta: $meta)")
-    val vOk = meta.contains(s""""format_version": $FormatVersion""")
-    require(vOk, s"$path has an unsupported index format version (meta: $meta)")
+    meta.trim match {
+      case MetaRe(v, k) =>
+        require(v.toInt == FormatVersion,
+          s"$path has an unsupported index format version $v " +
+            s"(this build reads version $FormatVersion)")
+        require(k == kind,
+          s"$path holds an index of kind '$k', not the requested '$kind'")
+      case _ => throw new IllegalArgumentException(
+        s"$path/_graft_index.json is not a well-formed graft index " +
+          s"manifest (meta: $meta)")
+    }
   }
 
   private def requireColumns(df: DataFrame, cols: Seq[String],

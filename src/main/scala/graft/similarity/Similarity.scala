@@ -31,12 +31,45 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.plans.VectorExpressions.dot(a, b)
 
+  /** Broadcast-regime guard for every s-family entry point that ships
+    * its QUERY side to the executors as a broadcast relation (r7/r8
+    * verdict #4): a `queryFilter` that selects more rows than
+    * `graft.similarity.maxBroadcastQueries` (spark conf, default 1 M)
+    * must refuse LOUDLY with the chunking advice — not die deep inside
+    * the exchange on the 8 GB broadcast limit with a generic error.
+    *
+    * The guard is LAZY and rides the broadcast side itself: a 1-row
+    * count subquery cross-joins onto the query frame and an
+    * `assert_true` filter detonates on the FIRST query row the
+    * broadcast build materializes — guaranteed to fire before the
+    * oversized relation finishes collecting, with zero extra jobs at
+    * call time (the stratifiedTopK lazy-guard discipline; an eager
+    * `count()` here would charge every composed contract query an
+    * extra scan). A violating frame always has rows, so the
+    * empty-branch blind spot the sampling guard needed a sentinel for
+    * cannot occur. */
+  private def guardedQueries(q: DataFrame, what: String): DataFrame = {
+    val cap = q.sparkSession.conf
+      .get("graft.similarity.maxBroadcastQueries", "1000000").toLong
+    val n = q.agg(count(lit(1)).as("__nq"))
+    q.crossJoin(broadcast(n))
+      .filter(assert_true(col("__nq") <= cap,
+        concat(lit(s"$what broadcasts the query side, and queryFilter selects "),
+          col("__nq"),
+          lit(s" rows > graft.similarity.maxBroadcastQueries = $cap — " +
+            "chunk the query batch (run per-chunk and union the results) " +
+            "or raise the conf if the cluster's broadcast budget allows"))
+      ).isNull)
+      .drop("__nq")
+  }
+
   /** All (query, corpus) cosine pairs for a broadcast query subset. Norms
     * are computed once per ROW (not once per pair) before the join. */
   def cosinePairs(emb: DataFrame, queryFilter: Column): DataFrame = {
-    val q = emb.filter(queryFilter)
+    val q = guardedQueries(emb.filter(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn")),
+      "cosinePairs")
     emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
       .join(broadcast(q))
@@ -63,9 +96,10 @@ object Similarity {
     * cosine so the threshold boundary can't disagree across engines. */
   def semanticDecontam(emb: DataFrame, benchFilter: Column,
       threshold: Double): DataFrame = {
-    val bench = emb.filter(benchFilter)
+    val bench = guardedQueries(emb.filter(benchFilter)
       .select(col("vec_id").as("nid"), col("embedding").as("nv"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
+        sqrt(dot(col("embedding"), col("embedding"))).as("nn")),
+      "semanticDecontam")
     val train = emb.filter(!benchFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
@@ -100,8 +134,9 @@ object Similarity {
     * identical greedy choice sequence. */
   def mmrDiverseTopK(emb: DataFrame, queryFilter: Column, k: Int = 5,
       shortlist: Int = 20, lambda: Double = 0.5): DataFrame = {
-    val q = emb.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val q = guardedQueries(emb.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "mmrDiverseTopK")
     val w = Window.partitionBy("qid").orderBy(desc("rel"), asc("nid"))
     val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
       .join(broadcast(q))
@@ -121,9 +156,11 @@ object Similarity {
     * result is re-hydrated with vectors for the executor-side greedy.
     * With every dial open (`nprobe = nlist`) the probe is exact by
     * construction, so this equals [[mmrDiverseTopK]] row for row — the
-    * s03a/s04a dial discipline, asserted in SimilaritySpec and the s16
-    * contract row; at the production dial the shortlist is approximate
-    * and the greedy re-ranks whatever the index surfaces.
+    * s03a/s04a dial discipline, asserted in AnnShortlistSpec and
+    * oracle-checked as the `s16_mmr_ann` contract row
+    * ([[graft.operators.TrainingData.s16MmrAnn]]); at the production
+    * dial the shortlist is approximate and the greedy re-ranks whatever
+    * the index surfaces (timed as the bench `s16r_mmr_ann` entry).
     *
     * Relevance is RECOMPUTED unrounded from the stored vectors (the
     * probe's 4-dp rounded score would perturb greedy tie-breaks), via
@@ -133,8 +170,9 @@ object Similarity {
       k: Int = 5, shortlist: Int = 20, lambda: Double = 0.5,
       nprobe: Int = 4): DataFrame = {
     val sl = idx.topK(queryFilter, shortlist, nprobe).select("qid", "nid")
-    val q = emb.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val q = guardedQueries(emb.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "mmrDiverseTopKAnn")
     val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
       .join(broadcast(sl), "nid")
       .join(broadcast(q), "qid")
@@ -200,10 +238,11 @@ object Similarity {
     * corpus pass per query batch; at 100 TB the query side is the
     * sampled training batch, refreshed per epoch. */
   def hardNegatives(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
-    val q = emb.filter(queryFilter)
+    val q = guardedQueries(emb.filter(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(dot(col("embedding"), col("embedding"))).as("qn"),
-        col("label").as("q_label"))
+        col("label").as("q_label")),
+      "hardNegatives")
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nn"),
@@ -234,10 +273,11 @@ object Similarity {
   def hardNegativesAnn(idx: IvfIndex, emb: DataFrame, queryFilter: Column,
       k: Int, shortlist: Int, nprobe: Int = 4): DataFrame = {
     val sl = idx.topK(queryFilter, shortlist, nprobe).select("qid", "nid")
-    val q = emb.filter(queryFilter)
+    val q = guardedQueries(emb.filter(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(dot(col("embedding"), col("embedding"))).as("qn"),
-        col("label").as("q_label"))
+        col("label").as("q_label")),
+      "hardNegativesAnn")
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nn"),
@@ -403,8 +443,9 @@ object Similarity {
     val ps = planes(numPlanes, dim)
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       srpBucket(col("embedding"), ps).as("bucket"))
-    val q = bucketed.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+    val q = guardedQueries(bucketed.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket")),
+      "srpBucketTopK")
     val cand = bucketed
       .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("bucket"))
       .join(broadcast(q), "bucket")
@@ -425,23 +466,45 @@ object Similarity {
   final case class IvfIndex private[similarity] (
       assigned: DataFrame, centroids: DataFrame) {
 
-    /** Approximate top-k for the filtered query rows, probing each
-      * query's `nprobe` nearest cells. */
-    def topK(queryFilter: Column, k: Int, nprobe: Int = 4): DataFrame = {
-      // nprobe nearest cells per query by euclidean distance (KMeans'
-      // metric): ||q-c||² = q·q + c·c - 2 q·c, all via the codegen'd dot
-      val q = assigned.filter(queryFilter)
+    /** The probe's cell routing, shared by [[topK]] and
+      * [[probedNonSelfCount]] so the occupancy gate can never drift from
+      * the probe it vouches for: each query's `nprobe` nearest cells by
+      * euclidean distance (KMeans' metric), ||q−c||² = q·q + c·c − 2 q·c,
+      * all via the codegen'd dot, ties to the smaller cell id. */
+    private def probedCells(queryFilter: Column, nprobe: Int): DataFrame = {
+      val q = guardedQueries(assigned.filter(queryFilter)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+          sqrt(dot(col("embedding"), col("embedding"))).as("qn")),
+        "IvfIndex.topK")
       val wCells = Window.partitionBy("qid").orderBy(asc("d2"), asc("cell"))
-      val probed = q.crossJoin(broadcast(centroids))
+      q.crossJoin(broadcast(centroids))
         .withColumn("d2",
           dot(col("qv"), col("qv")) + dot(col("centroid"), col("centroid"))
             - lit(2.0) * dot(col("qv"), col("centroid")))
         .withColumn("cr", row_number().over(wCells))
         .filter(col("cr") <= nprobe)
         .select(col("qid"), col("qv"), col("qn"), col("cell"))
+    }
 
+    /** Per query, how many NON-query vectors its `nprobe` probed cells
+      * hold — the occupancy certificate behind the s04 `prod_nonempty`
+      * claim (ADVICE r8): [[topK]] self-excludes, so "the probe visits
+      * ≥1 real cell" does NOT imply a non-empty result when the probed
+      * cells contain only the query itself; a claim gated on this count
+      * is deterministically true for ANY regenerated corpus. Routed by
+      * the same [[probedCells]] the probe itself uses. */
+    def probedNonSelfCount(queryFilter: Column, nprobe: Int = 4): DataFrame =
+      assigned
+        .select(col("vec_id").as("nid"), col("cell"))
+        .join(broadcast(probedCells(queryFilter, nprobe).select("qid", "cell")),
+          "cell")
+        .filter(col("qid") =!= col("nid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_cand"))
+
+    /** Approximate top-k for the filtered query rows, probing each
+      * query's `nprobe` nearest cells. */
+    def topK(queryFilter: Column, k: Int, nprobe: Int = 4): DataFrame = {
+      val probed = probedCells(queryFilter, nprobe)
       val cand = assigned
         .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cell"),
           sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
@@ -469,28 +532,38 @@ object Similarity {
       * from scratch — this method is the cheap path between rebuilds.
       * The previous index's cache is left to the caller to release
       * after the swap (the VersionedFactSink pointer-swap discipline). */
-    def addBatch(batch: DataFrame): IvfIndex = {
-      val assignedNew = batch
-        .select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"),
-          struct(
-            (dot(col("embedding"), col("embedding"))
-              + dot(col("centroid"), col("centroid"))
-              - lit(2.0) * dot(col("embedding"), col("centroid"))).as("d2"),
-            col("cell")).as("sc"))
-        .groupBy("vec_id")
-        .agg(first(col("embedding")).as("embedding"),
-          min(col("sc"))("cell").as("cell"))
+    def addBatch(batch: DataFrame): IvfIndex =
       IvfIndex(
-        assigned.unionByName(assignedNew)
+        assigned.unionByName(Similarity.assignToCells(batch, centroids))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         centroids)
-    }
 
     /** Drop the cached assignment (the index is unusable afterwards). */
     def release(): Unit = { assigned.unpersist(); () }
   }
+
+  /** Assign a vector batch to the nearest of the given centroids — the
+    * [[IvfIndex.addBatch]] kernel, shared with the streaming
+    * [[graft.streaming.VectorIngest]] path so batch and streaming
+    * assignment can never drift: the same squared-euclidean argmin the
+    * KMeans trainer uses, expressed as a struct-MIN aggregate over the
+    * broadcast centroid table (map-side partials — no window over the
+    * batch×centroid stream), ties to the smaller cell id. Cost scales
+    * with the BATCH; the standing corpus is never touched. */
+  private[graft] def assignToCells(batch: DataFrame,
+      centroids: DataFrame): DataFrame =
+    batch
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"),
+        struct(
+          (dot(col("embedding"), col("embedding"))
+            + dot(col("centroid"), col("centroid"))
+            - lit(2.0) * dot(col("embedding"), col("centroid"))).as("d2"),
+          col("cell")).as("sc"))
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        min(col("sc"))("cell").as("cell"))
 
   /** Build an IVF (inverted-file) index: KMeans partitions the corpus into
     * `nlist` Voronoi cells; a probe then scans only nprobe/nlist of the
@@ -770,14 +843,15 @@ object Similarity {
       // O(|queries|·m·k), while the per-row column keeps codegen
       // constant-size and the broadcast a few KB per query.
       val cb = typedlit(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-      val qdf = emb.filter(queryFilter)
+      val qdf = guardedQueries(emb.filter(queryFilter)
         .select(col("vec_id").as("qid"),
           transform(sequence(lit(1), lit(m)), i =>
             transform(element_at(cb, i), cent =>
               aggregate(sequence(lit(1), lit(dsub)), lit(0.0d), (acc, d) =>
                 acc + element_at(col("embedding"), (i - lit(1)) * dsub + d)
                   .cast("double") * element_at(cent, d).cast("double"))))
-            .as("qtab"))
+            .as("qtab")),
+        "pqProbe")
       val scored = idx.codes.crossJoin(broadcast(qdf))
         .filter(col("qid") =!= col("vec_id"))
         .withColumn("approx_dot",
@@ -799,8 +873,9 @@ object Similarity {
           .withColumn("arank", row_number().over(w).cast("int"))
           .filter(col("arank") <= rerank)
           .select(col("qid"), col("vec_id").as("nid"))
-        val qv = emb.filter(queryFilter)
-          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val qv = guardedQueries(emb.filter(queryFilter)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "pqProbe")
         val exact = shortlist
           .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
           .join(broadcast(qv), "qid")
@@ -839,8 +914,9 @@ object Similarity {
     val m = pq.codebooks.length
     val dsub = pq.codebooks(0)(0).length
     val cb = typedlit(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    val q = ivf.assigned.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val q = guardedQueries(ivf.assigned.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "ivfPqTopK")
     val wCells = Window.partitionBy("qid").orderBy(asc("d2"), asc("cell"))
     val probed = q.crossJoin(broadcast(ivf.centroids))
       .withColumn("d2",
@@ -868,8 +944,12 @@ object Similarity {
       .withColumn("arank", row_number().over(w).cast("int"))
       .filter(col("arank") <= rerank)
       .select(col("qid"), col("vec_id").as("nid"))
-    val qv = emb.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // the rerank's query-vector broadcast is the same filtered frame —
+    // guarded too, so whichever exchange the scheduler builds first
+    // carries the loud refusal rather than the generic broadcast error
+    val qv = guardedQueries(emb.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "ivfPqTopK")
     val exact = shortlist
       .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
       .join(broadcast(qv), "qid")

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.similarity.Similarity
+
+/** Streaming VECTOR ingest with cell assignment at the door — the
+  * embedding-side twin of [[CorpusIngest]] (r7/r8 verdict #8): every
+  * micro-batch of vectors is assigned to the standing IVF centroids as
+  * it arrives, so streamed vectors are retrievable from the index
+  * IMMEDIATELY — not after the next offline rebuild. This is
+  * [[Similarity.IvfIndex.addBatch]] composed into Structured Streaming
+  * with the text path's replay-idempotence discipline.
+  *
+  * Layout under `indexDir` — deliberately the [[graft.similarity.IndexStore]]
+  * IVF layout (manifest + `centroids/` + `assigned/`), with `assigned/`
+  * split into per-batch partition directories:
+  * {{{
+  *   indexDir/_graft_index.json     IndexStore manifest (kind = ivf)
+  *   indexDir/centroids/            fixed after the seeding batch
+  *   indexDir/assigned/batch=<N>/   one immutable slice per micro-batch
+  *   indexDir/_max_batch            high-water marker (CorpusIngest protocol)
+  * }}}
+  * so a session that never saw the stream opens the ingested index with
+  * plain `IndexStore.loadIvf(spark, indexDir)` — persistence of the
+  * streamed index costs nothing beyond the ingest itself.
+  *
+  * Per micro-batch:
+  *  1. the FIRST batch seeds: [[Similarity.buildIvfIndex]] trains the
+  *     coarse quantizer on it (bounded-sample KMeans) and publishes the
+  *     centroid table — which then stays FIXED, the addBatch contract
+  *     (centroids drift with the distribution; the accepted practice is
+  *     periodic offline rebuild, and this path is the cheap ingest
+  *     between rebuilds);
+  *  2. later batches assign against the standing centroids via the
+  *     shared [[Similarity.assignToCells]] kernel (cost scales with the
+  *     batch — the standing corpus is never re-assigned), EXCLUDING
+  *     vec_ids the index already holds from OTHER batches, so a vector
+  *     re-delivered across batches cannot enter twice;
+  *  3. the slice lands under `assigned/batch=<N>`, OVERWRITTEN on
+  *     write — a foreachBatch replay after a crash converges to the
+  *     same content instead of double-appending (within-batch replay
+  *     idempotence), and the high-water marker refuses a
+  *     fresh-checkpoint stream pointed at an existing index (the
+  *     [[CorpusIngest]] guard, same failure mode).
+  */
+object VectorIngest {
+
+  final class Merger(spark: SparkSession, indexDir: String,
+      nlist: Int = 16) extends Serializable {
+
+    private def part(sub: String) = s"$indexDir/$sub"
+    private def fs(path: String) = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def centroidsReady: Boolean =
+      fs(part("centroids")).exists(new Path(part("centroids")))
+
+    // standing assignment as of this batch's decision: every partition
+    // except the batch's own (a replayed batch would otherwise classify
+    // its prior admissions as already-present and skip them — harmless —
+    // but worse, a PARTIAL prior write would half-skip; excluding own
+    // partitions makes the overwrite the single source of truth)
+    private def assignedExcluding(batchId: Long): Option[DataFrame] = {
+      val p = part("assigned")
+      if (!fs(p).exists(new Path(p))) None
+      else Some(spark.read.option("basePath", p).parquet(p)
+        .filter(col("batch") =!= batchId).drop("batch"))
+    }
+
+    // ---- high-water marker: the CorpusIngest fresh-checkpoint guard ----
+    private def maxBatchMarker = new Path(s"$indexDir/_max_batch")
+    private def maxCommitted: Long = {
+      val f = fs(indexDir)
+      if (!f.exists(maxBatchMarker)) {
+        val root = new Path(indexDir)
+        if (!f.exists(root)) -1L
+        else f.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("_max_batch.tmp"))
+          .map(_.stripPrefix("_max_batch.tmp").toLong)
+          .foldLeft(-1L)(math.max)
+      } else {
+        val in = f.open(maxBatchMarker)
+        val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        require(raw.nonEmpty && raw.forall(_.isDigit),
+          s"corrupt high-water marker $maxBatchMarker (content: '$raw') — " +
+            "restore it to the highest committed batch id or delete it " +
+            "if the index dirs are known-consistent")
+        raw.toLong
+      }
+    }
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
+      val highWater = maxCommitted
+      require(batchId >= highWater,
+        s"batch $batchId below the index high-water mark $highWater — " +
+          s"a fresh-checkpoint stream must not overwrite $indexDir; use a " +
+          "new index dir or restore the original checkpoint")
+
+      val sliceDir = s"${part("assigned")}/batch=$batchId"
+      if (!centroidsReady) {
+        // seed: train the coarse quantizer on the first batch and
+        // publish the centroid table; the batch's own assignment comes
+        // from the same build (identical to assignToCells against the
+        // fresh centroids — the trainer's final assignment pass)
+        val idx = Similarity.buildIvfIndex(batch, nlist)
+        idx.centroids.write.mode(SaveMode.Overwrite)
+          .parquet(part("centroids"))
+        idx.assigned.select("vec_id", "embedding", "cell")
+          .write.mode(SaveMode.Overwrite).parquet(sliceDir)
+        idx.release()
+      } else {
+        val centroids = spark.read.parquet(part("centroids"))
+        val fresh = assignedExcluding(batchId) match {
+          case Some(existing) => batch.join(
+            existing.select("vec_id"), Seq("vec_id"), "left_anti")
+          case None => batch
+        }
+        Similarity.assignToCells(fresh, centroids)
+          .write.mode(SaveMode.Overwrite).parquet(sliceDir)
+      }
+
+      // IndexStore manifest, so the ingested index opens with loadIvf
+      // from any session; written once the first slice is committed
+      // (idempotent — the same bytes every time)
+      val f = fs(indexDir)
+      if (!f.exists(new Path(s"$indexDir/_graft_index.json")))
+        graft.similarity.IndexStore.writeMeta(spark, indexDir, "ivf")
+
+      // publish the new high-water mark via write-then-atomic-rename
+      val tmpMarker = new Path(s"$indexDir/_max_batch.tmp$batchId")
+      val out = f.create(tmpMarker, true)
+      try out.write(math.max(batchId, highWater).toString.getBytes("UTF-8"))
+      finally out.close()
+      f.delete(maxBatchMarker, false)
+      require(f.rename(tmpMarker, maxBatchMarker),
+        s"could not publish high-water marker $maxBatchMarker")
+    }
+
+    /** The standing streamed index, immediately probe-able: all committed
+      * slices + the fixed centroids, opened through the standard
+      * [[graft.similarity.IndexStore.loadIvf]] (the layout IS an
+      * IndexStore IVF directory — partition discovery folds the
+      * per-batch slices into one assignment table). Persisted for the
+      * index's lifetime; `release()` when done. */
+    def index(): Similarity.IvfIndex =
+      graft.similarity.IndexStore.loadIvf(spark, indexDir)
+  }
+
+  /** Start the ingest over a drop-directory of parquet embedding files. */
+  def start(spark: SparkSession, dropDir: String, indexDir: String,
+      checkpointDir: String, nlist: Int = 16): StreamingQuery = {
+    val merger = new Merger(spark, indexDir, nlist)
+    spark.readStream
+      .schema(graft.etl.Schemas.embeddings)
+      .parquet(dropDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) => merger.mergeBatch(b, id))
+      .start()
+  }
+}

@@ -127,4 +127,41 @@ class VersionedFactSinkSpec extends SparkTestBase {
     assert(fact.length == 1)
     assert(fact.head.getAs[Long]("total_minutes_streamed") == 30L)
   }
+
+  test("concurrent writers: exactly one claims a version, the loser fails loudly") {
+    // r7/r8 verdict #7: two writers interleaving _latest renames could
+    // silently drop a version. The commit now CAS-claims its manifest
+    // file (CREATE_NEW) before any data lands. Deterministic interleave:
+    // writer A's claim is placed exactly where the real commit puts it
+    // (an empty v00001.json — what a mid-commit writer's directory looks
+    // like), then writer B — a separate sink instance, as from another
+    // process — commits against the same table.
+    val dir = Files.createTempDirectory("graft_txn_race").toString
+    val a = new VersionedFactSink(dir)
+    a.writeFull(Seq((20210101, 2021, 1)).toDF("date_id", "year", "v"))
+    assert(a.currentVersion == 0)
+    // writer A mid-commit: has claimed v1, data not yet written
+    Files.write(Paths.get(dir, "_versions", "v00001.json"),
+      Array.emptyByteArray,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // writer B loses the race for v1 — loudly, before writing any data
+    val b = new VersionedFactSink(dir)
+    val e1 = intercept[IllegalStateException](
+      b.mergePartitions(Seq((20220102, 2022, 2)).toDF("date_id", "year", "v")))
+    assert(e1.getMessage.contains("claimed"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](
+      b.writeFull(Seq((20220103, 2022, 3)).toDF("date_id", "year", "v")))
+    assert(e2.getMessage.contains("claimed"), e2.getMessage)
+    // the loser changed NOTHING: table still serves version 0 intact,
+    // and no orphan data dirs were written for the failed commits
+    assert(b.currentVersion == 0)
+    assert(rows(b.read(spark)) == Set((20210101, 2021, 1)))
+    val dataDirs = Files.list(Paths.get(dir, "data")).count()
+    assert(dataDirs == 1, s"loser strands data dirs: $dataDirs")
+    // releasing the crashed claim (the documented repair) unblocks
+    Files.delete(Paths.get(dir, "_versions", "v00001.json"))
+    b.mergePartitions(Seq((20220102, 2022, 2)).toDF("date_id", "year", "v"))
+    assert(b.currentVersion == 1)
+    assert(rows(b.read(spark)) == Set((20210101, 2021, 1), (20220102, 2022, 2)))
+  }
 }

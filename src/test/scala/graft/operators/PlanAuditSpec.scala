@@ -122,11 +122,13 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("s08_knn_label_agreement")
     assert(p.contains("BroadcastHashJoin"),
       s"label lookups should broadcast the q*k pair frame:\n$p")
-    // the ONE BroadcastNestedLoopJoin is the brute-force scan itself
-    // (broadcast queries × corpus with the self-exclusion predicate — the
-    // intended shape, same as s01/s02); the label joins must not add more
+    // TWO deliberate BroadcastNestedLoopJoins: the brute-force scan
+    // itself (broadcast queries × corpus with the self-exclusion
+    // predicate — the intended shape, same as s01/s02) and the
+    // broadcast-queries guard's 1-row count crossJoin (r9); the label
+    // joins must not add more
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnlj <= 1, s"label lookups degenerated to nested-loop:\n$p")
+    assert(bnlj <= 2, s"label lookups degenerated to nested-loop:\n$p")
     assert(!p.contains("CartesianProduct"), s"s08 has a real cartesian:\n$p")
   }
 
@@ -414,7 +416,10 @@ class PlanAuditSpec extends SparkTestBase {
     val shuffles = p.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(shuffles.length <= 2, s"pair frame is being shuffled:\n$p")
+    // ≤3: the argmax's grain shuffle, the presentation sort, and the
+    // broadcast-queries guard's 1-row count exchange (r9) — the pair
+    // stream itself still collapses map-side before any of them
+    assert(shuffles.length <= 3, s"pair frame is being shuffled:\n$p")
     val windows = p.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }

@@ -121,6 +121,30 @@ class SamplingSpec extends SparkTestBase {
     assert(chain(e).contains("raise margin"))
   }
 
+  test("stratifiedTopK refuses even when the prune empties EVERY stratum") {
+    import spark.implicits._
+    // ADVICE r8: the row-riding guard never evaluates on an all-empty
+    // result (empty crossJoin carries no row to assert on) — the old
+    // form silently returned an empty frame here. A margin this small
+    // prunes every row of every stratum, so nothing survives to the
+    // window; only the sentinel branch can carry the refusal.
+    val docs = ((0 until 2000).map(i => (i.toLong, "en")) ++
+      (5000 until 7000).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val plan = Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 5,
+      salt = "allclip", margin = 1e-9)
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    val e = intercept[Exception](plan.count())
+    assert(chain(e).contains("raise margin"),
+      s"all-strata clip went silent: ${chain(e)}")
+    // and collect() — the action that would have returned the silent
+    // empty frame — detonates too
+    val e2 = intercept[Exception](
+      Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 5,
+        salt = "allclip2", margin = 1e-9).collect())
+    assert(chain(e2).contains("raise margin"))
+  }
+
   test("stratifiedTopK construction fires no Spark jobs") {
     import spark.implicits._
     val docs = ((0 until 300).map(i => (i.toLong, "en")) ++

@@ -83,4 +83,59 @@ class IndexStoreSpec extends SparkTestBase {
     assert(e3.getMessage.contains("_graft_index.json"))
     ivf.release()
   }
+
+  test("manifest is parsed strictly: version prefixes, both-kinds, extra fields all refuse") {
+    val ivf = Similarity.buildIvfIndex(emb)
+    val dir = tmp("strict")
+    IndexStore.saveIvf(ivf, dir)
+    val meta = java.nio.file.Paths.get(dir, "_graft_index.json")
+    def putMeta(s: String): Unit = {
+      // drop the Hadoop checksum sidecar too — the NIO rewrite below
+      // would otherwise fail the read on a crc mismatch, not the parse
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "._graft_index.json.crc"))
+      java.nio.file.Files.writeString(meta, s)
+    }
+    // a FUTURE version whose decimal rendering merely starts with 1 must
+    // refuse (ADVICE r8: the old substring check accepted 10, 11, ...)
+    putMeta("""{"format_version": 10, "kind": "ivf"}""")
+    val e1 = intercept[IllegalArgumentException](IndexStore.loadIvf(spark, dir))
+    assert(e1.getMessage.contains("version"), e1.getMessage)
+    // a manifest naming BOTH kinds is ambiguous — refuse, don't pick one
+    putMeta("""{"format_version": 1, "kind": "ivf", "kind": "pq"}""")
+    val e2 = intercept[IllegalArgumentException](IndexStore.loadIvf(spark, dir))
+    assert(e2.getMessage.contains("well-formed"), e2.getMessage)
+    // extra fields mean a writer this build doesn't understand — refuse
+    putMeta("""{"format_version": 1, "kind": "ivf", "shards": 4}""")
+    val e3 = intercept[IllegalArgumentException](IndexStore.loadIvf(spark, dir))
+    assert(e3.getMessage.contains("well-formed"), e3.getMessage)
+    // the exact written form (round-tripped) still loads
+    putMeta("""{"format_version": 1, "kind": "ivf"}""")
+    IndexStore.loadIvf(spark, dir).release()
+    ivf.release()
+  }
+
+  test("overwrite is invalidate-first: cross-kind replace strands nothing and half-states refuse") {
+    val ivf = Similarity.buildIvfIndex(emb)
+    val pq = Similarity.buildPqIndex(emb)
+    val dir = tmp("atomic")
+    IndexStore.saveIvf(ivf, dir)
+    // replace the IVF store with a PQ index: the old kind's component
+    // dirs must be cleared (ADVICE r8: a partial overwrite previously
+    // left stale meta validating a mixed directory)
+    IndexStore.savePq(pq, dir, overwrite = true)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "assigned")), "stale IVF components strand")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "centroids")), "stale IVF components strand")
+    intercept[IllegalArgumentException](IndexStore.loadIvf(spark, dir))
+    IndexStore.loadPq(spark, dir).release()
+    // crash-window simulation: an overwrite that died after invalidation
+    // but before publish leaves NO manifest — every loader refuses
+    // loudly instead of serving a stale-meta mix
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_graft_index.json"))
+    val e = intercept[IllegalArgumentException](IndexStore.loadPq(spark, dir))
+    assert(e.getMessage.contains("_graft_index.json"))
+    ivf.release(); pq.release()
+  }
 }
