@@ -1182,10 +1182,25 @@ object TrainingData {
     * a committed golden. See [[graft.similarity.Similarity.ivfPqTopK]]. */
   def s15RawTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val ivf = Similarity.buildIvfIndex(emb)
-    val pq = Similarity.buildPqIndex(emb)
+    val (ivf, pq) = buildIvfPqConcurrently(emb)
     Similarity.ivfPqTopK(ivf, pq, emb, col("vec_id") < 5, topK = 5)
       .orderBy("qid", "rank")
+  }
+
+  /** The two coarse/fine quantizer trainings are independent driver-
+    * blocking KMeans fits over the same corpus, each leaving most of the
+    * executor pool idle at contract scale — run them concurrently (the
+    * [[Similarity.buildPqIndex]] subquantizer discipline applied one
+    * level up). Determinism is unaffected: both builds are seeded and
+    * read the same immutable input. */
+  private def buildIvfPqConcurrently(
+      emb: DataFrame): (Similarity.IvfIndex, Similarity.PqIndex) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fi = Future(Similarity.buildIvfIndex(emb))
+    val fp = Future(Similarity.buildPqIndex(emb))
+    (Await.result(fi, Duration.Inf), Await.result(fp, Duration.Inf))
   }
 
   /** ANN-shortlisted MMR contract row (s16, r8 verdict #5): with the
@@ -1246,8 +1261,7 @@ object TrainingData {
     * production topology). */
   def s15IvfPqRerankExact(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val ivf = Similarity.buildIvfIndex(emb)
-    val pq = Similarity.buildPqIndex(emb)
+    val (ivf, pq) = buildIvfPqConcurrently(emb)
     Similarity.ivfPqTopK(ivf, pq, emb, col("vec_id") < 5, topK = 5,
       nprobe = 16, rerank = Int.MaxValue)
       .orderBy("qid", "rank")

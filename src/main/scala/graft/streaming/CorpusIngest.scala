@@ -92,6 +92,14 @@ object CorpusIngest {
     }
 
     def mergeBatch(rawBatch: DataFrame, batchId: Long): Unit = {
+      // a compaction in flight (or crashed) owns the component tables:
+      // the swap below the reader's feet would race the per-batch writes
+      CorpusIngest.Tables.foreach { sub =>
+        require(!Compaction.inProgress(spark, part(sub)),
+          s"compaction leftovers exist beside ${part(sub)} — the stream " +
+            "must stay stopped while the corpus is compacted; run " +
+            "Compaction.recoverTable first if the compaction crashed")
+      }
       // curation-at-ingest: the quality gate runs BEFORE any dedup work,
       // so junk neither costs shingle joins nor poisons the standing
       // index (a junk doc admitted once would shadow every future clean
@@ -162,6 +170,21 @@ object CorpusIngest {
         s"could not publish high-water marker $maxBatchMarker")
     }
   }
+
+  /** The corpus's per-batch component tables, in compaction order. */
+  private[streaming] val Tables = Seq("docs", "fps", "shingles")
+
+  /** Fold every per-batch slice of the corpus (docs, fingerprints,
+    * shingle postings) into one consolidated slice per table —
+    * [[Compaction.compactTable]] applied per component; the stream must
+    * be STOPPED. Each table swaps independently and atomically, and a
+    * crash between tables leaves every table internally complete
+    * (compaction moves rows, it never changes them), so dedup decisions
+    * and `corpus()` content are unchanged whichever subset compacted. */
+  def compact(spark: SparkSession, corpusDir: String,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit =
+    Tables.foreach(sub => Compaction.compactTable(spark,
+      s"$corpusDir/$sub", targetPartitionBytes))
 
   /** Start the ingest over a drop-directory of parquet document files. */
   def start(spark: SparkSession, dropDir: String, corpusDir: String,

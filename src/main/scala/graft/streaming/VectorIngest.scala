@@ -95,6 +95,12 @@ object VectorIngest {
     }
 
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
+      // a compaction in flight (or crashed) owns the assigned table: the
+      // swap below the reader's feet would race the per-batch overwrite
+      require(!Compaction.inProgress(spark, part("assigned")),
+        s"compaction leftovers exist beside ${part("assigned")} — the " +
+          "stream must stay stopped while the index is compacted; run " +
+          "Compaction.recoverTable first if the compaction crashed")
       val highWater = maxCommitted
       require(batchId >= highWater,
         s"batch $batchId below the index high-water mark $highWater — " +
@@ -150,6 +156,19 @@ object VectorIngest {
     def index(): Similarity.IvfIndex =
       graft.similarity.IndexStore.loadIvf(spark, indexDir)
   }
+
+  /** Fold the streamed index's per-batch `assigned/batch=<N>` slices into
+    * one consolidated slice — [[Compaction.compactTable]] with this
+    * layout's table; the stream must be STOPPED. Probe results and
+    * [[graft.similarity.IndexStore.loadIvf]] are unchanged (content moves,
+    * rows don't), and a later stream resume replays safely: the
+    * consolidated `batch=-1` slice is outside Structured Streaming's
+    * nonnegative id range, so redelivery exclusion always counts it as
+    * standing corpus. */
+  def compact(spark: SparkSession, indexDir: String,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit =
+    Compaction.compactTable(spark, s"$indexDir/assigned",
+      targetPartitionBytes)
 
   /** Start the ingest over a drop-directory of parquet embedding files. */
   def start(spark: SparkSession, dropDir: String, indexDir: String,
