@@ -55,10 +55,17 @@ object IndexStore {
 
   /** Load an IVF index saved by [[saveIvf]]. The assignment table is
     * persisted for the index's lifetime (the [[Similarity.buildIvfIndex]]
-    * contract); call `release()` on the returned index when done. */
+    * contract); call `release()` on the returned index when done.
+    *
+    * A `_tombstones` log beside the index (written by
+    * [[graft.streaming.VectorIngest.delete]]) is applied here, so every
+    * session — including one that never saw the deletion — masks deleted
+    * vectors out of probe results; the log is part of the on-disk index
+    * layout, not ingest-session state. */
   def loadIvf(spark: SparkSession, path: String): Similarity.IvfIndex = {
     requireKind(spark, path, "ivf")
-    val assigned = spark.read.parquet(s"$path/assigned")
+    val assigned = graft.etl.Tombstones.filterLive(spark, path,
+      spark.read.parquet(s"$path/assigned"), "vec_id")
     requireColumns(assigned, Seq("vec_id", "embedding", "cell"),
       s"$path/assigned")
     val centroids = spark.read.parquet(s"$path/centroids")
@@ -74,13 +81,35 @@ object IndexStore {
     val spark = idx.codes.sparkSession
     prepareTarget(spark, path, overwrite)
     idx.codes.select("vec_id", "code").write.parquet(s"$path/codes")
+    writeCodebooks(spark, path, idx.codebooks)
+    writeMeta(spark, path, "pq")
+  }
+
+  /** Write the driver-held codebooks in the engine-portable long form —
+    * shared with the streaming [[graft.streaming.PqIngest]] seed, which
+    * publishes the same layout over per-batch code slices. */
+  private[graft] def writeCodebooks(spark: SparkSession, path: String,
+      codebooks: Array[Array[Array[Float]]]): Unit = {
     import spark.implicits._
-    idx.codebooks.zipWithIndex.flatMap { case (book, m) =>
+    codebooks.zipWithIndex.flatMap { case (book, m) =>
       book.zipWithIndex.map { case (c, k) => (m, k, c) }
     }.toSeq.toDF("m", "k", "centroid")
       .coalesce(1) // codebook-geometry-sized, one tiny file
       .write.parquet(s"$path/codebooks")
-    writeMeta(spark, path, "pq")
+  }
+
+  /** Read the codebooks back to the driver-side array (bounded by
+    * m·k·dsub — index geometry, never the corpus). */
+  private[graft] def readCodebooks(spark: SparkSession,
+      path: String): Array[Array[Array[Float]]] = {
+    val booksDf = spark.read.parquet(s"$path/codebooks")
+    requireColumns(booksDf, Seq("m", "k", "centroid"), s"$path/codebooks")
+    val rows = booksDf.select("m", "k", "centroid").collect()
+    require(rows.nonEmpty, s"$path/codebooks is empty")
+    rows
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, sub) => sub.sortBy(_._2).map(_._3) }
   }
 
   /** Load a PQ index saved by [[savePq]]. Codes persist for the index's
@@ -88,18 +117,52 @@ object IndexStore {
     * collect back to the driver-side array the ADC planner inlines. */
   def loadPq(spark: SparkSession, path: String): Similarity.PqIndex = {
     requireKind(spark, path, "pq")
-    val codes = spark.read.parquet(s"$path/codes")
+    // the same tombstone discipline as loadIvf: a deleted vec_id is
+    // masked out of the codes table, so a pure-PQ scan cannot rank it
+    val codes = graft.etl.Tombstones.filterLive(spark, path,
+      spark.read.parquet(s"$path/codes"), "vec_id")
     requireColumns(codes, Seq("vec_id", "code"), s"$path/codes")
-    val booksDf = spark.read.parquet(s"$path/codebooks")
-    requireColumns(booksDf, Seq("m", "k", "centroid"), s"$path/codebooks")
-    val rows = booksDf.select("m", "k", "centroid").collect()
-    require(rows.nonEmpty, s"$path/codebooks is empty")
-    val books = rows
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-      .groupBy(_._1).toArray.sortBy(_._1)
-      .map { case (_, sub) => sub.sortBy(_._2).map(_._3) }
     Similarity.PqIndex(
-      codes.persist(StorageLevel.MEMORY_AND_DISK), books)
+      codes.persist(StorageLevel.MEMORY_AND_DISK),
+      readCodebooks(spark, path))
+  }
+
+  /** Logically delete `ids` (a frame carrying `vec_id`) from the index
+    * at `path`, whichever kind it holds — a [[graft.etl.Tombstones]] log
+    * append; [[loadIvf]]/[[loadPq]] mask through it from any session.
+    * Physical removal happens at [[purgeDeletes]]. */
+  def delete(spark: SparkSession, path: String,
+      ids: org.apache.spark.sql.DataFrame, reason: String = "optout"): Unit = {
+    require(fs(spark, path).exists(metaPath(path)),
+      s"$path has no _graft_index.json — not a graft index")
+    graft.etl.Tombstones.add(spark, path, ids, "vec_id", reason)
+  }
+
+  /** Physically remove every tombstoned vector from the index's
+    * corpus-sized component table (`assigned` for ivf, `codes` for pq —
+    * read from the manifest), then clear exactly the applied log slices.
+    * Rides [[graft.streaming.Compaction.compactTable]], which rewrites
+    * BOTH layouts the store can hold — the streamed per-batch slices and
+    * [[saveIvf]]/[[savePq]]'s plain directories — before the log is
+    * cleared, so a purge can never clear a log whose rows are still
+    * physically present. Crash-safe: log cleared LAST, re-run completes.
+    * No writer (stream or save) may run concurrently. */
+  def purgeDeletes(spark: SparkSession, path: String,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit = {
+    val table = kindOf(spark, path) match {
+      case "ivf" => s"$path/assigned"
+      case "pq" => s"$path/codes"
+      case k => throw new IllegalArgumentException(
+        s"$path holds an index of unknown kind '$k' — cannot purge")
+    }
+    val slices = graft.etl.Tombstones.slices(spark, path)
+    graft.etl.Tombstones.idsIn(spark, slices, "vec_id") match {
+      case None => ()
+      case Some(ids) =>
+        graft.streaming.Compaction.compactTable(spark, table,
+          targetPartitionBytes, dropIds = Some((ids, "vec_id")))
+        graft.etl.Tombstones.clear(spark, path, slices)
+    }
   }
 
   // ------------------------------------------------------------------ internals
@@ -129,6 +192,10 @@ object IndexStore {
     } else {
       f.delete(metaPath(path), false)
       ComponentDirs.foreach(c => f.delete(new Path(s"$path/$c"), true))
+      // a stale tombstone log must not outlive the index it banned ids
+      // from: a FRESH index may legitimately recycle vec_ids, and a
+      // surviving log would silently mask them out of every probe
+      f.delete(new Path(s"$path/_tombstones"), true)
     }
   }
 
@@ -152,8 +219,9 @@ object IndexStore {
   private val MetaRe =
     """\{\s*"format_version"\s*:\s*(\d+)\s*,\s*"kind"\s*:\s*"([a-z]+)"\s*\}""".r
 
-  private def requireKind(spark: SparkSession, path: String,
-      kind: String): Unit = {
+  /** The validated kind from the manifest (strict parse + format-version
+    * check), without presupposing which kind the caller wants. */
+  private def kindOf(spark: SparkSession, path: String): String = {
     val p = metaPath(path)
     val f = fs(spark, path)
     require(f.exists(p), s"$path has no _graft_index.json — not a graft index")
@@ -165,12 +233,18 @@ object IndexStore {
         require(v.toInt == FormatVersion,
           s"$path has an unsupported index format version $v " +
             s"(this build reads version $FormatVersion)")
-        require(k == kind,
-          s"$path holds an index of kind '$k', not the requested '$kind'")
+        k
       case _ => throw new IllegalArgumentException(
         s"$path/_graft_index.json is not a well-formed graft index " +
           s"manifest (meta: $meta)")
     }
+  }
+
+  private def requireKind(spark: SparkSession, path: String,
+      kind: String): Unit = {
+    val k = kindOf(spark, path)
+    require(k == kind,
+      s"$path holds an index of kind '$k', not the requested '$kind'")
   }
 
   private def requireColumns(df: DataFrame, cols: Seq[String],

@@ -588,11 +588,18 @@ object Similarity {
     val featured = emb.withColumn("features",
       array_to_vector(col("embedding").cast("array<double>")))
     val corpusRows = featured.count()
+    require(corpusRows > 0, "cannot build an IVF index over an empty corpus")
     val train =
       if (corpusRows <= maxTrainRows) featured.select("features")
       else featured.select("features")
         .sample(withReplacement = false, maxTrainRows.toDouble / corpusRows, seed = 42L)
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    // nlist is a CAP: a corpus smaller than nlist trains one cell per
+    // point (the flat-index limit) — the faiss ntrain >= k requirement
+    // applied by clamping instead of crashing, so a small seeding
+    // micro-batch (VectorIngest's first trigger) cannot brick the stream
+    // with KMeans' opaque ArrayIndexOutOfBounds
+    val k = math.min(nlist.toLong, corpusRows).toInt
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").fit(train)
     val assigned = model.transform(featured)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
@@ -751,6 +758,11 @@ object Similarity {
     // m cheap fits) — classic PQ practice, same rationale as the IVF
     // coarse quantizer above
     val corpusRows = emb.count()
+    require(corpusRows > 0, "cannot build a PQ index over an empty corpus")
+    // k is a CAP, the buildIvfIndex discipline: a corpus smaller than k
+    // trains one centroid per point instead of crashing a seeding
+    // micro-batch with KMeans' opaque ArrayIndexOutOfBounds
+    val kEff = math.min(k.toLong, corpusRows).toInt
     val sampled =
       if (corpusRows <= maxTrainRows) emb
       else emb.sample(withReplacement = false,
@@ -772,7 +784,7 @@ object Similarity {
     trainAll.count() // materialize the cache once, BEFORE the concurrent fits
     val models = Await.result(
       Future.sequence((0 until m).map { i => Future {
-        new KMeans().setK(k).setSeed(42L + i).setMaxIter(10)
+        new KMeans().setK(kEff).setSeed(42L + i).setMaxIter(10)
           .setFeaturesCol(s"f$i").setPredictionCol(s"c$i").fit(trainAll)
       }}), Duration.Inf)
     trainAll.unpersist()
@@ -792,6 +804,36 @@ object Similarity {
 
     val books = models.map(_.clusterCenters.map(_.toArray.map(_.toFloat)))
     PqIndex(coded, books.toArray)
+  }
+
+  /** Encode a vector batch against STANDING codebooks — the PQ analog of
+    * [[assignToCells]], shared with the streaming
+    * [[graft.streaming.PqIngest]] path: per subspace the code is the
+    * squared-euclidean argmin over that subspace's k centroids, ties to
+    * the smaller code (the trainer's tie direction). The codebooks enter
+    * as ONE literal (m·k·dsub floats, bounded by index geometry, never
+    * the corpus) and the whole encode is native fold expressions over it
+    * — per row, no crossJoin, no aggregation, stays inside whole-stage
+    * codegen; cost scales with the BATCH. Arithmetic mirrors the
+    * trainer's feature path (float widened to double, subspace elements
+    * accumulated in index order), so re-encoding the training batch
+    * reproduces its original codes — spec-asserted. */
+  private[graft] def encodeWithCodebooks(batch: DataFrame,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cb = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    batch.select(col("vec_id"),
+      transform(sequence(lit(1), lit(m)), i => {
+        val dists = transform(element_at(cb, i), cent =>
+          aggregate(sequence(lit(1), lit(dsub)), lit(0.0d), (acc, d) => {
+            val diff =
+              element_at(col("embedding"), (i - lit(1)) * dsub + d)
+                .cast("double") - element_at(cent, d).cast("double")
+            acc + diff * diff
+          }))
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }).as("code"))
   }
 
   /** PQ approximate top-k via asymmetric distance computation: per query,

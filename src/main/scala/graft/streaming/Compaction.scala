@@ -102,29 +102,65 @@ object Compaction {
     * `batch=-1` slice of ~`targetPartitionBytes` output partitions.
     * No-op on a missing or empty table; idempotent (re-compacting a
     * compacted table rewrites the same single slice). The caller must
-    * have stopped any stream writing to this table. */
+    * have stopped any stream writing to this table.
+    *
+    * `dropIds` is the physical-purge hook ([[graft.etl.Tombstones]]):
+    * `(ids, idCol)` rows are anti-joined away during the rewrite, so a
+    * purge costs nothing beyond the compaction it rides — the Delta
+    * DELETE-at-OPTIMIZE shape. The caller clears the tombstone log only
+    * AFTER this returns; a crash mid-compaction leaves the log masking
+    * the not-yet-purged rows, and the re-run applies it again
+    * (anti-joining ids that are already gone is a no-op). */
   def compactTable(spark: SparkSession, tableDir: String,
-      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetPartitionBytes: Long = 128L * 1024 * 1024,
+      dropIds: Option[(org.apache.spark.sql.DataFrame, String)] = None): Unit = {
     require(targetPartitionBytes > 0,
       s"targetPartitionBytes must be positive, got $targetPartitionBytes")
     val f = fsFor(spark, tableDir)
     recoverTable(spark, tableDir)
     val live = new Path(tableDir)
     if (!f.exists(live)) return
-    val slices = f.listStatus(live)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-    if (slices.isEmpty) return
+    // a NON-batch layout (e.g. IndexStore.saveIvf's plain `assigned/`) is
+    // one logical slice: fold it into batch=-1 the same way, so a purge
+    // over a non-streamed store still REWRITES before the tombstone log
+    // is cleared — skipping here would let the caller clear the log with
+    // the rows physically present, silently resurrecting deleted ids
+    val bytes = f.getContentSummary(live).getLength
+    if (bytes == 0L) return
 
     // size the consolidated slice by BYTES, not by slice count — the
     // whole point is that thousands of tiny slices collapse into however
     // few target-sized files the data actually fills
-    val bytes = slices.map(s => f.getContentSummary(s.getPath).getLength).sum
     val nParts = math.max(1L,
       (bytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
 
-    val tmp = tmpDir(tableDir)
-    spark.read.option("basePath", tableDir).parquet(tableDir)
+    val all = spark.read.option("basePath", tableDir).parquet(tableDir)
       .drop("batch")
+    val kept = dropIds match {
+      case Some((ids, idCol)) => all.join(
+        ids.select(idCol).distinct(), Seq(idCol), "left_anti")
+      case None => all
+    }
+    publishSlice(spark, tableDir, kept, nParts)
+  }
+
+  /** Publish `df` as `tableDir`'s single consolidated `batch=-1` slice
+    * with the write-aside + atomic-swap + cleanup-last discipline —
+    * the publish step of [[compactTable]], exposed for maintenance ops
+    * that REBUILD a table's content rather than fold its slices
+    * ([[CorpusIngest.reindex]]). Uses the same tmp/old markers, so
+    * [[recoverTable]] repairs a crash here identically. A missing live
+    * table (rebuilding a lost derived table — the recovery use case) is
+    * legal: the swap degrades to a single publish rename. The caller
+    * must have stopped any stream writing to this table. */
+  def publishSlice(spark: SparkSession, tableDir: String,
+      df: org.apache.spark.sql.DataFrame, nParts: Int): Unit = {
+    require(nParts > 0, s"nParts must be positive, got $nParts")
+    val f = fsFor(spark, tableDir)
+    recoverTable(spark, tableDir)
+    val live = new Path(tableDir)
+    val tmp = tmpDir(tableDir)
+    df
       .repartition(nParts)
       .write.mode(SaveMode.Overwrite)
       .parquet(new Path(tmp, "batch=-1").toString)
@@ -132,8 +168,9 @@ object Compaction {
       s"consolidated write of $tableDir left no _SUCCESS marker — aborting " +
         "before the swap; the live table is untouched")
 
-    require(f.rename(live, oldDir(tableDir)),
-      s"could not stage $tableDir aside for the compaction swap")
+    if (f.exists(live))
+      require(f.rename(live, oldDir(tableDir)),
+        s"could not stage $tableDir aside for the compaction swap")
     require(f.rename(tmp, live),
       s"could not publish the compacted $tableDir — run recoverTable to " +
         "repair (the consolidated slice is complete, recovery rolls forward)")

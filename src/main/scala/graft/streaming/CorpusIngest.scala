@@ -40,9 +40,11 @@ object CorpusIngest {
 
     private def part(sub: String) = s"$corpusDir/$sub"
 
-    def corpus(): DataFrame =
+    def corpus(): DataFrame = graft.etl.Tombstones.filterLive(spark,
+      corpusDir,
       spark.read.option("basePath", part("docs")).parquet(part("docs"))
-        .drop("batch")
+        .drop("batch"),
+      "doc_id")
 
     // the reader sees the index as of the batch's admission decision:
     // every partition EXCEPT the batch's own. A missing dir means "no
@@ -52,44 +54,17 @@ object CorpusIngest {
     private def fs(path: String) = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // tombstoned docs are masked here too: a deleted document's
+    // fingerprints and shingles stop influencing admission immediately
+    // (its CONTENT no longer shadows future near-dups — the opt-out
+    // semantic), even before the purge makes the deletion physical
     private def readExcluding(sub: String, batchId: Long): Option[DataFrame] =
       if (!fs(part(sub)).exists(new org.apache.hadoop.fs.Path(part(sub))))
         None
-      else Some(
+      else Some(graft.etl.Tombstones.filterLive(spark, corpusDir,
         spark.read.option("basePath", part(sub)).parquet(part(sub))
-          .filter(col("batch") =!= batchId).drop("batch"))
-
-    // highest batch id ever committed — a stream restarted against a FRESH
-    // checkpoint re-numbers batches from 0, and without this guard its
-    // batch 0 would Overwrite (destroy) the original seed partition
-    private def maxBatchMarker =
-      new org.apache.hadoop.fs.Path(s"$corpusDir/_max_batch")
-    private def maxCommitted: Long = {
-      val f = fs(corpusDir)
-      if (!f.exists(maxBatchMarker)) {
-        // a crash between the marker delete and the rename below leaves
-        // only the tmp marker — recover the guard from it rather than
-        // silently reporting "no corpus"
-        val root = new org.apache.hadoop.fs.Path(corpusDir)
-        if (!f.exists(root)) -1L
-        else f.listStatus(root).map(_.getPath.getName)
-          .filter(_.startsWith("_max_batch.tmp"))
-          .map(_.stripPrefix("_max_batch.tmp").toLong)
-          .foldLeft(-1L)(math.max)
-      } else {
-        val in = f.open(maxBatchMarker)
-        val raw = try scala.io.Source.fromInputStream(in).mkString.trim
-          finally in.close()
-        // an unparsable marker must be a LOUD, self-describing failure —
-        // "".toLong would brick every subsequent batch with a bare
-        // NumberFormatException and no pointer to the file to repair
-        require(raw.nonEmpty && raw.forall(_.isDigit),
-          s"corrupt high-water marker $maxBatchMarker (content: '$raw') — " +
-            "restore it to the highest committed batch id or delete it " +
-            "if the corpus dirs are known-consistent")
-        raw.toLong
-      }
-    }
+          .filter(col("batch") =!= batchId).drop("batch"),
+        "doc_id"))
 
     def mergeBatch(rawBatch: DataFrame, batchId: Long): Unit = {
       // a compaction in flight (or crashed) owns the component tables:
@@ -105,21 +80,22 @@ object CorpusIngest {
       // index (a junk doc admitted once would shadow every future clean
       // near-dup of it). Stateless per row — identical semantics batch
       // or streaming, asserted in CorpusIngestSpec.
-      val batch = qualityMin match {
+      val gated = qualityMin match {
         case Some(q) => rawBatch.filter(
           graft.text.TextAnalysis.qualityScore(col("text")) >= q)
         case None => rawBatch
       }
-      // read ONCE up front: the marker rewrite at the end truncates the
-      // file first, so a later re-read mid-method would see it empty
-      val highWater = maxCommitted
-      // Structured Streaming only ever replays the LATEST uncommitted
-      // batch; a batchId BELOW the recorded high-water mark means a new
-      // stream (fresh checkpoint) is pointed at an existing corpus
-      require(batchId >= highWater,
-        s"batch $batchId below the corpus high-water mark $highWater — " +
-          s"a fresh-checkpoint stream must not overwrite $corpusDir; use a " +
-          "new corpus dir or restore the original checkpoint")
+      // the id BAN at the door: a tombstoned doc_id redelivered by the
+      // source (a re-crawl of an opted-out page) is refused admission —
+      // the id stays out until a purge makes the deletion physical and
+      // clears the log, after which a deliberate re-submission is a
+      // fresh document again
+      val batch = graft.etl.Tombstones.filterLive(spark, corpusDir,
+        gated, "doc_id")
+      // read ONCE up front (the shared fresh-checkpoint guard): the
+      // marker rewrite at the end truncates the file first, so a later
+      // re-read mid-method would see it empty
+      val highWater = BatchMarker.guard(spark, corpusDir, batchId)
       // 1. within-batch dedup: exact keepers (one per fingerprint), then
       // greedy near-dedup — of every near-pair, the smaller doc_id
       // survives, so a page crawled twice in one batch can't enter the
@@ -155,19 +131,7 @@ object CorpusIngest {
         .parquet(s"${part("fps")}/batch=$batchId")
       postings.write.mode(SaveMode.Overwrite)
         .parquet(s"${part("shingles")}/batch=$batchId")
-      // publish the new high-water mark via write-then-atomic-rename (the
-      // VersionedFactSink protocol): create(marker, overwrite=true)
-      // truncates FIRST, so a crash between create and write would leave an
-      // empty marker that permanently bricks the ingest
-      val f = fs(corpusDir)
-      val tmpMarker =
-        new org.apache.hadoop.fs.Path(s"$corpusDir/_max_batch.tmp$batchId")
-      val out = f.create(tmpMarker, true)
-      try out.write(math.max(batchId, highWater).toString.getBytes("UTF-8"))
-      finally out.close()
-      f.delete(maxBatchMarker, false)
-      require(f.rename(tmpMarker, maxBatchMarker),
-        s"could not publish high-water marker $maxBatchMarker")
+      BatchMarker.publish(spark, corpusDir, batchId, highWater)
     }
   }
 
@@ -185,6 +149,85 @@ object CorpusIngest {
       targetPartitionBytes: Long = 128L * 1024 * 1024): Unit =
     Tables.foreach(sub => Compaction.compactTable(spark,
       s"$corpusDir/$sub", targetPartitionBytes))
+
+  /** Rebuild the corpus's DERIVED tables — fingerprints and shingle
+    * postings — from the standing documents: the recovery/maintenance op
+    * for a lost or corrupted index table, or for re-deriving after the
+    * shingling scheme changes ([[graft.dedup.Dedup.indexRows]] is the
+    * single source of the construction, so the rebuilt rows are exactly
+    * what per-batch ingest would have written). The stream must be
+    * STOPPED.
+    *
+    * Docs are folded to `batch=-1` FIRST ([[Compaction.compactTable]]):
+    * rebuilt index rows land in one consolidated slice, and if any
+    * per-batch docs slice survived, a later crash-replay of that batch
+    * would see its own documents in the rebuilt (never-excluded) index,
+    * classify them as duplicates, and OVERWRITE its docs slice with an
+    * empty one — folding docs first removes the slice the replay could
+    * destroy, the same convergence argument [[compact]] relies on. Each
+    * derived table publishes via [[Compaction.publishSlice]] (write
+    * aside, atomic swap, log-style recovery), and tombstoned docs are
+    * masked out of the rebuild — a deleted doc's content stays without
+    * influence. */
+  def reindex(spark: SparkSession, corpusDir: String,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit = {
+    val docsDir = s"$corpusDir/docs"
+    Compaction.compactTable(spark, docsDir, targetPartitionBytes)
+    val fsys = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fsys.exists(new org.apache.hadoop.fs.Path(docsDir)),
+      s"$docsDir does not exist — nothing to reindex")
+    val docs = graft.etl.Tombstones.filterLive(spark, corpusDir,
+      spark.read.option("basePath", docsDir).parquet(docsDir).drop("batch"),
+      "doc_id")
+    val (fps, postings) = graft.dedup.Dedup.indexRows(docs,
+      cacheKey = "reindexSh")
+    // partition count from the table being replaced when it exists (the
+    // best size estimate available), else from the docs it derives from
+    def nParts(tableDir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(tableDir)
+      val bytes = if (fsys.exists(p)) fsys.getContentSummary(p).getLength
+        else fsys.getContentSummary(
+          new org.apache.hadoop.fs.Path(docsDir)).getLength
+      math.max(1L,
+        (bytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
+    }
+    Compaction.publishSlice(spark, s"$corpusDir/fps", fps,
+      nParts(s"$corpusDir/fps"))
+    Compaction.publishSlice(spark, s"$corpusDir/shingles", postings,
+      nParts(s"$corpusDir/shingles"))
+  }
+
+  /** Logically delete `ids` (a frame carrying `doc_id`) from the corpus —
+    * the opt-out entry point. Effective immediately: the docs vanish from
+    * [[Merger.corpus]], their fingerprints/shingles stop shadowing future
+    * admissions, and the ids are banned from re-admission; rewrites
+    * nothing (a tombstone-log append, [[graft.etl.Tombstones]]). Safe
+    * while the stream runs. Physical removal happens at [[purge]]. */
+  def delete(spark: SparkSession, corpusDir: String, ids: DataFrame,
+      reason: String = "optout"): Unit =
+    graft.etl.Tombstones.add(spark, corpusDir, ids, "doc_id", reason)
+
+  /** Physically remove every tombstoned doc from all three component
+    * tables, riding a [[compact]] (the Delta DELETE-at-OPTIMIZE shape),
+    * then clear exactly the tombstone slices applied. The stream must be
+    * STOPPED. Crash-safe end to end: the log is cleared LAST, so a crash
+    * after any subset of tables leaves the log still masking the
+    * survivors, and re-running purge is the complete repair (anti-joining
+    * already-purged ids is a no-op). Tombstones added concurrently are
+    * not cleared and apply on the next purge. */
+  def purge(spark: SparkSession, corpusDir: String,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit = {
+    val slices = graft.etl.Tombstones.slices(spark, corpusDir)
+    graft.etl.Tombstones.idsIn(spark, slices, "doc_id") match {
+      case None => compact(spark, corpusDir, targetPartitionBytes)
+      case Some(ids) =>
+        Tables.foreach(sub => Compaction.compactTable(spark,
+          s"$corpusDir/$sub", targetPartitionBytes,
+          dropIds = Some((ids, "doc_id"))))
+        graft.etl.Tombstones.clear(spark, corpusDir, slices)
+    }
+  }
 
   /** Start the ingest over a drop-directory of parquet document files. */
   def start(spark: SparkSession, dropDir: String, corpusDir: String,

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.similarity.{IndexStore, Similarity}
+
+/** Streaming PQ ingest with encode-at-the-door — the code-side twin of
+  * [[VectorIngest]], completing the streamed production topology: with
+  * both twins running over the same drop directory, a new vector is
+  * IVF-routable (cell assignment) AND ADC-scorable (PQ codes) from the
+  * micro-batch it arrives in, so the full IVF-PQ probe
+  * ([[Similarity.ivfPqTopK]]) covers streamed vectors without any
+  * offline rebuild.
+  *
+  * Layout under `indexDir` — deliberately the [[IndexStore]] PQ layout
+  * (manifest + `codebooks/` + `codes/`), with `codes/` split into
+  * per-batch partition directories, so any session opens the streamed
+  * index with plain `IndexStore.loadPq`:
+  * {{{
+  *   indexDir/_graft_index.json    IndexStore manifest (kind = pq)
+  *   indexDir/codebooks/           fixed after the seeding batch
+  *   indexDir/codes/batch=<N>/     one immutable slice per micro-batch
+  *   indexDir/_max_batch           high-water marker ([[BatchMarker]])
+  * }}}
+  *
+  * Per micro-batch, the [[VectorIngest]] discipline throughout:
+  *  1. the FIRST batch seeds: [[Similarity.buildPqIndex]] trains the m
+  *     subquantizers on it and publishes the codebooks — which then stay
+  *     FIXED (codebooks drift with the distribution; the accepted
+  *     practice is periodic offline retrain, and this path is the cheap
+  *     encode between retrains);
+  *  2. later batches encode against the standing codebooks via the
+  *     shared [[Similarity.encodeWithCodebooks]] kernel (per-row native
+  *     expressions over the codebook literal — cost scales with the
+  *     batch), excluding vec_ids the index already holds from OTHER
+  *     batches and tombstoned ids (the ban at the door);
+  *  3. the slice lands under `codes/batch=<N>`, OVERWRITTEN on write,
+  *     so a foreachBatch replay converges instead of double-appending;
+  *     the high-water marker refuses a fresh-checkpoint stream.
+  *
+  * Maintenance composes unchanged because the layout IS an IndexStore
+  * PQ dir: [[compact]] folds the slices, [[IndexStore.delete]] /
+  * [[IndexStore.purgeDeletes]] handle opt-out (loadPq masks through the
+  * same tombstone log).
+  */
+object PqIngest {
+
+  final class Merger(spark: SparkSession, indexDir: String,
+      m: Int = 8, k: Int = 16) extends Serializable {
+
+    private def part(sub: String) = s"$indexDir/$sub"
+    private def fs(path: String) = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def codebooksReady: Boolean =
+      fs(part("codebooks")).exists(new Path(part("codebooks")))
+
+    // standing codes as of this batch's decision: every partition except
+    // the batch's own (the [[VectorIngest.Merger]] rationale — the
+    // overwrite is the single source of truth for a replayed batch)
+    private def codesExcluding(batchId: Long): Option[DataFrame] = {
+      val p = part("codes")
+      if (!fs(p).exists(new Path(p))) None
+      else Some(spark.read.option("basePath", p).parquet(p)
+        .filter(col("batch") =!= batchId).drop("batch"))
+    }
+
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
+      require(!Compaction.inProgress(spark, part("codes")),
+        s"compaction leftovers exist beside ${part("codes")} — the " +
+          "stream must stay stopped while the index is compacted; run " +
+          "Compaction.recoverTable first if the compaction crashed")
+      val highWater = BatchMarker.guard(spark, indexDir, batchId)
+
+      val sliceDir = s"${part("codes")}/batch=$batchId"
+      if (!codebooksReady) {
+        // seed: train the subquantizers on the first batch and publish
+        // the codebooks; the batch's own codes come from the same build
+        val idx = Similarity.buildPqIndex(batch, m, k)
+        IndexStore.writeCodebooks(spark, indexDir, idx.codebooks)
+        idx.codes.select("vec_id", "code")
+          .write.mode(SaveMode.Overwrite).parquet(sliceDir)
+        idx.release()
+      } else {
+        val books = IndexStore.readCodebooks(spark, indexDir)
+        val existingAnti = codesExcluding(batchId) match {
+          case Some(existing) => batch.join(
+            existing.select("vec_id"), Seq("vec_id"), "left_anti")
+          case None => batch
+        }
+        val fresh = graft.etl.Tombstones.filterLive(spark, indexDir,
+          existingAnti, "vec_id")
+        Similarity.encodeWithCodebooks(fresh, books)
+          .write.mode(SaveMode.Overwrite).parquet(sliceDir)
+      }
+
+      val f = fs(indexDir)
+      if (!f.exists(new Path(s"$indexDir/_graft_index.json")))
+        IndexStore.writeMeta(spark, indexDir, "pq")
+
+      BatchMarker.publish(spark, indexDir, batchId, highWater)
+    }
+
+    /** The standing streamed index, immediately ADC-scorable from any
+      * session — opened through the standard [[IndexStore.loadPq]].
+      * Persisted for the index's lifetime; `release()` when done. */
+    def index(): Similarity.PqIndex = IndexStore.loadPq(spark, indexDir)
+  }
+
+  /** Fold the streamed index's per-batch `codes/batch=<N>` slices into
+    * one consolidated slice; the stream must be STOPPED. ADC results and
+    * `loadPq` are unchanged (content moves, rows don't), and replays
+    * stay safe: `batch=-1` is outside the nonnegative streaming id
+    * range, so redelivery exclusion counts it as standing corpus. */
+  def compact(spark: SparkSession, indexDir: String,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit =
+    Compaction.compactTable(spark, s"$indexDir/codes",
+      targetPartitionBytes)
+
+  /** Start the ingest over a drop-directory of parquet embedding files. */
+  def start(spark: SparkSession, dropDir: String, indexDir: String,
+      checkpointDir: String, m: Int = 8, k: Int = 16): StreamingQuery = {
+    val merger = new Merger(spark, indexDir, m, k)
+    spark.readStream
+      .schema(graft.etl.Schemas.embeddings)
+      .parquet(dropDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) => merger.mergeBatch(b, id))
+      .start()
+  }
+}

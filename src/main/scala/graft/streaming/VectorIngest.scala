@@ -71,29 +71,6 @@ object VectorIngest {
         .filter(col("batch") =!= batchId).drop("batch"))
     }
 
-    // ---- high-water marker: the CorpusIngest fresh-checkpoint guard ----
-    private def maxBatchMarker = new Path(s"$indexDir/_max_batch")
-    private def maxCommitted: Long = {
-      val f = fs(indexDir)
-      if (!f.exists(maxBatchMarker)) {
-        val root = new Path(indexDir)
-        if (!f.exists(root)) -1L
-        else f.listStatus(root).map(_.getPath.getName)
-          .filter(_.startsWith("_max_batch.tmp"))
-          .map(_.stripPrefix("_max_batch.tmp").toLong)
-          .foldLeft(-1L)(math.max)
-      } else {
-        val in = f.open(maxBatchMarker)
-        val raw = try scala.io.Source.fromInputStream(in).mkString.trim
-          finally in.close()
-        require(raw.nonEmpty && raw.forall(_.isDigit),
-          s"corrupt high-water marker $maxBatchMarker (content: '$raw') — " +
-            "restore it to the highest committed batch id or delete it " +
-            "if the index dirs are known-consistent")
-        raw.toLong
-      }
-    }
-
     def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
       // a compaction in flight (or crashed) owns the assigned table: the
       // swap below the reader's feet would race the per-batch overwrite
@@ -101,11 +78,7 @@ object VectorIngest {
         s"compaction leftovers exist beside ${part("assigned")} — the " +
           "stream must stay stopped while the index is compacted; run " +
           "Compaction.recoverTable first if the compaction crashed")
-      val highWater = maxCommitted
-      require(batchId >= highWater,
-        s"batch $batchId below the index high-water mark $highWater — " +
-          s"a fresh-checkpoint stream must not overwrite $indexDir; use a " +
-          "new index dir or restore the original checkpoint")
+      val highWater = BatchMarker.guard(spark, indexDir, batchId)
 
       val sliceDir = s"${part("assigned")}/batch=$batchId"
       if (!centroidsReady) {
@@ -121,11 +94,18 @@ object VectorIngest {
         idx.release()
       } else {
         val centroids = spark.read.parquet(part("centroids"))
-        val fresh = assignedExcluding(batchId) match {
+        val existingAnti = assignedExcluding(batchId) match {
           case Some(existing) => batch.join(
             existing.select("vec_id"), Seq("vec_id"), "left_anti")
           case None => batch
         }
+        // the id BAN at the door: a tombstoned vec_id redelivered by the
+        // source stays out until a purge makes the deletion physical
+        // (its physical row may sit in this batch's OWN excluded
+        // partition, so the standing-assignment anti-join alone cannot
+        // be relied on to refuse it)
+        val fresh = graft.etl.Tombstones.filterLive(spark, indexDir,
+          existingAnti, "vec_id")
         Similarity.assignToCells(fresh, centroids)
           .write.mode(SaveMode.Overwrite).parquet(sliceDir)
       }
@@ -137,14 +117,7 @@ object VectorIngest {
       if (!f.exists(new Path(s"$indexDir/_graft_index.json")))
         graft.similarity.IndexStore.writeMeta(spark, indexDir, "ivf")
 
-      // publish the new high-water mark via write-then-atomic-rename
-      val tmpMarker = new Path(s"$indexDir/_max_batch.tmp$batchId")
-      val out = f.create(tmpMarker, true)
-      try out.write(math.max(batchId, highWater).toString.getBytes("UTF-8"))
-      finally out.close()
-      f.delete(maxBatchMarker, false)
-      require(f.rename(tmpMarker, maxBatchMarker),
-        s"could not publish high-water marker $maxBatchMarker")
+      BatchMarker.publish(spark, indexDir, batchId, highWater)
     }
 
     /** The standing streamed index, immediately probe-able: all committed
@@ -169,6 +142,31 @@ object VectorIngest {
       targetPartitionBytes: Long = 128L * 1024 * 1024): Unit =
     Compaction.compactTable(spark, s"$indexDir/assigned",
       targetPartitionBytes)
+
+  /** Logically delete `ids` (a frame carrying `vec_id`) from the index —
+    * effective immediately for every probe opened through
+    * [[graft.similarity.IndexStore.loadIvf]] (which masks through the
+    * same log), and the ids are banned from re-admission; rewrites
+    * nothing. Physical removal happens at [[purge]]. */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame,
+      reason: String = "optout"): Unit =
+    graft.etl.Tombstones.add(spark, indexDir, ids, "vec_id", reason)
+
+  /** Physically remove every tombstoned vector while compacting the
+    * assigned table, then clear exactly the tombstone slices applied —
+    * log cleared LAST, so a crash anywhere leaves the log still masking
+    * and a re-run completes the purge. The stream must be STOPPED. */
+  def purge(spark: SparkSession, indexDir: String,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit = {
+    val slices = graft.etl.Tombstones.slices(spark, indexDir)
+    graft.etl.Tombstones.idsIn(spark, slices, "vec_id") match {
+      case None => compact(spark, indexDir, targetPartitionBytes)
+      case Some(ids) =>
+        Compaction.compactTable(spark, s"$indexDir/assigned",
+          targetPartitionBytes, dropIds = Some((ids, "vec_id")))
+        graft.etl.Tombstones.clear(spark, indexDir, slices)
+    }
+  }
 
   /** Start the ingest over a drop-directory of parquet embedding files. */
   def start(spark: SparkSession, dropDir: String, indexDir: String,
