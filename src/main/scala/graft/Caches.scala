@@ -28,7 +28,38 @@ object Caches {
   def releaseAll(): Unit = {
     val it = last.entrySet().iterator()
     while (it.hasNext) { it.next().getValue.unpersist(false); it.remove() }
+    families.clear()
     hooks.forEach(h => h())
+  }
+
+  // insertion-ordered variant keys per family, for the bounded form
+  private val families =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.LinkedHashSet[String]]()
+
+  /** [[persistReplacing]] with an eviction bound: variants of one cache
+    * FAMILY (same operator, different parameter/input fingerprints) are
+    * capped at `maxVariants`, oldest-inserted evicted first. This is the
+    * shape for keys that embed an INPUT fingerprint (e.g. the analyzed
+    * plan's semanticHash): without a bound, a long-lived session feeding
+    * an operator ever-changing inputs pins one MEMORY_AND_DISK frame per
+    * distinct input forever — the unbounded-growth trade the r9 review
+    * flagged in the same-parameters-different-inputs fix. */
+  def persistReplacingBounded(family: String, variant: String,
+      df: DataFrame, maxVariants: Int = 8): DataFrame = {
+    require(maxVariants > 0, s"maxVariants must be positive: $maxVariants")
+    val out = persistReplacing(s"$family::$variant", df)
+    val order = families.computeIfAbsent(family,
+      _ => new java.util.LinkedHashSet[String]())
+    order.synchronized {
+      order.remove(variant); order.add(variant) // refresh recency
+      while (order.size() > maxVariants) {
+        val oldest = order.iterator().next()
+        order.remove(oldest)
+        Option(last.remove(s"$family::$oldest")).foreach(_.unpersist(false))
+      }
+    }
+    out
   }
 
   def persistReplacing(key: String, df: DataFrame): DataFrame = {

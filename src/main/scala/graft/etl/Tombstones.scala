@@ -58,8 +58,13 @@ object Tombstones {
         .filter(_.startsWith("del="))
         .map(_.stripPrefix("del=").toLong).foldLeft(-1L)(math.max) + 1L
     // write aside, publish by rename: a reader listing del= slices can
-    // never see a partially written one
-    val tmp = new Path(log, s".add_tmp_$n")
+    // never see a partially written one. The tmp path carries a
+    // per-writer nonce — two concurrent adds both computing slice n
+    // must not share it, or writer B's Overwrite clobbers A's tmp and
+    // A's rename publishes B's ids while A's own request is silently
+    // lost; with distinct tmps the slower rename fails loudly instead
+    val tmp = new Path(log,
+      s".add_tmp_${n}_${java.util.UUID.randomUUID().toString}")
     ids.select(col(idCol)).distinct()
       .withColumn("reason", lit(reason))
       .coalesce(1) // request-sized, one slice file
@@ -111,5 +116,70 @@ object Tombstones {
       slicePaths: Seq[String]): Unit = {
     val f = fs(spark, root)
     slicePaths.foreach(p => f.delete(new Path(p), true))
+  }
+
+  // ---------------------------------------------- the replay-safe purge
+  // A purge that simply CLEARED the log would leave one hole (r9 review):
+  // the latest store-committed micro-batch may still crash-replay (its
+  // source offsets can lag the store commit), and a replay after
+  // delete+purge would find the banned id in neither the standing corpus
+  // (physically purged) nor the log (cleared) — silently resurrecting
+  // opted-out content. So a purge RETIRES slices instead of deleting
+  // them: `del=<n>` → `applied=<n>_hw=<H>` with H the store's high-water
+  // batch id at purge time. Readers ignore applied slices (their rows
+  // are physically gone); the ingest door keeps banning their ids for
+  // any batchId ≤ H — exactly the replayable window, since batches are
+  // serial and a store-committed id > H proves every batch ≤ H has its
+  // offsets committed — and sweeps them once the high water passes H.
+
+  private def appliedSlices(spark: SparkSession,
+      root: String): Seq[(String, Long)] = {
+    val f = fs(spark, root)
+    val log = new Path(logDir(root))
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log).map(_.getPath)
+      .filter(_.getName.startsWith("applied="))
+      .map(p => (p.toString, p.getName.split("_hw=")(1).toLong)).toSeq
+  }
+
+  /** Retire exactly `slicePaths` after a physical purge: with
+    * `highWater < 0` (no streaming marker — a non-streamed store where
+    * no replay can exist) they are deleted outright; otherwise renamed
+    * to `applied=` slices that keep the door ban alive for the
+    * still-replayable batch. */
+  def retire(spark: SparkSession, root: String, slicePaths: Seq[String],
+      highWater: Long): Unit =
+    if (highWater < 0L) clear(spark, root, slicePaths)
+    else {
+      val f = fs(spark, root)
+      slicePaths.foreach { p =>
+        val src = new Path(p)
+        val n = src.getName.stripPrefix("del=")
+        require(f.rename(src,
+          new Path(src.getParent, s"applied=${n}_hw=$highWater")),
+          s"could not retire tombstone slice $p")
+      }
+    }
+
+  /** Ids banned from admission in batch `batchId`: every live tombstone
+    * plus every applied slice whose purge-time high water is ≥ `batchId`
+    * (i.e. the batch is a replay from the still-replayable window). */
+  def bannedAt(spark: SparkSession, root: String, idCol: String,
+      batchId: Long): Option[DataFrame] = {
+    val live = slices(spark, root)
+    val applied = appliedSlices(spark, root)
+      .filter(_._2 >= batchId).map(_._1)
+    idsIn(spark, live ++ applied, idCol)
+  }
+
+  /** Drop applied slices whose replayable window has closed — every
+    * batch ≤ hw has provably committed its offsets once the store's
+    * high water exceeds hw. Called by the ingests after each commit;
+    * driver-side listing only. */
+  def sweepApplied(spark: SparkSession, root: String,
+      maxCommitted: Long): Unit = {
+    val f = fs(spark, root)
+    appliedSlices(spark, root).filter(_._2 < maxCommitted)
+      .foreach { case (p, _) => f.delete(new Path(p), true) }
   }
 }

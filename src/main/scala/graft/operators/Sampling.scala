@@ -88,10 +88,12 @@ object Sampling {
     // action both ride this frame instead of re-hashing the corpus;
     // keyed on every parameter AND the input plan's semantic hash, so
     // concurrent variants — including same-parameter calls on DIFFERENT
-    // inputs — never evict each other (ADVICE r8)
+    // inputs — never evict each other (ADVICE r8); BOUNDED, so a
+    // long-lived session feeding ever-new inputs doesn't pin one cached
+    // frame per input forever (r9 review)
     val inputKey = df.queryExecution.analyzed.semanticHash()
-    val pruned = graft.Caches.persistReplacing(
-      s"stratified_pruned_${strataCol}_${keyCol}_${salt}_${k}_${margin}_$inputKey",
+    val pruned = graft.Caches.persistReplacingBounded("stratified_pruned",
+      s"${strataCol}_${keyCol}_${salt}_${k}_${margin}_$inputKey",
       hashed
         .join(broadcast(counts), strataCol)
         .filter(col("__u") <= least(lit(1.0),

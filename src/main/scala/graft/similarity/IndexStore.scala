@@ -85,18 +85,21 @@ object IndexStore {
     writeMeta(spark, path, "pq")
   }
 
-  /** Write the driver-held codebooks in the engine-portable long form —
+  /** The driver-held codebooks as the engine-portable long-form frame —
     * shared with the streaming [[graft.streaming.PqIngest]] seed, which
-    * publishes the same layout over per-batch code slices. */
-  private[graft] def writeCodebooks(spark: SparkSession, path: String,
-      codebooks: Array[Array[Array[Float]]]): Unit = {
+    * publishes the same layout over per-batch code slices. One tiny
+    * file: codebook-geometry-sized, never the corpus. */
+  private[graft] def codebooksDf(spark: SparkSession,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
     import spark.implicits._
     codebooks.zipWithIndex.flatMap { case (book, m) =>
       book.zipWithIndex.map { case (c, k) => (m, k, c) }
-    }.toSeq.toDF("m", "k", "centroid")
-      .coalesce(1) // codebook-geometry-sized, one tiny file
-      .write.parquet(s"$path/codebooks")
+    }.toSeq.toDF("m", "k", "centroid").coalesce(1)
   }
+
+  private[graft] def writeCodebooks(spark: SparkSession, path: String,
+      codebooks: Array[Array[Array[Float]]]): Unit =
+    codebooksDf(spark, codebooks).write.parquet(s"$path/codebooks")
 
   /** Read the codebooks back to the driver-side array (bounded by
     * m·k·dsub — index geometry, never the corpus). */
@@ -161,7 +164,11 @@ object IndexStore {
       case Some(ids) =>
         graft.streaming.Compaction.compactTable(spark, table,
           targetPartitionBytes, dropIds = Some((ids, "vec_id")))
-        graft.etl.Tombstones.clear(spark, path, slices)
+        // retire, not clear: a STREAMED store's latest batch may still
+        // crash-replay and must keep seeing the ban; a plain store has
+        // no high-water marker (maxCommitted = −1) and clears outright
+        graft.etl.Tombstones.retire(spark, path, slices,
+          graft.streaming.BatchMarker.maxCommitted(spark, path))
     }
   }
 

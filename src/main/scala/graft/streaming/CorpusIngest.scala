@@ -36,7 +36,8 @@ object CorpusIngest {
 
   final class Merger(spark: SparkSession, corpusDir: String,
       threshold: Double = 0.2,
-      qualityMin: Option[Double] = None) extends Serializable {
+      qualityMin: Option[Double] = None,
+      logStats: Boolean = false) extends Serializable {
 
     private def part(sub: String) = s"$corpusDir/$sub"
 
@@ -87,11 +88,16 @@ object CorpusIngest {
       }
       // the id BAN at the door: a tombstoned doc_id redelivered by the
       // source (a re-crawl of an opted-out page) is refused admission —
-      // the id stays out until a purge makes the deletion physical and
-      // clears the log, after which a deliberate re-submission is a
-      // fresh document again
-      val batch = graft.etl.Tombstones.filterLive(spark, corpusDir,
-        gated, "doc_id")
+      // the id stays out until a purge makes the deletion physical,
+      // after which a deliberate re-submission in a NEW batch is a
+      // fresh document again; a crash-REPLAY of a pre-purge batch stays
+      // banned via the retired (`applied=`) slices it consults
+      val banList = graft.etl.Tombstones.bannedAt(spark, corpusDir,
+        "doc_id", batchId)
+      val batch = banList match {
+        case Some(banned) => gated.join(banned, Seq("doc_id"), "left_anti")
+        case None => gated
+      }
       // read ONCE up front (the shared fresh-checkpoint guard): the
       // marker rewrite at the end truncates the file first, so a later
       // re-read mid-method would see it empty
@@ -131,12 +137,47 @@ object CorpusIngest {
         .parquet(s"${part("fps")}/batch=$batchId")
       postings.write.mode(SaveMode.Overwrite)
         .parquet(s"${part("shingles")}/batch=$batchId")
+      // 5. optional admission-funnel telemetry: the per-batch numbers an
+      // operator actually pages on (did the quality gate spike? is one
+      // source suddenly 90% duplicates?), written as a replay-idempotent
+      // slice of its own. Opt-in because the funnel costs a few extra
+      // batch-sized count jobs per trigger; stages that provably changed
+      // nothing (gate off, no ban list) reuse the upstream count instead
+      // of re-running
+      if (logStats) {
+        val arrived = rawBatch.count()
+        val afterGate = if (qualityMin.isDefined) gated.count() else arrived
+        val afterBan = if (banList.isDefined) batch.count() else afterGate
+        val unique = distinctBatch.count()
+        val admittedN = committed.count()
+        import spark.implicits._
+        Seq((arrived, arrived - afterGate, afterGate - afterBan,
+          afterBan - unique, unique - admittedN, admittedN))
+          .toDF("arrived", "quality_rejected", "banned",
+            "batch_dups", "corpus_dups", "admitted")
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"${part("_ingest_log")}/batch=$batchId")
+      }
       BatchMarker.publish(spark, corpusDir, batchId, highWater)
+      // a committed id above an applied slice's purge-time high water
+      // closes its replayable window — drop the retired ban
+      graft.etl.Tombstones.sweepApplied(spark, corpusDir,
+        math.max(batchId, highWater))
     }
   }
 
   /** The corpus's per-batch component tables, in compaction order. */
   private[streaming] val Tables = Seq("docs", "fps", "shingles")
+
+  /** The admission-funnel log (one row per committed batch, underscore
+    * dir so no table scan or compaction ever sweeps it up) — present
+    * only when the merger ran with `logStats = true`. Sums are exact
+    * accounting: arrived = quality_rejected + banned + batch_dups +
+    * corpus_dups + admitted, per batch. */
+  def ingestLog(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.option("basePath", s"$corpusDir/_ingest_log")
+      .parquet(s"$corpusDir/_ingest_log").orderBy("batch")
 
   /** Fold every per-batch slice of the corpus (docs, fingerprints,
     * shingle postings) into one consolidated slice per table —
@@ -210,12 +251,16 @@ object CorpusIngest {
 
   /** Physically remove every tombstoned doc from all three component
     * tables, riding a [[compact]] (the Delta DELETE-at-OPTIMIZE shape),
-    * then clear exactly the tombstone slices applied. The stream must be
-    * STOPPED. Crash-safe end to end: the log is cleared LAST, so a crash
-    * after any subset of tables leaves the log still masking the
+    * then RETIRE exactly the tombstone slices applied. The stream must
+    * be STOPPED. Crash-safe end to end: the log is retired LAST, so a
+    * crash after any subset of tables leaves the log still masking the
     * survivors, and re-running purge is the complete repair (anti-joining
-    * already-purged ids is a no-op). Tombstones added concurrently are
-    * not cleared and apply on the next purge. */
+    * already-purged ids is a no-op). Retiring (not deleting) keeps the
+    * door ban alive for the one batch that may still crash-replay after
+    * the purge — [[graft.etl.Tombstones.retire]] — so a replay cannot
+    * resurrect opted-out docs; the retired slices are swept once a later
+    * batch commits. Tombstones added concurrently are not retired and
+    * apply on the next purge. */
   def purge(spark: SparkSession, corpusDir: String,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Unit = {
     val slices = graft.etl.Tombstones.slices(spark, corpusDir)
@@ -225,15 +270,17 @@ object CorpusIngest {
         Tables.foreach(sub => Compaction.compactTable(spark,
           s"$corpusDir/$sub", targetPartitionBytes,
           dropIds = Some((ids, "doc_id"))))
-        graft.etl.Tombstones.clear(spark, corpusDir, slices)
+        graft.etl.Tombstones.retire(spark, corpusDir, slices,
+          BatchMarker.maxCommitted(spark, corpusDir))
     }
   }
 
   /** Start the ingest over a drop-directory of parquet document files. */
   def start(spark: SparkSession, dropDir: String, corpusDir: String,
       checkpointDir: String, threshold: Double = 0.2,
-      qualityMin: Option[Double] = None): StreamingQuery = {
-    val merger = new Merger(spark, corpusDir, threshold, qualityMin)
+      qualityMin: Option[Double] = None,
+      logStats: Boolean = false): StreamingQuery = {
+    val merger = new Merger(spark, corpusDir, threshold, qualityMin, logStats)
     spark.readStream
       .schema(graft.etl.Schemas.documents)
       .parquet(dropDir)

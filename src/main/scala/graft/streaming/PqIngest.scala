@@ -78,9 +78,14 @@ object PqIngest {
       val sliceDir = s"${part("codes")}/batch=$batchId"
       if (!codebooksReady) {
         // seed: train the subquantizers on the first batch and publish
-        // the codebooks; the batch's own codes come from the same build
+        // the codebooks; the batch's own codes come from the same build.
+        // Publish is write-aside + atomic rename ([[SeedPublish]]): the
+        // codebooks are written once and then FIXED, and readiness is a
+        // directory-existence test, so a direct write crashing
+        // mid-commit would fix a partial codebook table forever
         val idx = Similarity.buildPqIndex(batch, m, k)
-        IndexStore.writeCodebooks(spark, indexDir, idx.codebooks)
+        SeedPublish.publish(spark,
+          IndexStore.codebooksDf(spark, idx.codebooks), part("codebooks"))
         idx.codes.select("vec_id", "code")
           .write.mode(SaveMode.Overwrite).parquet(sliceDir)
         idx.release()
@@ -91,8 +96,14 @@ object PqIngest {
             existing.select("vec_id"), Seq("vec_id"), "left_anti")
           case None => batch
         }
-        val fresh = graft.etl.Tombstones.filterLive(spark, indexDir,
-          existingAnti, "vec_id")
+        // ban at the door incl. replays of pre-purge batches (the
+        // retired `applied=` slices) — the VectorIngest discipline
+        val fresh = graft.etl.Tombstones.bannedAt(spark, indexDir,
+          "vec_id", batchId) match {
+          case Some(banned) =>
+            existingAnti.join(banned, Seq("vec_id"), "left_anti")
+          case None => existingAnti
+        }
         Similarity.encodeWithCodebooks(fresh, books)
           .write.mode(SaveMode.Overwrite).parquet(sliceDir)
       }
@@ -102,6 +113,8 @@ object PqIngest {
         IndexStore.writeMeta(spark, indexDir, "pq")
 
       BatchMarker.publish(spark, indexDir, batchId, highWater)
+      graft.etl.Tombstones.sweepApplied(spark, indexDir,
+        math.max(batchId, highWater))
     }
 
     /** The standing streamed index, immediately ADC-scorable from any

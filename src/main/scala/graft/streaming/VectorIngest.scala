@@ -85,10 +85,16 @@ object VectorIngest {
         // seed: train the coarse quantizer on the first batch and
         // publish the centroid table; the batch's own assignment comes
         // from the same build (identical to assignToCells against the
-        // fresh centroids — the trainer's final assignment pass)
+        // fresh centroids — the trainer's final assignment pass).
+        // The centroids publish via write-aside + atomic rename: they
+        // are written ONCE and then FIXED, and `centroidsReady` is a
+        // directory-existence test — a direct write crashing mid-commit
+        // would leave a PARTIAL centroid table the replay silently
+        // adopts as the permanent quantizer (r9 review); with the
+        // rename, existence implies the _SUCCESS-complete table
         val idx = Similarity.buildIvfIndex(batch, nlist)
-        idx.centroids.write.mode(SaveMode.Overwrite)
-          .parquet(part("centroids"))
+        SeedPublish.publish(spark, idx.centroids.select("cell", "centroid"),
+          part("centroids"))
         idx.assigned.select("vec_id", "embedding", "cell")
           .write.mode(SaveMode.Overwrite).parquet(sliceDir)
         idx.release()
@@ -103,9 +109,14 @@ object VectorIngest {
         // source stays out until a purge makes the deletion physical
         // (its physical row may sit in this batch's OWN excluded
         // partition, so the standing-assignment anti-join alone cannot
-        // be relied on to refuse it)
-        val fresh = graft.etl.Tombstones.filterLive(spark, indexDir,
-          existingAnti, "vec_id")
+        // be relied on to refuse it); a crash-REPLAY of a pre-purge
+        // batch stays banned via the retired (`applied=`) slices
+        val fresh = graft.etl.Tombstones.bannedAt(spark, indexDir,
+          "vec_id", batchId) match {
+          case Some(banned) =>
+            existingAnti.join(banned, Seq("vec_id"), "left_anti")
+          case None => existingAnti
+        }
         Similarity.assignToCells(fresh, centroids)
           .write.mode(SaveMode.Overwrite).parquet(sliceDir)
       }
@@ -118,6 +129,8 @@ object VectorIngest {
         graft.similarity.IndexStore.writeMeta(spark, indexDir, "ivf")
 
       BatchMarker.publish(spark, indexDir, batchId, highWater)
+      graft.etl.Tombstones.sweepApplied(spark, indexDir,
+        math.max(batchId, highWater))
     }
 
     /** The standing streamed index, immediately probe-able: all committed
@@ -153,9 +166,11 @@ object VectorIngest {
     graft.etl.Tombstones.add(spark, indexDir, ids, "vec_id", reason)
 
   /** Physically remove every tombstoned vector while compacting the
-    * assigned table, then clear exactly the tombstone slices applied —
-    * log cleared LAST, so a crash anywhere leaves the log still masking
-    * and a re-run completes the purge. The stream must be STOPPED. */
+    * assigned table, then RETIRE exactly the tombstone slices applied —
+    * log retired LAST, so a crash anywhere leaves the log still masking
+    * and a re-run completes the purge; retiring (vs deleting) keeps the
+    * door ban alive for the one still-replayable batch
+    * ([[graft.etl.Tombstones.retire]]). The stream must be STOPPED. */
   def purge(spark: SparkSession, indexDir: String,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Unit = {
     val slices = graft.etl.Tombstones.slices(spark, indexDir)
@@ -164,7 +179,8 @@ object VectorIngest {
       case Some(ids) =>
         Compaction.compactTable(spark, s"$indexDir/assigned",
           targetPartitionBytes, dropIds = Some((ids, "vec_id")))
-        graft.etl.Tombstones.clear(spark, indexDir, slices)
+        graft.etl.Tombstones.retire(spark, indexDir, slices,
+          BatchMarker.maxCommitted(spark, indexDir))
     }
   }
 

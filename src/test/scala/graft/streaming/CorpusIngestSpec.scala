@@ -131,6 +131,34 @@ class CorpusIngestSpec extends SparkTestBase {
     assert((ids - 3L).size == 1, s"corpus kept duplicate texts: $ids")
   }
 
+  test("admission-funnel log: exact accounting per batch, replay-idempotent") {
+    val dir = Files.createTempDirectory("graft_funnel").toString
+    val m = new CorpusIngest.Merger(spark, dir, qualityMin = Some(0.3),
+      logStats = true)
+    val junk = "zz 11"
+    // batch 0: one junk (gate), one within-batch exact dup, two keepers
+    m.mergeBatch(docs((0L, base), (1L, junk), (2L, base), (3L, other)), 0L)
+    // batch 1: one banned id, one corpus dup, one fresh admit
+    CorpusIngest.delete(spark, dir, Seq(0L).toDF("doc_id"))
+    val fresh = "completely fresh content whale violin umbrella torch " +
+      "sunflower river quartz planet ocean nebula comet glacier meadow"
+    m.mergeBatch(docs((0L, fresh), (4L, other), (5L, fresh)), 1L)
+    m.mergeBatch(docs((0L, fresh), (4L, other), (5L, fresh)), 1L) // replay
+
+    val log = CorpusIngest.ingestLog(spark, dir).collect()
+      .map(r => r.getAs[Long]("batch") ->
+        (r.getAs[Long]("arrived"), r.getAs[Long]("quality_rejected"),
+          r.getAs[Long]("banned"), r.getAs[Long]("batch_dups"),
+          r.getAs[Long]("corpus_dups"), r.getAs[Long]("admitted"))).toMap
+    assert(log(0L) == ((4L, 1L, 0L, 1L, 0L, 2L)), s"batch 0: ${log(0L)}")
+    assert(log(1L) == ((3L, 0L, 1L, 0L, 1L, 1L)), s"batch 1: ${log(1L)}")
+    assert(log.size == 2, "replay must overwrite, not append, its log row")
+    // the funnel is exact accounting, not sampling
+    log.values.foreach { case (a, q, b, bd, cd, ad) =>
+      assert(a == q + b + bd + cd + ad)
+    }
+  }
+
   test("quality gate at the door: junk never enters the corpus, stream equals batch gate") {
     val dropDir = Files.createTempDirectory("graft_gate_drop").toString
     val corpusDir = Files.createTempDirectory("graft_gate_out").toString

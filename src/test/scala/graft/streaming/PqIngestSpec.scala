@@ -122,6 +122,32 @@ class PqIngestSpec extends SparkTestBase {
     idx2.release()
   }
 
+  test("the full IVF-PQ production probe runs off the two streamed stores") {
+    // the topology claim the twin ingests exist for: a vector streamed a
+    // moment ago is IVF-routable AND ADC-scorable with no offline
+    // rebuild — the composed probe over the two streamed stores equals
+    // brute force at the exact dial (nprobe = nlist, rerank ≥ corpus)
+    val ivfDir = Files.createTempDirectory("graft_tw_ivf").toString
+    val pqDir = Files.createTempDirectory("graft_tw_pq").toString
+    val mi = new VectorIngest.Merger(spark, ivfDir, nlist = 4)
+    val mp = new PqIngest.Merger(spark, pqDir, m = 4, k = 8)
+    Seq(0 until 20, 20 until 40).zipWithIndex.foreach { case (r, b) =>
+      mi.mergeBatch(vecs(r), b.toLong); mp.mergeBatch(vecs(r), b.toLong)
+    }
+    val corpus = vecs(0 until 40)
+    val qf = col("vec_id").isin(3L, 25L)
+    val ivf = IndexStore.loadIvf(spark, ivfDir)
+    val pq = IndexStore.loadPq(spark, pqDir)
+    val got = Similarity.ivfPqTopK(ivf, pq, corpus, qf, topK = 5,
+      nprobe = 4, rerank = Int.MaxValue)
+      .orderBy("qid", "rank").collect().toSeq
+    val want = Similarity.bruteForceTopK(corpus, qf, k = 5)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(got == want,
+      "composed probe over the two streamed stores diverged from brute force")
+    ivf.release(); pq.release()
+  }
+
   test("file-source stream end-to-end; cold session opens with loadPq") {
     val dropDir = Files.createTempDirectory("graft_pq_drop").toString
     val dir = Files.createTempDirectory("graft_pq_out").toString

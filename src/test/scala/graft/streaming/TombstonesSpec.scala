@@ -199,6 +199,63 @@ class TombstonesSpec extends SparkTestBase {
     assert(probeIds(dir, qf).contains(7L))
   }
 
+  private def appliedDirs(root: String): Set[String] = {
+    val log = new Path(s"$root/_tombstones")
+    if (!fs(root).exists(log)) Set.empty
+    else fs(root).listStatus(log).map(_.getPath.getName)
+      .filter(_.startsWith("applied=")).toSet
+  }
+
+  test("a crash-replay after delete+purge cannot resurrect opted-out vectors") {
+    val dir = Files.createTempDirectory("graft_ts_resurrect").toString
+    val m = new VectorIngest.Merger(spark, dir, nlist = 4)
+    m.mergeBatch(vecs(0 until 20), 0L)
+    // batch 1 commits to the STORE, but its source offsets may lag —
+    // Structured Streaming would replay it after a crash
+    m.mergeBatch(vecs(20 until 40), 1L)
+    VectorIngest.delete(spark, dir, Seq(25L).toDF("vec_id"))
+    VectorIngest.purge(spark, dir)
+    assert(spark.read.parquet(s"$dir/assigned").filter($"vec_id" === 25L)
+      .count() == 0)
+    assert(appliedDirs(dir).size == 1,
+      "purge must RETIRE the slice, not delete it — the ban must outlive " +
+        "the purge for the still-replayable batch")
+
+    // the crash-replay: batch 1 redelivers vec 25 — it is in neither the
+    // standing corpus (purged) nor the live log (retired); only the
+    // retired slice's ban keeps it out
+    m.mergeBatch(vecs(20 until 40), 1L)
+    assert(spark.read.parquet(s"$dir/assigned").filter($"vec_id" === 25L)
+      .count() == 0,
+      "a crash-replay after purge resurrected an opted-out vector")
+
+    // a later batch commits -> the replayable window closes and the
+    // retired slice is swept
+    m.mergeBatch(vecs(40 until 45), 2L)
+    assert(appliedDirs(dir).isEmpty,
+      "the retired slice must be swept once a later batch commits")
+    // after which the id is genuinely free for deliberate re-submission
+    m.mergeBatch(vecs(25 until 26), 3L)
+    assert(spark.read.parquet(s"$dir/assigned").filter($"vec_id" === 25L)
+      .count() == 1)
+  }
+
+  test("a crash-replay after delete+purge cannot resurrect opted-out docs") {
+    val dir = Files.createTempDirectory("graft_ts_resurrect_doc").toString
+    val m = new CorpusIngest.Merger(spark, dir)
+    m.mergeBatch(docs((0L, base)), 0L)
+    m.mergeBatch(docs((1L, other), (2L, third)), 1L)
+    CorpusIngest.delete(spark, dir, Seq(2L).toDF("doc_id"))
+    CorpusIngest.purge(spark, dir)
+    m.mergeBatch(docs((1L, other), (2L, third)), 1L) // crash-replay
+    assert(corpusIds(m) == Set(0L, 1L),
+      "a crash-replay after purge resurrected an opted-out document")
+    m.mergeBatch(docs((9L, "brand new closing content beacon anchor " +
+      "harbor lighthouse breaker jetty marina drydock wharf pier")), 2L)
+    assert(appliedDirs(dir).isEmpty)
+    assert(corpusIds(m) == Set(0L, 1L, 9L))
+  }
+
   test("saveIvf overwrite clears a stale tombstone log") {
     val dir = Files.createTempDirectory("graft_ts_overwrite").toString
     val idx = Similarity.buildIvfIndex(vecs(0 until 20), nlist = 4)
