@@ -123,6 +123,42 @@ object Bench {
     } finally Seq(dropDir, streamStore, ckpt).foreach(rmTree)
   }
 
+  /** One timed vector-ingest drain: the sf embedding corpus through the
+    * streamed index-maintenance path in `nBatches` micro-batches — batch
+    * 0 seeds (KMeans fit / codebook training), the rest pay the
+    * per-batch marginal cost (standing-corpus anti-join + cell
+    * assignment or PQ encode + slice write), which is the number that
+    * matters at scale. `kind` picks the IVF or PQ twin. */
+  def vectorIngestOnce(spark: SparkSession, sfDir: String, kind: String,
+      nBatches: Int = 8): (Long, Double) = {
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = emb.count() // also materializes the cache pre-timer
+    val per = math.max(1L, (n + nBatches - 1) / nBatches)
+    val root = java.nio.file.Files.createTempDirectory("graft_bench_ving").toString
+    try {
+      val t0 = System.nanoTime()
+      val merge: (DataFrame, Long) => Unit = kind match {
+        case "ivf" =>
+          val m = new graft.streaming.VectorIngest.Merger(spark, s"$root/idx")
+          m.mergeBatch(_, _)
+        case "pq" =>
+          val m = new graft.streaming.PqIngest.Merger(spark, s"$root/idx")
+          m.mergeBatch(_, _)
+      }
+      (0 until nBatches).foreach { b =>
+        val lo = b * per
+        merge(emb.filter(col("vec_id") >= lo && col("vec_id") < lo + per),
+          b.toLong)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ${kind}_ingest rows=$n sec=$sec%.1f " +
+        f"batches=$nBatches per-batch=${sec / nBatches}%.2f s")
+      (n, sec)
+    } finally { emb.unpersist(); rmTree(root) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // same factory as the engine itself — bench numbers must reflect the
@@ -218,6 +254,10 @@ object Bench {
     results("stream_ingest") = streamIngestOnce(spark, sfDir)._2
     results("stream_ingest_bulk") =
       streamIngestOnce(spark, sfDir, filesPerTrigger = None)._2
+    // the streamed ANN maintenance paths (index growth without rebuild):
+    // per-round tracking for the ingest-at-the-door marginal cost
+    results("vec_ingest") = vectorIngestOnce(spark, sfDir, "ivf")._2
+    results("pq_ingest") = vectorIngestOnce(spark, sfDir, "pq")._2
 
     // Two renderings of the same map:
     //  - bench_result.json: full names, full precision — the committed,
@@ -239,6 +279,8 @@ object Bench {
       case "etl_sportstv"       => "etl"
       case "stream_ingest"      => "stream"
       case "stream_ingest_bulk" => "streamblk"
+      case "vec_ingest"         => "vecing"
+      case "pq_ingest"          => "pqing"
       case "s04_ivf_build" => "s04b"
       case "s04_ivf_probe" => "s04p"
       case "s07_pq_build"  => "s07b"
