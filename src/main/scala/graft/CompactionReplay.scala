@@ -70,7 +70,9 @@ object CompactionReplay {
     val filesBefore = files(s"$indexDir/assigned")
     val scanBefore = timeScan()
     val probeBefore = timeProbe()
+    val tCompact0 = System.nanoTime()
     graft.streaming.VectorIngest.compact(spark, indexDir)
+    val compactSec = (System.nanoTime() - tCompact0) / 1e9
     val filesAfter = files(s"$indexDir/assigned")
     val scanAfter = timeScan()
     val probeAfter = timeProbe()
@@ -78,7 +80,21 @@ object CompactionReplay {
     println(f"[compaction] rows=$n batches=$nBatches " +
       f"files $filesBefore -> $filesAfter | " +
       f"scan $scanBefore%.2f s -> $scanAfter%.2f s | " +
-      f"full-probe $probeBefore%.2f s -> $probeAfter%.2f s (medians of $reps)")
+      f"full-probe $probeBefore%.2f s -> $probeAfter%.2f s " +
+      f"(medians of $reps) | compact $compactSec%.2f s")
+
+    // the purge leg: tombstone 1% of ids, time the physical purge (a
+    // compaction with the anti-join folded in) — the claim under test is
+    // that deletion costs nothing beyond the rewrite the layout needed
+    // anyway, i.e. purge ≈ compact wall-clock
+    graft.streaming.VectorIngest.delete(spark, indexDir,
+      emb.filter(col("vec_id") % 100 === 0).select("vec_id"))
+    val tPurge0 = System.nanoTime()
+    graft.streaming.VectorIngest.purge(spark, indexDir)
+    val purgeSec = (System.nanoTime() - tPurge0) / 1e9
+    val rowsLeft = spark.read.parquet(s"$indexDir/assigned").count()
+    println(f"[purge] deleted=${n / 100} rowsLeft=$rowsLeft " +
+      f"purge $purgeSec%.2f s vs compact $compactSec%.2f s")
     spark.stop()
   }
 }

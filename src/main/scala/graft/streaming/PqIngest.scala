@@ -49,7 +49,8 @@ import graft.similarity.{IndexStore, Similarity}
 object PqIngest {
 
   final class Merger(spark: SparkSession, indexDir: String,
-      m: Int = 8, k: Int = 16) extends Serializable {
+      m: Int = 8, k: Int = 16, logStats: Boolean = false)
+    extends Serializable {
 
     private def part(sub: String) = s"$indexDir/$sub"
     private def fs(path: String) = new Path(path)
@@ -76,6 +77,8 @@ object PqIngest {
       val highWater = BatchMarker.guard(spark, indexDir, batchId)
 
       val sliceDir = s"${part("codes")}/batch=$batchId"
+      // opt-in funnel telemetry — the [[VectorIngest]] discipline
+      var arrived = -1L; var redelivered = 0L; var bannedN = 0L
       if (!codebooksReady) {
         // seed: train the subquantizers on the first batch and publish
         // the codebooks; the batch's own codes come from the same build.
@@ -91,21 +94,37 @@ object PqIngest {
         idx.release()
       } else {
         val books = IndexStore.readCodebooks(spark, indexDir)
-        val existingAnti = codesExcluding(batchId) match {
-          case Some(existing) => batch.join(
-            existing.select("vec_id"), Seq("vec_id"), "left_anti")
+        val existing = codesExcluding(batchId)
+        val existingAnti = existing match {
+          case Some(e) => batch.join(
+            e.select("vec_id"), Seq("vec_id"), "left_anti")
           case None => batch
         }
         // ban at the door incl. replays of pre-purge batches (the
         // retired `applied=` slices) — the VectorIngest discipline
-        val fresh = graft.etl.Tombstones.bannedAt(spark, indexDir,
-          "vec_id", batchId) match {
+        val banList = graft.etl.Tombstones.bannedAt(spark, indexDir,
+          "vec_id", batchId)
+        val fresh = banList match {
           case Some(banned) =>
             existingAnti.join(banned, Seq("vec_id"), "left_anti")
           case None => existingAnti
         }
         Similarity.encodeWithCodebooks(fresh, books)
           .write.mode(SaveMode.Overwrite).parquet(sliceDir)
+        if (logStats) {
+          arrived = batch.count()
+          val afterExisting =
+            if (existing.isDefined) existingAnti.count() else arrived
+          val afterBan =
+            if (banList.isDefined) fresh.count() else afterExisting
+          redelivered = arrived - afterExisting
+          bannedN = afterExisting - afterBan
+        }
+      }
+      if (logStats) {
+        if (arrived < 0) arrived = batch.count() // seed branch
+        IngestLog.write(spark, indexDir, batchId, arrived, redelivered,
+          bannedN, spark.read.parquet(sliceDir).count())
       }
 
       val f = fs(indexDir)
@@ -123,6 +142,12 @@ object PqIngest {
     def index(): Similarity.PqIndex = IndexStore.loadPq(spark, indexDir)
   }
 
+  /** The admission-funnel log (one row per committed batch) — present
+    * only when the merger ran with `logStats = true`. Exact accounting:
+    * arrived = redelivered + banned + inserted, per batch. */
+  def ingestLog(spark: SparkSession, indexDir: String): DataFrame =
+    IngestLog.read(spark, indexDir)
+
   /** Fold the streamed index's per-batch `codes/batch=<N>` slices into
     * one consolidated slice; the stream must be STOPPED. ADC results and
     * `loadPq` are unchanged (content moves, rows don't), and replays
@@ -135,8 +160,9 @@ object PqIngest {
 
   /** Start the ingest over a drop-directory of parquet embedding files. */
   def start(spark: SparkSession, dropDir: String, indexDir: String,
-      checkpointDir: String, m: Int = 8, k: Int = 16): StreamingQuery = {
-    val merger = new Merger(spark, indexDir, m, k)
+      checkpointDir: String, m: Int = 8, k: Int = 16,
+      logStats: Boolean = false): StreamingQuery = {
+    val merger = new Merger(spark, indexDir, m, k, logStats)
     spark.readStream
       .schema(graft.etl.Schemas.embeddings)
       .parquet(dropDir)

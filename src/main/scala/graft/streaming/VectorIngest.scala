@@ -50,7 +50,7 @@ import graft.similarity.Similarity
 object VectorIngest {
 
   final class Merger(spark: SparkSession, indexDir: String,
-      nlist: Int = 16) extends Serializable {
+      nlist: Int = 16, logStats: Boolean = false) extends Serializable {
 
     private def part(sub: String) = s"$indexDir/$sub"
     private def fs(path: String) = new Path(path)
@@ -81,6 +81,10 @@ object VectorIngest {
       val highWater = BatchMarker.guard(spark, indexDir, batchId)
 
       val sliceDir = s"${part("assigned")}/batch=$batchId"
+      // opt-in funnel telemetry (the CorpusIngest discipline): counts
+      // cost extra batch-sized jobs, so they run only when asked; stages
+      // that provably changed nothing reuse the upstream count
+      var arrived = -1L; var redelivered = 0L; var bannedN = 0L
       if (!centroidsReady) {
         // seed: train the coarse quantizer on the first batch and
         // publish the centroid table; the batch's own assignment comes
@@ -100,9 +104,10 @@ object VectorIngest {
         idx.release()
       } else {
         val centroids = spark.read.parquet(part("centroids"))
-        val existingAnti = assignedExcluding(batchId) match {
-          case Some(existing) => batch.join(
-            existing.select("vec_id"), Seq("vec_id"), "left_anti")
+        val existing = assignedExcluding(batchId)
+        val existingAnti = existing match {
+          case Some(e) => batch.join(
+            e.select("vec_id"), Seq("vec_id"), "left_anti")
           case None => batch
         }
         // the id BAN at the door: a tombstoned vec_id redelivered by the
@@ -111,14 +116,29 @@ object VectorIngest {
         // partition, so the standing-assignment anti-join alone cannot
         // be relied on to refuse it); a crash-REPLAY of a pre-purge
         // batch stays banned via the retired (`applied=`) slices
-        val fresh = graft.etl.Tombstones.bannedAt(spark, indexDir,
-          "vec_id", batchId) match {
+        val banList = graft.etl.Tombstones.bannedAt(spark, indexDir,
+          "vec_id", batchId)
+        val fresh = banList match {
           case Some(banned) =>
             existingAnti.join(banned, Seq("vec_id"), "left_anti")
           case None => existingAnti
         }
         Similarity.assignToCells(fresh, centroids)
           .write.mode(SaveMode.Overwrite).parquet(sliceDir)
+        if (logStats) {
+          arrived = batch.count()
+          val afterExisting =
+            if (existing.isDefined) existingAnti.count() else arrived
+          val afterBan =
+            if (banList.isDefined) fresh.count() else afterExisting
+          redelivered = arrived - afterExisting
+          bannedN = afterExisting - afterBan
+        }
+      }
+      if (logStats) {
+        if (arrived < 0) arrived = batch.count() // seed branch
+        IngestLog.write(spark, indexDir, batchId, arrived, redelivered,
+          bannedN, spark.read.parquet(sliceDir).count())
       }
 
       // IndexStore manifest, so the ingested index opens with loadIvf
@@ -156,6 +176,12 @@ object VectorIngest {
     Compaction.compactTable(spark, s"$indexDir/assigned",
       targetPartitionBytes)
 
+  /** The admission-funnel log (one row per committed batch) — present
+    * only when the merger ran with `logStats = true`. Exact accounting:
+    * arrived = redelivered + banned + inserted, per batch. */
+  def ingestLog(spark: SparkSession, indexDir: String): DataFrame =
+    IngestLog.read(spark, indexDir)
+
   /** Logically delete `ids` (a frame carrying `vec_id`) from the index —
     * effective immediately for every probe opened through
     * [[graft.similarity.IndexStore.loadIvf]] (which masks through the
@@ -186,8 +212,9 @@ object VectorIngest {
 
   /** Start the ingest over a drop-directory of parquet embedding files. */
   def start(spark: SparkSession, dropDir: String, indexDir: String,
-      checkpointDir: String, nlist: Int = 16): StreamingQuery = {
-    val merger = new Merger(spark, indexDir, nlist)
+      checkpointDir: String, nlist: Int = 16,
+      logStats: Boolean = false): StreamingQuery = {
+    val merger = new Merger(spark, indexDir, nlist, logStats)
     spark.readStream
       .schema(graft.etl.Schemas.embeddings)
       .parquet(dropDir)

@@ -122,6 +122,36 @@ class PqIngestSpec extends SparkTestBase {
     idx2.release()
   }
 
+  test("vector funnel log: exact accounting across seed, redelivery, and ban") {
+    def funnel(dir: String,
+        merge: (org.apache.spark.sql.DataFrame, Long) => Unit,
+        del: org.apache.spark.sql.DataFrame => Unit,
+        log: () => org.apache.spark.sql.DataFrame): Unit = {
+      merge(vecs(0 until 20), 0L) // seed: all inserted
+      del(Seq(30L).toDF("vec_id"))
+      // batch 1 (21 rows): 10-19 redelivered, 30 banned, 20-29 inserted
+      merge(vecs(10 until 31), 1L)
+      val rows = log().collect().map(r => r.getAs[Long]("batch") ->
+        (r.getAs[Long]("arrived"), r.getAs[Long]("redelivered"),
+          r.getAs[Long]("banned"), r.getAs[Long]("inserted"))).toMap
+      assert(rows(0L) == ((20L, 0L, 0L, 20L)), s"seed: ${rows(0L)}")
+      assert(rows(1L) == ((21L, 10L, 1L, 10L)), s"batch 1: ${rows(1L)}")
+      rows.values.foreach { case (a, r, b, i) => assert(a == r + b + i) }
+    }
+    val ivfDir = Files.createTempDirectory("graft_funnel_ivf").toString
+    val mi = new VectorIngest.Merger(spark, ivfDir, nlist = 4,
+      logStats = true)
+    funnel(ivfDir, mi.mergeBatch,
+      ids => VectorIngest.delete(spark, ivfDir, ids),
+      () => VectorIngest.ingestLog(spark, ivfDir))
+    val pqDir = Files.createTempDirectory("graft_funnel_pq").toString
+    val mp = new PqIngest.Merger(spark, pqDir, m = 4, k = 8,
+      logStats = true)
+    funnel(pqDir, mp.mergeBatch,
+      ids => IndexStore.delete(spark, pqDir, ids),
+      () => PqIngest.ingestLog(spark, pqDir))
+  }
+
   test("the full IVF-PQ production probe runs off the two streamed stores") {
     // the topology claim the twin ingests exist for: a vector streamed a
     // moment ago is IVF-routable AND ADC-scorable with no offline
