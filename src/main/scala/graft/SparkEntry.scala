@@ -129,6 +129,7 @@ object SparkEntry {
     "q57_pagerank" -> (Relational.q57PageRank _),
     "q58_heavy_hitters" -> (TrainingData.q58HeavyHitters _),
     "q59_ab_test" -> (Relational.q59AbTest _),
+    "q60_sketch_ndv" -> (graft.etl.SketchStore.q60SketchNdv _),
     "t47_mix_schedule" -> (TrainingData.t47MixSchedule _),
     "s11_matryoshka_overlap" -> (TrainingData.s11MatryoshkaOverlap _),
     "s12_anisotropy" -> (TrainingData.s12AnisotropyProfile _),
@@ -1578,6 +1579,13 @@ object SparkEntry {
         |  b_n, b_conv, round(pb, 4) AS b_rate,
         |  round(zv, 4) AS z, abs(zv) > 1.96 AS significant
         |FROM zc""".stripMargin,
+    // the persisted sketch store's estimate is engine-specific (q41
+    // discipline): oracle recomputes the exact side, claims the
+    // within-3% verdict true
+    "q60_sketch_ndv" ->
+      """SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+        |  COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS within_3pct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // geometric annealing natural→uniform; 6-dp decimal normalizer terms
     // absorb pow's last-ulp engine differences (t22 discipline)
     "t47_mix_schedule" ->

@@ -1,0 +1,98 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental distinct-count store — the pre-aggregated
+  * sketch table every large warehouse keeps next to its facts: one
+  * DataSketches HLL sketch per partition (day, month, source …),
+  * updated incrementally as slices arrive, merged at query time.
+  *
+  * Why it exists at 100 TB: "distinct users over an arbitrary window"
+  * is O(rows-in-window) for exact COUNT(DISTINCT) — a full Expand
+  * shuffle over history for every ad-hoc range. With the store, each
+  * slice is sketched ONCE at ingest (map-side, mergeable), and any
+  * later range query unions O(partitions) kilobyte sketches instead of
+  * rescanning rows — the q41 in-query pattern made durable across
+  * sessions. Estimates carry HLL's error (lgK 14 ⇒ σ ≈ 0.4%); exact
+  * audits stay possible against the raw facts.
+  *
+  * Update is idempotent per partition: sketches write through Spark's
+  * DYNAMIC partition overwrite, so re-delivering a slice replaces
+  * exactly its own partitions (the streamed-ingest replay discipline)
+  * and never touches a neighbor's. */
+object SketchStore {
+
+  /** Sketch `batch` per `partCols` and upsert the resulting partitions
+    * into the store. Re-running the same batch converges (its partitions
+    * are overwritten, others untouched). */
+  def update(spark: SparkSession, storeDir: String, batch: DataFrame,
+      partCols: Seq[String], keyCol: String, lgK: Int = 14): Unit = {
+    require(partCols.nonEmpty, "at least one partition column required")
+    val sketches = batch
+      .groupBy(partCols.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($keyCol, $lgK)").as("sk"))
+    // dynamic partition overwrite, restored after the write: the session
+    // default (static) would TRUNCATE the whole store on every update
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try sketches.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(storeDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Estimate distinct counts from the store: filter partitions with
+    * `where` (partition pruning — only the surviving sketch files are
+    * read), union the sketches per `groupBy` group (whole store = one
+    * row when empty), return `ndv` estimates. O(partitions), never
+    * O(rows). */
+  def estimate(spark: SparkSession, storeDir: String,
+      where: Column = lit(true),
+      groupBy: Seq[String] = Seq.empty): DataFrame = {
+    val sk = spark.read.parquet(storeDir).filter(where)
+    val est = expr("hll_sketch_estimate(hll_union_agg(sk))")
+      .cast("long").as("ndv")
+    if (groupBy.isEmpty) sk.agg(est)
+    else sk.groupBy(groupBy.map(col): _*).agg(est)
+  }
+
+  /** Contract row (q60): the store built INCREMENTALLY — one update per
+    * order-year, as a backfill job would run — then queried per year.
+    * The estimate is engine-specific, so the row follows the q41 verdict
+    * discipline: emit the exact count plus a `within_3pct` accuracy
+    * claim (lgK 14 ⇒ the 3% budget sits ≈ 7.5σ out — a miss is a code
+    * defect, not noise); the oracle recomputes the exact side and claims
+    * the verdict true. */
+  def q60SketchNdv(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables(spark, dir, "orders").select(
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"), col("o_custkey"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sketch_store").toString
+    val years = o.select("yr").distinct().collect()
+      .map(_.getInt(0)).sorted // bounded: order years, never rows
+    years.foreach(y => update(spark, store,
+      o.filter(col("yr") === y), Seq("yr", "mo"), "o_custkey"))
+    val est = estimate(spark, store, groupBy = Seq("yr"))
+    val exact = o.groupBy("yr")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val out = exact.join(est, "yr")
+      .select(col("yr"), col("n_exact"),
+        (abs(col("ndv") - col("n_exact")) <=
+          col("n_exact") * lit(0.03)).as("within_3pct"))
+      .orderBy("yr")
+    // the result is year-count-sized — materialize it eagerly so the
+    // temp store can be deleted NOW instead of leaking one populated
+    // directory per contract run (r9 review); the caller still gets a
+    // plain DataFrame
+    val rows = out.collect().toSeq
+    val p = new org.apache.hadoop.fs.Path(store)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+}

@@ -19,51 +19,6 @@ import org.apache.spark.sql.SparkSession
   * the ingest; and a crash between the old marker's delete and the
   * rename leaves only the tmp marker, which [[maxCommitted]] recovers
   * the guard from rather than silently reporting "no store". */
-/** The vector-ingest admission-funnel log shared by [[VectorIngest]] and
-  * [[PqIngest]]: one row per committed batch under
-  * `<root>/_ingest_log/batch=<N>` (underscore dir — no table scan or
-  * compaction sweeps it; overwrite per slice — replay-idempotent).
-  * Exact accounting: arrived = redelivered + banned + inserted. */
-private[streaming] object IngestLog {
-  def write(spark: SparkSession, rootDir: String, batchId: Long,
-      arrived: Long, redelivered: Long, banned: Long,
-      inserted: Long): Unit = {
-    import spark.implicits._
-    Seq((arrived, redelivered, banned, inserted))
-      .toDF("arrived", "redelivered", "banned", "inserted")
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$rootDir/_ingest_log/batch=$batchId")
-  }
-
-  def read(spark: SparkSession,
-      rootDir: String): org.apache.spark.sql.DataFrame =
-    spark.read.option("basePath", s"$rootDir/_ingest_log")
-      .parquet(s"$rootDir/_ingest_log").orderBy("batch")
-}
-
-/** Write-aside + atomic-rename publish for a write-once seed table
-  * (IVF centroids, PQ codebooks): the artifact is written to a `.tmp`
-  * sibling, its `_SUCCESS` marker required, then renamed into place —
-  * so the final directory either doesn't exist (replay re-seeds) or is
-  * complete; existence IS readiness. A direct write would leave the
-  * readiness probe a partial table after a mid-commit crash. */
-private[graft] object SeedPublish {
-  def publish(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
-      finalDir: String): Unit = {
-    val f = new Path(finalDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(finalDir + ".tmp")
-    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(tmp.toString)
-    require(f.exists(new Path(tmp, "_SUCCESS")),
-      s"seed write of $finalDir left no _SUCCESS marker — aborting " +
-        "before the publish; re-run the seeding batch")
-    require(f.rename(tmp, new Path(finalDir)),
-      s"could not publish seed table $finalDir")
-  }
-}
-
 private[graft] object BatchMarker {
 
   private def fs(spark: SparkSession, path: String) = new Path(path)
@@ -118,5 +73,27 @@ private[graft] object BatchMarker {
     f.delete(marker(rootDir), false)
     require(f.rename(tmp, marker(rootDir)),
       s"could not publish high-water marker ${marker(rootDir)}")
+  }
+}
+
+/** Write-aside + atomic-rename publish for a write-once seed table
+  * (IVF centroids, PQ codebooks): the artifact is written to a `.tmp`
+  * sibling, its `_SUCCESS` marker required, then renamed into place —
+  * so the final directory either doesn't exist (replay re-seeds) or is
+  * complete; existence IS readiness. A direct write would leave the
+  * readiness probe a partial table after a mid-commit crash. */
+private[graft] object SeedPublish {
+  def publish(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      finalDir: String): Unit = {
+    val f = new Path(finalDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(finalDir + ".tmp")
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    require(f.exists(new Path(tmp, "_SUCCESS")),
+      s"seed write of $finalDir left no _SUCCESS marker — aborting " +
+        "before the publish; re-run the seeding batch")
+    require(f.rename(tmp, new Path(finalDir)),
+      s"could not publish seed table $finalDir")
   }
 }

@@ -77,8 +77,9 @@ object PqIngest {
       val highWater = BatchMarker.guard(spark, indexDir, batchId)
 
       val sliceDir = s"${part("codes")}/batch=$batchId"
-      // opt-in funnel telemetry — the [[VectorIngest]] discipline
-      var arrived = -1L; var redelivered = 0L; var bannedN = 0L
+      // opt-in funnel telemetry — stages threaded to the shared
+      // [[IngestLog.writeStages]] arithmetic after the slice write
+      var banStage: Option[DataFrame] = None
       if (!codebooksReady) {
         // seed: train the subquantizers on the first batch and publish
         // the codebooks; the batch's own codes come from the same build.
@@ -94,38 +95,27 @@ object PqIngest {
         idx.release()
       } else {
         val books = IndexStore.readCodebooks(spark, indexDir)
-        val existing = codesExcluding(batchId)
-        val existingAnti = existing match {
-          case Some(e) => batch.join(
-            e.select("vec_id"), Seq("vec_id"), "left_anti")
+        // ban at the door FIRST (the shared funnel order), incl. replays
+        // of pre-purge batches via the retired `applied=` slices — the
+        // VectorIngest discipline
+        val afterBan = graft.etl.Tombstones.bannedAt(spark, indexDir,
+          "vec_id", batchId) match {
+          case Some(banned) =>
+            val b = batch.join(banned, Seq("vec_id"), "left_anti")
+            banStage = Some(b); b
           case None => batch
         }
-        // ban at the door incl. replays of pre-purge batches (the
-        // retired `applied=` slices) — the VectorIngest discipline
-        val banList = graft.etl.Tombstones.bannedAt(spark, indexDir,
-          "vec_id", batchId)
-        val fresh = banList match {
-          case Some(banned) =>
-            existingAnti.join(banned, Seq("vec_id"), "left_anti")
-          case None => existingAnti
+        val fresh = codesExcluding(batchId) match {
+          case Some(existing) => afterBan.join(
+            existing.select("vec_id"), Seq("vec_id"), "left_anti")
+          case None => afterBan
         }
         Similarity.encodeWithCodebooks(fresh, books)
           .write.mode(SaveMode.Overwrite).parquet(sliceDir)
-        if (logStats) {
-          arrived = batch.count()
-          val afterExisting =
-            if (existing.isDefined) existingAnti.count() else arrived
-          val afterBan =
-            if (banList.isDefined) fresh.count() else afterExisting
-          redelivered = arrived - afterExisting
-          bannedN = afterExisting - afterBan
-        }
       }
-      if (logStats) {
-        if (arrived < 0) arrived = batch.count() // seed branch
-        IngestLog.write(spark, indexDir, batchId, arrived, redelivered,
-          bannedN, spark.read.parquet(sliceDir).count())
-      }
+      if (logStats)
+        IngestLog.writeStages(spark, indexDir, batchId, batch, banStage,
+          sliceDir)
 
       val f = fs(indexDir)
       if (!f.exists(new Path(s"$indexDir/_graft_index.json")))

@@ -81,10 +81,9 @@ object VectorIngest {
       val highWater = BatchMarker.guard(spark, indexDir, batchId)
 
       val sliceDir = s"${part("assigned")}/batch=$batchId"
-      // opt-in funnel telemetry (the CorpusIngest discipline): counts
-      // cost extra batch-sized jobs, so they run only when asked; stages
-      // that provably changed nothing reuse the upstream count
-      var arrived = -1L; var redelivered = 0L; var bannedN = 0L
+      // opt-in funnel telemetry: the counted stages, threaded to the
+      // shared [[IngestLog.writeStages]] arithmetic after the slice write
+      var banStage: Option[DataFrame] = None
       if (!centroidsReady) {
         // seed: train the coarse quantizer on the first batch and
         // publish the centroid table; the batch's own assignment comes
@@ -104,42 +103,32 @@ object VectorIngest {
         idx.release()
       } else {
         val centroids = spark.read.parquet(part("centroids"))
-        val existing = assignedExcluding(batchId)
-        val existingAnti = existing match {
-          case Some(e) => batch.join(
-            e.select("vec_id"), Seq("vec_id"), "left_anti")
+        // the id BAN at the door runs FIRST (the CorpusIngest funnel
+        // order — a tombstoned-and-redelivered id reads as a door
+        // refusal, not a redelivery): a tombstoned vec_id stays out
+        // until a purge makes the deletion physical (its physical row
+        // may sit in this batch's OWN excluded partition, so the
+        // standing-assignment anti-join alone cannot be relied on to
+        // refuse it); a crash-REPLAY of a pre-purge batch stays banned
+        // via the retired (`applied=`) slices
+        val afterBan = graft.etl.Tombstones.bannedAt(spark, indexDir,
+          "vec_id", batchId) match {
+          case Some(banned) =>
+            val b = batch.join(banned, Seq("vec_id"), "left_anti")
+            banStage = Some(b); b
           case None => batch
         }
-        // the id BAN at the door: a tombstoned vec_id redelivered by the
-        // source stays out until a purge makes the deletion physical
-        // (its physical row may sit in this batch's OWN excluded
-        // partition, so the standing-assignment anti-join alone cannot
-        // be relied on to refuse it); a crash-REPLAY of a pre-purge
-        // batch stays banned via the retired (`applied=`) slices
-        val banList = graft.etl.Tombstones.bannedAt(spark, indexDir,
-          "vec_id", batchId)
-        val fresh = banList match {
-          case Some(banned) =>
-            existingAnti.join(banned, Seq("vec_id"), "left_anti")
-          case None => existingAnti
+        val fresh = assignedExcluding(batchId) match {
+          case Some(existing) => afterBan.join(
+            existing.select("vec_id"), Seq("vec_id"), "left_anti")
+          case None => afterBan
         }
         Similarity.assignToCells(fresh, centroids)
           .write.mode(SaveMode.Overwrite).parquet(sliceDir)
-        if (logStats) {
-          arrived = batch.count()
-          val afterExisting =
-            if (existing.isDefined) existingAnti.count() else arrived
-          val afterBan =
-            if (banList.isDefined) fresh.count() else afterExisting
-          redelivered = arrived - afterExisting
-          bannedN = afterExisting - afterBan
-        }
       }
-      if (logStats) {
-        if (arrived < 0) arrived = batch.count() // seed branch
-        IngestLog.write(spark, indexDir, batchId, arrived, redelivered,
-          bannedN, spark.read.parquet(sliceDir).count())
-      }
+      if (logStats)
+        IngestLog.writeStages(spark, indexDir, batchId, batch, banStage,
+          sliceDir)
 
       // IndexStore manifest, so the ingested index opens with loadIvf
       // from any session; written once the first slice is committed

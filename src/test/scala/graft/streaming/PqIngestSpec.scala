@@ -131,11 +131,17 @@ class PqIngestSpec extends SparkTestBase {
       del(Seq(30L).toDF("vec_id"))
       // batch 1 (21 rows): 10-19 redelivered, 30 banned, 20-29 inserted
       merge(vecs(10 until 31), 1L)
+      // an id that is BOTH tombstoned and already standing reads as a
+      // door refusal (ban stage first — the CorpusIngest funnel order),
+      // never as a redelivery
+      del(Seq(15L).toDF("vec_id"))
+      merge(vecs(15 until 16), 2L)
       val rows = log().collect().map(r => r.getAs[Long]("batch") ->
         (r.getAs[Long]("arrived"), r.getAs[Long]("redelivered"),
           r.getAs[Long]("banned"), r.getAs[Long]("inserted"))).toMap
       assert(rows(0L) == ((20L, 0L, 0L, 20L)), s"seed: ${rows(0L)}")
       assert(rows(1L) == ((21L, 10L, 1L, 10L)), s"batch 1: ${rows(1L)}")
+      assert(rows(2L) == ((1L, 0L, 1L, 0L)), s"batch 2: ${rows(2L)}")
       rows.values.foreach { case (a, r, b, i) => assert(a == r + b + i) }
     }
     val ivfDir = Files.createTempDirectory("graft_funnel_ivf").toString
