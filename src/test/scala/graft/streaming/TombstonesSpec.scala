@@ -313,6 +313,24 @@ class TombstonesSpec extends SparkTestBase {
     assert(err.getMessage.contains("not a graft index"))
   }
 
+  test("the tombstone mask's anti-join broadcasts the request-sized ban list") {
+    // SCALING.md's deletion design rests on this plan shape: the ban
+    // list is opt-out-request-sized, so the reader-side mask must be a
+    // BROADCAST anti-join (per-row probe riding the existing scan),
+    // never a shuffle of the corpus. Asserted on the EXECUTED plan —
+    // AQE's runtime re-plan included — not just the optimizer's guess.
+    val dir = Files.createTempDirectory("graft_ts_plan").toString
+    val m = new VectorIngest.Merger(spark, dir, nlist = 4)
+    m.mergeBatch(vecs(0 until 40), 0L)
+    VectorIngest.delete(spark, dir, Seq(7L).toDF("vec_id"))
+    val idx = IndexStore.loadIvf(spark, dir)
+    idx.assigned.collect() // materialize so AQE finalizes the plan
+    val p = idx.assigned.queryExecution.executedPlan.toString
+    idx.release()
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstone mask did not broadcast the ban list:\n$p")
+  }
+
   test("tombstone add: distinct ids, audit reason, crash leaves no half slice") {
     val dir = Files.createTempDirectory("graft_ts_log").toString
     Tombstones.add(spark, dir, Seq(1L, 1L, 2L).toDF("doc_id"), "doc_id",
