@@ -137,6 +137,10 @@ object SparkEntry {
     "s14_label_propagation" -> (TrainingData.s14LabelPropagation _),
     "s15_ivfpq_rerank_exact" -> (TrainingData.s15IvfPqRerankExact _),
     "s16_mmr_ann" -> (TrainingData.s16MmrAnn _),
+    "s17_retrieval_eval" -> (TrainingData.s17RetrievalEval _),
+    "q61_longest_streak" -> (Relational.q61LongestStreak _),
+    "d22_dup_span_coverage" -> (TrainingData.d22DupSpanCoverage _),
+    "t48_bm25_topk" -> (TrainingData.t48Bm25TopK _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
     "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
@@ -2591,6 +2595,119 @@ object SparkEntry {
         |  round(CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
         |    / (COUNT(DISTINCT qid) * 5), 4) AS agree_rate
         |FROM r WHERE rank <= 5 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s17: per-rank DCG gains are inlined integer micro-unit literals in
+    // BOTH engines (a recomputed log2 could disagree by an ulp and flip a
+    // rounded value); per-query metrics are exact integer micro-units, so
+    // the per-label means are order-invariant integer sums
+    "s17_retrieval_eval" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS q_label,
+        |             CAST(embedding AS DOUBLE[]) qv
+        |           FROM embeddings WHERE vec_id < 200),
+        |c AS (SELECT vec_id AS nid, label AS n_label,
+        |        CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+        |m AS (SELECT label AS q_label, CAST(COUNT(*) AS BIGINT) AS n_members
+        |      FROM embeddings GROUP BY 1),
+        |s AS (SELECT qid, q_label, nid, n_label,
+        |  list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
+        |   / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+        |    * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))) AS cos
+        |FROM c, q WHERE qid <> nid),
+        |r AS (SELECT qid, q_label, n_label,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+        |FROM s),
+        |g AS (SELECT qid, q_label,
+        |  CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  MIN(CASE WHEN n_label = q_label THEN rank END) AS first_rel,
+        |  CAST(SUM(CASE WHEN n_label = q_label THEN
+        |    ([1000000, 630930, 500000, 430677, 386853,
+        |      356207, 333333, 315465, 301030, 289065])[rank]
+        |    ELSE 0 END) AS BIGINT) AS dcg_u
+        |FROM r WHERE rank <= 10 GROUP BY 1, 2),
+        |p AS (SELECT g.q_label,
+        |  CAST(ROUND(1000000.0 * hits / LEAST(10, n_members - 1), 0) AS BIGINT) AS recall_u,
+        |  COALESCE(CAST(ROUND(1000000.0 / first_rel, 0) AS BIGINT), 0) AS mrr_u,
+        |  CAST(ROUND(1000000.0 * dcg_u /
+        |    ([1000000, 1630930, 2130930, 2561607, 2948460,
+        |      3304667, 3638000, 3953465, 4254495, 4543560])
+        |      [CAST(LEAST(10, n_members - 1) AS INT)], 0) AS BIGINT) AS ndcg_u
+        |FROM g JOIN m ON g.q_label = m.q_label
+        |WHERE n_members - 1 >= 1)
+        |SELECT q_label AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  ROUND(SUM(recall_u) / (COUNT(*) * 1000000.0), 4) AS recall_at_k,
+        |  ROUND(SUM(mrr_u) / (COUNT(*) * 1000000.0), 4) AS mrr_at_k,
+        |  ROUND(SUM(ndcg_u) / (COUNT(*) * 1000000.0), 4) AS ndcg_at_k
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q61: the islands trick verbatim — day − row_number constant within
+    // a consecutive run; DATE_DIFF mirrors Spark's datediff-from-epoch
+    "q61_longest_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |              FROM events),
+        |isl AS (SELECT user_id, day,
+        |    DATE_DIFF('day', DATE '1970-01-01', day)
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |runs AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        |         FROM isl GROUP BY 1, 2)
+        |SELECT user_id, MAX(len) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // d22: the oracle carries gram STRINGS where Spark moves 8-byte
+    // hashes (the d02 collision caveat); the interval-union is the same
+    // running-max window sweep in both engines
+    "d22_dup_span_coverage" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_extract_all(lower(trim(text)), '\S+') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(unnest(range(1, len(t) - 1)) AS INT) AS pos,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM d WHERE len(t) >= 3),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |iv AS (SELECT g.doc_id, g.pos, g.pos + 2 AS e
+        |       FROM g JOIN dup USING (gram)),
+        |w AS (SELECT doc_id, pos, e,
+        |    COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pm
+        |  FROM iv),
+        |cov AS (SELECT doc_id,
+        |    CAST(SUM(GREATEST(0, e - GREATEST(pos - 1, pm))) AS BIGINT) AS covered
+        |  FROM w GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+        |  CASE WHEN len(d.t) = 0 THEN 0.0
+        |       ELSE ROUND(COALESCE(cov.covered, 0) / CAST(len(d.t) AS DOUBLE), 4)
+        |  END AS dup_coverage
+        |FROM d LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // t48: the BM25 constants appear as the arithmetic that PRODUCES them
+    // ((1.2 + 1), not 2.2 — the sum is not exactly the double literal, so
+    // both engines must perform the same IEEE addition); tf/df/dl are
+    // exact integers and the score is one fixed-association expression
+    "t48_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |top AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3),
+        |dl AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |s AS (SELECT t.term, t.doc_id,
+        |    ln((n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+        |      * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+        |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
+        |  FROM tf t JOIN top f USING (term) JOIN dl d USING (doc_id)
+        |  CROSS JOIN st),
+        |r AS (SELECT term, doc_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY term
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM s)
+        |SELECT term, rank, doc_id, ROUND(score, 4) AS bm25 FROM r
+        |WHERE rank <= 10 ORDER BY term, rank""".stripMargin,
     "s09_centroid_distance" ->
       """WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS i,
         |    embedding AS e FROM embeddings),

@@ -70,6 +70,81 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("g"))
       .distinct()
 
+  /** [[shingleGrams]] with the gram's 1-based token POSITION kept and the
+    * gram collapsed to its 8-byte hash — the positional stream
+    * [[dupSpanCoverage]]'s interval math rides (the set-dedup forms above
+    * deliberately drop position). */
+  private def shingleGramsPos(docs: DataFrame, textCol: String,
+      n: Int): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val gramHashes = transform(sequence(lit(1), size(col("t")) - (n - 1)),
+      i => xxhash64(
+        concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j)): _*)))
+    docs
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("t")) >= n, gramHashes)
+          .otherwise(array().cast("array<long>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+  }
+
+  /** Duplicated-span coverage (d22) — per document, the fraction of its
+    * token positions lying inside an n-gram that also occurs in ANOTHER
+    * document. The RefinedWeb/MassiveText "duplicate n-gram coverage"
+    * curation signal: near-dup PAIR detection (d02/d03) finds documents to
+    * drop, while this scores how much of each KEPT document is recycled
+    * text — boilerplate headers, syndicated fragments, quotations — the
+    * per-doc quality feature a filtering model consumes.
+    *
+    * Scale shape: gram document-frequencies come from the per-doc DISTINCT
+    * hashed shingle set ([[shingleTable]] — pass the session's cached
+    * table via `shingles` so a curation run reuses the one corpus pass);
+    * the duplicated-gram keys (8-byte hashes) equi-join back against the
+    * positional gram stream (map-side explode, no set-dedup), and the
+    * per-doc interval union is ONE window over each doc's surviving
+    * intervals — bounded by doc length, partitioned by doc_id, so no task
+    * ever sees more than one document's spans. Coverage arithmetic is a
+    * running-max sweep (new_cover = end − max(start−1, prev_max_end),
+    * clamped at 0), not a distinct-position explode — the n× position
+    * blowup never materializes.
+    *
+    * Gram identity is the 64-bit xxhash64 (the d02 slimming discipline):
+    * results equal the string-gram form modulo collisions, which at any
+    * realistic corpus sit orders of magnitude below the metric's 4-dp
+    * resolution. */
+  def dupSpanCoverage(docs: DataFrame, textCol: String = "text", n: Int = 3,
+      minDf: Int = 2, shingles: Option[DataFrame] = None): DataFrame = {
+    val sh = shingles.getOrElse(hashedShingleSets(docs, textCol, n))
+    val dupG = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("g")
+    // one row per (doc, pos): g is a function of pos and dupG is distinct
+    // on g, so the join cannot duplicate intervals
+    val iv = shingleGramsPos(docs, textCol, n)
+      .join(dupG, "g")
+      .select(col("doc_id"), col("pos"), (col("pos") + (n - 1)).as("e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val covered = iv
+      .withColumn("pm", coalesce(max(col("e")).over(w), lit(0)))
+      .select(col("doc_id"),
+        greatest(lit(0), col("e") - greatest(col("pos") - 1, col("pm")))
+          .as("newcov"))
+      .groupBy("doc_id").agg(sum("newcov").as("covered_tokens"))
+    docs
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(round(
+            coalesce(col("covered_tokens"), lit(0L)).cast("double")
+              / col("n_tokens"), 4))
+          .as("dup_coverage"))
+      .orderBy("doc_id")
+  }
+
   /** The corpus SHINGLE TABLE — per-doc distinct hashed n-gram sets
     * (doc_id, g), persisted once for the session. A multi-stage curation
     * run (quality gate → dedup → decontam) materializes this once over the

@@ -928,6 +928,38 @@ object Relational {
       .orderBy("user_id", "d")
   }
 
+  // ---------------------------------------------------------------- Q61 (streaks)
+  /** Gaps-and-islands: each user's LONGEST run of consecutive active days
+    * (any event counts as activity), plus their active-day and streak
+    * totals — the classic engagement/retention cut (DAU streaks, "n-day
+    * habit" cohorts) that needs the islands trick, not a join: a run of
+    * consecutive days has `day − row_number` constant, so the island key
+    * is one window subtraction (days since epoch minus the per-user day
+    * rank) and the runs collapse in one aggregate.
+    *
+    * Scale shape: the distinct (user, day) frame is one shuffle on its
+    * own grain; the window and both aggregates all ride the user_id key,
+    * and the window's partition is bounded by a user's active-day count
+    * (≤ calendar days), never the event stream — so raw event volume
+    * reaches the plan only through the first distinct. */
+  def q61LongestStreak(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val runs = days
+      .withColumn("grp",
+        datediff(col("day"), to_date(lit("1970-01-01")))
+          - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
   // ---------------------------------------------------------------- Q40 (Markov)
   /** First-order event-transition matrix: for each (event_type →
     * next_event_type) adjacency in a user's stream, the transition count

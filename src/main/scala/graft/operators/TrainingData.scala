@@ -1324,6 +1324,28 @@ object TrainingData {
     Similarity.knnLabelAgreement(Tables(spark, dir, "embeddings"),
       col("vec_id") < 200, k = 5)
 
+  /** Per-label Recall@10 / MRR@10 / nDCG@10 of exact cosine retrieval
+    * over the same 200-query sample (see
+    * [[graft.similarity.Similarity.retrievalEval]]). */
+  def s17RetrievalEval(spark: SparkSession, dir: String): DataFrame =
+    Similarity.retrievalEval(Tables(spark, dir, "embeddings"),
+      col("vec_id") < 200, k = 10)
+
+  /** Per-document duplicated-3-gram span coverage (see
+    * [[graft.dedup.Dedup.dupSpanCoverage]]); rides the session's cached
+    * corpus shingle table so the sweep shares d02's one explode pass. */
+  def d22DupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Dedup.dupSpanCoverage(docs,
+      shingles = Some(Dedup.shingleTable(docs)))
+  }
+
+  /** BM25 top-10 per probe term (the corpus's 3 highest-df terms — a
+    * deterministic fixture on any regenerated corpus; see
+    * [[graft.text.Retrieval.bm25TopK]]). */
+  def t48Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Retrieval.bm25TopK(Tables(spark, dir, "documents"))
+
   /** Per-label centroid-distance outlier profile (see
     * [[graft.similarity.Similarity.centroidDistanceProfile]]). */
   def s09CentroidDistance(spark: SparkSession, dir: String): DataFrame =

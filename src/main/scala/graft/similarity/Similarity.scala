@@ -414,6 +414,79 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Retrieval-quality evaluation — per-label Recall@k, MRR@k and nDCG@k
+    * of exact cosine retrieval, with relevance = "neighbour shares the
+    * query's label". The standard IR metric suite (Järvelin & Kekäläinen
+    * 2002 for nDCG) run as an embedding-space eval: where
+    * [[knnLabelAgreement]] reports raw precision@k, this adds the
+    * rank-sensitive views a retrieval system is actually tuned on — MRR
+    * rewards the first relevant hit being early, nDCG rewards the whole
+    * ranking, recall normalizes by what was reachable (`min(k, |label|−1)`
+    * relevant items exist for a query).
+    *
+    * Cross-engine determinism: per-rank DCG gains `1/log2(rank+1)` are a
+    * FIXED table for rank ≤ k, so they are inlined as integer micro-unit
+    * literals (×10⁶, half-up) in both engines rather than recomputed —
+    * a 1-ulp `log2` disagreement between libm and the JVM could otherwise
+    * flip a rounded value. Per-query metrics become exact integer
+    * micro-units, per-label means are integer sums divided once at the
+    * end — order-invariant, so the aggregate hash-matches the oracle
+    * regardless of row order (the A7 avg-of-avgs discipline).
+    *
+    * Scale shape = [[knnLabelAgreement]]: one [[bruteForceTopK]] pass
+    * (broadcast queries × corpus scan, corpus never shuffles), the q·k
+    * judged frame broadcast back against the label projection, and a
+    * label-cardinality broadcast for the recall/IDCG denominators. At
+    * 100 TB the eval runs over a sampled query set via `queryFilter`.
+    * Queries whose label has no OTHER member (no relevant item exists)
+    * are excluded — the TREC convention — keeping every emitted number
+    * well-defined on any regenerated corpus. */
+  def retrievalEval(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    // gain(r) = round(1e6 / log2(r+1)), cum(r) = Σ_{i≤r} gain(i) — fixed
+    // per-rank constants (see scaladoc); extend the table if k grows
+    val gains = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    require(k >= 1 && k <= gains.length,
+      s"retrievalEval supports k in 1..${gains.length} (got $k) — extend the gain table")
+    val cums = gains.scanLeft(0L)(_ + _).tail
+    val gainAt = element_at(array(gains.take(k).map(lit): _*), col("rank"))
+    val idcgAt = element_at(array(cums.take(k).map(lit): _*),
+      col("rq").cast("int"))
+    val nbrLabels = emb.select(col("vec_id").as("nid"), col("label").as("n_label"))
+    val qryLabels = emb.select(col("vec_id").as("qid"), col("label").as("q_label"))
+    val members = emb.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_members"))
+    val pairs = bruteForceTopK(emb, queryFilter, k).select("qid", "rank", "nid")
+    // both label lookups broadcast the tiny q·k side (knnLabelAgreement's
+    // shape): the corpus label projection is scanned but never shuffled
+    val withNbr = nbrLabels.join(broadcast(pairs), "nid")
+    val judged = qryLabels.join(broadcast(withNbr), "qid")
+      .withColumn("rel", col("n_label") === col("q_label"))
+    val perQuery = judged.groupBy("qid", "q_label")
+      .agg(
+        sum(when(col("rel"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("rel"), col("rank"))).as("first_rel"),
+        sum(when(col("rel"), gainAt).otherwise(0L)).as("dcg_u"))
+      .join(broadcast(members), "q_label")
+      .withColumn("rq", least(lit(k.toLong), col("n_members") - 1L))
+      .filter(col("rq") >= 1L) // no relevant item can exist: TREC-exclude
+      .select(col("q_label"),
+        // exact integer micro-units: ratios of small integers divide
+        // identically under IEEE in every engine, then round half-up
+        round(lit(1e6) * col("hits") / col("rq"), 0).cast("long").as("recall_u"),
+        coalesce(round(lit(1e6) / col("first_rel"), 0).cast("long"), lit(0L))
+          .as("mrr_u"),
+        round(lit(1e6) * col("dcg_u") / idcgAt, 0).cast("long").as("ndcg_u"))
+    perQuery.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum("recall_u").as("r_u"), sum("mrr_u").as("m_u"), sum("ndcg_u").as("n_u"))
+      .select(col("label"), col("n_queries"),
+        round(col("r_u") / (col("n_queries") * 1e6), 4).as("recall_at_k"),
+        round(col("m_u") / (col("n_queries") * 1e6), 4).as("mrr_at_k"),
+        round(col("n_u") / (col("n_queries") * 1e6), 4).as("ndcg_at_k"))
+      .orderBy("label")
+  }
+
   /** Deterministic ±1 hyperplanes (Rademacher signed random projection),
     * seeded so every run and every executor derives the same planes — the
     * SINGLE source of the plane convention, shared with

@@ -410,4 +410,32 @@ class RelationalSpec extends SparkTestBase {
     assert(rows.forall(r =>
       r.getAs[Boolean]("is_anomaly") == (math.abs(r.getAs[Double]("z")) >= 2)))
   }
+
+  test("q61 streaks: totals conserve active days; one user replayed in scala") {
+    val s = Relational.q61LongestStreak(spark, dir)
+    val rows = s.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("longest_streak") <= r.getAs[Long]("n_active_days"))
+      assert(r.getAs[Long]("n_streaks") <= r.getAs[Long]("n_active_days"))
+    }
+    val activeDays = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_active_days")).sum == activeDays)
+    // replay the islands logic in plain scala for the busiest user
+    val uid = rows.maxBy(_.getAs[Long]("n_active_days")).getAs[Long]("user_id")
+    val days = graft.Tables(spark, dir, "events")
+      .filter(col("user_id") === uid)
+      .select(to_date(col("ts")).as("day")).distinct()
+      .collect().map(_.getDate(0).toLocalDate.toEpochDay).sorted
+    var longest = 1L; var cur = 1L; var streaks = 1L
+    days.sliding(2).foreach {
+      case Array(a, b) =>
+        if (b == a + 1) { cur += 1; longest = math.max(longest, cur) }
+        else { cur = 1; streaks += 1 }
+      case _ => ()
+    }
+    val got = rows.find(_.getAs[Long]("user_id") == uid).get
+    assert(got.getAs[Long]("longest_streak") == longest)
+    assert(got.getAs[Long]("n_streaks") == streaks)
+  }
 }

@@ -1,0 +1,53 @@
+package graft.text
+
+import graft.SparkTestBase
+
+/** [[Retrieval.bm25TopK]] (t48): probe-term choice, ranking, and one
+  * hand-computed score on a 4-document corpus. */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // df: z=3 > x=2 = y=2 (ties by term asc) -> probes z, x, y
+  private lazy val docs = Seq(
+    (0L, "x x y"), (1L, "x z"), (2L, "y z"), (3L, "z z z z"))
+    .toDF("doc_id", "text")
+
+  test("probe terms are the highest-df terms; per-term ranking is correct") {
+    val got = Retrieval.bm25TopK(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // z: d3 (tf 4) outranks the tf-1 docs; d1/d2 tie on score -> doc order
+    // x: d0 (tf 2) over d1;  y: shorter d2 over d0 (same tf, smaller dl)
+    assert(got.toSeq == Seq(
+      ("x", 1, 0L), ("x", 2, 1L),
+      ("y", 1, 2L), ("y", 2, 0L),
+      ("z", 1, 3L), ("z", 2, 1L), ("z", 3, 2L)))
+  }
+
+  test("hand-computed BM25 score for (z, doc 3)") {
+    // N=4, avgdl=11/4; idf_z = ln(1.5/3.5 + 1); tf=4, dl=4:
+    //   0.3566749... * 8.8 / (4 + 1.2*(0.25 + 0.75*4/2.75)) = 0.55958...
+    val s = Retrieval.bm25TopK(docs).where("term = 'z' AND doc_id = 3")
+      .collect()(0).getDouble(3)
+    assert(math.abs(s - 0.5596) < 5e-4)
+  }
+
+  test("two-phase per-term top-k equals the naive single-window ranking") {
+    // 40 docs sharing one hot term: the salted local phase must not lose
+    // any global top-k row (every global winner ranks <= k in its bucket)
+    val many = (0L until 40L).map(i =>
+      (i, ("w " * (1 + (i % 7).toInt)).trim)).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(many, nTerms = 1, k = 10).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    // naive expectation, same formula replayed in plain scala: tf = dl
+    // here (one repeated word), df = N, ties in score -> doc_id asc
+    val dls = (0L until 40L).map(i => 1L + (i % 7))
+    val avg = dls.sum.toDouble / 40
+    val idf = math.log((40 - 40 + 0.5) / (40 + 0.5) + 1)
+    def score(tf: Long, dl: Long): Double =
+      idf * (tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * dl / avg))
+    val expectHead = (0L until 40L)
+      .sortBy(i => (-score(dls(i.toInt), dls(i.toInt)), i)).take(10)
+    assert(got.map(_._2).toSeq == expectHead)
+    assert(got.map(_._1).toSeq == (1 to 10))
+  }
+}
