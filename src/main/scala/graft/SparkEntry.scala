@@ -2680,10 +2680,14 @@ object SparkEntry {
         |       ELSE ROUND(COALESCE(cov.covered, 0) / CAST(len(d.t) AS DOUBLE), 4)
         |  END AS dup_coverage
         |FROM d LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
-    // t48: the BM25 constants appear as the arithmetic that PRODUCES them
-    // ((1.2 + 1), not 2.2 — the sum is not exactly the double literal, so
-    // both engines must perform the same IEEE addition); tf/df/dl are
-    // exact integers and the score is one fixed-association expression
+    // t48: tf/df/dl are exact integers and the score is one
+    // fixed-association expression. The (k1 + 1) factor is CAST to DOUBLE
+    // before multiplying: DuckDB types `tf * (1.2 + 1)` as DECIMAL (exact
+    // decimal product, converted to double only downstream), which is up
+    // to 1 ulp away from Spark's double(tf) * double(2.2) — enough to
+    // flip a 4-dp rounding or a rank tie on some regenerated corpus (the
+    // r5 t32/t35 failure class). All other decimal literals here reach a
+    // division or a double operand immediately, which DuckDB types DOUBLE.
     "t48_bm25_topk" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
@@ -2699,7 +2703,7 @@ object SparkEntry {
         |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
         |s AS (SELECT t.term, t.doc_id,
         |    ln((n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
-        |      * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+        |      * (t.tf * CAST(1.2 + 1 AS DOUBLE)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
         |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
         |  FROM tf t JOIN top f USING (term) JOIN dl d USING (doc_id)
         |  CROSS JOIN st),

@@ -45,16 +45,22 @@ object Dedup {
     * Jaccard, 64-bit hashes for MinHash). Guarded so documents shorter
     * than n tokens produce no shingles (Spark's `sequence` would otherwise
     * count DOWN when start > stop). */
-  private def shingleGrams(docs: DataFrame, textCol: String, n: Int): DataFrame = {
-    val t = TextAnalysis.tokens(col(textCol))
-    val idx = sequence(lit(1), size(col("t")) - (n - 1))
-    val gram = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j)): _*))
+  private def shingleGrams(docs: DataFrame, textCol: String, n: Int): DataFrame =
     docs
-      .select(col("doc_id"), t.as("t"))
-      .select(col("doc_id"),
-        explode(when(size(col("t")) >= n, gram)
-          .otherwise(array().cast("array<string>"))).as("shingle"))
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), explode(gramArray(n)).as("shingle"))
+
+  /** Per-row array of a document's n-gram strings in token order, over a
+    * token array bound as `t` — the ONE source of gram identity.
+    * [[shingleGrams]] (set-dedup stream) and [[shingleGramsPos]]
+    * (positional stream) both explode THIS expression, so the two streams
+    * can never drift apart — [[dupSpanCoverage]]'s equi-join of their
+    * hashes relies on byte-identical gram strings, and a divergence would
+    * not error, just silently stop matching. */
+  private def gramArray(n: Int): Column = {
+    val gram = transform(sequence(lit(1), size(col("t")) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j)): _*))
+    when(size(col("t")) >= n, gram).otherwise(array().cast("array<string>"))
   }
 
   /** Distinct word n-gram shingles per document. */
@@ -75,18 +81,12 @@ object Dedup {
     * [[dupSpanCoverage]]'s interval math rides (the set-dedup forms above
     * deliberately drop position). */
   private def shingleGramsPos(docs: DataFrame, textCol: String,
-      n: Int): DataFrame = {
-    val t = TextAnalysis.tokens(col(textCol))
-    val gramHashes = transform(sequence(lit(1), size(col("t")) - (n - 1)),
-      i => xxhash64(
-        concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j)): _*)))
+      n: Int): DataFrame =
     docs
-      .select(col("doc_id"), t.as("t"))
-      .select(col("doc_id"), posexplode(
-        when(size(col("t")) >= n, gramHashes)
-          .otherwise(array().cast("array<long>"))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
-  }
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), posexplode(gramArray(n)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        xxhash64(col("col")).as("g"))
 
   /** Duplicated-span coverage (d22) — per document, the fraction of its
     * token positions lying inside an n-gram that also occurs in ANOTHER
