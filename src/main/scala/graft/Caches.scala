@@ -24,10 +24,19 @@ object Caches {
   /** Unpersist every registered frame and clear the registry — workload-
     * boundary hygiene for long-running sessions (a bench suite, a notebook
     * switching task families): frames cached for one operator family
-    * shouldn't squeeze executor storage for the next. */
-  def releaseAll(): Unit = {
+    * shouldn't squeeze executor storage for the next.
+    *
+    * `blocking = true` waits for the block manager to actually drop the
+    * blocks before returning — the BENCH boundary setting: with the
+    * default fire-and-forget release, the removal races into the next
+    * family's first queries and their timings absorb the previous
+    * family's cleanup (the r9 local sweep measured q02 paying up to 10×
+    * its own cost right after the d-family boundary). Sessions releasing
+    * mid-workload keep the async default; a timing boundary wants the
+    * cost to land between timers, where it belongs. */
+  def releaseAll(blocking: Boolean = false): Unit = {
     val it = last.entrySet().iterator()
-    while (it.hasNext) { it.next().getValue.unpersist(false); it.remove() }
+    while (it.hasNext) { it.next().getValue.unpersist(blocking); it.remove() }
     families.clear()
     hooks.forEach(h => h())
   }

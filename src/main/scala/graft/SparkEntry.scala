@@ -138,6 +138,9 @@ object SparkEntry {
     "s15_ivfpq_rerank_exact" -> (TrainingData.s15IvfPqRerankExact _),
     "s16_mmr_ann" -> (TrainingData.s16MmrAnn _),
     "s17_retrieval_eval" -> (TrainingData.s17RetrievalEval _),
+    "s18_ivf_dial_sweep" -> (TrainingData.s18IvfDialSweep _),
+    "s19_ivf_drift" -> (TrainingData.s19IvfDriftReport _),
+    "s20_pq_rerank_sweep" -> (TrainingData.s20PqRerankSweep _),
     "q61_longest_streak" -> (Relational.q61LongestStreak _),
     "d22_dup_span_coverage" -> (TrainingData.d22DupSpanCoverage _),
     "t48_bm25_topk" -> (TrainingData.t48Bm25TopK _),
@@ -207,7 +210,9 @@ object SparkEntry {
     "s07r_pq_topk" -> (TrainingData.s07RawTopK _),
     "s15r_ivfpq_topk" -> (TrainingData.s15RawTopK _),
     "s16r_mmr_ann" -> (TrainingData.s16RawMmrAnn _),
-    "s13r_hardneg_ann" -> (TrainingData.s13RawHardNegAnn _))
+    "s13r_hardneg_ann" -> (TrainingData.s13RawHardNegAnn _),
+    "s18r_dial_sweep" -> (TrainingData.s18RawDialSweep _),
+    "s20r_rerank_sweep" -> (TrainingData.s20RawRerankSweep _))
 
   /** The ONE registry of every runnable entry point — contract queries
     * plus bench-only raw forms. Bench, Time, ScaleReplay, and the golden
@@ -2576,6 +2581,35 @@ object SparkEntry {
     "s16_mmr_ann" ->
       """SELECT vec_id AS qid, TRUE AS full_dial_matches_brute
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+    // s18: every claim is deterministically TRUE on any corpus — the
+    // sweep's identity-derived hit counts equal the per-dial probe's
+    // (proved in the Spark plan itself by running both), recall/scan
+    // are monotone (nested candidate sets), and the full dial is exact.
+    // 16 dial rows: the swept range is the BUILT cell count, which is
+    // nlist=16 at every driver SF (clamping only bites below 16 vectors)
+    "s18_ivf_dial_sweep" ->
+      """SELECT CAST(unnest(range(1, 17)) AS INT) AS nprobe,
+        |  TRUE AS sweep_matches_probe, TRUE AS recall_monotone,
+        |  TRUE AS scan_monotone, TRUE AS full_dial_recall_one
+        |ORDER BY nprobe""".stripMargin,
+    // s19: the oracle recomputes the two occupancy facts (built cell
+    // count = nlist at every driver SF, vector count = the corpus) and
+    // asserts the structural claims, all deterministically true
+    "s19_ivf_drift" ->
+      """SELECT CAST(16 AS BIGINT) AS n_cells,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  TRUE AS count_matches_corpus, TRUE AS skew_ge_one,
+        |  TRUE AS msd_nonneg, TRUE AS empty_in_range
+        |FROM embeddings""".stripMargin,
+    // s20: the s18 verdict discipline on the PQ axis — fixed ladder, all
+    // claims deterministically TRUE (identity re-measured by real probe
+    // runs, nested shortlists, whole-corpus step exact by s07a)
+    "s20_pq_rerank_sweep" ->
+      """SELECT CAST(unnest([5, 10, 20, 80, 320, 2147483647]) AS INT)
+        |    AS rerank,
+        |  TRUE AS sweep_matches_probe, TRUE AS recall_monotone,
+        |  TRUE AS full_rerank_recall_one
+        |ORDER BY rerank""".stripMargin,
     "s08_knn_label_agreement" ->
       """WITH q AS (SELECT vec_id AS qid, label AS q_label,
         |             CAST(embedding AS DOUBLE[]) qv

@@ -34,10 +34,12 @@ object Prefix {
     p
   }
 
-  /** Release the cached partitioned RDDs (see [[graft.Caches.releaseAll]]). */
-  private[graft] def releaseAll(): Unit = {
+  /** Release the cached partitioned RDDs (see [[graft.Caches.releaseAll]];
+    * same blocking semantics — bench boundaries pass `true` so cleanup
+    * lands between timers, not inside the next family's first query). */
+  private[graft] def releaseAll(blocking: Boolean = false): Unit = {
     val it = lastPersisted.entrySet().iterator()
-    while (it.hasNext) { it.next().getValue.unpersist(false); it.remove() }
+    while (it.hasNext) { it.next().getValue.unpersist(blocking); it.remove() }
   }
 
   /** Per-group running sum of `valueCol` in `orderCols` order, as window

@@ -1331,6 +1331,150 @@ object TrainingData {
     Similarity.retrievalEval(Tables(spark, dir, "embeddings"),
       col("vec_id") < 200, k = 10)
 
+  /** IVF dial-sweep contract row, VERDICT form: the one-pass
+    * recall/cost curve ([[graft.similarity.Similarity.IvfIndex.dialSweep]])
+    * is re-derived EMPIRICALLY per dial — the probe actually runs at
+    * every `nprobe` in 1..nlist and its true-neighbour hit count must
+    * equal the sweep's identity-derived one — plus the three structural
+    * claims that hold on any corpus: recall and scan cost are monotone in
+    * the dial (candidate sets are nested), and the full dial recalls
+    * everything (every cell probed ⇒ probe ≡ brute force). All claims
+    * are deterministically TRUE for any regenerated corpus, so the
+    * oracle asserts them per dial row. Raw curve = bench-only `s18r`. */
+  def s18IvfDialSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val qf = col("vec_id") < 50
+    val k = 5
+    val nlist = 16
+    val idx = Similarity.buildIvfIndex(emb, nlist = nlist)
+    // the swept dial range is the BUILT cell count: a corpus smaller
+    // than nlist trains one cell per vector (buildIvfIndex clamps), and
+    // dials past the last real cell would add vacuous duplicate rows
+    val builtCells = idx.centroids.count().toInt
+    // both frames are tiny (nlist rows / q·k rows) but feed several
+    // branches below — localCheckpoint cuts the lineage so the corpus
+    // passes behind them run once, not once per consumer (the q57
+    // edge-rewrite discipline; this row is invoked directly, so the
+    // eager cut is its own first action)
+    val sweep = idx.dialSweep(emb, qf, k, maxNprobe = builtCells)
+      .localCheckpoint()
+    val exact = Similarity.bruteForceTopK(emb, qf, k).select("qid", "nid")
+      .localCheckpoint()
+    // the empirical side: one real probe per dial; the 16 probe outputs
+    // union BEFORE the exact-join and hit-count aggregate, so those run
+    // once over the combined (dial, qid, nid) stream instead of once per
+    // dial — a dial can drop out here when its probe finds zero true
+    // neighbours, which the left join below restores as m_hits = 0
+    val measured = (1 to builtCells).map { p =>
+      idx.topK(qf, k, nprobe = p)
+        .select(lit(p).as("nprobe"), col("qid"), col("nid"))
+    }.reduce(_ unionByName _)
+      .join(exact, Seq("qid", "nid"))
+      .groupBy("nprobe").agg(count(lit(1)).as("m_hits"))
+    val full = broadcast(sweep.filter(col("nprobe") === builtCells)
+      .select(col("n_hits").as("full_hits"), col("n_exact").as("full_exact")))
+    val prev = sweep.select((col("nprobe") + 1).as("nprobe"),
+      col("n_hits").as("prev_hits"), col("mean_scanned").as("prev_scanned"))
+    sweep
+      .join(broadcast(measured), Seq("nprobe"), "left")
+      .join(prev, Seq("nprobe"), "left")
+      .crossJoin(full)
+      .select(col("nprobe"),
+        (col("n_hits") === coalesce(col("m_hits"), lit(0L)))
+          .as("sweep_matches_probe"),
+        coalesce(col("n_hits") >= col("prev_hits"), lit(true))
+          .as("recall_monotone"),
+        coalesce(col("mean_scanned") >= col("prev_scanned"), lit(true))
+          .as("scan_monotone"),
+        (col("full_hits") === col("full_exact")).as("full_dial_recall_one"))
+      .orderBy("nprobe")
+  }
+
+  /** Raw IVF dial-sweep curve (bench + golden entry; the s18 contract
+    * row is the oracle-checkable verdict form above). */
+  def s18RawDialSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val idx = Similarity.buildIvfIndex(emb, nlist = 16)
+    idx.dialSweep(emb, col("vec_id") < 50, k = 5,
+      maxNprobe = idx.centroids.count().toInt)
+  }
+
+  /** IVF drift-report contract row
+    * ([[graft.similarity.Similarity.IvfIndex.driftReport]]): the
+    * occupancy facts the oracle can recompute (cell count is the built
+    * nlist, vector count is the corpus), plus the structural claims that
+    * hold on any corpus — occupancy conserves the corpus exactly, the
+    * hottest cell is at least average (integer arithmetic, no rounding
+    * in the claim), quantization error is non-negative, and the
+    * empty-cell count stays inside [0, n_cells]. */
+  def s19IvfDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val idx = Similarity.buildIvfIndex(emb, nlist = 16)
+    val corpus = broadcast(emb.agg(count(lit(1)).as("__corpus")))
+    idx.driftReport()
+      .crossJoin(corpus)
+      .select(col("n_cells"), col("n_vectors"),
+        (col("n_vectors") === col("__corpus")).as("count_matches_corpus"),
+        (col("max_cell_n") * col("n_cells") >= col("n_vectors"))
+          .as("skew_ge_one"),
+        (col("mean_sq_dist") >= 0.0).as("msd_nonneg"),
+        (col("empty_cells") >= 0L && col("empty_cells") <= col("n_cells"))
+          .as("empty_in_range"))
+  }
+
+  /** PQ rerank-sweep contract row, VERDICT form (the
+    * [[s18IvfDialSweep]] discipline applied to the PQ axis): the
+    * one-pass curve's hit counts are re-measured by REAL
+    * `pqProbe(rerank = s)` runs at every ladder step, recall must be
+    * monotone in the shortlist size (nested shortlists), and the
+    * whole-corpus step must recall everything (s07a's refine ≡ brute).
+    * All claims deterministically TRUE on any regenerated corpus. */
+  def s20PqRerankSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val qf = col("vec_id") < 50
+    val k = 5
+    // Int.MaxValue = the whole-corpus step (pqProbe's s07a dial): its
+    // recall is exactly 1 by construction, anchoring the curve's top
+    val ladder = Seq(5, 10, 20, 80, 320, Int.MaxValue)
+    val idx = Similarity.buildPqIndex(emb)
+    val sweep = Similarity.pqRerankSweep(idx, emb, qf, k, ladder)
+      .localCheckpoint()
+    val exact = Similarity.bruteForceTopK(emb, qf, k).select("qid", "nid")
+      .localCheckpoint()
+    val measured = ladder.map { s =>
+      Similarity.pqProbe(idx, emb, qf, topK = k, rerank = s)
+        .select(lit(s).as("rerank"), col("qid"), col("nid"))
+    }.reduce(_ unionByName _)
+      .join(exact, Seq("qid", "nid"))
+      .groupBy("rerank").agg(count(lit(1)).as("m_hits"))
+    val full = broadcast(sweep.filter(col("rerank") === Int.MaxValue)
+      .select(col("n_hits").as("full_hits"), col("n_exact").as("full_exact")))
+    import spark.implicits._
+    val stepsDf = broadcast(ladder.zipWithIndex.toDF("rerank", "step"))
+    val sw = sweep.join(stepsDf, "rerank")
+    val prev = sw.select((col("step") + 1).as("step"),
+      col("n_hits").as("prev_hits"))
+    sw.join(broadcast(measured), Seq("rerank"), "left")
+      .join(prev, Seq("step"), "left")
+      .crossJoin(full)
+      .select(col("rerank"),
+        (col("n_hits") === coalesce(col("m_hits"), lit(0L)))
+          .as("sweep_matches_probe"),
+        coalesce(col("n_hits") >= col("prev_hits"), lit(true))
+          .as("recall_monotone"),
+        (col("full_hits") === col("full_exact")).as("full_rerank_recall_one"))
+      .orderBy("rerank")
+  }
+
+  /** Raw PQ rerank-sweep curve (bench + golden entry; the s20 contract
+    * row is the oracle-checkable verdict form above). */
+  def s20RawRerankSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    Similarity.pqRerankSweep(Similarity.buildPqIndex(emb), emb,
+      col("vec_id") < 50, k = 5,
+      ladder = Seq(5, 10, 20, 80, 320, Int.MaxValue))
+  }
+
   /** Per-document duplicated-3-gram span coverage (see
     * [[graft.dedup.Dedup.dupSpanCoverage]]); rides the session's cached
     * corpus shingle table so the sweep shares d02's one explode pass. */

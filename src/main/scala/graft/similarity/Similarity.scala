@@ -556,7 +556,7 @@ object Similarity {
             - lit(2.0) * dot(col("qv"), col("centroid")))
         .withColumn("cr", row_number().over(wCells))
         .filter(col("cr") <= nprobe)
-        .select(col("qid"), col("qv"), col("qn"), col("cell"))
+        .select(col("qid"), col("qv"), col("qn"), col("cell"), col("cr"))
     }
 
     /** Per query, how many NON-query vectors its `nprobe` probed cells
@@ -592,6 +592,90 @@ object Similarity {
         .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
     }
 
+    /** One-pass recall/cost curve over every probe dial `1..maxNprobe` —
+      * the tuner that picks `nprobe` for a recall SLA (the ANN analog of
+      * the t46 threshold sweep). Per dial: Recall@k of [[topK]] against
+      * exact cosine retrieval, plus the mean candidate count the probe
+      * scans — the two axes of the IVF trade-off.
+      *
+      * The whole curve costs ONE exact pass + ONE cell-ranking, not
+      * `maxNprobe` probe runs, via an exact identity: a true top-k
+      * neighbour `nb` of query `q` is returned by `topK(q, k, p)` iff
+      * `nb`'s cell ranks ≤ p among `q`'s nearest cells. (⇐: every probed
+      * candidate ranked above `nb` under the shared (cos DESC, nid ASC)
+      * total order is also above it GLOBALLY — [[bruteForceTopK]] and
+      * [[topK]] compute the identical cosine expression — and `nb` being
+      * global top-k means fewer than k such candidates exist, so `nb`
+      * survives the candidate-set window. ⇒: an unprobed cell's vectors
+      * are never candidates.) So the needed dial per true neighbour is
+      * just its cell's rank, and every dial's recall is a conditional
+      * count over one tiny (q·k)-row frame. DialSweepSpec re-derives the
+      * curve by brute-running the probe at every dial and asserts
+      * equality; the s18 contract row does the same per dial at sf scale.
+      *
+      * Scale shape: the exact side is [[bruteForceTopK]] (broadcast
+      * queries, corpus never shuffles); cell ranks ride the probe's own
+      * [[probedCells]] routing (queries × nlist, broadcast); cell sizes
+      * are one `nlist`-row aggregate. Everything after the two corpus
+      * passes is query-sample-sized. `mean_scanned` counts NON-SELF
+      * candidates (the probe self-excludes, so the query's own row is
+      * subtracted — gated on whether its cell actually ranks within the
+      * dial); `scan_frac` normalizes by the corpus's other `N−1`
+      * vectors. */
+    def dialSweep(emb: DataFrame, queryFilter: Column, k: Int,
+        maxNprobe: Int): DataFrame = {
+      require(maxNprobe >= 1, s"dialSweep needs maxNprobe >= 1 (got $maxNprobe)")
+      val dials = broadcast(emb.sparkSession.range(1L, maxNprobe + 1L)
+        .select(col("id").cast("int").as("nprobe")))
+      val ranked = probedCells(queryFilter, maxNprobe)
+        .select(col("qid"), col("cell"), col("cr"))
+      // needed dial per (query, true-neighbour): the neighbour cell's
+      // rank; null ⇒ the cell sits beyond maxNprobe and the pair is a
+      // miss at every swept dial
+      val needed = Similarity.bruteForceTopK(emb, queryFilter, k)
+        .select("qid", "nid")
+        .join(assigned.select(col("vec_id").as("nid"), col("cell")), "nid")
+        .join(ranked, Seq("qid", "cell"), "left")
+        .select(col("qid"), col("cr"))
+      val hits = needed.crossJoin(dials)
+        .groupBy("nprobe")
+        .agg(sum(when(col("cr") <= col("nprobe"), 1L).otherwise(0L)).as("n_hits"),
+          count(lit(1)).as("n_exact"))
+      val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+      // exact candidate count per (query, dial): Σ probed-cell sizes,
+      // minus the query's OWN row iff its cell is among the probed ones
+      // (cr of the own cell is 1 in practice — it is the argmin — but the
+      // subtraction is gated on the computed rank, not that assumption)
+      val selfCr = assigned.filter(queryFilter)
+        .select(col("vec_id").as("qid"), col("cell"))
+        .join(ranked, Seq("qid", "cell"), "left")
+        .select(col("qid"), coalesce(col("cr"), lit(Int.MaxValue)).as("self_cr"))
+      val scanned = ranked
+        .join(broadcast(sizes), "cell")
+        .crossJoin(dials)
+        .filter(col("cr") <= col("nprobe"))
+        .groupBy("nprobe", "qid").agg(sum(col("cell_n")).as("q_scanned"))
+        .join(broadcast(selfCr), "qid")
+        .select(col("nprobe"), (col("q_scanned") -
+          when(col("self_cr") <= col("nprobe"), 1L).otherwise(0L)).as("q_scanned"))
+        .groupBy("nprobe")
+        .agg(sum(col("q_scanned")).as("tot_scanned"))
+      val totals = broadcast(
+        assigned.agg(count(lit(1)).as("n_corpus"))
+          .crossJoin(assigned.filter(queryFilter)
+            .agg(count(lit(1)).as("n_queries"))))
+      hits.join(scanned, "nprobe")
+        .crossJoin(totals)
+        .select(col("nprobe"), col("n_queries"), col("n_hits"), col("n_exact"),
+          round(col("n_hits").cast("double") / col("n_exact"), 4)
+            .as("recall_at_k"),
+          round(col("tot_scanned").cast("double") / col("n_queries"), 2)
+            .as("mean_scanned"),
+          round(col("tot_scanned").cast("double")
+            / (col("n_queries") * (col("n_corpus") - 1L)), 4).as("scan_frac"))
+        .orderBy("nprobe")
+    }
+
     /** Incremental index maintenance: assign a NEW vector batch to the
       * EXISTING centroids and return an index over the union — the
       * daily-ingest path (the d11 incremental-dedup / q56 IVM shape
@@ -611,9 +695,76 @@ object Similarity {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         centroids)
 
+    /** Index-health summary — the measurement behind the "retrain when
+      * recall decays" discipline [[addBatch]] and the streamed ingests
+      * document but could not previously observe: between rebuilds the
+      * centroids are FROZEN while the data drifts, and this one-row
+      * report is what an operator trends per ingest batch to decide when
+      * the rebuild is due, instead of waiting for a probe-recall
+      * regression in production.
+      *
+      *   - `n_cells` / `n_vectors` / `empty_cells` — occupancy; empty
+      *     cells mean the quantizer no longer spans the data.
+      *   - `max_cell_n` / `cell_skew` (max/mean) — probe-cost balance: a
+      *     hot cell makes every probe that routes to it scan a
+      *     corpus-sized posting list (the q54 key-skew failure mode in
+      *     index form). Freshly trained KMeans sits near 1–3; growth
+      *     concentrating in one cell drives it up.
+      *   - `mean_sq_dist` — quantization error (mean squared euclidean
+      *     distance to the assigned centroid, the KMeans objective per
+      *     vector). Rising against the build-time reading = drift.
+      *
+      * One corpus pass (broadcast centroid join, the [[topK]] d2
+      * expression), one nlist-row aggregate — trivially cheap next to
+      * the ingest that triggers it. */
+    def driftReport(): DataFrame = {
+      val d2 = assigned
+        .join(broadcast(centroids), "cell")
+        .select(col("cell"),
+          (dot(col("embedding"), col("embedding"))
+            + dot(col("centroid"), col("centroid"))
+            - lit(2.0) * dot(col("embedding"), col("centroid"))).as("d2"))
+      val perCell = d2.groupBy("cell")
+        .agg(count(lit(1)).as("cell_n"), sum(col("d2")).as("sq"))
+      // LEFT from centroids so cells the corpus abandoned still count
+      val occ = centroids.select("cell")
+        .join(perCell, Seq("cell"), "left")
+      occ.agg(
+          count(lit(1)).as("n_cells"),
+          coalesce(sum(col("cell_n")), lit(0L)).as("n_vectors"),
+          sum(when(col("cell_n").isNull, 1L).otherwise(0L)).as("empty_cells"),
+          coalesce(max(col("cell_n")), lit(0L)).as("max_cell_n"),
+          coalesce(sum(col("sq")), lit(0.0)).as("__sq"))
+        .select(col("n_cells"), col("n_vectors"), col("empty_cells"),
+          col("max_cell_n"),
+          round(col("max_cell_n") * col("n_cells")
+            / greatest(col("n_vectors").cast("double"), lit(1.0)), 2)
+            .as("cell_skew"),
+          round(col("__sq")
+            / greatest(col("n_vectors").cast("double"), lit(1.0)), 6)
+            .as("mean_sq_dist"))
+    }
+
     /** Drop the cached assignment (the index is unusable afterwards). */
     def release(): Unit = { assigned.unpersist(); () }
   }
+
+  /** The production read of a [[IvfIndex.dialSweep]] curve: the SMALLEST
+    * dial whose measured Recall@k meets `minRecall`, with its recall and
+    * scan cost — one row. A NULL `nprobe` is the honest "unattainable"
+    * answer (no swept dial reaches the SLA): the actionable response is
+    * raising `maxNprobe`/nlist or relaxing the target, and a loud null
+    * beats silently returning the best-effort dial as if it complied.
+    * Pure curve post-processing — reads the nlist-row sweep frame, never
+    * the corpus. */
+  def cheapestDialFor(sweep: DataFrame, minRecall: Double): DataFrame =
+    sweep.filter(col("recall_at_k") >= minRecall)
+      .agg(min(struct(col("nprobe"), col("recall_at_k"),
+        col("mean_scanned"), col("scan_frac"))).as("pick"))
+      .select(col("pick.nprobe").as("nprobe"),
+        col("pick.recall_at_k").as("recall_at_k"),
+        col("pick.mean_scanned").as("mean_scanned"),
+        col("pick.scan_frac").as("scan_frac"))
 
   /** Assign a vector batch to the nearest of the given centroids — the
     * [[IvfIndex.addBatch]] kernel, shared with the streaming
@@ -942,40 +1093,8 @@ object Similarity {
     // both geometry parameters come from the INDEX — a caller-supplied m
     // that disagreed with the codebooks would silently score a truncated
     // ADC distance (review finding, round 7)
-    val m = idx.codebooks.length
-    val dsub = idx.codebooks(0)(0).length
-      // ADC tables are built IN-PLAN: the codebooks (m·k·dsub floats — a
-      // few KB of driver state bounded by the INDEX, never by the corpus
-      // or the query count) enter as one complex literal, and each query
-      // row derives its own m×k table qtab[i][c] = dot(query subvector i,
-      // centroid c) with native fold expressions — float operands widened
-      // to double and accumulated in index order, the same arithmetic the
-      // old driver loop ran. Nothing query-sized is ever collected, so a
-      // 10 M-row queryFilter stays distributed end to end (the r6 audit's
-      // silent-driver-OOM hole). Each query's table still rides the
-      // broadcast frame as DATA, not as one literal expression: a
-      // typedlit of ALL tables would grow the generated code
-      // O(|queries|·m·k), while the per-row column keeps codegen
-      // constant-size and the broadcast a few KB per query.
-      val cb = typedlit(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-      val qdf = guardedQueries(emb.filter(queryFilter)
-        .select(col("vec_id").as("qid"),
-          transform(sequence(lit(1), lit(m)), i =>
-            transform(element_at(cb, i), cent =>
-              aggregate(sequence(lit(1), lit(dsub)), lit(0.0d), (acc, d) =>
-                acc + element_at(col("embedding"), (i - lit(1)) * dsub + d)
-                  .cast("double") * element_at(cent, d).cast("double"))))
-            .as("qtab")),
-        "pqProbe")
-      val scored = idx.codes.crossJoin(broadcast(qdf))
-        .filter(col("qid") =!= col("vec_id"))
-        .withColumn("approx_dot",
-          aggregate(sequence(lit(1), lit(m)), lit(0.0d), (acc, i) =>
-            acc + element_at(
-              element_at(col("qtab"), i),
-              element_at(col("code"), i) + 1)))
-      val w = Window.partitionBy("qid")
-        .orderBy(desc("approx_dot"), asc("vec_id"))
+    val scored = adcScored(idx, emb, queryFilter, "pqProbe")
+      val w = adcOrder
       if (rerank <= 0)
         scored.withColumn("rank", row_number().over(w).cast("int"))
           .filter(col("rank") <= topK)
@@ -1003,6 +1122,112 @@ object Similarity {
     // no release here: the result is LAZY and still references the codes
     // frame — releasing before the caller's action would throw the cache
     // away unused; the shared registry reclaims it at workload boundaries
+  }
+
+  /** The one ADC ranking order — (approx_dot DESC, vec_id ASC) — shared
+    * by [[pqProbe]]'s shortlist window and [[pqRerankSweep]]'s rank
+    * derivation, so the sweep provably ranks the SAME order the probe
+    * cuts its shortlist from. */
+  private def adcOrder =
+    Window.partitionBy("qid").orderBy(desc("approx_dot"), asc("vec_id"))
+
+  /** The ADC-scored candidate stream (qid, vec_id, approx_dot), self
+    * excluded — [[pqProbe]]'s scoring stage extracted so
+    * [[pqRerankSweep]] ranks the same scores the probe ranks.
+    *
+    * ADC tables are built IN-PLAN: the codebooks (m·k·dsub floats — a
+    * few KB of driver state bounded by the INDEX, never by the corpus
+    * or the query count) enter as one complex literal, and each query
+    * row derives its own m×k table qtab[i][c] = dot(query subvector i,
+    * centroid c) with native fold expressions — float operands widened
+    * to double and accumulated in index order, the same arithmetic the
+    * old driver loop ran. Nothing query-sized is ever collected, so a
+    * 10 M-row queryFilter stays distributed end to end (the r6 audit's
+    * silent-driver-OOM hole). Each query's table still rides the
+    * broadcast frame as DATA, not as one literal expression: a typedlit
+    * of ALL tables would grow the generated code O(|queries|·m·k), while
+    * the per-row column keeps codegen constant-size and the broadcast a
+    * few KB per query. Geometry comes from the INDEX — a caller-supplied
+    * m that disagreed with the codebooks would silently score a
+    * truncated ADC distance (review finding, round 7). */
+  private def adcScored(idx: PqIndex, emb: DataFrame, queryFilter: Column,
+      caller: String): DataFrame = {
+    val m = idx.codebooks.length
+    val dsub = idx.codebooks(0)(0).length
+    val cb = typedlit(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val qdf = guardedQueries(emb.filter(queryFilter)
+      .select(col("vec_id").as("qid"),
+        transform(sequence(lit(1), lit(m)), i =>
+          transform(element_at(cb, i), cent =>
+            aggregate(sequence(lit(1), lit(dsub)), lit(0.0d), (acc, d) =>
+              acc + element_at(col("embedding"), (i - lit(1)) * dsub + d)
+                .cast("double") * element_at(cent, d).cast("double"))))
+          .as("qtab")),
+      caller)
+    idx.codes.crossJoin(broadcast(qdf))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("approx_dot",
+        aggregate(sequence(lit(1), lit(m)), lit(0.0d), (acc, i) =>
+          acc + element_at(
+            element_at(col("qtab"), i),
+            element_at(col("code"), i) + 1)))
+  }
+
+  /** One-pass recall/cost curve over PQ rerank-shortlist sizes — the PQ
+    * twin of [[IvfIndex.dialSweep]]: per `ladder` step s, Recall@k of
+    * `pqProbe(…, rerank = s)` against exact cosine retrieval, plus the
+    * exact-rescore row count the refine stage pays per query.
+    *
+    * Same exact-identity shape as the IVF sweep: a true top-k neighbour
+    * `nb` is returned by the rerank probe at shortlist size s iff its
+    * ADC rank ≤ s. (⇐: the refine stage ranks the shortlist by the same
+    * (cos DESC, nid ASC) total order as [[bruteForceTopK]] — the s07a
+    * contract pins refine ≡ brute at full rerank — and every shortlist
+    * candidate ranked above `nb` is also above it globally, of which
+    * fewer than k exist. ⇒: a candidate outside the ADC shortlist never
+    * reaches the refine stage.) So the needed shortlist size per true
+    * neighbour is just its rank in the ONE ADC ordering the probe
+    * itself cuts from ([[adcOrder]] over [[adcScored]]), and the whole
+    * curve costs one ADC pass + one exact pass instead of one probe run
+    * per ladder step. RerankSweepSpec re-derives every step with real
+    * probe runs; the s20 contract row does the same at sf scale.
+    *
+    * Scale shape: the ADC pass is the probe's own (broadcast per-query
+    * tables, codes never shuffled more than the probe already does);
+    * the exact side is [[bruteForceTopK]]; everything downstream of the
+    * two windows is query-sample-sized. `rerank_rows` = min(s, N−1) is
+    * the refine stage's per-query exact-rescore row count — the cost
+    * axis the ladder trades against recall. */
+  def pqRerankSweep(idx: PqIndex, emb: DataFrame, queryFilter: Column,
+      k: Int, ladder: Seq[Int]): DataFrame = {
+    require(ladder.nonEmpty && ladder.forall(_ >= 1) &&
+      ladder == ladder.distinct.sorted,
+      s"ladder must be distinct ascending positive sizes (got $ladder)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val steps = broadcast(ladder.toDF("rerank"))
+    val aranks = adcScored(idx, emb, queryFilter, "pqRerankSweep")
+      .withColumn("arank", row_number().over(adcOrder))
+      .select(col("qid"), col("vec_id").as("nid"), col("arank"))
+    val exactPairs = bruteForceTopK(emb, queryFilter, k).select("qid", "nid")
+    // every true pair HAS an ADC rank (the scan covers all non-self
+    // candidates), so the inner join loses nothing
+    val needed = aranks.join(broadcast(exactPairs), Seq("qid", "nid"))
+      .select(col("qid"), col("arank"))
+    val hits = needed.crossJoin(steps)
+      .groupBy("rerank")
+      .agg(sum(when(col("arank") <= col("rerank"), 1L).otherwise(0L)).as("n_hits"),
+        count(lit(1)).as("n_exact"))
+    val totals = broadcast(
+      emb.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(emb.filter(queryFilter).agg(count(lit(1)).as("n_queries"))))
+    hits.crossJoin(totals)
+      .select(col("rerank"), col("n_queries"), col("n_hits"), col("n_exact"),
+        round(col("n_hits").cast("double") / col("n_exact"), 4)
+          .as("recall_at_k"),
+        least(col("rerank").cast("long"), col("n_corpus") - 1L)
+          .as("rerank_rows"))
+      .orderBy("rerank")
   }
 
   /** IVF-PQ composite probe — the production ANN topology (FAISS's

@@ -1,0 +1,82 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[Similarity.pqRerankSweep]] — the PQ twin of the IVF dial sweep. As
+  * with DialSweepSpec, the identity the operator rests on (a true top-k
+  * neighbour survives at shortlist size s iff its ADC rank ≤ s) is
+  * re-derived the expensive way: one real `pqProbe(rerank = s)` run per
+  * ladder step, intersected with brute force, asserted equal. */
+class RerankSweepSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read
+    .parquet(sf("sf0.001") + "/embeddings.parquet")
+
+  private lazy val pq = Similarity.buildPqIndex(emb)
+
+  private val qf = col("vec_id") < 10
+  private val k = 5
+  private val ladder = Seq(1, 3, 5, 10, 40, Int.MaxValue)
+
+  private lazy val sweep =
+    Similarity.pqRerankSweep(pq, emb, qf, k, ladder)
+      .collect().sortBy(_.getAs[Int]("rerank"))
+
+  test("identity-derived hit counts equal a real rerank probe at EVERY ladder step") {
+    val exact = Similarity.bruteForceTopK(emb, qf, k)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ladder.zipWithIndex.foreach { case (s, i) =>
+      val probed = Similarity.pqProbe(pq, emb, qf, topK = k, rerank = s)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val measured = probed.count(exact)
+      val row = sweep(i)
+      assert(row.getAs[Int]("rerank") == s)
+      assert(row.getAs[Long]("n_hits") == measured.toLong,
+        s"step $s: sweep says ${row.getAs[Long]("n_hits")}, probe measured $measured")
+      assert(row.getAs[Long]("n_exact") == exact.size.toLong)
+    }
+  }
+
+  test("curve shape: monotone recall, exact at the whole-corpus step, honest costs") {
+    sweep.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_hits") >= a.getAs[Long]("n_hits"))
+      assert(b.getAs[Long]("rerank_rows") >= a.getAs[Long]("rerank_rows"))
+    }
+    val last = sweep.last
+    assert(last.getAs[Long]("n_hits") == last.getAs[Long]("n_exact"),
+      "the whole-corpus rerank must recall every true neighbour")
+    assert(last.getAs[Double]("recall_at_k") == 1.0)
+    assert(last.getAs[Long]("rerank_rows") == emb.count() - 1)
+    sweep.foreach { r =>
+      assert(r.getAs[Long]("rerank_rows")
+        == math.min(r.getAs[Int]("rerank").toLong, emb.count() - 1))
+    }
+  }
+
+  test("s20 contract row: every claim true, one row per ladder step") {
+    val rows = graft.operators.TrainingData
+      .s20PqRerankSweep(spark, sf("sf0.001")).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("sweep_matches_probe"))
+      assert(r.getAs[Boolean]("recall_monotone"))
+      assert(r.getAs[Boolean]("full_rerank_recall_one"))
+    }
+  }
+
+  test("pqRerankSweep refuses an unsorted or non-positive ladder") {
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqRerankSweep(pq, emb, qf, k, Seq(10, 5))
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqRerankSweep(pq, emb, qf, k, Seq(0, 5))
+    }
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqRerankSweep(pq, emb, qf, k, Nil)
+    }
+  }
+}
