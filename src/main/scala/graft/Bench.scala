@@ -229,9 +229,16 @@ object Bench {
     // regression. Any entry whose single shot exceeded 10 s (normal
     // suites have none — r8's max was 7 s) gets ONE re-run and the JSON
     // records the MINIMUM. The re-run executes WITHOUT its family's
-    // shared caches, so it can only beat the first shot for
-    // environmental reasons — min() never manufactures a time the
-    // operator didn't actually achieve, and both samples go to stderr.
+    // shared caches — enforced by the release below, which also covers
+    // the alphabetically-LAST family (no boundary ever released it, so
+    // without this a final-family outlier would re-run against its own
+    // still-warm caches and min() would record a warmed time) — so it
+    // can only beat the first shot for environmental reasons: min()
+    // never manufactures a time the operator didn't actually achieve,
+    // and both samples go to stderr.
+    Caches.releaseAll(blocking = true)
+    graft.operators.Prefix.releaseAll(blocking = true)
+    System.gc()
     results.filter { case (k, v) => v > 10.0 && suite.contains(k) }
       .keys.toSeq.sorted.foreach { name =>
         val t0 = System.nanoTime()
@@ -258,6 +265,12 @@ object Bench {
     }
     {
       import graft.similarity.Similarity
+      // same boundary hygiene as the family loop: the re-sample pass
+      // above re-runs heavy entries whose caches and garbage would
+      // otherwise bleed into the held-index timings below
+      Caches.releaseAll(blocking = true)
+      graft.operators.Prefix.releaseAll(blocking = true)
+      System.gc()
       val emb = Tables(spark, sfDir, "embeddings")
       var ivf: Similarity.IvfIndex = null
       timed("s04_ivf_build") {
@@ -273,10 +286,16 @@ object Bench {
         pq = Similarity.buildPqIndex(emb)
         pq.codes.write.mode("overwrite").format("noop").save()
       }
-      if (pq != null)
+      if (pq != null) {
         timed("s07_pq_probe")(
           materialize(Similarity.pqProbe(pq, emb, col("vec_id") < 5, 5)))
-      Caches.releaseAll()
+        pq.release()
+      }
+      // blocking for the same reason as every other boundary: the ETL
+      // and ingest timings below must not absorb this block's cleanup
+      Caches.releaseAll(blocking = true)
+      graft.operators.Prefix.releaseAll(blocking = true)
+      System.gc()
     }
 
     // ---- end-to-end ETL throughput + streaming-ingest drain: the

@@ -16,10 +16,14 @@ object Caches {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   // modules with their own cache registries (keyed differently than this
-  // one) register a release hook so releaseAll() really releases ALL
+  // one) register a release hook so releaseAll() really releases ALL;
+  // the hook receives the blocking flag so a blocking boundary really
+  // is blocking for hook-managed caches too (r9 review: the d-family's
+  // manifest caches were still dropping fire-and-forget across a
+  // "blocking" bench boundary, re-opening the bleed the flag closes)
   private val hooks =
-    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
-  def onReleaseAll(hook: () => Unit): Unit = { hooks.add(hook); () }
+    new java.util.concurrent.CopyOnWriteArrayList[Boolean => Unit]()
+  def onReleaseAll(hook: Boolean => Unit): Unit = { hooks.add(hook); () }
 
   /** Unpersist every registered frame and clear the registry — workload-
     * boundary hygiene for long-running sessions (a bench suite, a notebook
@@ -38,7 +42,7 @@ object Caches {
     val it = last.entrySet().iterator()
     while (it.hasNext) { it.next().getValue.unpersist(blocking); it.remove() }
     families.clear()
-    hooks.forEach(h => h())
+    hooks.forEach(h => h(blocking))
   }
 
   // insertion-ordered variant keys per family, for the bounded form

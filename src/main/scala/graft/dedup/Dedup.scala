@@ -694,8 +694,8 @@ object Dedup {
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
     (Double, String, String),
     List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]()
-  graft.Caches.onReleaseAll { () =>
-    manifestCache.values.forEach(_.foreach(_._2.unpersist(false)))
+  graft.Caches.onReleaseAll { blocking =>
+    manifestCache.values.forEach(_.foreach(_._2.unpersist(blocking)))
     manifestCache.clear()
   }
   private def cachedManifest(docs: DataFrame, threshold: Double,

@@ -3,7 +3,6 @@ package graft.similarity
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Persistence for the ANN indexes ([[Similarity.IvfIndex]],
   * [[Similarity.PqIndex]]) — the piece that lets a production user
@@ -71,7 +70,12 @@ object IndexStore {
     val centroids = spark.read.parquet(s"$path/centroids")
     requireColumns(centroids, Seq("cell", "centroid"), s"$path/centroids")
     Similarity.IvfIndex(
-      assigned.persist(StorageLevel.MEMORY_AND_DISK), centroids)
+      // registry-managed (plan-keyed) like buildIvfIndex's assignment,
+      // so a workload-boundary releaseAll reclaims abandoned loads
+      graft.Caches.persistReplacing(
+        s"ivf_assigned_${assigned.queryExecution.analyzed.semanticHash()}",
+        assigned),
+      centroids)
   }
 
   /** Save a built PQ index. The driver-held codebooks unroll to the
@@ -126,7 +130,8 @@ object IndexStore {
       spark.read.parquet(s"$path/codes"), "vec_id")
     requireColumns(codes, Seq("vec_id", "code"), s"$path/codes")
     Similarity.PqIndex(
-      codes.persist(StorageLevel.MEMORY_AND_DISK),
+      graft.Caches.persistReplacing(
+        s"pq_codes_${codes.queryExecution.analyzed.semanticHash()}", codes),
       readCodebooks(spark, path))
   }
 

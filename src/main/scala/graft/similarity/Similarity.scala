@@ -666,6 +666,20 @@ object Similarity {
             .agg(count(lit(1)).as("n_queries"))))
       hits.join(scanned, "nprobe")
         .crossJoin(totals)
+        // corpora-match guard (r9 review): a true neighbour missing from
+        // `assigned` (emb grown past the index, or the wrong corpus
+        // passed) would vanish through the nid join and SHRINK both
+        // n_hits and n_exact — recall would read high over a silently
+        // smaller denominator. With matching corpora every query emits
+        // exactly min(k, N−1) exact pairs, all of which survive the
+        // join, so any divergence breaks this identity and the claim
+        // detonates lazily (the stratifiedTopK refusal discipline)
+        .filter(assert_true(
+          col("n_exact") ===
+            col("n_queries") * least(lit(k.toLong), col("n_corpus") - 1L),
+          lit("IvfIndex.dialSweep: emb and the index hold different " +
+            "corpora — a true neighbour or query is missing from the " +
+            "assigned table; sweep the index's own corpus or rebuild")).isNull)
         .select(col("nprobe"), col("n_queries"), col("n_hits"), col("n_exact"),
           round(col("n_hits").cast("double") / col("n_exact"), 4)
             .as("recall_at_k"),
@@ -689,11 +703,17 @@ object Similarity {
       * from scratch — this method is the cheap path between rebuilds.
       * The previous index's cache is left to the caller to release
       * after the swap (the VersionedFactSink pointer-swap discipline). */
-    def addBatch(batch: DataFrame): IvfIndex =
+    def addBatch(batch: DataFrame): IvfIndex = {
+      val grown = assigned.unionByName(
+        Similarity.assignToCells(batch, centroids))
       IvfIndex(
-        assigned.unionByName(Similarity.assignToCells(batch, centroids))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        // same registry discipline as buildIvfIndex: plan-keyed, so the
+        // seed index and every grown generation coexist until released
+        graft.Caches.persistReplacing(
+          s"ivf_assigned_${grown.queryExecution.analyzed.semanticHash()}",
+          grown),
         centroids)
+    }
 
     /** Index-health summary — the measurement behind the "retrain when
       * recall decays" discipline [[addBatch]] and the streamed ingests
@@ -766,6 +786,19 @@ object Similarity {
         col("pick.mean_scanned").as("mean_scanned"),
         col("pick.scan_frac").as("scan_frac"))
 
+  /** [[cheapestDialFor]]'s twin for a [[pqRerankSweep]] curve: the
+    * smallest rerank-shortlist size meeting the Recall@k SLA, with its
+    * recall and per-query exact-rescore row count; NULL `rerank` when no
+    * swept size attains the target (grow the ladder or relax the SLA —
+    * never silently under-deliver). */
+  def cheapestRerankFor(sweep: DataFrame, minRecall: Double): DataFrame =
+    sweep.filter(col("recall_at_k") >= minRecall)
+      .agg(min(struct(col("rerank"), col("recall_at_k"),
+        col("rerank_rows"))).as("pick"))
+      .select(col("pick.rerank").as("rerank"),
+        col("pick.recall_at_k").as("recall_at_k"),
+        col("pick.rerank_rows").as("rerank_rows"))
+
   /** Assign a vector batch to the nearest of the given centroids — the
     * [[IvfIndex.addBatch]] kernel, shared with the streaming
     * [[graft.streaming.VectorIngest]] path so batch and streaming
@@ -825,9 +858,16 @@ object Similarity {
     val k = math.min(nlist.toLong, corpusRows).toInt
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").fit(train)
-    val assigned = model.transform(featured)
+    // registered in the shared cache registry (plan-keyed, so
+    // concurrently-held indexes never clobber each other) instead of a
+    // bare persist: contract entries build indexes they don't release,
+    // and the registry is what lets a workload-boundary releaseAll
+    // reclaim those abandoned assignment caches (r9 review)
+    val assignedPlan = model.transform(featured)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = graft.Caches.persistReplacing(
+      s"ivf_assigned_${assignedPlan.queryExecution.analyzed.semanticHash()}",
+      assignedPlan)
 
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
@@ -1222,6 +1262,17 @@ object Similarity {
       emb.agg(count(lit(1)).as("n_corpus"))
         .crossJoin(emb.filter(queryFilter).agg(count(lit(1)).as("n_queries"))))
     hits.crossJoin(totals)
+      // corpora-match guard, the dialSweep discipline: a true neighbour
+      // absent from `codes` would vanish through the arank join and
+      // inflate recall over a shrunken denominator — with matching
+      // corpora every query emits exactly min(k, N−1) exact pairs and
+      // all survive, so any divergence detonates this lazy claim
+      .filter(assert_true(
+        col("n_exact") ===
+          col("n_queries") * least(lit(k.toLong), col("n_corpus") - 1L),
+        lit("pqRerankSweep: emb and the index hold different corpora — " +
+          "a true neighbour is missing from the codes table; sweep the " +
+          "index's own corpus or re-encode")).isNull)
       .select(col("rerank"), col("n_queries"), col("n_hits"), col("n_exact"),
         round(col("n_hits").cast("double") / col("n_exact"), 4)
           .as("recall_at_k"),

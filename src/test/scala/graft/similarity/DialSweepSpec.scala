@@ -88,4 +88,19 @@ class DialSweepSpec extends SparkTestBase {
       ivf.dialSweep(emb, qf, k, maxNprobe = 0)
     }
   }
+
+  test("dialSweep refuses when emb and the index hold different corpora") {
+    // grow emb past the index with CLONES of the query vectors: each
+    // query's nearest neighbour (cosine 1) is then its own clone, which
+    // the stale index has never assigned — the exact silent-recall-
+    // inflation scenario the lazy corpora guard must detonate on
+    val grownEmb = emb.unionByName(emb.filter(qf)
+      .withColumn("vec_id", col("vec_id") + 100000L))
+    val e = intercept[Exception] {
+      ivf.dialSweep(grownEmb, qf, k, maxNprobe = nlist).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("different corpora")))
+  }
 }

@@ -68,6 +68,38 @@ class RerankSweepSpec extends SparkTestBase {
     }
   }
 
+  test("cheapestRerankFor picks the smallest step meeting the SLA, null when unattainable") {
+    val sweepDf = Similarity.pqRerankSweep(pq, emb, qf, k, ladder)
+      .localCheckpoint()
+    val curve = sweepDf.collect().sortBy(_.getAs[Int]("rerank"))
+    val target = 0.9
+    val want = curve.find(_.getAs[Double]("recall_at_k") >= target)
+    val got = Similarity.cheapestRerankFor(sweepDf, target).collect()(0)
+    want match {
+      case Some(row) =>
+        assert(got.getAs[Int]("rerank") == row.getAs[Int]("rerank"))
+      case None => assert(got.isNullAt(got.fieldIndex("rerank")))
+    }
+    // the whole-corpus step always attains recall 1.0; an impossible
+    // SLA answers with the honest null
+    assert(!Similarity.cheapestRerankFor(sweepDf, 1.0).collect()(0).isNullAt(0))
+    assert(Similarity.cheapestRerankFor(sweepDf, 1.1).collect()(0).isNullAt(0))
+  }
+
+  test("pqRerankSweep refuses when emb and the index hold different corpora") {
+    // the DialSweepSpec construction: clone the query vectors past the
+    // index, so every query's true nearest neighbour is missing from
+    // the codes table and the lazy corpora guard must fire
+    val grownEmb = emb.unionByName(emb.filter(qf)
+      .withColumn("vec_id", col("vec_id") + 100000L))
+    val e = intercept[Exception] {
+      Similarity.pqRerankSweep(pq, grownEmb, qf, k, ladder).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("different corpora")))
+  }
+
   test("pqRerankSweep refuses an unsorted or non-positive ladder") {
     assertThrows[IllegalArgumentException] {
       Similarity.pqRerankSweep(pq, emb, qf, k, Seq(10, 5))
