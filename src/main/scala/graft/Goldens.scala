@@ -32,7 +32,8 @@ object Goldens {
     "d03r_lsh_pairs", "d04r_simhash_pairs", "d06r_winnow_pairs",
     "d10r_manifest_lsh", "s03r_srp_topk", "s04r_ivf_topk",
     "s07r_pq_topk", "s15r_ivfpq_topk", "s16r_mmr_ann",
-    "s13r_hardneg_ann", "s18r_dial_sweep", "s20r_rerank_sweep")
+    "s13r_hardneg_ann", "s18r_dial_sweep", "s20r_rerank_sweep",
+    "s21r_grid_sweep")
 
   /** Contract + bench-only entry points, for golden resolution. */
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -141,6 +141,7 @@ object SparkEntry {
     "s18_ivf_dial_sweep" -> (TrainingData.s18IvfDialSweep _),
     "s19_ivf_drift" -> (TrainingData.s19IvfDriftReport _),
     "s20_pq_rerank_sweep" -> (TrainingData.s20PqRerankSweep _),
+    "s21_grid_sweep" -> (TrainingData.s21GridSweep _),
     "q61_longest_streak" -> (Relational.q61LongestStreak _),
     "d22_dup_span_coverage" -> (TrainingData.d22DupSpanCoverage _),
     "t48_bm25_topk" -> (TrainingData.t48Bm25TopK _),
@@ -212,7 +213,8 @@ object SparkEntry {
     "s16r_mmr_ann" -> (TrainingData.s16RawMmrAnn _),
     "s13r_hardneg_ann" -> (TrainingData.s13RawHardNegAnn _),
     "s18r_dial_sweep" -> (TrainingData.s18RawDialSweep _),
-    "s20r_rerank_sweep" -> (TrainingData.s20RawRerankSweep _))
+    "s20r_rerank_sweep" -> (TrainingData.s20RawRerankSweep _),
+    "s21r_grid_sweep" -> (TrainingData.s21RawGridSweep _))
 
   /** The ONE registry of every runnable entry point — contract queries
     * plus bench-only raw forms. Bench, Time, ScaleReplay, and the golden
@@ -2610,6 +2612,19 @@ object SparkEntry {
         |  TRUE AS sweep_matches_probe, TRUE AS recall_monotone,
         |  TRUE AS full_rerank_recall_one
         |ORDER BY rerank""".stripMargin,
+    // s21: the s18/s20 verdict discipline on the nprobe×rerank GRID —
+    // 4 dials (nlist=4 so the corner dial is the full dial at every
+    // driver SF) × the fixed 4-step ladder, every claim deterministically
+    // TRUE (each cell re-measured by a real ivfPqTopK run, shortlists
+    // nested along the ladder, the ∞ column reproduces dialSweep, and
+    // the (full dial, whole corpus) corner is exact)
+    "s21_grid_sweep" ->
+      """SELECT CAST(p AS INT) AS nprobe, CAST(s AS INT) AS rerank,
+        |  TRUE AS grid_matches_probe, TRUE AS rerank_monotone,
+        |  TRUE AS full_rerank_matches_dial, TRUE AS corner_recall_one
+        |FROM (SELECT unnest(range(1, 5)) AS p),
+        |     (SELECT unnest([5, 20, 320, 2147483647]) AS s)
+        |ORDER BY nprobe, rerank""".stripMargin,
     "s08_knn_label_agreement" ->
       """WITH q AS (SELECT vec_id AS qid, label AS q_label,
         |             CAST(embedding AS DOUBLE[]) qv

@@ -1475,6 +1475,80 @@ object TrainingData {
       ladder = Seq(5, 10, 20, 80, 320, Int.MaxValue))
   }
 
+  /** nprobe×rerank grid-sweep contract row, VERDICT form (the s18/s20
+    * discipline on the composite axis): every one of the 4×4 grid cells'
+    * identity-derived hit counts is re-measured by a REAL
+    * `ivfPqTopK(nprobe = p, rerank = s)` run; recall must be monotone in
+    * the rerank ladder at every fixed dial (nested shortlists over a
+    * fixed candidate set — deliberately NOT claimed across dials, where
+    * opening a cell can evict a true neighbour from the shortlist); the
+    * rerank=∞ column must reproduce [[graft.similarity.Similarity.IvfIndex.dialSweep]]
+    * over the same index (the shared boundary with the routing-axis
+    * sweep); and the (full dial, whole corpus) corner recalls everything.
+    * The IVF index is built with nlist=4 so the swept dials REACH the
+    * full-dial corner (built cells = 4 at every driver SF ≥ 4 vectors);
+    * all claims deterministically TRUE on any regenerated corpus. */
+  def s21GridSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val qf = col("vec_id") < 50
+    val k = 5
+    val ladder = Seq(5, 20, 320, Int.MaxValue)
+    val ivf = Similarity.buildIvfIndex(emb, nlist = 4)
+    val builtCells = ivf.centroids.count().toInt
+    val pq = Similarity.buildPqIndex(emb)
+    val grid = Similarity.gridSweep(ivf, pq, emb, qf, k,
+      maxNprobe = builtCells, ladder).localCheckpoint()
+    val exact = Similarity.bruteForceTopK(emb, qf, k).select("qid", "nid")
+      .localCheckpoint()
+    // the empirical side: one real composite probe per grid cell; the 16
+    // probe outputs union BEFORE the exact-join and hit aggregate (the
+    // s18 shape) — a cell whose probe finds zero true neighbours drops
+    // out here and the left join below restores it as m_hits = 0
+    val measured = (for { p <- 1 to builtCells; s <- ladder } yield
+      Similarity.ivfPqTopK(ivf, pq, emb, qf, k, nprobe = p, rerank = s)
+        .select(lit(p).as("nprobe"), lit(s).as("rerank"),
+          col("qid"), col("nid")))
+      .reduce(_ unionByName _)
+      .join(exact, Seq("qid", "nid"))
+      .groupBy("nprobe", "rerank").agg(count(lit(1)).as("m_hits"))
+    import spark.implicits._
+    val stepsDf = broadcast(ladder.zipWithIndex.toDF("rerank", "step"))
+    val g = grid.join(stepsDf, "rerank")
+    val prev = g.select(col("nprobe"), (col("step") + 1).as("step"),
+      col("n_hits").as("prev_hits"))
+    val dial = ivf.dialSweep(emb, qf, k, maxNprobe = builtCells)
+      .select(col("nprobe"), col("n_hits").as("dial_hits"))
+    val corner = broadcast(grid
+      .filter(col("nprobe") === builtCells &&
+        col("rerank") === Int.MaxValue)
+      .select(col("n_hits").as("corner_hits"),
+        col("n_exact").as("corner_exact")))
+    g.join(broadcast(measured), Seq("nprobe", "rerank"), "left")
+      .join(prev, Seq("nprobe", "step"), "left")
+      .join(broadcast(dial), "nprobe")
+      .crossJoin(corner)
+      .select(col("nprobe"), col("rerank"),
+        (col("n_hits") === coalesce(col("m_hits"), lit(0L)))
+          .as("grid_matches_probe"),
+        coalesce(col("n_hits") >= col("prev_hits"), lit(true))
+          .as("rerank_monotone"),
+        (col("rerank") =!= Int.MaxValue || col("n_hits") === col("dial_hits"))
+          .as("full_rerank_matches_dial"),
+        (col("corner_hits") === col("corner_exact")).as("corner_recall_one"))
+      .orderBy("nprobe", "rerank")
+  }
+
+  /** Raw nprobe×rerank grid curve at the production geometry (nlist 16 —
+    * bench + golden entry; the s21 contract row above is the
+    * oracle-checkable verdict form at the corner-reachable nlist=4). */
+  def s21RawGridSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val ivf = Similarity.buildIvfIndex(emb, nlist = 16)
+    Similarity.gridSweep(ivf, Similarity.buildPqIndex(emb), emb,
+      col("vec_id") < 50, k = 5, maxNprobe = ivf.centroids.count().toInt,
+      ladder = Seq(5, 10, 20, 80, 320, Int.MaxValue))
+  }
+
   /** Per-document duplicated-3-gram span coverage (see
     * [[graft.dedup.Dedup.dupSpanCoverage]]); rides the session's cached
     * corpus shingle table so the sweep shares d02's one explode pass. */

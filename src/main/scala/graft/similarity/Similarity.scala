@@ -544,7 +544,7 @@ object Similarity {
       * the probe it vouches for: each query's `nprobe` nearest cells by
       * euclidean distance (KMeans' metric), ||q−c||² = q·q + c·c − 2 q·c,
       * all via the codegen'd dot, ties to the smaller cell id. */
-    private def probedCells(queryFilter: Column, nprobe: Int): DataFrame = {
+    private[similarity] def probedCells(queryFilter: Column, nprobe: Int): DataFrame = {
       val q = guardedQueries(assigned.filter(queryFilter)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           sqrt(dot(col("embedding"), col("embedding"))).as("qn")),
@@ -663,23 +663,41 @@ object Similarity {
       val totals = broadcast(
         assigned.agg(count(lit(1)).as("n_corpus"))
           .crossJoin(assigned.filter(queryFilter)
-            .agg(count(lit(1)).as("n_queries"))))
+            .agg(count(lit(1)).as("n_queries")))
+          .crossJoin(emb.agg(count(lit(1)).as("n_emb"))))
       hits.join(scanned, "nprobe")
         .crossJoin(totals)
-        // corpora-match guard (r9 review): a true neighbour missing from
-        // `assigned` (emb grown past the index, or the wrong corpus
-        // passed) would vanish through the nid join and SHRINK both
-        // n_hits and n_exact — recall would read high over a silently
-        // smaller denominator. With matching corpora every query emits
-        // exactly min(k, N−1) exact pairs, all of which survive the
-        // join, so any divergence breaks this identity and the claim
-        // detonates lazily (the stratifiedTopK refusal discipline)
+        // corpora-match guard, BOTH directions (r9 review + r10 advice):
+        // (a) a true neighbour missing from `assigned` (emb grown past
+        // the index, or the wrong corpus passed) would vanish through
+        // the nid join and SHRINK both n_hits and n_exact — recall would
+        // read high over a silently smaller denominator; with matching
+        // corpora every query emits exactly min(k, N−1) exact pairs, all
+        // surviving the join, so divergence breaks the n_exact identity.
+        // (b) the REVERSE direction — the index holding a SUPERSET of
+        // emb — slips past that identity when |emb| > k (every brute
+        // pair still survives the nid join), yet the real probe ranks
+        // index-only vectors as candidates that can evict true
+        // emb-neighbours from its top-k, so the identity-derived recall
+        // would silently overstate the probe's; caught by the direct
+        // cardinality check n_corpus = n_emb. Both detonate lazily
+        // (the stratifiedTopK refusal discipline).
         .filter(assert_true(
           col("n_exact") ===
             col("n_queries") * least(lit(k.toLong), col("n_corpus") - 1L),
-          lit("IvfIndex.dialSweep: emb and the index hold different " +
-            "corpora — a true neighbour or query is missing from the " +
-            "assigned table; sweep the index's own corpus or rebuild")).isNull)
+          lit("IvfIndex.dialSweep: emb holds vectors the index lacks — " +
+            "a true neighbour or query is missing from the assigned " +
+            "table; sweep the index's own corpus or rebuild")).isNull)
+        // one-directional on purpose: the grown-emb (subset) direction
+        // already fires the n_exact identity above, and a two-sided
+        // equality here would race it for the error message after
+        // Catalyst merges the filters
+        .filter(assert_true(col("n_corpus") <= col("n_emb"),
+          lit("IvfIndex.dialSweep: the index holds vectors emb lacks — " +
+            "the real probe would rank index-only candidates that can " +
+            "evict true emb-neighbours, so the identity-derived recall " +
+            "would overstate the probe's; sweep the index's own corpus " +
+            "or rebuild")).isNull)
         .select(col("nprobe"), col("n_queries"), col("n_hits"), col("n_exact"),
           round(col("n_hits").cast("double") / col("n_exact"), 4)
             .as("recall_at_k"),
@@ -1260,25 +1278,169 @@ object Similarity {
         count(lit(1)).as("n_exact"))
     val totals = broadcast(
       emb.agg(count(lit(1)).as("n_corpus"))
-        .crossJoin(emb.filter(queryFilter).agg(count(lit(1)).as("n_queries"))))
+        .crossJoin(emb.filter(queryFilter).agg(count(lit(1)).as("n_queries")))
+        .crossJoin(idx.codes.agg(count(lit(1)).as("n_codes"))))
     hits.crossJoin(totals)
-      // corpora-match guard, the dialSweep discipline: a true neighbour
-      // absent from `codes` would vanish through the arank join and
-      // inflate recall over a shrunken denominator — with matching
-      // corpora every query emits exactly min(k, N−1) exact pairs and
-      // all survive, so any divergence detonates this lazy claim
+      // corpora-match guard, BOTH directions (the dialSweep discipline):
+      // a true neighbour absent from `codes` would vanish through the
+      // arank join and inflate recall over a shrunken denominator (the
+      // n_exact identity catches it); an index holding a SUPERSET of emb
+      // slips past that identity when |emb| > k, yet the real probe's
+      // ADC shortlist would carry index-only candidates that can evict
+      // true emb-neighbours — caught by the direct cardinality check
       .filter(assert_true(
         col("n_exact") ===
           col("n_queries") * least(lit(k.toLong), col("n_corpus") - 1L),
-        lit("pqRerankSweep: emb and the index hold different corpora — " +
-          "a true neighbour is missing from the codes table; sweep the " +
+        lit("pqRerankSweep: emb holds vectors the index lacks — a true " +
+          "neighbour is missing from the codes table; sweep the " +
           "index's own corpus or re-encode")).isNull)
+      // one-directional, the dialSweep rationale: the subset direction
+      // is the n_exact identity's to report
+      .filter(assert_true(col("n_codes") <= col("n_corpus"),
+        lit("pqRerankSweep: the index holds codes emb lacks — the real " +
+          "probe's ADC shortlist would carry index-only candidates " +
+          "that can evict true emb-neighbours, so the identity-derived " +
+          "recall would overstate the probe's; sweep the index's own " +
+          "corpus or re-encode")).isNull)
       .select(col("rerank"), col("n_queries"), col("n_hits"), col("n_exact"),
         round(col("n_hits").cast("double") / col("n_exact"), 4)
           .as("recall_at_k"),
         least(col("rerank").cast("long"), col("n_corpus") - 1L)
           .as("rerank_rows"))
       .orderBy("rerank")
+  }
+
+  /** The full nprobe×rerank recall grid for the IVF-PQ composite probe
+    * ([[ivfPqTopK]]) — the cross terms the two independent sweeps
+    * deliberately bound from each side (SCALING.md r9: `dialSweep` fixes
+    * rerank=∞ on the routing axis, [[pqRerankSweep]] fixes routing=full
+    * on the shortlist axis; a deployment tuning BOTH dials at once needs
+    * the grid). One row per (nprobe ∈ 1..maxNprobe, rerank ∈ ladder)
+    * with Recall@k of `ivfPqTopK(…, nprobe, rerank)` against exact
+    * cosine retrieval.
+    *
+    * Exact identity, extending the two sweeps': a true top-k neighbour
+    * `nb` is returned by the composite probe at (p, s) iff its cell
+    * ranks ≤ p among the query's nearest cells AND its rank in the ADC
+    * ordering of the p-dial candidate set is ≤ s. (Routing confines
+    * candidates to probed cells — the dialSweep ⇒ direction; within
+    * them, the shortlist cut and exact refine are pqRerankSweep's
+    * argument verbatim, because [[ivfPqTopK]] ranks by the same
+    * (approx_dot DESC, vec_id ASC) / (cos DESC, nid ASC) total orders.)
+    * Unlike the rerank axis alone, the candidate set CHANGES with p, so
+    * `nb`'s ADC rank at dial p is 1 + the number of candidates ahead of
+    * it whose own cell ranks ≤ p — computed once per (true pair,
+    * candidate-cell-rank band) and prefix-summed over p. Note recall is
+    * therefore NOT monotone in nprobe at a fixed finite rerank: opening
+    * a cell can add ADC-overranked candidates that evict a true
+    * neighbour from the shortlist — the exact trade-off the grid exists
+    * to expose. It IS monotone in rerank at every fixed p (nested
+    * shortlists over a fixed candidate set).
+    *
+    * Cost: one exact brute pass + one ADC pass over the p=maxNprobe
+    * candidate stream (the probe's own widest-dial cost) + one more
+    * pass of that stream against the broadcast q·k true pairs for the
+    * ahead-counts — NOT maxNprobe·|ladder| probe runs. Everything
+    * downstream of those passes is (q·k·maxNprobe)-row post-processing.
+    * GridSweepSpec re-derives every grid cell with real probe runs; the
+    * s21 contract row does the same at sf scale. */
+  def gridSweep(ivf: IvfIndex, pq: PqIndex, emb: DataFrame,
+      queryFilter: Column, k: Int, maxNprobe: Int,
+      ladder: Seq[Int]): DataFrame = {
+    require(maxNprobe >= 1, s"gridSweep needs maxNprobe >= 1 (got $maxNprobe)")
+    require(ladder.nonEmpty && ladder.forall(_ >= 1) &&
+      ladder == ladder.distinct.sorted,
+      s"ladder must be distinct ascending positive sizes (got $ladder)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dials = broadcast(spark.range(1L, maxNprobe + 1L)
+      .select(col("id").cast("int").as("nprobe")))
+    val steps = broadcast(ladder.toDF("rerank"))
+    // per-query routed cells at the WIDEST dial, each carrying the
+    // query's in-plan ADC table (the ivfPqTopK probe head — geometry
+    // from the index, nothing query-sized on the driver)
+    val m = pq.codebooks.length
+    val dsub = pq.codebooks(0)(0).length
+    val cb = typedlit(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val ranked = ivf.probedCells(queryFilter, maxNprobe)
+      .withColumn("qtab", transform(sequence(lit(1), lit(m)), i =>
+        transform(element_at(cb, i), cent =>
+          aggregate(sequence(lit(1), lit(dsub)), lit(0.0d), (acc, d) =>
+            acc + element_at(col("qv"), (i - lit(1)) * dsub + d)
+              .cast("double") * element_at(cent, d).cast("double")))))
+      .select(col("qid"), col("cell"), col("cr"), col("qtab"))
+    // ADC-scored candidate stream over the widest dial's cells, each
+    // candidate tagged with its cell's rank for this query — exactly
+    // ivfPqTopK's scoring stage with `cr` carried through
+    val codesWithCell = pq.codes
+      .join(ivf.assigned.select(col("vec_id"), col("cell")), "vec_id")
+    val scored = codesWithCell.join(broadcast(ranked), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("approx_dot",
+        aggregate(sequence(lit(1), lit(m)), lit(0.0d), (acc, i) =>
+          acc + element_at(
+            element_at(col("qtab"), i),
+            element_at(col("code"), i) + 1)))
+      .select(col("qid"), col("vec_id"), col("cr").as("cand_cr"),
+        col("approx_dot"))
+    val exactPairs = bruteForceTopK(emb, queryFilter, k).select("qid", "nid")
+      .localCheckpoint() // tiny (q·k), feeds two branches — cut lineage
+    // each true pair's own ADC score + cell rank; a pair whose cell
+    // ranks beyond maxNprobe never appears here and the left join below
+    // keeps it as a miss at every swept dial
+    val nbScored = scored.withColumnRenamed("vec_id", "nid")
+      .join(broadcast(exactPairs), Seq("qid", "nid"))
+      .select(col("qid"), col("nid"), col("cand_cr").as("nb_cr"),
+        col("approx_dot").as("nb_dot"))
+    // candidates strictly ahead of each true pair under the ONE ADC
+    // total order, banded by the candidate's cell rank — the only other
+    // corpus-sized pass; collapses map-side to ≤ q·k·maxNprobe rows
+    val ahead = scored.join(broadcast(nbScored), "qid")
+      .filter(col("approx_dot") > col("nb_dot") ||
+        (col("approx_dot") === col("nb_dot") && col("vec_id") < col("nid")))
+      .groupBy(col("qid"), col("nid"), col("cand_cr"))
+      .agg(count(lit(1)).as("n_ahead"))
+    // prefix-sum the bands over the dial axis: nb's ADC rank at dial p
+    // counts only candidates whose own cell ranks ≤ p
+    val aheadAt = ahead.crossJoin(dials)
+      .filter(col("cand_cr") <= col("nprobe"))
+      .groupBy("qid", "nid", "nprobe")
+      .agg(sum(col("n_ahead")).as("n_ahead_p"))
+    val pairsCr = exactPairs
+      .join(nbScored.select("qid", "nid", "nb_cr"), Seq("qid", "nid"), "left")
+    val perDial = pairsCr.crossJoin(dials)
+      .join(aheadAt, Seq("qid", "nid", "nprobe"), "left")
+      .select(col("qid"), col("nid"), col("nprobe"), col("nb_cr"),
+        (lit(1L) + coalesce(col("n_ahead_p"), lit(0L))).as("arank"))
+    val hits = perDial.crossJoin(steps)
+      .groupBy("nprobe", "rerank")
+      .agg(sum(when(col("nb_cr") <= col("nprobe") &&
+          col("arank") <= col("rerank"), 1L).otherwise(0L)).as("n_hits"),
+        count(lit(1)).as("n_exact"))
+    val totals = broadcast(
+      emb.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(emb.filter(queryFilter).agg(count(lit(1)).as("n_queries")))
+        .crossJoin(ivf.assigned.agg(count(lit(1)).as("n_assigned")))
+        .crossJoin(pq.codes.agg(count(lit(1)).as("n_codes"))))
+    hits.crossJoin(totals)
+      // corpora-match guard, both directions over BOTH index tables
+      // (the dialSweep/pqRerankSweep discipline): n_exact catches emb
+      // outgrowing an index, the cardinality checks catch the superset
+      // direction the identity alone cannot see
+      .filter(assert_true(
+        col("n_exact") ===
+          col("n_queries") * least(lit(k.toLong), col("n_corpus") - 1L) &&
+          col("n_corpus") === col("n_assigned") &&
+          col("n_corpus") === col("n_codes"),
+        lit("gridSweep: emb, the IVF assignment and the PQ codes must " +
+          "hold the SAME corpus — a divergence makes the identity-" +
+          "derived recall misstate the real probe's; sweep the indexes' " +
+          "own corpus or rebuild")).isNull)
+      .select(col("nprobe"), col("rerank"), col("n_queries"),
+        col("n_hits"), col("n_exact"),
+        round(col("n_hits").cast("double") / col("n_exact"), 4)
+          .as("recall_at_k"))
+      .orderBy("nprobe", "rerank")
   }
 
   /** IVF-PQ composite probe — the production ANN topology (FAISS's

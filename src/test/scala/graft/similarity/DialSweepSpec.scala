@@ -89,7 +89,10 @@ class DialSweepSpec extends SparkTestBase {
     }
   }
 
-  test("dialSweep refuses when emb and the index hold different corpora") {
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+  test("dialSweep refuses when emb holds vectors the index lacks") {
     // grow emb past the index with CLONES of the query vectors: each
     // query's nearest neighbour (cosine 1) is then its own clone, which
     // the stale index has never assigned — the exact silent-recall-
@@ -99,8 +102,23 @@ class DialSweepSpec extends SparkTestBase {
     val e = intercept[Exception] {
       ivf.dialSweep(grownEmb, qf, k, maxNprobe = nlist).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("different corpora")))
+    assert(messages(e).exists(_.contains("emb holds vectors the index lacks")))
+  }
+
+  test("dialSweep refuses when the index holds vectors emb lacks (superset)") {
+    // the REVERSE direction (r10 advice): sweep the pre-growth corpus
+    // against an index that has since ingested more vectors. With
+    // |emb| > k every brute pair still survives the nid join — the
+    // n_exact identity alone passes — yet the real probe ranks the
+    // index-only vectors as candidates that can push true emb-neighbours
+    // out of its top-k, so only the direct cardinality check catches it
+    val grown = ivf.addBatch(emb.filter(qf)
+      .withColumn("vec_id", col("vec_id") + 100000L))
+    try {
+      val e = intercept[Exception] {
+        grown.dialSweep(emb, qf, k, maxNprobe = nlist).collect()
+      }
+      assert(messages(e).exists(_.contains("the index holds vectors emb lacks")))
+    } finally grown.release()
   }
 }

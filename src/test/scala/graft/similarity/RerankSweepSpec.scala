@@ -86,7 +86,10 @@ class RerankSweepSpec extends SparkTestBase {
     assert(Similarity.cheapestRerankFor(sweepDf, 1.1).collect()(0).isNullAt(0))
   }
 
-  test("pqRerankSweep refuses when emb and the index hold different corpora") {
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+  test("pqRerankSweep refuses when emb holds vectors the index lacks") {
     // the DialSweepSpec construction: clone the query vectors past the
     // index, so every query's true nearest neighbour is missing from
     // the codes table and the lazy corpora guard must fire
@@ -95,9 +98,23 @@ class RerankSweepSpec extends SparkTestBase {
     val e = intercept[Exception] {
       Similarity.pqRerankSweep(pq, grownEmb, qf, k, ladder).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("different corpora")))
+    assert(messages(e).exists(_.contains("emb holds vectors the index lacks")))
+  }
+
+  test("pqRerankSweep refuses when the index holds codes emb lacks (superset)") {
+    // the r10-advice direction: sweep the pre-growth corpus against an
+    // index that encoded MORE vectors. The n_exact identity passes (all
+    // brute pairs survive the arank join when |emb| > k), yet the real
+    // probe's ADC shortlist would carry the index-only candidates — only
+    // the direct cardinality check catches it
+    val grownPq = pq.copy(codes = pq.codes.unionByName(
+      Similarity.encodeWithCodebooks(
+        emb.filter(qf).withColumn("vec_id", col("vec_id") + 100000L),
+        pq.codebooks)))
+    val e = intercept[Exception] {
+      Similarity.pqRerankSweep(grownPq, emb, qf, k, ladder).collect()
+    }
+    assert(messages(e).exists(_.contains("the index holds codes emb lacks")))
   }
 
   test("pqRerankSweep refuses an unsorted or non-positive ladder") {
