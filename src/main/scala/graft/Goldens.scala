@@ -33,15 +33,22 @@ object Goldens {
     "d10r_manifest_lsh", "s03r_srp_topk", "s04r_ivf_topk",
     "s07r_pq_topk", "s15r_ivfpq_topk", "s16r_mmr_ann",
     "s13r_hardneg_ann", "s18r_dial_sweep", "s20r_rerank_sweep",
-    "s21r_grid_sweep")
+    "s21r_grid_sweep") ++
+    graft.multimodal.MultimodalFixtures.queries.keys.toSeq.sorted
 
   /** Contract + bench-only entry points, for golden resolution. */
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
     SparkEntry.all
 
-  /** documents for the d-family, embeddings for the s-family. */
+  /** documents for the d-family, embeddings for the s-family; the
+    * m-family's input is the code-generated fixture corpus itself
+    * (sentinel resolved by [[tableFingerprint]]). */
+  val MultimodalInput = "multimodal-fixture"
+
   def inputTable(query: String): String =
-    if (query.startsWith("s")) "embeddings" else "documents"
+    if (query.startsWith("s")) "embeddings"
+    else if (query.startsWith("m")) MultimodalInput
+    else "documents"
 
   val goldensPath = "src/test/resources/no_oracle_goldens.json"
 
@@ -50,7 +57,14 @@ object Goldens {
     * arrays fingerprint too). Catches any regeneration, insertion, or
     * value drift; immune to file layout and read order. */
   def tableFingerprint(spark: SparkSession, dir: String, table: String): String = {
-    val df = Tables(spark, dir, table)
+    // the m-family's input is the fixture frame itself: fingerprinting it
+    // makes a fixture-generator change CANCEL (refresh prompt) instead of
+    // failing as a phantom engine regression — the same contract the
+    // driver-regenerated tables get
+    val df =
+      if (table == MultimodalInput)
+        graft.multimodal.MultimodalFixtures.media(spark)
+      else Tables(spark, dir, table)
     val row = df
       .select(xxhash64(to_json(struct(df.columns.map(col): _*))).as("h"))
       // decimal sum: a long sum of ~2^63-scale hashes overflows ANSI mode

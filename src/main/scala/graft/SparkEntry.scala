@@ -145,6 +145,7 @@ object SparkEntry {
     "q61_longest_streak" -> (Relational.q61LongestStreak _),
     "d22_dup_span_coverage" -> (TrainingData.d22DupSpanCoverage _),
     "t48_bm25_topk" -> (TrainingData.t48Bm25TopK _),
+    "t49_bm25_multiterm" -> (TrainingData.t49Bm25MultiTerm _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
     "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
@@ -214,7 +215,12 @@ object SparkEntry {
     "s13r_hardneg_ann" -> (TrainingData.s13RawHardNegAnn _),
     "s18r_dial_sweep" -> (TrainingData.s18RawDialSweep _),
     "s20r_rerank_sweep" -> (TrainingData.s20RawRerankSweep _),
-    "s21r_grid_sweep" -> (TrainingData.s21RawGridSweep _))
+    "s21r_grid_sweep" -> (TrainingData.s21RawGridSweep _)) ++
+    // the m-family golden queries: real-codec decode paths over the
+    // committed deterministic fixture corpus — no SQL oracle can decode
+    // a PPM/WAV/BMFF payload, so they are golden-pinned like the
+    // probabilistic raw forms (r9 verdict #6)
+    graft.multimodal.MultimodalFixtures.queries
 
   /** The ONE registry of every runnable entry point — contract queries
     * plus bench-only raw forms. Bench, Time, ScaleReplay, and the golden
@@ -2761,6 +2767,49 @@ object SparkEntry {
         |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM s)
         |SELECT term, rank, doc_id, ROUND(score, 4) AS bm25 FROM r
         |WHERE rank <= 10 ORDER BY term, rank""".stripMargin,
+    // t49: the t48 per-term score verbatim (same CAST(1.2 + 1 AS DOUBLE)
+    // decimal-vs-double gotcha), summed per (query, doc) by an ORDERED
+    // list fold — list(score ORDER BY slot) then list_aggregate 'sum' is
+    // DuckDB's left fold in list order, bit-identical to Spark's
+    // aggregate() fold over the slot-sorted struct array, so the
+    // unrounded sums the ranks order on cannot disagree by an ulp. The
+    // probe queries re-derive exactly: top-9 df terms chunked by rank
+    // into 3-term queries, slots by term ASC within each query.
+    "t49_bm25_multiterm" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |top9 AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+        |         FROM df ORDER BY df DESC, term LIMIT 9),
+        |qs0 AS (SELECT CAST(floor((rn - 1) / 3) AS INT) AS query_id, term
+        |        FROM top9),
+        |qs AS (SELECT query_id, qs0.term, f.df,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qs0.term)
+        |      AS INT) AS slot
+        |  FROM qs0 JOIN df f ON qs0.term = f.term),
+        |dl AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |s AS (SELECT q.query_id, q.slot, t.doc_id,
+        |    ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+        |      * (t.tf * CAST(1.2 + 1 AS DOUBLE)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+        |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
+        |  FROM tf t JOIN qs q ON t.term = q.term JOIN dl d USING (doc_id)
+        |  CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id,
+        |    list_aggregate(list(score ORDER BY slot), 'sum') AS score,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        |  FROM s GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score, n_terms_hit,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM agg)
+        |SELECT query_id, rank, doc_id, ROUND(score, 4) AS bm25, n_terms_hit
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "s09_centroid_distance" ->
       """WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS i,
         |    embedding AS e FROM embeddings),

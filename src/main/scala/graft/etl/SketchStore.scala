@@ -67,17 +67,35 @@ object SketchStore {
     * claim (lgK 14 ⇒ the 3% budget sits ≈ 7.5σ out — a miss is a code
     * defect, not noise); the oracle recomputes the exact side and claims
     * the verdict true. */
-  def q60SketchNdv(spark: SparkSession, dir: String): DataFrame = {
-    val o = graft.Tables(spark, dir, "orders").select(
-      year(col("o_orderdate")).as("yr"),
-      month(col("o_orderdate")).as("mo"), col("o_custkey"))
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_sketch_store").toString
+  /** The q60 store BUILD alone — one incremental update per order-year,
+    * as a backfill job would run. Split out so the bench can time the
+    * amortized-away build separately from the query it amortizes
+    * (r9 verdict #7: the single q60 timing measured build+query as one
+    * shot, hiding the operator's entire point). */
+  def q60Build(spark: SparkSession, dir: String, store: String): Unit = {
+    val o = q60Source(spark, dir)
     val years = o.select("yr").distinct().collect()
       .map(_.getInt(0)).sorted // bounded: order years, never rows
     years.foreach(y => update(spark, store,
       o.filter(col("yr") === y), Seq("yr", "mo"), "o_custkey"))
-    val est = estimate(spark, store, groupBy = Seq("yr"))
+  }
+
+  /** The q60 QUERY alone over a built store: per-year ndv estimates from
+    * unioned kilobyte sketches — O(partitions), never O(rows). */
+  def q60Query(spark: SparkSession, store: String): DataFrame =
+    estimate(spark, store, groupBy = Seq("yr"))
+
+  private def q60Source(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "orders").select(
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"), col("o_custkey"))
+
+  def q60SketchNdv(spark: SparkSession, dir: String): DataFrame = {
+    val o = q60Source(spark, dir)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sketch_store").toString
+    q60Build(spark, dir, store)
+    val est = q60Query(spark, store)
     val exact = o.groupBy("yr")
       .agg(countDistinct(col("o_custkey")).as("n_exact"))
     val out = exact.join(est, "yr")

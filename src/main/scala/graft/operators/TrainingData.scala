@@ -1564,6 +1564,15 @@ object TrainingData {
   def t48Bm25TopK(spark: SparkSession, dir: String): DataFrame =
     graft.text.Retrieval.bm25TopK(Tables(spark, dir, "documents"))
 
+  /** Multi-term BM25 top-10 per probe QUERY (three 3-word queries chunked
+    * from the corpus's 9 highest-df terms — deterministic on any
+    * regenerated corpus; see [[graft.text.Retrieval.bm25QueryTopK]]). */
+  def t49Bm25MultiTerm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    graft.text.Retrieval.bm25QueryTopK(docs,
+      graft.text.Retrieval.probeQueries(docs))
+  }
+
   /** Per-label centroid-distance outlier profile (see
     * [[graft.similarity.Similarity.centroidDistanceProfile]]). */
   def s09CentroidDistance(spark: SparkSession, dir: String): DataFrame =

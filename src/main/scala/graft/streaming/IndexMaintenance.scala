@@ -1,0 +1,241 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{IndexStore, Similarity}
+
+/** The consumer of [[graft.similarity.Similarity.IvfIndex.driftReport]]
+  * (r9 verdict #5 — the report existed, nothing acted on it): a
+  * maintenance policy that reads the streamed index's health against a
+  * pinned baseline and DECIDES {noop, reassign, retrain}, then executes
+  * the decision against the [[VectorIngest]] store with the ingest
+  * paths' crash-safety discipline.
+  *
+  * Why three actions, not two:
+  *
+  *  - **reassign** (cheap: one assignment pass, no KMeans) repairs rows
+  *    whose STORED cell is not the argmin cell under the standing
+  *    centroids. The ingest paths can't produce this state — assignment
+  *    at the door is always argmin — so a nonzero `misassigned` count
+  *    means slice corruption, manual surgery, or a crash inside a prior
+  *    RETRAIN (see below); recomputing assignments is the complete and
+  *    proportionate repair.
+  *  - **retrain** (expensive: sampled KMeans refit + full reassignment)
+  *    answers DISTRIBUTION drift, which no reassignment can fix because
+  *    the centroids themselves no longer span the data: quantization
+  *    error (`mean_sq_dist`) growing past `maxMsdGrowth`× the baseline,
+  *    probe-cost balance collapsing (`cell_skew` past `maxCellSkew`),
+  *    or the quantizer going sparse (`empty_frac` past `maxEmptyFrac`).
+  *  - **noop** otherwise — the common case; [[maintain]] costs one
+  *    corpus pass (the drift report + misassignment count share the
+  *    same broadcast-centroid scan) and is meant to run after every
+  *    ingest session, NOT every batch.
+  *
+  * Baseline discipline: the reference `mean_sq_dist` lives in
+  * `<indexDir>/_drift_baseline` (one row), pinned by the FIRST
+  * [[maintain]] call (run one right after seeding) and re-pinned after
+  * every retrain — drift is "worse than the quantizer's own fit at
+  * train time", not an absolute constant, so thresholds transfer
+  * across corpora and dimensions.
+  *
+  * Retrain crash-safety (the VersionedFactSink pointer-swap discipline,
+  * ordered to SELF-HEAL): the new centroids swap in FIRST, then the new
+  * assignment publishes through [[Compaction.publishSlice]] (write-aside
+  * + `_SUCCESS`-gated atomic swap). A crash between the two leaves the
+  * standing assignment inconsistent with the NEW centroids — which is
+  * exactly a nonzero `misassigned` count, so the next [[maintain]]
+  * decides `reassign` and completes the retrain's second half against
+  * the already-published centroids (the reverse order would "repair"
+  * the new assignment back onto the OLD centroids, undoing the
+  * retrain). The stream must be STOPPED, as for every maintenance op.
+  *
+  * The PQ twin ([[PqIngest]]) stores codes, not vectors, so it cannot
+  * measure its own drift; in the shared-drop-dir topology the two
+  * ingests see the SAME distribution, so this store's retrain decision
+  * is the trigger for [[retrainPq]] too, which re-seeds the codebooks
+  * from the vector store's rows under the same swap discipline.
+  */
+object IndexMaintenance {
+
+  final case class Thresholds(
+      maxMsdGrowth: Double = 1.5,
+      maxCellSkew: Double = 4.0,
+      maxEmptyFrac: Double = 0.5)
+
+  private val BaselineName = "_drift_baseline"
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def baselineMsd(spark: SparkSession,
+      indexDir: String): Option[Double] = {
+    val p = s"$indexDir/$BaselineName"
+    if (!fs(spark, p).exists(new Path(p))) None
+    else Some(spark.read.parquet(p).head().getAs[Double]("mean_sq_dist"))
+  }
+
+  private def pinBaseline(spark: SparkSession, indexDir: String,
+      msd: Double): Unit = {
+    import spark.implicits._
+    val p = s"$indexDir/$BaselineName"
+    val f = fs(spark, p)
+    // replace-in-place via tmp + swap: the baseline is one row, but a
+    // half-written table would poison every later decision
+    val tmp = new Path(p + ".swap_tmp")
+    Seq(msd).toDF("mean_sq_dist").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    val live = new Path(p)
+    if (f.exists(live)) f.delete(live, true)
+    require(f.rename(tmp, live), s"could not publish drift baseline $p")
+  }
+
+  /** The pure policy — spec-able without a store. Precedence: a
+    * structural inconsistency (misassigned rows) is repaired before
+    * drift is judged, because drift metrics over a mis-assigned table
+    * are themselves unreliable. With no pinned baseline the msd-growth
+    * rule abstains (skew/empty still judge — they are absolute). */
+  def decide(misassigned: Long, msd: Double, baseline: Option[Double],
+      cellSkew: Double, emptyFrac: Double,
+      th: Thresholds = Thresholds()): String =
+    if (misassigned > 0L) "reassign"
+    else if (baseline.exists(b => msd > b * th.maxMsdGrowth) ||
+      cellSkew > th.maxCellSkew || emptyFrac > th.maxEmptyFrac) "retrain"
+    else "noop"
+
+  /** One maintenance cycle against a [[VectorIngest]]-layout store (also
+    * any [[IndexStore.saveIvf]] directory): measure → decide → execute →
+    * return the 1-row decision report
+    * `(decision, executed, misassigned, mean_sq_dist, baseline_msd,
+    * cell_skew, empty_frac, n_vectors)`. First call pins the baseline
+    * and never retrains on the msd rule. `execute = false` is the
+    * dry-run (report the decision, touch nothing — baseline still pins
+    * on first contact so the NEXT cycle can judge growth). The stream
+    * must be stopped. */
+  def maintain(spark: SparkSession, indexDir: String,
+      th: Thresholds = Thresholds(), execute: Boolean = true,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(!Compaction.inProgress(spark, s"$indexDir/assigned"),
+      s"compaction leftovers exist beside $indexDir/assigned — run " +
+        "Compaction.recoverTable first")
+    val idx = IndexStore.loadIvf(spark, indexDir)
+    try {
+      val report = idx.driftReport().head()
+      val nVectors = report.getAs[Long]("n_vectors")
+      val msd = report.getAs[Double]("mean_sq_dist")
+      val skew = report.getAs[Double]("cell_skew")
+      val emptyFrac = report.getAs[Long]("empty_cells").toDouble /
+        math.max(report.getAs[Long]("n_cells"), 1L)
+      // stored cell vs argmin cell under the standing centroids — one
+      // more broadcast-centroid pass (assignToCells is the door's own
+      // kernel, so "misassigned" can never disagree with what ingest
+      // would have written)
+      val misassigned = idx.assigned.select(col("vec_id"), col("cell"))
+        .join(Similarity.assignToCells(
+          idx.assigned.select("vec_id", "embedding"), idx.centroids)
+          .select(col("vec_id"), col("cell").as("want")), "vec_id")
+        .filter(col("cell") =!= col("want"))
+        .count()
+      val base = baselineMsd(spark, indexDir)
+      val decision = decide(misassigned, msd, base, skew, emptyFrac, th)
+      if (base.isEmpty) pinBaseline(spark, indexDir, msd)
+
+      if (execute) decision match {
+        case "reassign" =>
+          val fixed = Similarity.assignToCells(
+            idx.assigned.select("vec_id", "embedding"), idx.centroids)
+            .select("vec_id", "embedding", "cell")
+          Compaction.publishSlice(spark, s"$indexDir/assigned", fixed,
+            nPartsFor(spark, s"$indexDir/assigned", targetPartitionBytes))
+        case "retrain" =>
+          val nlist = idx.centroids.count().toInt
+          val fresh = Similarity.buildIvfIndex(
+            idx.assigned.select("vec_id", "embedding"), nlist)
+          // publish the plan's rows BEFORE any swap: both new tables
+          // derive from the OLD assigned table, and publishSlice would
+          // otherwise re-read a table it is replacing mid-swap
+          val newAssigned = fresh.assigned
+            .select("vec_id", "embedding", "cell").localCheckpoint()
+          val newCentroids = fresh.centroids.localCheckpoint()
+          // centroids first (see scaladoc: a crash between the swaps
+          // self-heals as a `reassign` on the next cycle)
+          replaceDir(spark, s"$indexDir/centroids",
+            newCentroids.select("cell", "centroid"))
+          Compaction.publishSlice(spark, s"$indexDir/assigned",
+            newAssigned,
+            nPartsFor(spark, s"$indexDir/assigned", targetPartitionBytes))
+          fresh.release()
+          val retrained = IndexStore.loadIvf(spark, indexDir)
+          try pinBaseline(spark, indexDir,
+            retrained.driftReport().head().getAs[Double]("mean_sq_dist"))
+          finally retrained.release()
+        case _ => ()
+      }
+
+      import spark.implicits._
+      Seq((decision, execute, misassigned, msd,
+        base.getOrElse(Double.NaN), skew, emptyFrac, nVectors))
+        .toDF("decision", "executed", "misassigned", "mean_sq_dist",
+          "baseline_msd", "cell_skew", "empty_frac", "n_vectors")
+    } finally idx.release()
+  }
+
+  /** Re-seed a [[PqIngest]]-layout store's codebooks from `vectors`
+    * (the vector twin's rows — the PQ store holds codes only) and
+    * re-encode everything, under the retrain swap discipline: codebooks
+    * first, codes second, so a crash between the swaps leaves codes
+    * stale against NEW codebooks and re-running completes the job.
+    * Triggered by the vector store's [[maintain]] retrain decision in
+    * the shared-drop-dir topology. The stream must be stopped. */
+  def retrainPq(spark: SparkSession, indexDir: String, vectors: DataFrame,
+      m: Int = 8, k: Int = 16,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(!Compaction.inProgress(spark, s"$indexDir/codes"),
+      s"compaction leftovers exist beside $indexDir/codes — run " +
+        "Compaction.recoverTable first")
+    val fresh = Similarity.buildPqIndex(vectors, m, k)
+    val newCodes = fresh.codes.select("vec_id", "code").localCheckpoint()
+    replaceDir(spark, s"$indexDir/codebooks",
+      IndexStore.codebooksDf(spark, fresh.codebooks))
+    Compaction.publishSlice(spark, s"$indexDir/codes", newCodes,
+      nPartsFor(spark, s"$indexDir/codes", targetPartitionBytes))
+    fresh.release()
+  }
+
+  /** Byte-sized partition count for a consolidated rewrite — the
+    * [[Compaction.compactTable]] sizing rule over the CURRENT table. */
+  private def nPartsFor(spark: SparkSession, tableDir: String,
+      targetPartitionBytes: Long): Int = {
+    val f = fs(spark, tableDir)
+    val p = new Path(tableDir)
+    val bytes = if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+    math.max(1L,
+      (bytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
+  }
+
+  /** Replace a small fixed table (centroids, codebooks) atomically:
+    * write aside with `_SUCCESS` gate, stage the live dir away, rename
+    * in, drop the staged copy — a crash leaves either the old table or
+    * the complete new one, with the `.old` copy recoverable by hand in
+    * the one-rename window between. */
+  private def replaceDir(spark: SparkSession, dir: String,
+      df: DataFrame): Unit = {
+    val f = fs(spark, dir)
+    val live = new Path(dir)
+    val tmp = new Path(dir + ".swap_tmp")
+    val old = new Path(dir + ".swap_old")
+    f.delete(tmp, true); f.delete(old, true)
+    df.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    require(f.exists(new Path(tmp, "_SUCCESS")),
+      s"rewrite of $dir left no _SUCCESS marker — aborting before the swap")
+    if (f.exists(live))
+      require(f.rename(live, old), s"could not stage $dir aside")
+    require(f.rename(tmp, live), s"could not publish $dir — the staged " +
+      s"previous table is at $old")
+    f.delete(old, true)
+  }
+}

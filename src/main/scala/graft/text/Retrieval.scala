@@ -13,6 +13,53 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** The corpus-side BM25 frames, built from ONE token explode: the
+    * (doc, term) tf table, the per-term df, per-doc length, and the
+    * 1-row corpus constant (N, Σdl) — shared by the single-term and
+    * multi-term scorers so the two paths cannot drift. */
+  private def corpusFrames(docs: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    (tf, df, dl, stats)
+  }
+
+  /** The one per-(term, doc) Okapi score expression, shared by both
+    * scorers and mirrored token-for-token in the DuckDB oracles. */
+  private def okapiScore(k1: Double, b: Double) = {
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val norm = lit(1 - b) +
+      lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n_docs"))
+    idf * (col("tf") * lit(k1 + 1)) / (col("tf") + lit(k1) * norm)
+  }
+
+  /** The lossless two-phase per-key top-k shared by both scorers: scored
+    * rows rank first within (key, salt) buckets (64-way, crc32 of
+    * doc_id) keeping ≤k each, and the global per-key window ranks only
+    * the ≤64·k salt winners — a hot key's corpus-sized posting list
+    * never ranks inside one task, yet every global top-k row ranks ≤k in
+    * its own bucket so the result equals the single-window form exactly
+    * (the stratifiedTopK prune discipline, margin-free). Ties in score
+    * break to the smaller doc_id so rankings are total. */
+  private def saltedTopK(scored: DataFrame, keyCol: String,
+      k: Int): DataFrame = {
+    val wLocal = Window.partitionBy(keyCol, "salt")
+      .orderBy(desc("score"), asc("doc_id"))
+    val wGlobal = Window.partitionBy(keyCol)
+      .orderBy(desc("score"), asc("doc_id"))
+    scored
+      .withColumn("salt", pmod(crc32(col("doc_id").cast("string")), lit(64)))
+      .withColumn("lrank", row_number().over(wLocal))
+      .filter(col("lrank") <= k)
+      .withColumn("rank", row_number().over(wGlobal).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** BM25 top-`k` documents for each of the corpus's `nTerms` highest-df
     * terms (single-term probe queries derived from the data itself, so the
     * fixture is deterministic on any regenerated corpus; production calls
@@ -23,15 +70,7 @@ object Retrieval {
     * projection-only scan, so the corpus is tokenized exactly once. The
     * probe terms (nTerms rows) and the corpus-constant (N, Σdl) 1-row
     * aggregate broadcast; the only corpus-sized shuffle is the tf groupBy
-    * itself. The per-term top-k is TWO-PHASE: a frequent term's posting
-    * list is corpus-sized, so a single per-term window would pull it
-    * through one task — instead scored rows rank first within
-    * (term, salt) buckets (64-way, crc32 of doc_id) keeping ≤k each,
-    * and the global per-term window ranks only the ≤64·k salt winners.
-    * Every global top-k row ranks ≤k inside its own bucket, so the
-    * two-phase result equals the single-window form exactly (the
-    * stratifiedTopK prune discipline, but lossless — no margin needed).
-    * Ties in score break to the smaller doc_id so rankings are total.
+    * itself. The per-term top-k is the two-phase [[saltedTopK]].
     *
     * Cross-engine determinism: tf/df/dl are exact integers; the score is
     * one fixed-association double expression over them (mirrored
@@ -39,32 +78,89 @@ object Retrieval {
     * display — ranks order on the unrounded double, the s02 discipline. */
   def bm25TopK(docs: DataFrame, nTerms: Int = 3, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val (tf, df, dl, stats) = corpusFrames(docs, textCol)
     val topTerms = df.orderBy(desc("df"), asc("term")).limit(nTerms)
-    val dl = docs.select(col("doc_id"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
-    val norm = lit(1 - b) +
-      lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n_docs"))
-    val score = idf * (col("tf") * lit(k1 + 1)) / (col("tf") + lit(k1) * norm)
-    val wLocal = Window.partitionBy("term", "salt")
-      .orderBy(desc("score"), asc("doc_id"))
-    val wGlobal = Window.partitionBy("term").orderBy(desc("score"), asc("doc_id"))
-    tf.join(broadcast(topTerms), "term")
+    val scored = tf.join(broadcast(topTerms), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .withColumn("score", score)
-      .withColumn("salt", pmod(crc32(col("doc_id").cast("string")), lit(64)))
-      .withColumn("lrank", row_number().over(wLocal))
-      .filter(col("lrank") <= k)
-      .withColumn("rank", row_number().over(wGlobal).cast("int"))
-      .filter(col("rank") <= k)
+      .withColumn("score", okapiScore(k1, b))
+    saltedTopK(scored, "term", k)
       .select(col("term"), col("rank"), col("doc_id"),
         round(col("score"), 4).as("bm25"))
       .orderBy("term", "rank")
+  }
+
+  /** Multi-term BM25 retrieval (r9 verdict #4): top-`k` documents per
+    * QUERY STRING, scored as the sum of per-term Okapi scores over the
+    * query's distinct terms — real RAG-shaped queries through the same
+    * tf/df frames the single-term probe uses (which needed no change;
+    * the whole addition is query-side).
+    *
+    * `queries` carries (query_id, query_text); terms tokenize with the
+    * corpus tokenizer, duplicates collapse (the Lucene BooleanQuery
+    * treatment of a repeated term at equal boost), and terms absent from
+    * the corpus contribute nothing. `n_terms_hit` reports how many of
+    * the query's terms matched each document.
+    *
+    * Scale shape: the query side is request-sized — its exploded
+    * (query_id, term, slot) frame joins the per-term df and BROADCASTS
+    * onto the corpus tf table, so the corpus is still tokenized once and
+    * shuffles only for the tf groupBy and the per-(query, doc) score
+    * combine (a key-rich shuffle); the final per-query top-k is the
+    * two-phase [[saltedTopK]] (few queries = hot keys by construction).
+    *
+    * Cross-engine determinism: each per-term score is the shared
+    * fixed-association double expression; the per-document SUM of those
+    * doubles folds in slot order (terms sorted lexicographically within
+    * the query) via an explicit array fold, so association is fixed and
+    * the DuckDB oracle's `list_aggregate(list(score ORDER BY slot))`
+    * reproduces it bit-for-bit. Ranks order on the unrounded sum, ties
+    * to the smaller doc_id. */
+  def bm25QueryTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text",
+      queryCol: String = "query_text"): DataFrame = {
+    val (tf, df, dl, stats) = corpusFrames(docs, textCol)
+    val wSlot = Window.partitionBy("query_id").orderBy("term")
+    val qterms = queries.select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(queryCol)))).as("term"))
+      .withColumn("slot", row_number().over(wSlot))
+      .join(df, "term") // absent-from-corpus terms drop out here
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", okapiScore(k1, b))
+    val combined = scored
+      .groupBy("query_id", "doc_id")
+      .agg(collect_list(struct(col("slot"), col("score"))).as("scs"),
+        count(lit(1)).as("n_terms_hit"))
+      // fixed-association sum: fold the per-term scores in slot order
+      .withColumn("score", aggregate(array_sort(col("scs")), lit(0.0d),
+        (acc, x) => acc + x.getField("score")))
+    saltedTopK(combined, "query_id", k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("bm25"), col("n_terms_hit"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic multi-term probe queries derived from the corpus
+    * itself (the t48 fixture discipline, widened to phrases): the top
+    * `nQueries`·`termsPerQuery` terms by (df DESC, term ASC) chunked in
+    * that order into `termsPerQuery`-word query strings — reproducible
+    * on any regenerated corpus, replicated exactly by the DuckDB
+    * oracle. Production calls pass real user queries instead. */
+  def probeQueries(docs: DataFrame, nQueries: Int = 3,
+      termsPerQuery: Int = 3, textCol: String = "text"): DataFrame = {
+    val (_, df, _, _) = corpusFrames(docs, textCol)
+    val top = df.orderBy(desc("df"), asc("term"))
+      .limit(nQueries * termsPerQuery)
+    // the limited frame is fixture-sized; the unpartitioned window runs
+    // over nQueries·termsPerQuery rows, never the corpus
+    val wRank = Window.orderBy(desc("df"), asc("term"))
+    top.withColumn("rn", row_number().over(wRank))
+      .select(floor((col("rn") - 1) / termsPerQuery).cast("int")
+        .as("query_id"), col("term"))
+      .groupBy("query_id")
+      .agg(concat_ws(" ", sort_array(collect_list(col("term"))))
+        .as("query_text"))
   }
 }

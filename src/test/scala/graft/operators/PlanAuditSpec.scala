@@ -226,6 +226,7 @@ class PlanAuditSpec extends SparkTestBase {
     "t35_ngram_novelty",   // rank over the TakeOrderedAndProject top-N novel n-grams
     "t37_weighted_sample", // keys over the TakeOrderedAndProject top-k sample
     "t43_budget_waterfill", // rank/cumsum over the per-source token AGGREGATE (≤ #sources rows — a catalog, not data)
+    "t49_bm25_multiterm",  // probeQueries' rank over the LIMITed top-df fixture (≤ nQueries·termsPerQuery = 9 rows)
     "q58_heavy_hitters"    // rank over the TakeOrderedAndProject top-10 ⨯ 1-row sketch
   )
 

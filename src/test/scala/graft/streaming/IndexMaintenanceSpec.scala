@@ -1,0 +1,191 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.similarity.Similarity
+
+/** [[IndexMaintenance]] — the drift→retrain loop closed: an undrifted
+  * store decides noop and is not touched; a drifted one decides retrain
+  * and the retrained index's probe recall recovers; a corrupted
+  * assignment decides reassign and is repaired; the decision precedence
+  * and baseline pinning behave as documented. */
+class IndexMaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** `n` deterministic vectors around `center`, spread `eps`. */
+  private def cluster(idFrom: Long, n: Int, center: Array[Double],
+      eps: Double, seed: Long): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (idFrom + i,
+        center.map(c => (c + (rnd.nextDouble() - 0.5) * eps).toFloat))
+    }
+  }
+
+  private def toDf(rows: Seq[(Long, Array[Float])]): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  private def center(axis: Int, v: Double): Array[Double] =
+    Array.tabulate(dim)(d => if (d == axis % dim) v else 0.2 * (axis % 3))
+
+  /** Seed corpus: 4 tight clusters the quantizer fits well. */
+  private def seedRows = (0 until 4).flatMap(c =>
+    cluster(c * 100L, 20, center(c, 1.0), eps = 0.05, seed = 7L + c))
+
+  /** Drifted batch: 6 NEW well-separated clusters far from the seed
+    * region. Within-cluster spread (±1 per coordinate) is small against
+    * the ≥14 inter-cluster separations but LARGE against the ~1-apart
+    * stale centroids, so the stale quantizer assigns a sub-cluster's
+    * members by noise — true neighbours scatter across cells and the
+    * nprobe=1 probe misses them until a retrain gives the sub-clusters
+    * their own cells. */
+  private def driftRows = (0 until 6).flatMap(c =>
+    cluster(1000L + c * 100L, 25, center(c, -10.0 - 6.0 * c), eps = 2.0,
+      seed = 101L + c))
+
+  private def ingest(dir: String, batches: (DataFrame, Long)*): Unit = {
+    val m = new VectorIngest.Merger(spark, dir, nlist = 8)
+    batches.foreach { case (b, id) => m.mergeBatch(b, id) }
+  }
+
+  /** Recall@k of the store's probe at nprobe=1 against brute force over
+    * the store's own corpus, for queries from the drifted region. */
+  private def probeRecall(dir: String): Double = {
+    val idx = graft.similarity.IndexStore.loadIvf(spark, dir)
+    try {
+      val corpus = idx.assigned.select("vec_id", "embedding")
+      val qf = col("vec_id") >= 1000L && col("vec_id") % 25 === 0
+      val exact = Similarity.bruteForceTopK(corpus, qf, 5)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = idx.topK(qf, 5, nprobe = 1)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(exact).toDouble / exact.size
+    } finally idx.release()
+  }
+
+  private def sliceListing(dir: String): Seq[String] = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$dir/assigned")
+    f.listStatus(p).map(_.getPath.getName).sorted.toSeq
+  }
+
+  test("decide: precedence and thresholds") {
+    val th = IndexMaintenance.Thresholds(
+      maxMsdGrowth = 1.5, maxCellSkew = 4.0, maxEmptyFrac = 0.5)
+    assert(IndexMaintenance.decide(0L, 1.0, Some(1.0), 1.0, 0.0, th) == "noop")
+    assert(IndexMaintenance.decide(3L, 9.0, Some(1.0), 9.0, 0.9, th)
+      == "reassign") // structural repair outranks drift
+    assert(IndexMaintenance.decide(0L, 1.6, Some(1.0), 1.0, 0.0, th)
+      == "retrain") // msd growth
+    assert(IndexMaintenance.decide(0L, 1.0, Some(1.0), 4.5, 0.0, th)
+      == "retrain") // skew is absolute
+    assert(IndexMaintenance.decide(0L, 1.0, None, 1.0, 0.6, th)
+      == "retrain") // empty-frac judges even with no baseline
+    assert(IndexMaintenance.decide(0L, 99.0, None, 1.0, 0.0, th)
+      == "noop") // msd rule abstains without a baseline
+  }
+
+  test("undrifted store: noop, nothing rewritten, baseline pinned once") {
+    val dir = Files.createTempDirectory("graft_maint_noop").toString
+    ingest(dir, (toDf(seedRows), 0L),
+      (toDf(cluster(500L, 20, center(1, 1.0), 0.05, 55L)), 1L))
+    val before = sliceListing(dir)
+    val r1 = IndexMaintenance.maintain(spark, dir).head()
+    assert(r1.getAs[String]("decision") == "noop")
+    assert(r1.getAs[Double]("baseline_msd").isNaN) // first contact: none yet
+    assert(sliceListing(dir) == before, "a noop must not touch the table")
+    // second cycle reads the pinned baseline; same data -> still noop
+    val r2 = IndexMaintenance.maintain(spark, dir).head()
+    assert(r2.getAs[String]("decision") == "noop")
+    assert(!r2.getAs[Double]("baseline_msd").isNaN)
+    assert(sliceListing(dir) == before)
+  }
+
+  test("drifted store: retrain fires, probe recall recovers, then converges") {
+    val dir = Files.createTempDirectory("graft_maint_drift").toString
+    ingest(dir, (toDf(seedRows), 0L))
+    // pin the baseline on the healthy seeded store
+    assert(IndexMaintenance.maintain(spark, dir).head()
+      .getAs[String]("decision") == "noop")
+    // drift arrives through the door: assigned to the STALE centroids
+    ingest(dir, (toDf(driftRows), 1L))
+    val recallBefore = probeRecall(dir)
+    val r = IndexMaintenance.maintain(spark, dir).head()
+    assert(r.getAs[String]("decision") == "retrain",
+      s"drifted store must retrain (msd ${r.getAs[Double]("mean_sq_dist")} " +
+        s"vs baseline ${r.getAs[Double]("baseline_msd")})")
+    val recallAfter = probeRecall(dir)
+    assert(recallAfter > recallBefore,
+      s"retrain must recover probe recall ($recallBefore -> $recallAfter)")
+    assert(recallAfter >= 0.9, s"retrained recall too low: $recallAfter")
+    // the retrain re-pinned the baseline on its own fit -> next is noop
+    assert(IndexMaintenance.maintain(spark, dir).head()
+      .getAs[String]("decision") == "noop")
+  }
+
+  test("corrupted assignment: reassign repairs to exactly the door's argmin") {
+    val dir = Files.createTempDirectory("graft_maint_fix").toString
+    ingest(dir, (toDf(seedRows), 0L), (toDf(driftRows), 1L))
+    IndexMaintenance.maintain(spark, dir) // pin baseline (noop or retrain)
+    // corrupt one slice: every stored cell forced to 0
+    val slices = sliceListing(dir)
+    val victim = s"$dir/assigned/${slices.last}"
+    val rows = spark.read.parquet(victim)
+      .select(col("vec_id"), col("embedding"), lit(0).cast("int").as("cell"))
+      .localCheckpoint()
+    rows.write.mode(SaveMode.Overwrite).parquet(victim)
+    val r = IndexMaintenance.maintain(spark, dir).head()
+    assert(r.getAs[String]("decision") == "reassign")
+    assert(r.getAs[Long]("misassigned") > 0L)
+    // after the repair: zero misassigned, and the table equals the
+    // door's own kernel applied to the same vectors + centroids
+    val r2 = IndexMaintenance.maintain(spark, dir).head()
+    assert(r2.getAs[String]("decision") == "noop")
+    assert(r2.getAs[Long]("misassigned") == 0L)
+  }
+
+  test("dry-run reports the decision but rewrites nothing") {
+    val dir = Files.createTempDirectory("graft_maint_dry").toString
+    ingest(dir, (toDf(seedRows), 0L))
+    IndexMaintenance.maintain(spark, dir) // pin baseline
+    ingest(dir, (toDf(driftRows), 1L))
+    val before = sliceListing(dir)
+    val r = IndexMaintenance.maintain(spark, dir, execute = false).head()
+    assert(r.getAs[String]("decision") == "retrain")
+    assert(!r.getAs[Boolean]("executed"))
+    assert(sliceListing(dir) == before, "dry-run must not touch the table")
+  }
+
+  test("retrainPq re-seeds codebooks+codes from the vector twin; probe stays consistent") {
+    val vecDir = Files.createTempDirectory("graft_maint_vec").toString
+    val pqDir = Files.createTempDirectory("graft_maint_pq").toString
+    ingest(vecDir, (toDf(seedRows), 0L))
+    val pm = new PqIngest.Merger(spark, pqDir, m = 4, k = 8)
+    pm.mergeBatch(toDf(seedRows), 0L)
+    pm.mergeBatch(toDf(driftRows), 1L)
+    // retrain the PQ store from the vector store's (drifted) corpus
+    val vectors = toDf(seedRows ++ driftRows)
+    IndexMaintenance.retrainPq(spark, pqDir, vectors, m = 4, k = 8)
+    val idx = graft.similarity.IndexStore.loadPq(spark, pqDir)
+    try {
+      // every vector re-encoded, codes consistent with a fresh build on
+      // the same corpus (same seeds -> same codebooks -> same codes)
+      val fresh = Similarity.buildPqIndex(vectors, m = 4, k = 8)
+      val got = idx.codes.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val want = fresh.codes.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      fresh.release()
+      assert(got == want)
+    } finally idx.release()
+  }
+}

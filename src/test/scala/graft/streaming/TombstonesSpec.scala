@@ -240,6 +240,75 @@ class TombstonesSpec extends SparkTestBase {
       .count() == 1)
   }
 
+  test("purge racing a concurrent ingest commit: refusal fires or both effects survive") {
+    // r9 verdict #8 — the untested window: a purge's compaction swap
+    // interleaving with a mergeBatch COMMIT on the same streamed table.
+    // The design resolves the race by REFUSAL (the merge's inProgress
+    // gate), so the spec drives the table through both mid-purge crash
+    // states, asserts the concurrent commit refuses loudly in each, then
+    // completes the designed repair (recoverTable + purge re-run) and
+    // proves no silent row loss: every non-banned row from both sides of
+    // the race survives.
+    val dir = Files.createTempDirectory("graft_ts_race").toString
+    val m = new VectorIngest.Merger(spark, dir, nlist = 4)
+    m.mergeBatch(vecs(0 until 20), 0L)
+    m.mergeBatch(vecs(20 until 40), 1L)
+    // the banned id sits in batch 1 — the LATEST committed batch, the
+    // only one still inside the replay window (BatchMarker refuses older
+    // ids as fresh-checkpoint misuse)
+    VectorIngest.delete(spark, dir, Seq(25L).toDF("vec_id"))
+    val table = s"$dir/assigned"
+    val f = fs(dir)
+    def vecIds(t: String): Set[Long] =
+      spark.read.parquet(t).select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // (a) purge crashed BEFORE its swap (incomplete tmp, live intact):
+    // the concurrent commit must refuse, not interleave with the swap
+    f.mkdirs(new Path(table + ".compact_tmp/batch=-1"))
+    val e1 = intercept[IllegalArgumentException] {
+      m.mergeBatch(vecs(40 until 45), 2L)
+    }
+    assert(e1.getMessage.contains("compaction leftovers"))
+    assert(vecIds(table) == (0L until 40L).toSet,
+      "the refused commit must leave the table untouched")
+    Compaction.recoverTable(spark, table) // rolls back the junk tmp
+
+    // (b) purge crashed MID-SWAP: rewrite complete (banned id dropped,
+    // _SUCCESS present), live staged aside, log not yet retired — the
+    // exact state between compactTable's two renames
+    val kept = spark.read.option("basePath", table).parquet(table)
+      .filter($"vec_id" =!= 25L).drop("batch").localCheckpoint()
+    kept.repartition(1).write.parquet(table + ".compact_tmp/batch=-1")
+    assert(f.rename(new Path(table), new Path(table + ".compact_old")))
+    val e2 = intercept[IllegalArgumentException] {
+      m.mergeBatch(vecs(40 until 45), 2L)
+    }
+    assert(e2.getMessage.contains("compaction leftovers"))
+
+    // the designed repair: recovery rolls the complete rewrite forward,
+    // the log (crash happened before retire) still masks, and re-running
+    // the purge retires it — then the refused commit goes through
+    Compaction.recoverTable(spark, table)
+    assert(vecIds(table) == (0L until 40L).toSet - 25L)
+    assert(Tombstones.slices(spark, dir).nonEmpty,
+      "a purge that crashed before retiring must leave the log masking")
+    VectorIngest.purge(spark, dir)
+    assert(Tombstones.slices(spark, dir).isEmpty)
+
+    // the banned id stays out of a crash-replay of its ORIGINAL batch
+    // while that batch is still inside the replay window (the purge
+    // retired the slice against the high water instead of deleting it)
+    m.mergeBatch(vecs(20 until 40), 1L)
+    assert(!vecIds(table).contains(25L),
+      "a replayed batch readmitted a purged id inside the replay window")
+
+    // the refused commit finally goes through: no silent row loss
+    // anywhere in the interleaving — both the pre-race corpus (minus
+    // the banned id) and the racing batch landed exactly once
+    m.mergeBatch(vecs(40 until 45), 2L)
+    assert(vecIds(table) == (0L until 45L).toSet - 25L)
+  }
+
   test("a crash-replay after delete+purge cannot resurrect opted-out docs") {
     val dir = Files.createTempDirectory("graft_ts_resurrect_doc").toString
     val m = new CorpusIngest.Merger(spark, dir)

@@ -50,4 +50,58 @@ class RetrievalSpec extends SparkTestBase {
     assert(got.map(_._2).toSeq == expectHead)
     assert(got.map(_._1).toSeq == (1 to 10))
   }
+
+  // ---- multi-term queries (t49)
+
+  test("multi-term score is the sum of that query's single-term scores") {
+    val queries = Seq((0, "x y"), (1, "z"), (2, "w q")).toDF(
+      "query_id", "query_text")
+    val got = Retrieval.bm25QueryTopK(docs, queries).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    // single-term reference scores over the same corpus, per (term, doc)
+    val single = Retrieval.bm25TopK(docs, nTerms = 3, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // query 0 = {x, y}: d0 matches both (x: tf2 + y: tf1), d1 x only,
+    // d2 y only — n_terms_hit and the rounded sum must line up
+    val q0 = got.filter(_._1 == 0)
+    assert(q0.map(g => (g._3, g._5)).toSet == Set((0L, 2L), (1L, 1L), (2L, 1L)))
+    val d0 = q0.find(_._3 == 0L).get
+    assert(math.abs(d0._4 - (single(("x", 0L)) + single(("y", 0L)))) < 2e-4)
+    // query 1 = {z}: identical ranking to the single-term probe for z
+    assert(got.filter(_._1 == 1).map(g => (g._2, g._3)).toSeq ==
+      Seq((1, 3L), (2, 1L), (3, 2L)))
+    // query 2: no term exists in the corpus -> zero result rows
+    assert(!got.exists(_._1 == 2))
+  }
+
+  test("duplicate query terms collapse; order within the query is irrelevant") {
+    val q1 = Seq((0, "y x x y")).toDF("query_id", "query_text")
+    val q2 = Seq((0, "x y")).toDF("query_id", "query_text")
+    val r1 = Retrieval.bm25QueryTopK(docs, q1).collect().map(_.toSeq).toSeq
+    val r2 = Retrieval.bm25QueryTopK(docs, q2).collect().map(_.toSeq).toSeq
+    assert(r1 == r2)
+  }
+
+  test("probeQueries chunks the top-df terms into deterministic query strings") {
+    val qs = Retrieval.probeQueries(docs, nQueries = 1, termsPerQuery = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    // df: z=3, x=2, y=2 -> the single query is the three terms sorted
+    assert(qs.toSeq == Seq((0, "x y z")))
+    val two = Retrieval.probeQueries(docs, nQueries = 3, termsPerQuery = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(two.toSeq == Seq((0, "z"), (1, "x"), (2, "y")))
+  }
+
+  test("t49 contract row shape at sf0.001") {
+    val rows = graft.operators.TrainingData
+      .t49Bm25MultiTerm(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getInt(0))
+    assert(byQ.keySet.subsetOf(Set(0, 1, 2)))
+    byQ.values.foreach { qr =>
+      assert(qr.map(_.getInt(1)).sorted.toSeq == (1 to qr.length)) // dense ranks
+      assert(qr.forall(r => r.getLong(4) >= 1L && r.getLong(4) <= 3L))
+    }
+  }
 }
