@@ -441,13 +441,28 @@ object Similarity {
     * Queries whose label has no OTHER member (no relevant item exists)
     * are excluded — the TREC convention — keeping every emitted number
     * well-defined on any regenerated corpus. */
+  /** The pinned rank-1..10 DCG gains the s17 oracle inlines as literals
+    * — [[dcgGains]] must reproduce them exactly (spec-asserted), so the
+    * generated table and the cross-engine contract cannot drift. */
+  private[similarity] val pinnedGains = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** gain(r) = round(1e6 / log2(r+1)) for r in 1..k — the micro-unit DCG
+    * gain table, GENERATED for any k (r9 verdict watch item: a
+    * production eval at k=100 must not wait on a hand-extended list).
+    * Determinism: the table is driver-side Scala arithmetic — identical
+    * on every JVM (strictfp-irrelevant here: Math.log is quasi-exact and
+    * the ×1e6 half-up round gives ulp-level slack of ~1e-10 against the
+    * nearest .5 boundary) — and enters both engines as LITERALS, so the
+    * cross-engine contract never recomputes a log. The first 10 values
+    * are additionally pinned against the s17 oracle's inlined literals. */
+  private[similarity] def dcgGains(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
   def retrievalEval(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
-    // gain(r) = round(1e6 / log2(r+1)), cum(r) = Σ_{i≤r} gain(i) — fixed
-    // per-rank constants (see scaladoc); extend the table if k grows
-    val gains = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
-      356207L, 333333L, 315465L, 301030L, 289065L)
-    require(k >= 1 && k <= gains.length,
-      s"retrievalEval supports k in 1..${gains.length} (got $k) — extend the gain table")
+    require(k >= 1, s"retrievalEval needs k >= 1 (got $k)")
+    val gains = dcgGains(k)
     val cums = gains.scanLeft(0L)(_ + _).tail
     val gainAt = element_at(array(gains.take(k).map(lit): _*), col("rank"))
     val idcgAt = element_at(array(cums.take(k).map(lit): _*),
@@ -803,6 +818,30 @@ object Similarity {
         col("pick.recall_at_k").as("recall_at_k"),
         col("pick.mean_scanned").as("mean_scanned"),
         col("pick.scan_frac").as("scan_frac"))
+
+  /** The production read of a [[gridSweep]] curve: the PARETO FRONTIER
+    * of grid cells meeting `minRecall` — every SLA-compliant (nprobe,
+    * rerank) cell not dominated by another compliant cell that is ≤ on
+    * both cost axes and < on one. The grid's two costs are
+    * incommensurable (nprobe buys corpus scan, rerank buys exact
+    * rescores; their price ratio is a deployment fact the engine cannot
+    * know), so unlike [[cheapestDialFor]]'s single-axis minimum the
+    * honest answer is the frontier, ordered by nprobe — the operator
+    * picks the endpoint matching their scan-vs-rescore budget. Empty
+    * result = no swept cell attains the SLA (widen the grid or relax
+    * the target — never silently under-deliver). Pure curve
+    * post-processing over the (maxNprobe·|ladder|)-row sweep frame; the
+    * self-join is grid-sized, never corpus-sized. */
+  def gridFrontierFor(sweep: DataFrame, minRecall: Double): DataFrame = {
+    val ok = sweep.filter(col("recall_at_k") >= minRecall)
+      .select(col("nprobe"), col("rerank"), col("recall_at_k"))
+    val dominators = ok.select(col("nprobe").as("p2"), col("rerank").as("s2"))
+    ok.join(dominators,
+        col("p2") <= col("nprobe") && col("s2") <= col("rerank") &&
+          (col("p2") < col("nprobe") || col("s2") < col("rerank")),
+        "left_anti")
+      .orderBy("nprobe", "rerank")
+  }
 
   /** [[cheapestDialFor]]'s twin for a [[pqRerankSweep]] curve: the
     * smallest rerank-shortlist size meeting the Recall@k SLA, with its

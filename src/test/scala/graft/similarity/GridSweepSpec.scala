@@ -93,6 +93,25 @@ class GridSweepSpec extends SparkTestBase {
     }
   }
 
+  test("gridFrontierFor returns exactly the Pareto-minimal SLA cells") {
+    val sweepDf = Similarity
+      .gridSweep(ivf, pq, emb, qf, k, maxNprobe = nlist, ladder)
+      .localCheckpoint()
+    val cells = sweepDf.collect().map(r => ((r.getAs[Int]("nprobe"),
+      r.getAs[Int]("rerank")), r.getAs[Double]("recall_at_k"))).toMap
+    val target = 0.9
+    val got = Similarity.gridFrontierFor(sweepDf, target).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Int]("rerank")))
+    // plain-scala replay of the frontier definition
+    val ok = cells.filter(_._2 >= target).keySet
+    val want = ok.filter(c => !ok.exists(d =>
+      d._1 <= c._1 && d._2 <= c._2 && d != c)).toSeq.sorted
+    assert(got.toSeq == want)
+    assert(got.nonEmpty, "the exact corner always attains any recall ≤ 1")
+    // an unattainable SLA answers with the honest empty frontier
+    assert(Similarity.gridFrontierFor(sweepDf, 1.1).collect().isEmpty)
+  }
+
   test("gridSweep validates its dial range and ladder") {
     assertThrows[IllegalArgumentException] {
       Similarity.gridSweep(ivf, pq, emb, qf, k, maxNprobe = 0, ladder)

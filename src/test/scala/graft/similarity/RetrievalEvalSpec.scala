@@ -48,10 +48,35 @@ class RetrievalEvalSpec extends SparkTestBase {
       (2, 2L, 1.0, 0.5, 0.6309)))
   }
 
-  test("k beyond the inlined gain table refuses loudly") {
-    val emb = Seq((0L, Array(1f, 0f), 1)).toDF("vec_id", "embedding", "label")
+  test("generated DCG gains reproduce the oracle-pinned literals; big k works") {
+    // the s17 oracle inlines micro-unit literals for ranks 1..10; the
+    // generator must reproduce them exactly or the cross-engine contract
+    // silently drifts (r9 verdict watch item: the table is generated now,
+    // not hand-extended, so a k=100 production eval just works)
+    assert(Similarity.dcgGains(10) == Similarity.pinnedGains)
+    assert(Similarity.dcgGains(100).length == 100)
+    // monotone decreasing, positive, correctly anchored
+    val g = Similarity.dcgGains(100)
+    assert(g.head == 1000000L)
+    assert(g.sliding(2).forall { case Seq(a, b) => b <= a && b > 0 })
+    // a k=100 eval runs end-to-end and stays well-formed
+    val emb = (0L until 30L).map { i =>
+      val l = (i % 3).toInt
+      (i, Array.tabulate(4)(d =>
+        (if (d == l) 1.0f else 0.0f) + 0.01f * ((i * 13 + d) % 7)), l)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = Similarity.retrievalEval(emb, lit(true), k = 100).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      Seq(2, 3, 4).foreach { c =>
+        val v = r.getDouble(c)
+        assert(v >= 0.0 && v <= 1.0, s"metric out of range: $r")
+      }
+      // k=100 covers the whole 10-per-label cluster: recall must be 1
+      assert(r.getDouble(2) == 1.0)
+    }
     val e = intercept[IllegalArgumentException](
-      Similarity.retrievalEval(emb, lit(true), k = 11))
-    assert(e.getMessage.contains("gain table"))
+      Similarity.retrievalEval(emb, lit(true), k = 0))
+    assert(e.getMessage.contains("k >= 1"))
   }
 }
