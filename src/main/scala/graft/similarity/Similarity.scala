@@ -1445,10 +1445,13 @@ object Similarity {
       .filter(col("cand_cr") <= col("nprobe"))
       .groupBy("qid", "nid", "nprobe")
       .agg(sum(col("n_ahead")).as("n_ahead_p"))
+    // both right sides are query-sample-sized (q·k and q·k·maxNprobe
+    // rows) — broadcast them so the tiny left joins never shuffle
     val pairsCr = exactPairs
-      .join(nbScored.select("qid", "nid", "nb_cr"), Seq("qid", "nid"), "left")
+      .join(broadcast(nbScored.select("qid", "nid", "nb_cr")),
+        Seq("qid", "nid"), "left")
     val perDial = pairsCr.crossJoin(dials)
-      .join(aheadAt, Seq("qid", "nid", "nprobe"), "left")
+      .join(broadcast(aheadAt), Seq("qid", "nid", "nprobe"), "left")
       .select(col("qid"), col("nid"), col("nprobe"), col("nb_cr"),
         (lit(1L) + coalesce(col("n_ahead_p"), lit(0L))).as("arank"))
     val hits = perDial.crossJoin(steps)
@@ -1480,6 +1483,52 @@ object Similarity {
         round(col("n_hits").cast("double") / col("n_exact"), 4)
           .as("recall_at_k"))
       .orderBy("nprobe", "rerank")
+  }
+
+  /** PQ index-health report — the code twin of
+    * [[IvfIndex.driftReport]]: between codebook retrains the m
+    * subquantizers are FROZEN while the data drifts, and the signal is
+    * RECONSTRUCTION error (‖x − decode(code(x))‖², the PQ training
+    * objective per vector — by the argmin-encode construction this is
+    * also each row's distance to its nearest representable point, so a
+    * rising mean means the codebooks no longer span the data and ADC
+    * rankings degrade). Takes the VECTORS alongside the index because a
+    * PQ store holds codes only; in the shared-drop-dir topology they
+    * come from the [[graft.streaming.VectorIngest]] twin.
+    *
+    * One pass: vectors ⋈ codes on vec_id, per-row decode via native
+    * fold expressions over the codebook literal (the ADC discipline —
+    * nothing corpus-sized on the driver), one 1-row aggregate. The
+    * report also carries the coverage counts (`n_vectors`, `n_coded`):
+    * a vector without a code is invisible to every ADC probe, so a
+    * divergence is itself the [[gridSweep]] corpora alarm. */
+  def pqDriftReport(idx: PqIndex, vectors: DataFrame): DataFrame = {
+    val m = idx.codebooks.length
+    val dsub = idx.codebooks(0)(0).length
+    val cb = typedlit(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val sq = aggregate(sequence(lit(1), lit(m)), lit(0.0d), (acc, i) =>
+      acc + aggregate(sequence(lit(1), lit(dsub)), lit(0.0d), (a2, d) => {
+        val x = element_at(col("embedding"), (i - lit(1)) * dsub + d)
+          .cast("double")
+        val c = element_at(
+          element_at(element_at(cb, i), element_at(col("code"), i) + 1), d)
+          .cast("double")
+        a2 + (x - c) * (x - c)
+      }))
+    val joined = vectors.select(col("vec_id"), col("embedding"))
+      .join(idx.codes, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("code").isNotNull, sq).as("sq"))
+    joined.agg(
+        count(lit(1)).as("n_vectors"),
+        count(col("sq")).as("n_coded"),
+        coalesce(sum(col("sq")), lit(0.0)).as("__sq"),
+        coalesce(max(col("sq")), lit(0.0)).as("__mx"))
+      .select(col("n_vectors"), col("n_coded"),
+        round(col("__sq") /
+          greatest(col("n_coded").cast("double"), lit(1.0)), 6)
+          .as("mean_sq_err"),
+        round(col("__mx"), 6).as("max_sq_err"))
   }
 
   /** IVF-PQ composite probe — the production ANN topology (FAISS's

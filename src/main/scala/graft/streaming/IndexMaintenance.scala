@@ -73,18 +73,18 @@ object IndexMaintenance {
       indexDir: String): Option[Double] = {
     val p = s"$indexDir/$BaselineName"
     if (!fs(spark, p).exists(new Path(p))) None
-    else Some(spark.read.parquet(p).head().getAs[Double]("mean_sq_dist"))
+    else Some(spark.read.parquet(p).head().getAs[Double]("metric"))
   }
 
   private def pinBaseline(spark: SparkSession, indexDir: String,
-      msd: Double): Unit = {
+      metric: Double): Unit = {
     import spark.implicits._
     val p = s"$indexDir/$BaselineName"
     val f = fs(spark, p)
     // replace-in-place via tmp + swap: the baseline is one row, but a
     // half-written table would poison every later decision
     val tmp = new Path(p + ".swap_tmp")
-    Seq(msd).toDF("mean_sq_dist").coalesce(1)
+    Seq(metric).toDF("metric").coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(tmp.toString)
     val live = new Path(p)
@@ -182,6 +182,70 @@ object IndexMaintenance {
     } finally idx.release()
   }
 
+  /** The PQ twin of [[maintain]] (giving the code store its OWN
+    * measured trigger instead of borrowing the IVF report): measure
+    * [[graft.similarity.Similarity.pqDriftReport]] over the store's
+    * codes and the supplied `vectors` (the vector twin's rows — a PQ
+    * store holds no floats) → decide {noop, reencode, retrain} →
+    * execute. `reencode` is the reassign analog: vectors the code table
+    * LACKS (invisible to every ADC probe — slice corruption or a
+    * crashed retrain's second half) get encoded against the standing
+    * codebooks and the table consolidates; `retrain` answers
+    * reconstruction-error growth past `th.maxMsdGrowth`× the pinned
+    * baseline via [[retrainPq]] (codebooks swap first — a crash between
+    * the swaps leaves codes stale against new books, which the next
+    * cycle reads as uncoded/misfit rows and repairs forward). Baseline
+    * pinned at first contact, re-pinned after every retrain. Returns
+    * `(decision, executed, n_vectors, n_coded, mean_sq_err,
+    * baseline_err)`. The stream must be stopped. */
+  def maintainPq(spark: SparkSession, indexDir: String, vectors: DataFrame,
+      th: Thresholds = Thresholds(), execute: Boolean = true,
+      m: Int = 8, k: Int = 16,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(!Compaction.inProgress(spark, s"$indexDir/codes"),
+      s"compaction leftovers exist beside $indexDir/codes — run " +
+        "Compaction.recoverTable first")
+    val idx = IndexStore.loadPq(spark, indexDir)
+    try {
+      val rep = Similarity.pqDriftReport(idx, vectors).head()
+      val nVectors = rep.getAs[Long]("n_vectors")
+      val nCoded = rep.getAs[Long]("n_coded")
+      val err = rep.getAs[Double]("mean_sq_err")
+      val base = baselineMsd(spark, indexDir)
+      val decision = decide(nVectors - nCoded, err, base,
+        cellSkew = 1.0, emptyFrac = 0.0, th) match {
+        case "reassign" => "reencode" // the PQ repair action's real name
+        case d => d
+      }
+      if (base.isEmpty) pinBaseline(spark, indexDir, err)
+
+      if (execute) decision match {
+        case "reencode" =>
+          val missing = vectors.select("vec_id", "embedding")
+            .join(idx.codes.select("vec_id"), Seq("vec_id"), "left_anti")
+          val repaired = idx.codes.select("vec_id", "code").unionByName(
+            Similarity.encodeWithCodebooks(missing, idx.codebooks))
+            .localCheckpoint()
+          Compaction.publishSlice(spark, s"$indexDir/codes", repaired,
+            nPartsFor(spark, s"$indexDir/codes", targetPartitionBytes))
+        case "retrain" =>
+          retrainPq(spark, indexDir, vectors, m, k, targetPartitionBytes)
+          val fresh = IndexStore.loadPq(spark, indexDir)
+          try pinBaseline(spark, indexDir,
+            Similarity.pqDriftReport(fresh, vectors).head()
+              .getAs[Double]("mean_sq_err"))
+          finally fresh.release()
+        case _ => ()
+      }
+
+      import spark.implicits._
+      Seq((decision, execute, nVectors, nCoded, err,
+        base.getOrElse(Double.NaN)))
+        .toDF("decision", "executed", "n_vectors", "n_coded",
+          "mean_sq_err", "baseline_err")
+    } finally idx.release()
+  }
+
   /** Re-seed a [[PqIngest]]-layout store's codebooks from `vectors`
     * (the vector twin's rows — the PQ store holds codes only) and
     * re-encode everything, under the retrain swap discipline: codebooks
@@ -202,6 +266,46 @@ object IndexMaintenance {
     Compaction.publishSlice(spark, s"$indexDir/codes", newCodes,
       nPartsFor(spark, s"$indexDir/codes", targetPartitionBytes))
     fresh.release()
+  }
+
+  /** The text-corpus analog of [[maintain]], completing the maintenance
+    * policy across all three streamed stores: the dedup index's derived
+    * tables (fps, shingles) must cover exactly the standing docs — a
+    * doc missing from fps is INVISIBLE to exact-dup admission and a
+    * redelivered copy of it would be admitted twice (the d01 invariant
+    * broken silently), while the repair op ([[CorpusIngest.reindex]])
+    * existed with nothing deciding WHEN to run it. Measure: live doc
+    * ids anti-joined against each derived table's ids (two id-column
+    * scans, no text touched). Decide: any uncovered doc → `reindex`
+    * (executed); clean → `noop`. Per-doc fingerprints are
+    * deterministic functions of the text, so there is no drift axis
+    * here — coverage is the whole health signal, and reindex is the
+    * complete repair. Returns `(decision, executed, n_docs,
+    * fps_missing, shingles_missing)`. The stream must be stopped. */
+  def maintainCorpus(spark: SparkSession, corpusDir: String,
+      execute: Boolean = true,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = new CorpusIngest.Merger(spark, corpusDir).corpus()
+      .select("doc_id")
+    def missing(sub: String): Long = {
+      val p = s"$corpusDir/$sub"
+      if (!fs(spark, p).exists(new Path(p))) docs.count()
+      else docs.join(
+        spark.read.option("basePath", p).parquet(p).select("doc_id"),
+        Seq("doc_id"), "left_anti").count()
+    }
+    val nDocs = docs.count()
+    val fpsMissing = missing("fps")
+    val shMissing = missing("shingles")
+    val decision =
+      if (fpsMissing > 0L || shMissing > 0L) "reindex" else "noop"
+    if (execute && decision == "reindex")
+      CorpusIngest.reindex(spark, corpusDir, targetPartitionBytes)
+    import spark.implicits._
+    Seq((decision, execute, nDocs, fpsMissing, shMissing))
+      .toDF("decision", "executed", "n_docs", "fps_missing",
+        "shingles_missing")
   }
 
   /** Byte-sized partition count for a consolidated rewrite — the

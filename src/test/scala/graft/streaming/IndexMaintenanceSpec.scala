@@ -55,6 +55,19 @@ class IndexMaintenanceSpec extends SparkTestBase {
     batches.foreach { case (b, id) => m.mergeBatch(b, id) }
   }
 
+  /** The store's own dialSweep Recall@k at nprobe=1 for queries from
+    * the drifted region — the verdict's literal "retrained index's
+    * dialSweep recall recovers" measurement. */
+  private def dialRecall(dir: String): Double = {
+    val idx = graft.similarity.IndexStore.loadIvf(spark, dir)
+    try {
+      val corpus = idx.assigned.select("vec_id", "embedding")
+      val qf = col("vec_id") >= 1000L && col("vec_id") % 25 === 0
+      idx.dialSweep(corpus, qf, 5, maxNprobe = 1)
+        .head().getAs[Double]("recall_at_k")
+    } finally idx.release()
+  }
+
   /** Recall@k of the store's probe at nprobe=1 against brute force over
     * the store's own corpus, for queries from the drifted region. */
   private def probeRecall(dir: String): Double = {
@@ -119,6 +132,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
     // drift arrives through the door: assigned to the STALE centroids
     ingest(dir, (toDf(driftRows), 1L))
     val recallBefore = probeRecall(dir)
+    val dialBefore = dialRecall(dir)
     val r = IndexMaintenance.maintain(spark, dir).head()
     assert(r.getAs[String]("decision") == "retrain",
       s"drifted store must retrain (msd ${r.getAs[Double]("mean_sq_dist")} " +
@@ -127,6 +141,10 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(recallAfter > recallBefore,
       s"retrain must recover probe recall ($recallBefore -> $recallAfter)")
     assert(recallAfter >= 0.9, s"retrained recall too low: $recallAfter")
+    // the same recovery read off the index's own tuning curve
+    val dialAfter = dialRecall(dir)
+    assert(dialAfter > dialBefore && dialAfter >= 0.9,
+      s"retrain must recover the dialSweep recall ($dialBefore -> $dialAfter)")
     // the retrain re-pinned the baseline on its own fit -> next is noop
     assert(IndexMaintenance.maintain(spark, dir).head()
       .getAs[String]("decision") == "noop")
@@ -163,6 +181,103 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(r.getAs[String]("decision") == "retrain")
     assert(!r.getAs[Boolean]("executed"))
     assert(sliceListing(dir) == before, "dry-run must not touch the table")
+  }
+
+  test("maintainPq: noop / reencode / retrain with reconstruction error recovering") {
+    val pqDir = Files.createTempDirectory("graft_maintpq").toString
+    val pm = new PqIngest.Merger(spark, pqDir, m = 4, k = 8)
+    pm.mergeBatch(toDf(seedRows), 0L)
+    val seedVecs = toDf(seedRows)
+    // first contact pins the baseline; the seeded store is healthy
+    val r1 = IndexMaintenance.maintainPq(spark, pqDir, seedVecs,
+      m = 4, k = 8).head()
+    assert(r1.getAs[String]("decision") == "noop")
+    assert(r1.getAs[Long]("n_coded") == r1.getAs[Long]("n_vectors"))
+    assert(r1.getAs[Double]("baseline_err").isNaN)
+
+    // drift arrives through the door: encoded against STALE codebooks,
+    // reconstruction error explodes past the baseline → retrain, and
+    // the retrained books' error recovers
+    pm.mergeBatch(toDf(driftRows), 1L)
+    val allVecs = toDf(seedRows ++ driftRows)
+    val errBefore = {
+      val idx = graft.similarity.IndexStore.loadPq(spark, pqDir)
+      try graft.similarity.Similarity.pqDriftReport(idx, allVecs)
+        .head().getAs[Double]("mean_sq_err")
+      finally idx.release()
+    }
+    val r2 = IndexMaintenance.maintainPq(spark, pqDir, allVecs,
+      m = 4, k = 8).head()
+    assert(r2.getAs[String]("decision") == "retrain",
+      s"drifted codes must retrain (err ${r2.getAs[Double]("mean_sq_err")} " +
+        s"vs baseline ${r2.getAs[Double]("baseline_err")})")
+    val errAfter = {
+      val idx = graft.similarity.IndexStore.loadPq(spark, pqDir)
+      try graft.similarity.Similarity.pqDriftReport(idx, allVecs)
+        .head().getAs[Double]("mean_sq_err")
+      finally idx.release()
+    }
+    assert(errAfter < errBefore,
+      s"retrain must reduce reconstruction error ($errBefore -> $errAfter)")
+    // converged: the re-pinned baseline reads the retrained fit
+    assert(IndexMaintenance.maintainPq(spark, pqDir, allVecs,
+      m = 4, k = 8).head().getAs[String]("decision") == "noop")
+
+    // coverage repair: drop some codes → uncoded vectors are invisible
+    // to ADC probes → reencode, after which coverage is whole again and
+    // the repaired codes equal the door's own encode
+    val codesDir = s"$pqDir/codes"
+    val f = new Path(pqDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val slice = f.listStatus(new Path(codesDir))
+      .map(_.getPath).filter(_.getName.startsWith("batch=")).head
+    val kept = spark.read.parquet(slice.toString)
+      .filter($"vec_id" % 3 =!= 0).localCheckpoint()
+    kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(slice.toString)
+    val r3 = IndexMaintenance.maintainPq(spark, pqDir, allVecs,
+      m = 4, k = 8).head()
+    assert(r3.getAs[String]("decision") == "reencode")
+    assert(r3.getAs[Long]("n_coded") < r3.getAs[Long]("n_vectors"))
+    val r4 = IndexMaintenance.maintainPq(spark, pqDir, allVecs,
+      m = 4, k = 8).head()
+    assert(r4.getAs[String]("decision") == "noop")
+    assert(r4.getAs[Long]("n_coded") == r4.getAs[Long]("n_vectors"))
+  }
+
+  test("maintainCorpus: coverage decides reindex; admissions repaired; clean store noop") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "entirely different words live here walrus vulture " +
+      "unicorn tiger snake rabbit quail panda otter newt mole lynx koala"
+    def docs(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("t"))
+        .withColumn("n_chars", length($"text").cast("long"))
+    val dir = Files.createTempDirectory("graft_maint_corpus").toString
+    val m = new CorpusIngest.Merger(spark, dir)
+    m.mergeBatch(docs((0L, base), (1L, other)), 0L)
+    val r1 = IndexMaintenance.maintainCorpus(spark, dir).head()
+    assert(r1.getAs[String]("decision") == "noop")
+    assert(r1.getAs[Long]("fps_missing") == 0L &&
+      r1.getAs[Long]("shingles_missing") == 0L)
+
+    // the corruption: the derived tables vanish — every doc uncovered,
+    // and a redelivered exact copy would be silently admitted twice
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(s"$dir/fps"), true)
+    f.delete(new Path(s"$dir/shingles"), true)
+    val r2 = IndexMaintenance.maintainCorpus(spark, dir).head()
+    assert(r2.getAs[String]("decision") == "reindex")
+    assert(r2.getAs[Long]("fps_missing") == 2L)
+    // repaired: coverage whole again, and admission refuses a copy of
+    // doc 0 under a new id (the invariant the reindex protects)
+    val r3 = IndexMaintenance.maintainCorpus(spark, dir).head()
+    assert(r3.getAs[String]("decision") == "noop")
+    m.mergeBatch(docs((10L, base)), 1L)
+    assert(!m.corpus().select("doc_id").collect().map(_.getLong(0))
+      .contains(10L), "an exact dup must be refused after the repair")
   }
 
   test("retrainPq re-seeds codebooks+codes from the vector twin; probe stays consistent") {
