@@ -268,6 +268,32 @@ object IndexMaintenance {
     fresh.release()
   }
 
+  /** Baseline-normalized read of the per-batch drift LOG
+    * ([[VectorIngest.driftLog]], written opt-in at the ingest door for
+    * O(batch) per trigger): each committed batch's quantization error
+    * against the standing centroids as a ratio of the SEED batch's own
+    * fit, with the `retrain_due` flag at `th.maxMsdGrowth` — the trend
+    * table an operator pages on BETWEEN [[maintain]] cycles, telling
+    * them when to schedule one without paying even the two-corpus-pass
+    * measurement. The log and the cycle answer different questions: the
+    * log prices each ARRIVING batch against the quantizer (drift of the
+    * incoming distribution), the cycle prices the standing corpus
+    * (health of the whole index); both read the same growth threshold. */
+  def driftTrend(spark: SparkSession, indexDir: String,
+      th: Thresholds = Thresholds()): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val log = VectorIngest.driftLog(spark, indexDir)
+    val seed = broadcast(log.orderBy("batch").limit(1)
+      .select(col("mean_sq_dist").as("__seed")))
+    log.crossJoin(seed)
+      .select(col("batch"), col("n_vectors"), col("mean_sq_dist"),
+        round(col("mean_sq_dist") /
+          greatest(col("__seed"), lit(1e-12)), 4).as("ratio_vs_seed"),
+        (col("mean_sq_dist") > col("__seed") * th.maxMsdGrowth)
+          .as("retrain_due"))
+      .orderBy("batch")
+  }
+
   /** The text-corpus analog of [[maintain]], completing the maintenance
     * policy across all three streamed stores: the dedup index's derived
     * tables (fps, shingles) must cover exactly the standing docs — a

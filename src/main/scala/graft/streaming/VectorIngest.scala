@@ -50,7 +50,8 @@ import graft.similarity.Similarity
 object VectorIngest {
 
   final class Merger(spark: SparkSession, indexDir: String,
-      nlist: Int = 16, logStats: Boolean = false) extends Serializable {
+      nlist: Int = 16, logStats: Boolean = false,
+      logDrift: Boolean = false) extends Serializable {
 
     private def part(sub: String) = s"$indexDir/$sub"
     private def fs(path: String) = new Path(path)
@@ -129,6 +130,31 @@ object VectorIngest {
       if (logStats)
         IngestLog.writeStages(spark, indexDir, batchId, batch, banStage,
           sliceDir)
+      // opt-in PER-BATCH drift telemetry (the trend the driftReport
+      // scaladoc prescribes but nothing previously recorded): the
+      // quantization error of THIS batch's rows against the standing
+      // centroids — O(batch) (one broadcast-centroid join over the
+      // just-written slice), never the O(corpus) full report, so the
+      // stream's total telemetry cost stays linear instead of
+      // quadratic. Batch 0's row is the seed fit itself — the natural
+      // baseline every later ratio reads against. Replay-idempotent:
+      // the row is keyed batch=<N> and overwritten like the slice.
+      if (logDrift) {
+        val centroids = spark.read.parquet(part("centroids"))
+        import graft.plans.{VectorExpressions => V}
+        val d2 = V.dot(col("embedding"), col("embedding")) +
+          V.dot(col("centroid"), col("centroid")) -
+          lit(2.0) * V.dot(col("embedding"), col("centroid"))
+        spark.read.parquet(sliceDir)
+          .join(broadcast(centroids), "cell")
+          .agg(count(lit(1)).as("n_vectors"),
+            round(coalesce(sum(d2), lit(0.0)) /
+              greatest(count(lit(1)).cast("double"), lit(1.0)), 6)
+              .as("mean_sq_dist"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"${part("_drift_log")}/batch=$batchId")
+      }
 
       // IndexStore manifest, so the ingested index opens with loadIvf
       // from any session; written once the first slice is committed
@@ -171,6 +197,15 @@ object VectorIngest {
   def ingestLog(spark: SparkSession, indexDir: String): DataFrame =
     IngestLog.read(spark, indexDir)
 
+  /** The per-batch drift log (one row per committed batch: batch,
+    * n_vectors, mean_sq_dist) — present only when the merger ran with
+    * `logDrift = true`. Batch 0 is the seed fit; see
+    * [[IndexMaintenance.driftTrend]] for the baseline-normalized read. */
+  def driftLog(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.option("basePath", s"$indexDir/_drift_log")
+      .parquet(s"$indexDir/_drift_log")
+      .select(col("batch"), col("n_vectors"), col("mean_sq_dist"))
+
   /** Logically delete `ids` (a frame carrying `vec_id`) from the index —
     * effective immediately for every probe opened through
     * [[graft.similarity.IndexStore.loadIvf]] (which masks through the
@@ -202,8 +237,8 @@ object VectorIngest {
   /** Start the ingest over a drop-directory of parquet embedding files. */
   def start(spark: SparkSession, dropDir: String, indexDir: String,
       checkpointDir: String, nlist: Int = 16,
-      logStats: Boolean = false): StreamingQuery = {
-    val merger = new Merger(spark, indexDir, nlist, logStats)
+      logStats: Boolean = false, logDrift: Boolean = false): StreamingQuery = {
+    val merger = new Merger(spark, indexDir, nlist, logStats, logDrift)
     spark.readStream
       .schema(graft.etl.Schemas.embeddings)
       .parquet(dropDir)

@@ -245,6 +245,32 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(r4.getAs[Long]("n_coded") == r4.getAs[Long]("n_vectors"))
   }
 
+  test("per-batch drift log: O(batch) telemetry, seed-normalized trend, replay idempotent") {
+    val dir = Files.createTempDirectory("graft_drift_log").toString
+    val m = new VectorIngest.Merger(spark, dir, nlist = 8, logDrift = true)
+    m.mergeBatch(toDf(seedRows), 0L)
+    m.mergeBatch(toDf(cluster(500L, 20, center(1, 1.0), 0.05, 55L)), 1L)
+    m.mergeBatch(toDf(driftRows), 2L)
+    val trend = IndexMaintenance.driftTrend(spark, dir).collect()
+      .map(r => r.getAs[Long]("batch") -> r).toMap
+    assert(trend.keySet == Set(0L, 1L, 2L))
+    // the seed batch IS the baseline: ratio exactly 1, never due
+    assert(trend(0L).getAs[Double]("ratio_vs_seed") == 1.0)
+    assert(!trend(0L).getAs[Boolean]("retrain_due"))
+    // a same-distribution batch stays near the seed fit
+    assert(!trend(1L).getAs[Boolean]("retrain_due"),
+      s"undrifted batch flagged: ${trend(1L)}")
+    // the drifted batch prices its own arrival, flagged immediately —
+    // BEFORE any maintain cycle scans the corpus
+    assert(trend(2L).getAs[Boolean]("retrain_due"))
+    assert(trend(2L).getAs[Double]("ratio_vs_seed") >
+      trend(1L).getAs[Double]("ratio_vs_seed") * 10)
+    // replay idempotence: re-delivering batch 2 overwrites its row
+    m.mergeBatch(toDf(driftRows), 2L)
+    val again = IndexMaintenance.driftTrend(spark, dir).collect()
+    assert(again.length == 3)
+  }
+
   test("maintainCorpus: coverage decides reindex; admissions repaired; clean store noop") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
       "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
