@@ -523,12 +523,17 @@ object Bench {
     val compactLine = render(
       k => k.startsWith("cal_") || headline(shortKey(k)), shortKey, 2,
       ""","keys":"fixed headline subset + cal_* box-noise probes; FULL map in bench_result.json, committed as BENCH_LOCAL_r<N>.json"""")
-    require(compactLine.length <= 1800,
-      s"compact stdout line is ${compactLine.length} chars — it must stay " +
-        "inside the driver's 2000-char tail window; trim the headline set")
+    // the full-precision artifact is written FIRST (r10 advice #4): the
+    // stdout-window assert below guards only the compact rendering, and
+    // failing it must degrade the stdout line — never discard the whole
+    // completed run's durable artifact
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")),
       (fullLine + "\n").getBytes("UTF-8"))
+    require(compactLine.length <= 1800,
+      s"compact stdout line is ${compactLine.length} chars — it must stay " +
+        "inside the driver's 2000-char tail window; trim the headline set " +
+        "(bench_result.json is already written)")
     spark.stop()
     // after spark.stop(): nothing (Spark shutdown logs go to stderr-level
     // log4j, and none follow on this build) can land between this line and

@@ -79,17 +79,11 @@ object IndexMaintenance {
   private def pinBaseline(spark: SparkSession, indexDir: String,
       metric: Double): Unit = {
     import spark.implicits._
-    val p = s"$indexDir/$BaselineName"
-    val f = fs(spark, p)
-    // replace-in-place via tmp + swap: the baseline is one row, but a
-    // half-written table would poison every later decision
-    val tmp = new Path(p + ".swap_tmp")
-    Seq(metric).toDF("metric").coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(tmp.toString)
-    val live = new Path(p)
-    if (f.exists(live)) f.delete(live, true)
-    require(f.rename(tmp, live), s"could not publish drift baseline $p")
+    // the baseline is one row, but a half-written (or half-swapped) table
+    // would poison every later decision — ride the same staged swap as
+    // the centroid/codebook tables, so [[recoverSwap]] repairs it too
+    replaceDir(spark, s"$indexDir/$BaselineName",
+      Seq(metric).toDF("metric"))
   }
 
   /** The pure policy — spec-able without a store. Precedence: a
@@ -109,17 +103,27 @@ object IndexMaintenance {
     * any [[IndexStore.saveIvf]] directory): measure → decide → execute →
     * return the 1-row decision report
     * `(decision, executed, misassigned, mean_sq_dist, baseline_msd,
-    * cell_skew, empty_frac, n_vectors)`. First call pins the baseline
-    * and never retrains on the msd rule. `execute = false` is the
-    * dry-run (report the decision, touch nothing — baseline still pins
-    * on first contact so the NEXT cycle can judge growth). The stream
-    * must be stopped. */
+    * cell_skew, empty_frac, n_vectors)`. The baseline pins on the first
+    * CLEAN (noop) cycle, never on a cycle that decided a repair (r10
+    * advice #1: msd measured over a mis-assigned or drifted table is
+    * itself unreliable, and pinning it would durably inflate the growth
+    * threshold every later cycle reads); an EXECUTED repair re-measures
+    * the repaired store and pins that instead, while a dry-run repair
+    * decision pins nothing and leaves the pin to the next clean cycle.
+    * `execute = false` is the dry-run (report the decision, touch
+    * nothing beyond a clean first-contact pin). The stream must be
+    * stopped. */
   def maintain(spark: SparkSession, indexDir: String,
       th: Thresholds = Thresholds(), execute: Boolean = true,
       targetPartitionBytes: Long = 128L * 1024 * 1024): DataFrame = {
     require(!Compaction.inProgress(spark, s"$indexDir/assigned"),
       s"compaction leftovers exist beside $indexDir/assigned — run " +
         "Compaction.recoverTable first")
+    // a crashed centroid/baseline swap is repaired HERE, not discovered
+    // as a missing-dir read failure deep inside loadIvf (r10 advice #2);
+    // recoverSwap is idempotent and a no-op on a healthy store
+    recoverSwap(spark, s"$indexDir/centroids")
+    recoverSwap(spark, s"$indexDir/$BaselineName")
     val idx = IndexStore.loadIvf(spark, indexDir)
     try {
       val report = idx.driftReport().head()
@@ -140,7 +144,9 @@ object IndexMaintenance {
         .count()
       val base = baselineMsd(spark, indexDir)
       val decision = decide(misassigned, msd, base, skew, emptyFrac, th)
-      if (base.isEmpty) pinBaseline(spark, indexDir, msd)
+      // first-contact pin ONLY on a clean cycle — see the scaladoc
+      if (base.isEmpty && decision == "noop")
+        pinBaseline(spark, indexDir, msd)
 
       if (execute) decision match {
         case "reassign" =>
@@ -149,6 +155,20 @@ object IndexMaintenance {
             .select("vec_id", "embedding", "cell")
           Compaction.publishSlice(spark, s"$indexDir/assigned", fixed,
             nPartsFor(spark, s"$indexDir/assigned", targetPartitionBytes))
+          // first contact that needed a repair: pin the REPAIRED table's
+          // own fit, not the corrupted measurement taken above. The
+          // outer idx's persisted PRE-repair assignment would otherwise
+          // be served to the same-plan re-read (cache staleness after a
+          // publish swap — caught by IndexMaintenanceSpec's poison
+          // test), so release it and refresh the path first.
+          if (base.isEmpty) {
+            idx.release()
+            spark.catalog.refreshByPath(s"$indexDir/assigned")
+            val repaired = IndexStore.loadIvf(spark, indexDir)
+            try pinBaseline(spark, indexDir,
+              repaired.driftReport().head().getAs[Double]("mean_sq_dist"))
+            finally repaired.release()
+          }
         case "retrain" =>
           val nlist = idx.centroids.count().toInt
           val fresh = Similarity.buildIvfIndex(
@@ -167,6 +187,10 @@ object IndexMaintenance {
             newAssigned,
             nPartsFor(spark, s"$indexDir/assigned", targetPartitionBytes))
           fresh.release()
+          // same cache-staleness discipline as the reassign pin: the
+          // pre-retrain assignment is still persisted on this plan
+          idx.release()
+          spark.catalog.refreshByPath(s"$indexDir/assigned")
           val retrained = IndexStore.loadIvf(spark, indexDir)
           try pinBaseline(spark, indexDir,
             retrained.driftReport().head().getAs[Double]("mean_sq_dist"))
@@ -188,14 +212,26 @@ object IndexMaintenance {
     * codes and the supplied `vectors` (the vector twin's rows — a PQ
     * store holds no floats) → decide {noop, reencode, retrain} →
     * execute. `reencode` is the reassign analog: vectors the code table
-    * LACKS (invisible to every ADC probe — slice corruption or a
-    * crashed retrain's second half) get encoded against the standing
-    * codebooks and the table consolidates; `retrain` answers
-    * reconstruction-error growth past `th.maxMsdGrowth`× the pinned
-    * baseline via [[retrainPq]] (codebooks swap first — a crash between
-    * the swaps leaves codes stale against new books, which the next
-    * cycle reads as uncoded/misfit rows and repairs forward). Baseline
-    * pinned at first contact, re-pinned after every retrain. Returns
+    * LACKS (invisible to every ADC probe — slice corruption) get
+    * encoded against the standing codebooks and the table consolidates;
+    * `retrain` answers reconstruction-error growth past
+    * `th.maxMsdGrowth`× the pinned baseline via [[retrainPq]].
+    *
+    * A crash between retrainPq's two swaps (codebooks published, codes
+    * still the old encoding) leaves codes that are STALE yet fully
+    * covering — the coverage rule counts uncoded rows only and cannot
+    * see it (r10 advice #3), and the msd-growth rule abstains until a
+    * baseline exists. The window is therefore detected STRUCTURALLY:
+    * [[retrainPq]] raises a `_retrain_inflight` marker before its first
+    * swap and lowers it after its last, and a cycle that finds the
+    * marker standing decides `reencode` and (when executing) re-encodes
+    * EVERYTHING against the published codebooks — rolling the crashed
+    * retrain forward — before lowering the marker.
+    *
+    * Baseline pinned on the first CLEAN (noop) cycle only; an executed
+    * repair re-measures and pins the repaired store (the [[maintain]]
+    * discipline — never pin a measurement taken over a store that
+    * needed repair). Re-pinned after every retrain. Returns
     * `(decision, executed, n_vectors, n_coded, mean_sq_err,
     * baseline_err)`. The stream must be stopped. */
   def maintainPq(spark: SparkSession, indexDir: String, vectors: DataFrame,
@@ -205,6 +241,9 @@ object IndexMaintenance {
     require(!Compaction.inProgress(spark, s"$indexDir/codes"),
       s"compaction leftovers exist beside $indexDir/codes — run " +
         "Compaction.recoverTable first")
+    recoverSwap(spark, s"$indexDir/codebooks")
+    recoverSwap(spark, s"$indexDir/$BaselineName")
+    val crashedRetrain = retrainInflight(spark, indexDir)
     val idx = IndexStore.loadPq(spark, indexDir)
     try {
       val rep = Similarity.pqDriftReport(idx, vectors).head()
@@ -212,24 +251,52 @@ object IndexMaintenance {
       val nCoded = rep.getAs[Long]("n_coded")
       val err = rep.getAs[Double]("mean_sq_err")
       val base = baselineMsd(spark, indexDir)
-      val decision = decide(nVectors - nCoded, err, base,
-        cellSkew = 1.0, emptyFrac = 0.0, th) match {
-        case "reassign" => "reencode" // the PQ repair action's real name
-        case d => d
-      }
-      if (base.isEmpty) pinBaseline(spark, indexDir, err)
+      // the standing marker overrides the metric rules: codes may be
+      // stale against the published codebooks, a state the coverage
+      // count cannot see and err over which is unreliable (scaladoc)
+      val decision =
+        if (crashedRetrain) "reencode"
+        else decide(nVectors - nCoded, err, base,
+          cellSkew = 1.0, emptyFrac = 0.0, th) match {
+          case "reassign" => "reencode" // the PQ repair action's real name
+          case d => d
+        }
+      if (base.isEmpty && decision == "noop")
+        pinBaseline(spark, indexDir, err)
 
       if (execute) decision match {
         case "reencode" =>
-          val missing = vectors.select("vec_id", "embedding")
-            .join(idx.codes.select("vec_id"), Seq("vec_id"), "left_anti")
-          val repaired = idx.codes.select("vec_id", "code").unionByName(
-            Similarity.encodeWithCodebooks(missing, idx.codebooks))
-            .localCheckpoint()
+          val repaired = (if (crashedRetrain) {
+            // roll the crashed retrain forward: every code re-derives
+            // from the published codebooks (stale rows are
+            // indistinguishable from fresh ones, so all rows re-encode)
+            Similarity.encodeWithCodebooks(
+              vectors.select("vec_id", "embedding"), idx.codebooks)
+          } else {
+            val missing = vectors.select("vec_id", "embedding")
+              .join(idx.codes.select("vec_id"), Seq("vec_id"), "left_anti")
+            idx.codes.select("vec_id", "code").unionByName(
+              Similarity.encodeWithCodebooks(missing, idx.codebooks))
+          }).localCheckpoint()
           Compaction.publishSlice(spark, s"$indexDir/codes", repaired,
             nPartsFor(spark, s"$indexDir/codes", targetPartitionBytes))
+          if (crashedRetrain) lowerRetrainMarker(spark, indexDir)
+          // first contact that needed a repair: pin the repaired store's
+          // own reconstruction error, not the pre-repair measurement
+          // (release + refresh first — the cache-staleness discipline)
+          if (base.isEmpty) {
+            idx.release()
+            spark.catalog.refreshByPath(s"$indexDir/codes")
+            val fresh = IndexStore.loadPq(spark, indexDir)
+            try pinBaseline(spark, indexDir,
+              Similarity.pqDriftReport(fresh, vectors).head()
+                .getAs[Double]("mean_sq_err"))
+            finally fresh.release()
+          }
         case "retrain" =>
           retrainPq(spark, indexDir, vectors, m, k, targetPartitionBytes)
+          idx.release()
+          spark.catalog.refreshByPath(s"$indexDir/codes")
           val fresh = IndexStore.loadPq(spark, indexDir)
           try pinBaseline(spark, indexDir,
             Similarity.pqDriftReport(fresh, vectors).head()
@@ -249,23 +316,50 @@ object IndexMaintenance {
   /** Re-seed a [[PqIngest]]-layout store's codebooks from `vectors`
     * (the vector twin's rows — the PQ store holds codes only) and
     * re-encode everything, under the retrain swap discipline: codebooks
-    * first, codes second, so a crash between the swaps leaves codes
-    * stale against NEW codebooks and re-running completes the job.
-    * Triggered by the vector store's [[maintain]] retrain decision in
-    * the shared-drop-dir topology. The stream must be stopped. */
+    * first, codes second. The two swaps are bracketed by a
+    * `_retrain_inflight` marker (raised before the first, lowered after
+    * the last): a crash between them leaves codes stale against the NEW
+    * codebooks — fully covering, so no metric rule can see it — and the
+    * standing marker is what tells the next [[maintainPq]] cycle to
+    * re-encode everything and finish the job (r10 advice #3; re-running
+    * retrainPq itself also completes it). Triggered by the vector
+    * store's [[maintain]] retrain decision in the shared-drop-dir
+    * topology. The stream must be stopped. */
   def retrainPq(spark: SparkSession, indexDir: String, vectors: DataFrame,
       m: Int = 8, k: Int = 16,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Unit = {
     require(!Compaction.inProgress(spark, s"$indexDir/codes"),
       s"compaction leftovers exist beside $indexDir/codes — run " +
         "Compaction.recoverTable first")
+    recoverSwap(spark, s"$indexDir/codebooks")
     val fresh = Similarity.buildPqIndex(vectors, m, k)
     val newCodes = fresh.codes.select("vec_id", "code").localCheckpoint()
+    raiseRetrainMarker(spark, indexDir)
     replaceDir(spark, s"$indexDir/codebooks",
       IndexStore.codebooksDf(spark, fresh.codebooks))
     Compaction.publishSlice(spark, s"$indexDir/codes", newCodes,
       nPartsFor(spark, s"$indexDir/codes", targetPartitionBytes))
+    lowerRetrainMarker(spark, indexDir)
     fresh.release()
+  }
+
+  private val RetrainMarker = "_retrain_inflight"
+
+  /** True while a [[retrainPq]] swap pair is (or crashed) in flight. */
+  def retrainInflight(spark: SparkSession, indexDir: String): Boolean =
+    fs(spark, indexDir).exists(new Path(s"$indexDir/$RetrainMarker"))
+
+  private def raiseRetrainMarker(spark: SparkSession,
+      indexDir: String): Unit = {
+    val p = new Path(s"$indexDir/$RetrainMarker")
+    val out = fs(spark, indexDir).create(p, true)
+    out.close()
+  }
+
+  private def lowerRetrainMarker(spark: SparkSession,
+      indexDir: String): Unit = {
+    fs(spark, indexDir).delete(new Path(s"$indexDir/$RetrainMarker"), false)
+    ()
   }
 
   /** Baseline-normalized read of the per-batch drift LOG
@@ -280,16 +374,36 @@ object IndexMaintenance {
     * incoming distribution), the cycle prices the standing corpus
     * (health of the whole index); both read the same growth threshold. */
   def driftTrend(spark: SparkSession, indexDir: String,
-      th: Thresholds = Thresholds()): DataFrame = {
+      th: Thresholds = Thresholds()): DataFrame =
+    trendOver(spark, indexDir, VectorIngest.driftLog(spark, indexDir), th)
+
+  /** The shared trend arithmetic, explicit about WHICH number anchors
+    * the ratios (r10 advice #5 — normalizing against whatever row
+    * happens to be earliest silently rebases onto an already-drifted
+    * batch when the log starts late or batch 0's slice is lost): the
+    * anchor is the pinned `_drift_baseline` when one exists (a
+    * [[maintain]]/[[maintainPq]] clean-cycle or post-retrain fit —
+    * exactly the number the cycle's own growth rule reads, so the trend
+    * and the cycle agree); otherwise the log's batch-0 row (the seed
+    * fit), and a log whose earliest row is NOT batch 0 fails loudly
+    * instead of quietly reading every ratio against a drifted batch. */
+  private def trendOver(spark: SparkSession, indexDir: String,
+      dlog: DataFrame, th: Thresholds): DataFrame = {
     import org.apache.spark.sql.functions._
-    val log = VectorIngest.driftLog(spark, indexDir)
-    val seed = broadcast(log.orderBy("batch").limit(1)
-      .select(col("mean_sq_dist").as("__seed")))
-    log.crossJoin(seed)
-      .select(col("batch"), col("n_vectors"), col("mean_sq_dist"),
+    val seedVal: Double = baselineMsd(spark, indexDir).getOrElse {
+      val first = dlog.orderBy("batch")
+        .select(col("batch").cast("long"), col("mean_sq_dist")).head()
+      require(first.getLong(0) == 0L,
+        s"drift log under $indexDir starts at batch ${first.getLong(0)} " +
+          "and no _drift_baseline is pinned — ratios would read against " +
+          "an already-drifted batch; run a clean maintain cycle to pin a " +
+          "baseline, or enable drift logging from batch 0")
+      first.getDouble(1)
+    }
+    dlog.select(col("batch"), col("n_vectors"), col("mean_sq_dist"),
         round(col("mean_sq_dist") /
-          greatest(col("__seed"), lit(1e-12)), 4).as("ratio_vs_seed"),
-        (col("mean_sq_dist") > col("__seed") * th.maxMsdGrowth)
+          greatest(lit(seedVal), lit(1e-12)), 4).as("ratio_vs_seed"),
+        (col("mean_sq_dist") > lit(seedVal) * th.maxMsdGrowth)
           .as("retrain_due"))
       .orderBy("batch")
   }
@@ -345,17 +459,25 @@ object IndexMaintenance {
       (bytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
   }
 
-  /** Replace a small fixed table (centroids, codebooks) atomically:
-    * write aside with `_SUCCESS` gate, stage the live dir away, rename
-    * in, drop the staged copy — a crash leaves either the old table or
-    * the complete new one, with the `.old` copy recoverable by hand in
-    * the one-rename window between. */
+  /** Replace a small fixed table (centroids, codebooks, the drift
+    * baseline) atomically: write aside with `_SUCCESS` gate, stage the
+    * live dir away, rename in, drop the staged copy — a crash leaves
+    * either the old table or the complete new one plus `.swap_*`
+    * markers, and [[recoverSwap]] maps every reachable crash state back
+    * to a healthy table (roll forward when the new table is complete,
+    * roll back otherwise). [[maintain]]/[[maintainPq]]/[[retrainPq]]
+    * run it on entry, so the one-rename no-live-dir window no longer
+    * needs by-hand recovery (r10 advice #2). */
   private def replaceDir(spark: SparkSession, dir: String,
       df: DataFrame): Unit = {
     val f = fs(spark, dir)
     val live = new Path(dir)
     val tmp = new Path(dir + ".swap_tmp")
     val old = new Path(dir + ".swap_old")
+    // a crashed PREVIOUS swap is repaired before its markers are
+    // destroyed — deleting blindly here would discard the only rollback
+    // copy of a table the last crash left without a live dir
+    recoverSwap(spark, dir)
     f.delete(tmp, true); f.delete(old, true)
     df.coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -364,8 +486,42 @@ object IndexMaintenance {
       s"rewrite of $dir left no _SUCCESS marker — aborting before the swap")
     if (f.exists(live))
       require(f.rename(live, old), s"could not stage $dir aside")
-    require(f.rename(tmp, live), s"could not publish $dir — the staged " +
-      s"previous table is at $old")
+    require(f.rename(tmp, live), s"could not publish $dir — run " +
+      "IndexMaintenance.recoverSwap to repair")
     f.delete(old, true)
+  }
+
+  /** Repair a crashed [[replaceDir]] swap of `dir` — idempotent, a
+    * no-op on a healthy table, and total over the swap's crash states
+    * (the [[Compaction.recoverTable]] discipline, r10 advice #2):
+    *
+    *  - live dir present → any `.swap_*` leftovers are post-publish
+    *    debris; drop them.
+    *  - live missing, staged write complete (`.swap_tmp/_SUCCESS`) →
+    *    the crash hit between the two renames; roll FORWARD (publish
+    *    the complete new table).
+    *  - live missing, tmp incomplete, `.swap_old` present → roll BACK
+    *    (restore the staged previous table).
+    *  - neither → a crash before anything was staged; drop the partial
+    *    tmp. */
+  def recoverSwap(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val live = new Path(dir)
+    val tmp = new Path(dir + ".swap_tmp")
+    val old = new Path(dir + ".swap_old")
+    if (f.exists(live)) {
+      f.delete(tmp, true); f.delete(old, true)
+    } else if (f.exists(new Path(tmp, "_SUCCESS"))) {
+      require(f.rename(tmp, live),
+        s"could not roll forward crashed swap of $dir")
+      f.delete(old, true)
+    } else if (f.exists(old)) {
+      require(f.rename(old, live),
+        s"could not roll back crashed swap of $dir")
+      f.delete(tmp, true)
+    } else {
+      f.delete(tmp, true)
+    }
+    ()
   }
 }

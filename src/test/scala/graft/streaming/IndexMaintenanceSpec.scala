@@ -306,6 +306,154 @@ class IndexMaintenanceSpec extends SparkTestBase {
       .contains(10L), "an exact dup must be refused after the repair")
   }
 
+  test("first contact on a corrupted store pins the REPAIRED fit, not the poisoned measurement") {
+    val dir = Files.createTempDirectory("graft_maint_poison").toString
+    ingest(dir, (toDf(seedRows), 0L))
+    // corrupt BEFORE any maintain cycle: every stored cell forced to 0,
+    // so the very first measurement reads an inflated mean_sq_dist
+    val victim = s"$dir/assigned/${sliceListing(dir).last}"
+    val rows = spark.read.parquet(victim)
+      .select(col("vec_id"), col("embedding"), lit(0).cast("int").as("cell"))
+      .localCheckpoint()
+    rows.write.mode(SaveMode.Overwrite).parquet(victim)
+    val r1 = IndexMaintenance.maintain(spark, dir).head()
+    assert(r1.getAs[String]("decision") == "reassign")
+    assert(r1.getAs[Double]("baseline_msd").isNaN,
+      "no baseline may exist at first contact")
+    // the durable baseline must be the repaired table's own fit — the
+    // r10 advice #1 failure mode pinned the inflated pre-repair msd,
+    // under which a later real drift would have to beat 1.5x a number
+    // that was never a fit at all
+    val r2 = IndexMaintenance.maintain(spark, dir).head()
+    assert(r2.getAs[String]("decision") == "noop")
+    assert(r2.getAs[Double]("baseline_msd") < r1.getAs[Double]("mean_sq_dist"),
+      s"baseline ${r2.getAs[Double]("baseline_msd")} must be the repaired " +
+        s"fit, not the corrupted measurement ${r1.getAs[Double]("mean_sq_dist")}")
+    // and the un-suppressed trigger still fires on real drift
+    ingest(dir, (toDf(driftRows), 1L))
+    assert(IndexMaintenance.maintain(spark, dir).head()
+      .getAs[String]("decision") == "retrain")
+  }
+
+  test("dry-run on a dirty first contact pins nothing") {
+    val dir = Files.createTempDirectory("graft_maint_drypin").toString
+    ingest(dir, (toDf(seedRows), 0L))
+    val victim = s"$dir/assigned/${sliceListing(dir).last}"
+    val rows = spark.read.parquet(victim)
+      .select(col("vec_id"), col("embedding"), lit(0).cast("int").as("cell"))
+      .localCheckpoint()
+    rows.write.mode(SaveMode.Overwrite).parquet(victim)
+    val r = IndexMaintenance.maintain(spark, dir, execute = false).head()
+    assert(r.getAs[String]("decision") == "reassign")
+    // the next cycle must still see NO baseline (nothing was pinned
+    // over the inconsistent table)
+    val r2 = IndexMaintenance.maintain(spark, dir, execute = false).head()
+    assert(r2.getAs[Double]("baseline_msd").isNaN)
+  }
+
+  test("crashed centroid swap: recoverSwap rolls forward (complete tmp) or back, and maintain self-repairs") {
+    val dir = Files.createTempDirectory("graft_maint_swap").toString
+    ingest(dir, (toDf(seedRows), 0L))
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$dir/centroids")
+    val tmp = new Path(s"$dir/centroids.swap_tmp")
+    val old = new Path(s"$dir/centroids.swap_old")
+
+    // roll FORWARD: live staged away, complete new table at tmp — the
+    // crash window between replaceDir's two renames (r10 advice #2)
+    val newCents = spark.read.parquet(live.toString)
+      .withColumn("centroid",
+        transform(col("centroid"), x => x + lit(0.001d)))
+      .localCheckpoint()
+    newCents.coalesce(1).write.parquet(tmp.toString)
+    assert(f.exists(new Path(tmp, "_SUCCESS")))
+    require(f.rename(live, old)) // the crash: live is GONE
+    val r = IndexMaintenance.maintain(spark, dir).head() // must not throw
+    assert(Seq("noop", "reassign").contains(r.getAs[String]("decision")))
+    assert(f.exists(live) && !f.exists(tmp) && !f.exists(old))
+    // the published table is the COMPLETE new one
+    val c0 = spark.read.parquet(live.toString).orderBy("cell").head()
+      .getSeq[Double](1)
+    val w0 = newCents.orderBy("cell").head().getSeq[Double](1)
+    assert(c0 == w0, "roll-forward must publish the complete new table")
+
+    // roll BACK: live staged away, tmp incomplete (no _SUCCESS)
+    require(f.rename(live, old))
+    f.mkdirs(tmp) // an incomplete write: directory without _SUCCESS
+    IndexMaintenance.recoverSwap(spark, live.toString)
+    assert(f.exists(live) && !f.exists(tmp) && !f.exists(old))
+    val back = spark.read.parquet(live.toString).orderBy("cell").head()
+      .getSeq[Double](1)
+    assert(back == w0, "roll-back must restore the staged previous table")
+  }
+
+  test("crashed retrainPq (marker standing): reencode rolls forward; no poisoned first pin") {
+    val pqDir = Files.createTempDirectory("graft_maint_pqcrash").toString
+    val pm = new PqIngest.Merger(spark, pqDir, m = 4, k = 8)
+    pm.mergeBatch(toDf(seedRows), 0L)
+    // NO maintain cycle yet — the advice #3 scenario is a crash during a
+    // first-ever retrain followed by the first-ever maintainPq
+    val vectors = toDf(seedRows ++ driftRows)
+    pm.mergeBatch(toDf(driftRows), 1L)
+    // simulate retrainPq crashing between its two swaps: new codebooks
+    // PUBLISHED, codes still the old (now stale) encoding, marker up
+    val fresh = Similarity.buildPqIndex(vectors, m = 4, k = 8)
+    val f = new Path(pqDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(s"$pqDir/codebooks"), true)
+    graft.similarity.IndexStore.codebooksDf(spark, fresh.codebooks)
+      .coalesce(1).write.parquet(s"$pqDir/codebooks")
+    f.create(new Path(s"$pqDir/_retrain_inflight"), true).close()
+
+    // coverage is WHOLE (stale codes still cover every vector) — only
+    // the marker can see this state
+    val r1 = IndexMaintenance.maintainPq(spark, pqDir, vectors,
+      m = 4, k = 8).head()
+    assert(r1.getAs[String]("decision") == "reencode")
+    assert(r1.getAs[Long]("n_coded") == r1.getAs[Long]("n_vectors"),
+      "the crash window is invisible to the coverage rule by construction")
+    assert(r1.getAs[Double]("baseline_err").isNaN,
+      "nothing may pin over the inconsistent store")
+    assert(!IndexMaintenance.retrainInflight(spark, pqDir),
+      "the executed repair must lower the marker")
+
+    // rolled FORWARD: codes now equal the door's own encode against the
+    // published codebooks, and the pinned baseline is the repaired fit
+    val idx = graft.similarity.IndexStore.loadPq(spark, pqDir)
+    try {
+      val got = idx.codes.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val want = Similarity.encodeWithCodebooks(
+        vectors.select("vec_id", "embedding"), fresh.codebooks).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(got == want)
+    } finally idx.release()
+    fresh.release()
+    val r2 = IndexMaintenance.maintainPq(spark, pqDir, vectors,
+      m = 4, k = 8).head()
+    assert(r2.getAs[String]("decision") == "noop")
+    assert(!r2.getAs[Double]("baseline_err").isNaN)
+  }
+
+  test("driftTrend: a log starting late fails loudly; a pinned baseline anchors it") {
+    val dir = Files.createTempDirectory("graft_drift_late").toString
+    val m = new VectorIngest.Merger(spark, dir, nlist = 8, logDrift = true)
+    m.mergeBatch(toDf(seedRows), 0L)
+    m.mergeBatch(toDf(cluster(500L, 20, center(1, 1.0), 0.05, 55L)), 1L)
+    // lose the seed row: every ratio would silently read against batch 1
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(s"$dir/_drift_log/batch=0"), true)
+    val e = intercept[IllegalArgumentException] {
+      IndexMaintenance.driftTrend(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("batch 1") &&
+      e.getMessage.contains("_drift_baseline"))
+    // a clean maintain cycle pins the baseline → the trend anchors on it
+    assert(IndexMaintenance.maintain(spark, dir).head()
+      .getAs[String]("decision") == "noop")
+    val trend = IndexMaintenance.driftTrend(spark, dir).collect()
+    assert(trend.length == 1 && !trend.head.getAs[Boolean]("retrain_due"))
+  }
+
   test("retrainPq re-seeds codebooks+codes from the vector twin; probe stays consistent") {
     val vecDir = Files.createTempDirectory("graft_maint_vec").toString
     val pqDir = Files.createTempDirectory("graft_maint_pq").toString
