@@ -377,6 +377,24 @@ object Bench {
       } finally rmTree(store)
     }
 
+    // ---- BM25 index split (r10 verdict #1, the q60 discipline): the
+    // persisted index's whole value is that query calls stop paying the
+    // corpus tokenize, so the two costs are timed apart — bm25_build is
+    // the one tokenize+publish, bm25_query the multi-term retrieval over
+    // the stored frames (t48/t49 keep timing the from-scratch form, the
+    // t50/t51 contract rows the one-shot build+query)
+    {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_bench_bm25").toString
+      try {
+        timed("bm25_build")(graft.text.Retrieval.buildIndex(spark,
+          Tables(spark, sfDir, "documents"), store))
+        timed("bm25_query")(materialize(
+          graft.text.Retrieval.bm25QueryTopKFromStore(spark, store,
+            graft.text.Retrieval.probeQueriesFromStore(spark, store))))
+      } finally rmTree(store)
+    }
+
     // ---- late re-sample (r10 advice #2): the >10 s outlier re-run above
     // covers only the main-suite loop; the held-index, ETL/ingest and q60
     // entries recorded after it get the same treatment here, each through
@@ -428,6 +446,24 @@ object Bench {
             graft.etl.SketchStore.q60Build(spark, sfDir, store) // untimed
             t(materialize(graft.etl.SketchStore.q60Query(spark, store)))
           } finally rmTree(store)
+        }),
+        "bm25_build" -> (() => {
+          val store = java.nio.file.Files
+            .createTempDirectory("graft_bench_bm25").toString
+          try t(graft.text.Retrieval.buildIndex(spark,
+            Tables(spark, sfDir, "documents"), store))
+          finally rmTree(store)
+        }),
+        "bm25_query" -> (() => {
+          val store = java.nio.file.Files
+            .createTempDirectory("graft_bench_bm25").toString
+          try {
+            graft.text.Retrieval.buildIndex(spark,
+              Tables(spark, sfDir, "documents"), store) // untimed
+            t(materialize(
+              graft.text.Retrieval.bm25QueryTopKFromStore(spark, store,
+                graft.text.Retrieval.probeQueriesFromStore(spark, store))))
+          } finally rmTree(store)
         }))
     }
     results.filter { case (k, v) => v > 10.0 && lateRetimers.contains(k) }
@@ -472,6 +508,8 @@ object Bench {
       case "s07_pq_probe"  => "s07p"
       case "q60_build"     => "q60b"
       case "q60_query"     => "q60q"
+      case "bm25_build"    => "bm25b"
+      case "bm25_query"    => "bm25q"
       // calibration keys stay full: they are short already, and the
       // first-token rule would collapse them all to "cal"
       case n if n.startsWith("cal_") => n
@@ -514,12 +552,13 @@ object Bench {
     // BENCH_LOCAL_r<N>.json (the r5–r7 pattern).
     val headline: Set[String] = Set(
       "etl", "stream", "streamblk", "vecing", "pqing",
-      "s04b", "s04p", "s07b", "s07p", "q60b", "q60q",
+      "s04b", "s04p", "s07b", "s07p", "q60b", "q60q", "bm25b", "bm25q",
       "d02", "d03r", "d07", "d08", "d10r", "t12", "t15", "q17", "q48",
       "d03", "d10", "d21", "t23", "q35", "q57", "q60", "q16",
       "s04", "s07", "s15", "s16", "s18", "s18r", "s20", "s20r",
       "s21", "s21r", "s17", "s19",
-      "a00", "d01", "m01", "q01", "q02", "s01", "t01", "t48", "t49")
+      "a00", "d01", "m01", "q01", "q02", "s01", "t01", "t48", "t49",
+      "t50", "t51")
     val compactLine = render(
       k => k.startsWith("cal_") || headline(shortKey(k)), shortKey, 2,
       ""","keys":"fixed headline subset + cal_* box-noise probes; FULL map in bench_result.json, committed as BENCH_LOCAL_r<N>.json"""")

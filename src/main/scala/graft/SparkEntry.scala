@@ -146,6 +146,8 @@ object SparkEntry {
     "d22_dup_span_coverage" -> (TrainingData.d22DupSpanCoverage _),
     "t48_bm25_topk" -> (TrainingData.t48Bm25TopK _),
     "t49_bm25_multiterm" -> (TrainingData.t49Bm25MultiTerm _),
+    "t50_bm25_store_topk" -> (TrainingData.t50Bm25StoreTopK _),
+    "t51_bm25_store_multiterm" -> (TrainingData.t51Bm25StoreMultiTerm _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
     "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
@@ -441,6 +443,71 @@ object SparkEntry {
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omit for non-SQL-expressible ops. */
+  /** The BM25 oracles, shared verbatim by the from-scratch rows (t48/
+    * t49) and the persisted-index rows (t50/t51): the index stores only
+    * tf/dl and re-derives df/N through the same arithmetic, so all four
+    * must reproduce this one SQL text exactly. */
+  private val bm25TopkOracle: String =
+    """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |top AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3),
+        |dl AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |s AS (SELECT t.term, t.doc_id,
+        |    ln((n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+        |      * (t.tf * CAST(1.2 + 1 AS DOUBLE)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+        |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
+        |  FROM tf t JOIN top f USING (term) JOIN dl d USING (doc_id)
+        |  CROSS JOIN st),
+        |r AS (SELECT term, doc_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY term
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM s)
+        |SELECT term, rank, doc_id, ROUND(score, 4) AS bm25 FROM r
+        |WHERE rank <= 10 ORDER BY term, rank""".stripMargin
+
+  private val bm25MultiOracle: String =
+    """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |top9 AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+        |         FROM df ORDER BY df DESC, term LIMIT 9),
+        |qs0 AS (SELECT CAST(floor((rn - 1) / 3) AS INT) AS query_id, term
+        |        FROM top9),
+        |qs AS (SELECT query_id, qs0.term, f.df,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qs0.term)
+        |      AS INT) AS slot
+        |  FROM qs0 JOIN df f ON qs0.term = f.term),
+        |dl AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |s AS (SELECT q.query_id, q.slot, t.doc_id,
+        |    ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+        |      * (t.tf * CAST(1.2 + 1 AS DOUBLE)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+        |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
+        |  FROM tf t JOIN qs q ON t.term = q.term JOIN dl d USING (doc_id)
+        |  CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id,
+        |    list_aggregate(list(score ORDER BY slot), 'sum') AS score,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        |  FROM s GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score, n_terms_hit,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM agg)
+        |SELECT query_id, rank, doc_id, ROUND(score, 4) AS bm25, n_terms_hit
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "a00_star_fact" -> (starCte +
       """SELECT date_id, year, week, country_id, sport_name, transaction_count,
@@ -2743,30 +2810,7 @@ object SparkEntry {
     // flip a 4-dp rounding or a rank tie on some regenerated corpus (the
     // r5 t32/t35 failure class). All other decimal literals here reach a
     // division or a double operand immediately, which DuckDB types DOUBLE.
-    "t48_bm25_topk" ->
-      """WITH toks AS (SELECT doc_id,
-        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |       FROM toks GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |top AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3),
-        |dl AS (SELECT doc_id,
-        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS dl
-        |  FROM documents),
-        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
-        |s AS (SELECT t.term, t.doc_id,
-        |    ln((n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
-        |      * (t.tf * CAST(1.2 + 1 AS DOUBLE)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
-        |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
-        |  FROM tf t JOIN top f USING (term) JOIN dl d USING (doc_id)
-        |  CROSS JOIN st),
-        |r AS (SELECT term, doc_id, score,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY term
-        |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM s)
-        |SELECT term, rank, doc_id, ROUND(score, 4) AS bm25 FROM r
-        |WHERE rank <= 10 ORDER BY term, rank""".stripMargin,
+    "t48_bm25_topk" -> bm25TopkOracle,
     // t49: the t48 per-term score verbatim (same CAST(1.2 + 1 AS DOUBLE)
     // decimal-vs-double gotcha), summed per (query, doc) by an ORDERED
     // list fold — list(score ORDER BY slot) then list_aggregate 'sum' is
@@ -2775,41 +2819,12 @@ object SparkEntry {
     // unrounded sums the ranks order on cannot disagree by an ulp. The
     // probe queries re-derive exactly: top-9 df terms chunked by rank
     // into 3-term queries, slots by term ASC within each query.
-    "t49_bm25_multiterm" ->
-      """WITH toks AS (SELECT doc_id,
-        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-        |       FROM toks GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |top9 AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
-        |         FROM df ORDER BY df DESC, term LIMIT 9),
-        |qs0 AS (SELECT CAST(floor((rn - 1) / 3) AS INT) AS query_id, term
-        |        FROM top9),
-        |qs AS (SELECT query_id, qs0.term, f.df,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qs0.term)
-        |      AS INT) AS slot
-        |  FROM qs0 JOIN df f ON qs0.term = f.term),
-        |dl AS (SELECT doc_id,
-        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS dl
-        |  FROM documents),
-        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
-        |s AS (SELECT q.query_id, q.slot, t.doc_id,
-        |    ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
-        |      * (t.tf * CAST(1.2 + 1 AS DOUBLE)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
-        |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
-        |  FROM tf t JOIN qs q ON t.term = q.term JOIN dl d USING (doc_id)
-        |  CROSS JOIN st),
-        |agg AS (SELECT query_id, doc_id,
-        |    list_aggregate(list(score ORDER BY slot), 'sum') AS score,
-        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
-        |  FROM s GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score, n_terms_hit,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM agg)
-        |SELECT query_id, rank, doc_id, ROUND(score, 4) AS bm25, n_terms_hit
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "t49_bm25_multiterm" -> bm25MultiOracle,
+    // t50/t51: the store-backed plans must agree with the from-scratch
+    // forms bit-for-bit, so they share the SAME oracle text — one val,
+    // not a copy that could drift
+    "t50_bm25_store_topk" -> bm25TopkOracle,
+    "t51_bm25_store_multiterm" -> bm25MultiOracle,
     "s09_centroid_distance" ->
       """WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS i,
         |    embedding AS e FROM embeddings),

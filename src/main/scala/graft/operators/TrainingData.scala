@@ -1573,6 +1573,44 @@ object TrainingData {
       graft.text.Retrieval.probeQueries(docs))
   }
 
+  /** Build a throwaway persisted BM25 index from `documents`, run
+    * `body` against it, materialize the bounded result eagerly, and
+    * delete the store (the q60 temp-store discipline — the returned
+    * frame must not depend on files this method removes). */
+  private def overBm25Store(spark: SparkSession, dir: String)(
+      body: String => DataFrame): DataFrame = {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bm25_store").toString
+    graft.text.Retrieval.buildIndex(spark,
+      Tables(spark, dir, "documents"), store)
+    val out = body(store)
+    val rows = out.collect().toSeq
+    val p = new org.apache.hadoop.fs.Path(store)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  /** t48 through the PERSISTED BM25 index (r10 verdict #1): build the
+    * tf/dl store from the documents table — the one tokenize every
+    * later query call skips — then score entirely from the stored
+    * frames. Must hash-match the from-scratch t48 plan and the same
+    * DuckDB oracle: [[graft.text.Retrieval.indexRows]] is the single
+    * tokenize source and df/N re-derive through the shared
+    * `framesFrom`, so stored-vs-scratch divergence is structurally
+    * impossible rather than merely tested. */
+  def t50Bm25StoreTopK(spark: SparkSession, dir: String): DataFrame =
+    overBm25Store(spark, dir)(store =>
+      graft.text.Retrieval.bm25TopKFromStore(spark, store))
+
+  /** t49 through the persisted index — the production RAG read path:
+    * probe queries derive from the STORE's df table, the query side
+    * tokenizes (request-sized), the corpus text is never touched. */
+  def t51Bm25StoreMultiTerm(spark: SparkSession, dir: String): DataFrame =
+    overBm25Store(spark, dir)(store =>
+      graft.text.Retrieval.bm25QueryTopKFromStore(spark, store,
+        graft.text.Retrieval.probeQueriesFromStore(spark, store)))
+
   /** Per-label centroid-distance outlier profile (see
     * [[graft.similarity.Similarity.centroidDistanceProfile]]). */
   def s09CentroidDistance(spark: SparkSession, dir: String): DataFrame =

@@ -137,6 +137,17 @@ object CorpusIngest {
         .parquet(s"${part("fps")}/batch=$batchId")
       postings.write.mode(SaveMode.Overwrite)
         .parquet(s"${part("shingles")}/batch=$batchId")
+      // the BM25 index rows ride the same admitted batch (r10 verdict
+      // #1): one extra tokenize of the ADMITTED docs — O(batch), small
+      // against the dedup shingle work the batch already paid — and
+      // every bm25*FromStore query call stops re-tokenizing the corpus.
+      // Same replay-idempotent slice discipline; a store created before
+      // these tables existed repairs through maintainCorpus → reindex.
+      val (tfRows, dlRows) = graft.text.Retrieval.indexRows(committed)
+      tfRows.write.mode(SaveMode.Overwrite)
+        .parquet(s"${part("tf")}/batch=$batchId")
+      dlRows.write.mode(SaveMode.Overwrite)
+        .parquet(s"${part("dl")}/batch=$batchId")
       // 5. optional admission-funnel telemetry: the per-batch numbers an
       // operator actually pages on (did the quality gate spike? is one
       // source suddenly 90% duplicates?), written as a replay-idempotent
@@ -167,8 +178,11 @@ object CorpusIngest {
     }
   }
 
-  /** The corpus's per-batch component tables, in compaction order. */
-  private[streaming] val Tables = Seq("docs", "fps", "shingles")
+  /** The corpus's per-batch component tables, in compaction order: the
+    * docs themselves, the dedup index (fps, shingles), and the BM25
+    * index (tf, dl) — all doc_id-keyed, so compaction, tombstone
+    * masking, and physical purge treat them uniformly. */
+  private[streaming] val Tables = Seq("docs", "fps", "shingles", "tf", "dl")
 
   /** The admission-funnel log (one row per committed batch, underscore
     * dir so no table scan or compaction ever sweeps it up) — present
@@ -237,6 +251,13 @@ object CorpusIngest {
       nParts(s"$corpusDir/fps"))
     Compaction.publishSlice(spark, s"$corpusDir/shingles", postings,
       nParts(s"$corpusDir/shingles"))
+    // the BM25 tables rebuild from the same standing docs — also the
+    // UPGRADE path for a store created before the engine kept them
+    val (tfRows, dlRows) = graft.text.Retrieval.indexRows(docs)
+    Compaction.publishSlice(spark, s"$corpusDir/tf", tfRows,
+      nParts(s"$corpusDir/tf"))
+    Compaction.publishSlice(spark, s"$corpusDir/dl", dlRows,
+      nParts(s"$corpusDir/dl"))
   }
 
   /** Logically delete `ids` (a frame carrying `doc_id`) from the corpus —

@@ -420,32 +420,54 @@ object IndexMaintenance {
     * (executed); clean → `noop`. Per-doc fingerprints are
     * deterministic functions of the text, so there is no drift axis
     * here — coverage is the whole health signal, and reindex is the
-    * complete repair. Returns `(decision, executed, n_docs,
-    * fps_missing, shingles_missing)`. The stream must be stopped. */
+    * complete repair. The BM25 tables (tf, dl — r10 verdict #1) are
+    * covered the same way: a doc missing from them is invisible to
+    * every `bm25*FromStore` scorer AND silently deflates df/N in every
+    * other doc's score, so their coverage gates the same reindex; a
+    * store predating the BM25 index reads as all-docs-missing, making
+    * reindex the upgrade path. A zero-token doc legitimately has no tf
+    * rows, so tf coverage measures against dl-eligible docs (dl > 0).
+    * Returns `(decision, executed, n_docs, fps_missing,
+    * shingles_missing, tf_missing, dl_missing)`. The stream must be
+    * stopped. */
   def maintainCorpus(spark: SparkSession, corpusDir: String,
       execute: Boolean = true,
       targetPartitionBytes: Long = 128L * 1024 * 1024): DataFrame = {
     import org.apache.spark.sql.functions.col
     val docs = new CorpusIngest.Merger(spark, corpusDir).corpus()
       .select("doc_id")
-    def missing(sub: String): Long = {
+    def missingFrom(expected: DataFrame, sub: String): Long = {
       val p = s"$corpusDir/$sub"
-      if (!fs(spark, p).exists(new Path(p))) docs.count()
-      else docs.join(
+      if (!fs(spark, p).exists(new Path(p))) expected.count()
+      else expected.join(
         spark.read.option("basePath", p).parquet(p).select("doc_id"),
         Seq("doc_id"), "left_anti").count()
     }
     val nDocs = docs.count()
-    val fpsMissing = missing("fps")
-    val shMissing = missing("shingles")
+    val fpsMissing = missingFrom(docs, "fps")
+    val shMissing = missingFrom(docs, "shingles")
+    // a doc with zero tokens has no tf rows by construction — only docs
+    // the dl table prices as non-empty are expected in tf
+    val tfExpected = {
+      val dlDir = s"$corpusDir/dl"
+      if (!fs(spark, dlDir).exists(new Path(dlDir))) docs
+      else docs.join(
+        spark.read.option("basePath", dlDir).parquet(dlDir)
+          .filter(col("dl") > 0L).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+    val tfMissing = missingFrom(tfExpected, "tf")
+    val dlMissing = missingFrom(docs, "dl")
     val decision =
-      if (fpsMissing > 0L || shMissing > 0L) "reindex" else "noop"
+      if (fpsMissing > 0L || shMissing > 0L ||
+        tfMissing > 0L || dlMissing > 0L) "reindex" else "noop"
     if (execute && decision == "reindex")
       CorpusIngest.reindex(spark, corpusDir, targetPartitionBytes)
     import spark.implicits._
-    Seq((decision, execute, nDocs, fpsMissing, shMissing))
+    Seq((decision, execute, nDocs, fpsMissing, shMissing, tfMissing,
+      dlMissing))
       .toDF("decision", "executed", "n_docs", "fps_missing",
-        "shingles_missing")
+        "shingles_missing", "tf_missing", "dl_missing")
   }
 
   /** Byte-sized partition count for a consolidated rewrite — the

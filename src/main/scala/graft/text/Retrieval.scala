@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,8 +10,58 @@ import org.apache.spark.sql.functions._
   * Okapi formula, the Lucene `k1`/`b` parameterization with the
   * non-negative `ln(1 + (N − df + 0.5)/(df + 0.5))` idf) as one
   * declarative plan — no per-query loop, no driver-side index.
+  *
+  * Two corpus-side sources feed the same scorers:
+  *
+  *  - **from scratch** ([[bm25TopK]]/[[bm25QueryTopK]]): one token
+  *    explode per call — right for a one-off scoring pass;
+  *  - **from a persisted index** (the `FromStore` twins, r10 verdict
+  *    #1): the per-doc tf/dl tables materialize ONCE — at the
+  *    [[graft.streaming.CorpusIngest]] door per admitted batch, by
+  *    [[buildIndex]] offline, or by `CorpusIngest.reindex` — and every
+  *    query call reads the compact integer tables instead of
+  *    re-tokenizing the text corpus. At 100 TB the difference is an
+  *    index lookup vs a table scan: the O(text) explode+shuffle is paid
+  *    per CORPUS CHANGE, not per query batch, and what remains at query
+  *    time (the per-term df aggregate and the 1-row corpus constant)
+  *    runs over 8-byte-per-row frames a fraction the text's size.
   */
 object Retrieval {
+
+  /** The per-document BM25 index rows — the `(doc_id, term, tf)` term
+    * frequencies and `(doc_id, dl)` document lengths, the ONLY frames
+    * whose construction touches text. Single source for the streamed
+    * door, the offline [[buildIndex]], and `CorpusIngest.reindex`, so a
+    * stored index can never disagree with what a from-scratch call
+    * would tokenize. Both are doc_id-keyed, which is what lets them
+    * ride the corpus store's whole maintenance discipline: per-batch
+    * slices, compaction, tombstone masking, physical purge. */
+  def indexRows(docs: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // dl comes from a projection of the docs, NOT from tf: a zero-token
+    // document has no tf rows but still counts in N and Σdl
+    val dl = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+    (tf, dl)
+  }
+
+  /** df and the corpus constant derive from the per-doc tables — term-
+    * keyed integer aggregates over the compact index, shared by the
+    * from-scratch and from-store paths so the derivations cannot drift.
+    * df counts DISTINCT docs per term, which is exactly one tf row per
+    * (doc, term) by construction; deriving it at read (rather than
+    * storing df partials) keeps it correct under tombstone masking and
+    * physical purge for free — a deleted doc's tf rows are masked, so
+    * its df contribution vanishes with them. */
+  private def framesFrom(tf: DataFrame, dl: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    (tf, df, dl, stats)
+  }
 
   /** The corpus-side BM25 frames, built from ONE token explode: the
     * (doc, term) tf table, the per-term df, per-doc length, and the
@@ -19,14 +69,55 @@ object Retrieval {
     * multi-term scorers so the two paths cannot drift. */
   private def corpusFrames(docs: DataFrame, textCol: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = docs.select(col("doc_id"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    (tf, df, dl, stats)
+    val (tf, dl) = indexRows(docs, textCol)
+    framesFrom(tf, dl)
+  }
+
+  /** The BM25 index tables under a corpus store. */
+  private[graft] val IndexTables = Seq("tf", "dl")
+
+  /** The stored corpus frames: tf/dl from the store's per-batch slices
+    * (batch column dropped, tombstoned docs masked — the store's read
+    * discipline), df/stats derived through the same [[framesFrom]] the
+    * from-scratch path uses. */
+  private def storedFrames(spark: SparkSession, corpusDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def table(sub: String): DataFrame = {
+      val p = s"$corpusDir/$sub"
+      require(new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(p)),
+        s"$p does not exist — this corpus store has no BM25 index; run " +
+          "Retrieval.buildIndex or CorpusIngest.reindex first")
+      graft.etl.Tombstones.filterLive(spark, corpusDir,
+        spark.read.option("basePath", p).parquet(p).drop("batch"),
+        "doc_id")
+    }
+    framesFrom(table("tf"), table("dl"))
+  }
+
+  /** Build (or rebuild) the persisted BM25 index for `docs` under
+    * `corpusDir` — the offline form of what the ingest door maintains
+    * per batch: one tokenize pass, published through the compaction
+    * swap discipline (write-aside, `_SUCCESS`-gated, crash-recoverable)
+    * as each table's consolidated `batch=-1` slice. Any stream writing
+    * the store must be stopped. */
+  def buildIndex(spark: SparkSession, docs: DataFrame, corpusDir: String,
+      textCol: String = "text",
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit = {
+    val (tf, dl) = indexRows(docs, textCol)
+    val f = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nParts(sub: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$corpusDir/$sub")
+      val bytes = if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+      math.max(1L,
+        (bytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
+    }
+    graft.streaming.Compaction.publishSlice(spark, s"$corpusDir/tf", tf,
+      nParts("tf"))
+    graft.streaming.Compaction.publishSlice(spark, s"$corpusDir/dl", dl,
+      nParts("dl"))
   }
 
   /** The one per-(term, doc) Okapi score expression, shared by both
@@ -77,8 +168,19 @@ object Retrieval {
     * token-for-token in the DuckDB oracle), rounded to 4 dp only for
     * display — ranks order on the unrounded double, the s02 discipline. */
   def bm25TopK(docs: DataFrame, nTerms: Int = 3, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame = {
-    val (tf, df, dl, stats) = corpusFrames(docs, textCol)
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame =
+    topKOver(corpusFrames(docs, textCol), nTerms, k, k1, b)
+
+  /** [[bm25TopK]] over the persisted index — no text is touched. */
+  def bm25TopKFromStore(spark: SparkSession, corpusDir: String,
+      nTerms: Int = 3, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKOver(storedFrames(spark, corpusDir), nTerms, k, k1, b)
+
+  private def topKOver(
+      frames: (DataFrame, DataFrame, DataFrame, DataFrame),
+      nTerms: Int, k: Int, k1: Double, b: Double): DataFrame = {
+    val (tf, df, dl, stats) = frames
     val topTerms = df.orderBy(desc("df"), asc("term")).limit(nTerms)
     val scored = tf.join(broadcast(topTerms), "term")
       .join(dl, "doc_id")
@@ -118,8 +220,23 @@ object Retrieval {
     * to the smaller doc_id. */
   def bm25QueryTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, textCol: String = "text",
-      queryCol: String = "query_text"): DataFrame = {
-    val (tf, df, dl, stats) = corpusFrames(docs, textCol)
+      queryCol: String = "query_text"): DataFrame =
+    queryTopKOver(corpusFrames(docs, textCol), queries, k, k1, b, queryCol)
+
+  /** [[bm25QueryTopK]] over the persisted index — the production RAG
+    * read path: the query batch tokenizes (request-sized), the corpus
+    * does not. */
+  def bm25QueryTopKFromStore(spark: SparkSession, corpusDir: String,
+      queries: DataFrame, k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      queryCol: String = "query_text"): DataFrame =
+    queryTopKOver(storedFrames(spark, corpusDir), queries, k, k1, b,
+      queryCol)
+
+  private def queryTopKOver(
+      frames: (DataFrame, DataFrame, DataFrame, DataFrame),
+      queries: DataFrame, k: Int, k1: Double, b: Double,
+      queryCol: String): DataFrame = {
+    val (tf, df, dl, stats) = frames
     val wSlot = Window.partitionBy("query_id").orderBy("term")
     val qterms = queries.select(col("query_id"),
         explode(array_distinct(TextAnalysis.tokens(col(queryCol)))).as("term"))
@@ -149,8 +266,19 @@ object Retrieval {
     * on any regenerated corpus, replicated exactly by the DuckDB
     * oracle. Production calls pass real user queries instead. */
   def probeQueries(docs: DataFrame, nQueries: Int = 3,
-      termsPerQuery: Int = 3, textCol: String = "text"): DataFrame = {
-    val (_, df, _, _) = corpusFrames(docs, textCol)
+      termsPerQuery: Int = 3, textCol: String = "text"): DataFrame =
+    probeQueriesOver(corpusFrames(docs, textCol), nQueries, termsPerQuery)
+
+  /** [[probeQueries]] derived from the persisted index's own df table. */
+  def probeQueriesFromStore(spark: SparkSession, corpusDir: String,
+      nQueries: Int = 3, termsPerQuery: Int = 3): DataFrame =
+    probeQueriesOver(storedFrames(spark, corpusDir), nQueries,
+      termsPerQuery)
+
+  private def probeQueriesOver(
+      frames: (DataFrame, DataFrame, DataFrame, DataFrame),
+      nQueries: Int, termsPerQuery: Int): DataFrame = {
+    val (_, df, _, _) = frames
     val top = df.orderBy(desc("df"), asc("term"))
       .limit(nQueries * termsPerQuery)
     // the limited frame is fixture-sized; the unpartitioned window runs

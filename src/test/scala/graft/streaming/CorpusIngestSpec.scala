@@ -56,6 +56,66 @@ class CorpusIngestSpec extends SparkTestBase {
       .map(_.getLong(0)).toSet == Set(0L, 2L, 12L))
   }
 
+  test("door-maintained BM25 index equals from-scratch over the live corpus, through deletes and purge") {
+    val corpusDir = Files.createTempDirectory("graft_corpus_bm25").toString
+    val m = new CorpusIngest.Merger(spark, corpusDir)
+    val fresh = "completely fresh content whale violin umbrella torch " +
+      "sunflower river quartz planet ocean nebula comet glacier meadow"
+    m.mergeBatch(docs((0L, base), (1L, base), (2L, other)), 0L)
+    m.mergeBatch(docs((10L, base), (12L, fresh)), 1L)
+
+    def scratch() = graft.text.Retrieval.bm25TopK(m.corpus())
+      .collect().toSeq
+    def stored() = graft.text.Retrieval
+      .bm25TopKFromStore(spark, corpusDir).collect().toSeq
+    assert(stored() == scratch(), "per-batch slices must reproduce the " +
+      "from-scratch frames over the admitted corpus")
+
+    // a logical delete masks the doc's tf/dl rows IMMEDIATELY — its df
+    // and N contributions vanish from every other doc's score, exactly
+    // as the from-scratch plan over the masked corpus computes them
+    CorpusIngest.delete(spark, corpusDir, Seq(2L).toDF("doc_id"))
+    assert(stored() == scratch())
+    assert(!stored().exists(_.getLong(2) == 2L))
+
+    // physical purge + compaction keep the equality (content moves)
+    CorpusIngest.purge(spark, corpusDir)
+    assert(stored() == scratch())
+
+    // the multi-term path through the same store, probes from its df
+    val sQ = graft.text.Retrieval.bm25QueryTopK(m.corpus(),
+      graft.text.Retrieval.probeQueries(m.corpus())).collect().toSeq
+    val iQ = graft.text.Retrieval.bm25QueryTopKFromStore(spark, corpusDir,
+      graft.text.Retrieval.probeQueriesFromStore(spark, corpusDir))
+      .collect().toSeq
+    assert(iQ == sQ)
+  }
+
+  test("maintainCorpus covers the BM25 tables; reindex is the pre-BM25 store's upgrade path") {
+    val corpusDir = Files.createTempDirectory("graft_corpus_bm25up").toString
+    val m = new CorpusIngest.Merger(spark, corpusDir)
+    m.mergeBatch(docs((0L, base), (2L, other)), 0L)
+    val r1 = IndexMaintenance.maintainCorpus(spark, corpusDir).head()
+    assert(r1.getAs[String]("decision") == "noop")
+    assert(r1.getAs[Long]("tf_missing") == 0L &&
+      r1.getAs[Long]("dl_missing") == 0L)
+    // simulate a store created before the engine kept BM25 tables
+    val f = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/tf"), true)
+    f.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/dl"), true)
+    val r2 = IndexMaintenance.maintainCorpus(spark, corpusDir).head()
+    assert(r2.getAs[String]("decision") == "reindex")
+    assert(r2.getAs[Long]("tf_missing") == 2L &&
+      r2.getAs[Long]("dl_missing") == 2L)
+    // repaired: coverage whole, stored scorer equals from-scratch again
+    val r3 = IndexMaintenance.maintainCorpus(spark, corpusDir).head()
+    assert(r3.getAs[String]("decision") == "noop")
+    assert(graft.text.Retrieval.bm25TopKFromStore(spark, corpusDir)
+      .collect().toSeq ==
+      graft.text.Retrieval.bm25TopK(m.corpus()).collect().toSeq)
+  }
+
   test("within-batch near-duplicates collapse to the smaller doc id") {
     val corpusDir = Files.createTempDirectory("graft_corpus_nb").toString
     val m = new CorpusIngest.Merger(spark, corpusDir)

@@ -93,6 +93,50 @@ class RetrievalSpec extends SparkTestBase {
     assert(two.toSeq == Seq((0, "z"), (1, "x"), (2, "y")))
   }
 
+  // ---- persisted index (t50/t51)
+
+  test("store-backed scorers equal the from-scratch plans, including a zero-token doc") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx").toString
+    // the empty doc has NO tf rows but must still count in N and sum_dl
+    // (dl = 0) — the from-scratch path prices it through tokenCount, and
+    // a store that derived dl from tf would lose it
+    val corpus = docs.unionByName(Seq((4L, "   ")).toDF("doc_id", "text"))
+    Retrieval.buildIndex(spark, corpus, dir)
+    val scratch = Retrieval.bm25TopK(corpus).collect().toSeq
+    val stored = Retrieval.bm25TopKFromStore(spark, dir).collect().toSeq
+    assert(stored == scratch)
+    val queries = Seq((0, "x y"), (1, "z")).toDF("query_id", "query_text")
+    val scratchQ = Retrieval.bm25QueryTopK(corpus, queries).collect().toSeq
+    val storedQ = Retrieval.bm25QueryTopKFromStore(spark, dir, queries)
+      .collect().toSeq
+    assert(storedQ == scratchQ)
+    // probe derivation agrees too (same df table either way)
+    assert(Retrieval.probeQueriesFromStore(spark, dir).collect().toSeq ==
+      Retrieval.probeQueries(corpus).collect().toSeq)
+  }
+
+  test("rebuilding the index over changed docs replaces it atomically") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx2").toString
+    Retrieval.buildIndex(spark, docs, dir)
+    val grown = docs.unionByName(
+      Seq((9L, "z z q q q")).toDF("doc_id", "text"))
+    Retrieval.buildIndex(spark, grown, dir)
+    assert(Retrieval.bm25TopKFromStore(spark, dir).collect().toSeq ==
+      Retrieval.bm25TopK(grown).collect().toSeq)
+  }
+
+  test("a store without BM25 tables refuses loudly with the repair op named") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_none").toString
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKFromStore(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("reindex") ||
+      e.getMessage.contains("buildIndex"))
+  }
+
   test("t49 contract row shape at sf0.001") {
     val rows = graft.operators.TrainingData
       .t49Bm25MultiTerm(spark, sf("sf0.001")).collect()
