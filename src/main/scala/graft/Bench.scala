@@ -558,7 +558,7 @@ object Bench {
       "s04", "s07", "s15", "s16", "s18", "s18r", "s20", "s20r",
       "s21", "s21r", "s17", "s19",
       "a00", "d01", "m01", "q01", "q02", "s01", "t01", "t48", "t49",
-      "t50", "t51")
+      "t50", "t51", "t52", "t52r")
     val compactLine = render(
       k => k.startsWith("cal_") || headline(shortKey(k)), shortKey, 2,
       ""","keys":"fixed headline subset + cal_* box-noise probes; FULL map in bench_result.json, committed as BENCH_LOCAL_r<N>.json"""")

@@ -33,7 +33,7 @@ object Goldens {
     "d10r_manifest_lsh", "s03r_srp_topk", "s04r_ivf_topk",
     "s07r_pq_topk", "s15r_ivfpq_topk", "s16r_mmr_ann",
     "s13r_hardneg_ann", "s18r_dial_sweep", "s20r_rerank_sweep",
-    "s21r_grid_sweep") ++
+    "s21r_grid_sweep", "t52r_hybrid_ann") ++
     graft.multimodal.MultimodalFixtures.queries.keys.toSeq.sorted
 
   /** Contract + bench-only entry points, for golden resolution. */
@@ -46,7 +46,10 @@ object Goldens {
   val MultimodalInput = "multimodal-fixture"
 
   def inputTable(query: String): String =
-    if (query.startsWith("s")) "embeddings"
+    // the hybrid fusion reads BOTH corpora — fingerprint both, so a
+    // regeneration of either cancels (refresh prompt) instead of failing
+    if (query == "t52r_hybrid_ann") "documents+embeddings"
+    else if (query.startsWith("s")) "embeddings"
     else if (query.startsWith("m")) MultimodalInput
     else "documents"
 
@@ -57,6 +60,9 @@ object Goldens {
     * arrays fingerprint too). Catches any regeneration, insertion, or
     * value drift; immune to file layout and read order. */
   def tableFingerprint(spark: SparkSession, dir: String, table: String): String = {
+    if (table.contains("+"))
+      return table.split('+').map(t =>
+        s"$t{${tableFingerprint(spark, dir, t)}}").mkString(";")
     // the m-family's input is the fixture frame itself: fingerprinting it
     // makes a fixture-generator change CANCEL (refresh prompt) instead of
     // failing as a phantom engine regression — the same contract the

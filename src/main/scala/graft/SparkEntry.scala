@@ -148,6 +148,7 @@ object SparkEntry {
     "t49_bm25_multiterm" -> (TrainingData.t49Bm25MultiTerm _),
     "t50_bm25_store_topk" -> (TrainingData.t50Bm25StoreTopK _),
     "t51_bm25_store_multiterm" -> (TrainingData.t51Bm25StoreMultiTerm _),
+    "t52_hybrid_rrf" -> (TrainingData.t52HybridRrf _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
     "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
@@ -217,7 +218,8 @@ object SparkEntry {
     "s13r_hardneg_ann" -> (TrainingData.s13RawHardNegAnn _),
     "s18r_dial_sweep" -> (TrainingData.s18RawDialSweep _),
     "s20r_rerank_sweep" -> (TrainingData.s20RawRerankSweep _),
-    "s21r_grid_sweep" -> (TrainingData.s21RawGridSweep _)) ++
+    "s21r_grid_sweep" -> (TrainingData.s21RawGridSweep _),
+    "t52r_hybrid_ann" -> (TrainingData.t52RawHybridAnn _)) ++
     // the m-family golden queries: real-codec decode paths over the
     // committed deterministic fixture corpus — no SQL oracle can decode
     // a PPM/WAV/BMFF payload, so they are golden-pinned like the
@@ -507,6 +509,47 @@ object SparkEntry {
         |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM agg)
         |SELECT query_id, rank, doc_id, ROUND(score, 4) AS bm25, n_terms_hit
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** t52: the whole hybrid composition replayed by DuckDB — the dense
+    * side is the SQL-expressible exact-cosine top-10 (the s02 oracle
+    * shape at k=10 over queries 0-2), the sparse side the t49 oracle
+    * VERBATIM (the shared val), fused with the fixed-order RRF sum.
+    * `CAST(1 AS DOUBLE)` before the divisions: DuckDB types a bare 1.0
+    * as DECIMAL and decimal division is exact-decimal, up to 1 ulp off
+    * Spark's double path (the t48 gotcha). */
+  private val rrfOracle: String =
+    """WITH dense AS (
+      |  WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv
+      |             FROM embeddings WHERE vec_id < 3),
+      |  c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+      |  sc AS (SELECT qid, nid,
+      |    list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
+      |     / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+      |      * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))) AS cos
+      |  FROM c, q WHERE qid <> nid),
+      |  rr AS (SELECT qid, nid, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+      |  FROM sc)
+      |  SELECT qid AS query_id, rank, nid AS doc_id FROM rr WHERE rank <= 10),
+      |sparse AS (
+      |""".stripMargin + bm25MultiOracle + """
+      |),
+      |f AS (SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+      |    COALESCE(d.doc_id, s.doc_id) AS doc_id,
+      |    COALESCE(CAST(1 AS DOUBLE) / (60 + d.rank), CAST(0 AS DOUBLE)) +
+      |    COALESCE(CAST(1 AS DOUBLE) / (60 + s.rank), CAST(0 AS DOUBLE)) AS rrf,
+      |    d.rank AS dense_rank, s.rank AS sparse_rank,
+      |    CAST((CASE WHEN d.rank IS NULL THEN 0 ELSE 1 END)
+      |      + (CASE WHEN s.rank IS NULL THEN 0 ELSE 1 END) AS INT) AS n_lists
+      |  FROM dense d FULL OUTER JOIN sparse s
+      |    ON d.query_id = s.query_id AND d.doc_id = s.doc_id),
+      |r2 AS (SELECT query_id, doc_id, rrf, dense_rank, sparse_rank, n_lists,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM f)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, rank,
+      |  CAST(doc_id AS BIGINT) AS doc_id, ROUND(rrf, 6) AS rrf,
+      |  dense_rank, sparse_rank, n_lists
+      |FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "a00_star_fact" -> (starCte +
@@ -2825,6 +2868,7 @@ object SparkEntry {
     // not a copy that could drift
     "t50_bm25_store_topk" -> bm25TopkOracle,
     "t51_bm25_store_multiterm" -> bm25MultiOracle,
+    "t52_hybrid_rrf" -> rrfOracle,
     "s09_centroid_distance" ->
       """WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS i,
         |    embedding AS e FROM embeddings),

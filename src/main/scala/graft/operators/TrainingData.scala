@@ -1611,6 +1611,45 @@ object TrainingData {
       graft.text.Retrieval.bm25QueryTopKFromStore(spark, store,
         graft.text.Retrieval.probeQueriesFromStore(spark, store)))
 
+  /** Dense+sparse hybrid retrieval via RRF (r10 verdict #2): fuse the
+    * exact-cosine top-10 for queries vec_id ∈ {0,1,2} (the
+    * SQL-expressible dense side, so DuckDB can replay the whole
+    * composition) with the t49 multi-term BM25 top-10 for probe queries
+    * 0–2. Fixture convention: the dense qid and the sparse query_id
+    * spaces are aligned numerically (query 0 ↔ vec 0 …), and doc ids
+    * fuse across the two tables by value — production calls pass two
+    * shortlists over one aligned id space instead. */
+  def t52HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val docs = Tables(spark, dir, "documents")
+    val dense = Similarity.bruteForceTopK(emb, col("vec_id") < 3, 10)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("doc_id"))
+    val sparse = graft.text.Retrieval.bm25QueryTopK(docs,
+      graft.text.Retrieval.probeQueries(docs))
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    graft.text.Retrieval.rrfFuse(dense, sparse, k = 10)
+  }
+
+  /** The production-geometry raw form (bench + golden): the dense side
+    * is the real IVF-PQ composite probe over the built indexes, the
+    * sparse side the multi-term BM25 scorer — the hybrid a deployment
+    * actually serves; golden-pinned because the ANN shortlist is a
+    * seeded-KMeans product no SQL oracle can reproduce. */
+  def t52RawHybridAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val docs = Tables(spark, dir, "documents")
+    val (ivf, pq) = buildIvfPqConcurrently(emb)
+    val dense = Similarity.ivfPqTopK(ivf, pq, emb, col("vec_id") < 3,
+      topK = 10, nprobe = 4, rerank = 50)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("doc_id"))
+    val sparse = graft.text.Retrieval.bm25QueryTopK(docs,
+      graft.text.Retrieval.probeQueries(docs))
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    graft.text.Retrieval.rrfFuse(dense, sparse, k = 10)
+  }
+
   /** Per-label centroid-distance outlier profile (see
     * [[graft.similarity.Similarity.centroidDistanceProfile]]). */
   def s09CentroidDistance(spark: SparkSession, dir: String): DataFrame =

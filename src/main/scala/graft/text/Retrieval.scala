@@ -259,6 +259,56 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** Reciprocal-rank fusion of a DENSE and a SPARSE shortlist — the
+    * composition the two retrieval halves end in for every production
+    * RAG stack (r10 verdict #2): Cormack, Clarke & Büttcher's RRF,
+    * `score(d) = Σ_lists 1/(kRrf + rank_list(d))`, over one ANN
+    * shortlist ([[graft.similarity.Similarity.ivfPqTopK]] or any
+    * `(query_id, rank, doc_id)` frame) and one lexical shortlist
+    * ([[bm25QueryTopK]]). Rank fusion rather than score fusion on
+    * purpose: cosine and BM25 live on incomparable scales, and RRF
+    * needs no per-query score normalization — only the ranks.
+    *
+    * Inputs carry `(query_id, doc_id, rank)`; a doc absent from one
+    * list contributes nothing from it (`n_lists` reports 2/1). The
+    * standard kRrf = 60 damps rank-1 dominance.
+    *
+    * Scale shape: both inputs are SHORTLISTS — request-sized (q·k rows)
+    * by construction, the corpus-sized work already paid inside the
+    * retrievers — so the full-outer join and the per-query window here
+    * are post-processing on bounded frames, never a corpus pass.
+    *
+    * Cross-engine determinism: each contribution is `1/(kRrf + rank)`
+    * with both operands small exact integers — bit-identical IEEE
+    * division in any engine — and the fused score folds the two terms
+    * in fixed (dense + sparse) order. Ranks order on the unrounded sum,
+    * ties to the smaller doc_id; `rrf` rounds to 6 dp for display. */
+  def rrfFuse(dense: DataFrame, sparse: DataFrame, k: Int = 10,
+      kRrf: Int = 60): DataFrame = {
+    require(kRrf >= 1, s"kRrf must be positive (got $kRrf)")
+    val d = dense.select(col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("int").as("dense_rank"))
+    val s = sparse.select(col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("int").as("sparse_rank"))
+    val fused = d.join(s, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0d) / (lit(kRrf) + col("dense_rank")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(kRrf) + col("sparse_rank")), lit(0.0d)))
+      .withColumn("n_lists",
+        (col("dense_rank").isNotNull.cast("int") +
+          col("sparse_rank").isNotNull.cast("int")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("rrf"), asc("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"), col("dense_rank"),
+        col("sparse_rank"), col("n_lists"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic multi-term probe queries derived from the corpus
     * itself (the t48 fixture discipline, widened to phrases): the top
     * `nQueries`·`termsPerQuery` terms by (df DESC, term ASC) chunked in

@@ -137,6 +137,48 @@ class RetrievalSpec extends SparkTestBase {
       e.getMessage.contains("buildIndex"))
   }
 
+  // ---- dense+sparse fusion (t52)
+
+  test("rrfFuse: hand-computed fusion, one-list docs, tie-break, n_lists") {
+    val dense = Seq((0L, 1, 100L), (0L, 2, 101L), (1L, 1, 300L))
+      .toDF("query_id", "rank", "doc_id")
+      .select($"query_id", $"rank", $"doc_id")
+    val sparse = Seq((0L, 1, 101L), (0L, 2, 200L), (1L, 1, 301L))
+      .toDF("query_id", "rank", "doc_id")
+    val got = Retrieval.rrfFuse(dense, sparse, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getAs[java.lang.Integer](4), r.getAs[java.lang.Integer](5),
+        r.getInt(6)))
+    // query 0: doc 101 in BOTH lists (1/62 + 1/61 = .032522) wins over
+    // dense-rank-1 doc 100 (1/61 = .016393) and sparse-rank-2 doc 200
+    // (1/62 = .016129)
+    assert(got.filter(_._1 == 0L).toSeq == Seq(
+      (0L, 1, 101L, 0.032522, Integer.valueOf(2), Integer.valueOf(1), 2),
+      (0L, 2, 100L, 0.016393, Integer.valueOf(1), null, 1),
+      (0L, 3, 200L, 0.016129, null, Integer.valueOf(2), 1)))
+    // query 1: docs 300 (dense only) and 301 (sparse only) tie at 1/61
+    // exactly -> smaller doc_id first
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)).toSeq ==
+      Seq((1, 300L), (2, 301L)))
+  }
+
+  test("rrfFuse is rank-driven: score scales never matter, k caps per query") {
+    // identical ranks under wildly different scores fuse identically —
+    // feed the real scorers' outputs for shape compatibility
+    val queries = Seq((0, "x y"), (1, "z")).toDF("query_id", "query_text")
+    val sparse = Retrieval.bm25QueryTopK(docs, queries)
+    val dense = sparse.select($"query_id", $"rank", $"doc_id") // rank-equal twin
+    val fused = Retrieval.rrfFuse(dense, sparse, k = 2)
+    val rows = fused.collect()
+    assert(rows.forall(_.getInt(6) == 2), "rank-equal lists fuse every doc from both")
+    // fused order == either list's order (same ranks both sides)
+    val want = sparse.filter($"rank" <= 2).select($"query_id", $"rank",
+      $"doc_id").collect().map(r => (r.getInt(0).toLong, r.getInt(1),
+      r.getLong(2))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      == want)
+  }
+
   test("t49 contract row shape at sf0.001") {
     val rows = graft.operators.TrainingData
       .t49Bm25MultiTerm(spark, sf("sf0.001")).collect()
