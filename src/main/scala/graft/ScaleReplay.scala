@@ -183,13 +183,63 @@ object ScaleReplay {
         (System.nanoTime() - t0) / 1e9
     }
 
+  /** The QUERY-axis rung (r10 verdict #3): every corpus-axis replay
+    * above holds the broadcast-capped query side constant; this one
+    * holds the CORPUS fixed (the base embeddings + one untimed
+    * IVF/PQ build) and scales the query count ×`qScale`, executed
+    * through [[graft.similarity.Similarity.chunkedByQuery]] with a
+    * fixed per-chunk budget — so the big run pays qScale× chunks, each
+    * broadcasting the same bounded query slice. A near-linear factor
+    * validates that chunked execution costs O(chunks) with bounded
+    * per-chunk memory (the time-for-memory trade the broadcast cap's
+    * refusal prescribes); the query count caps at the corpus size. */
+  private def chunkedQueryOnce(spark: SparkSession, dir: String,
+      ivf: graft.similarity.Similarity.IvfIndex,
+      pq: graft.similarity.Similarity.PqIndex,
+      nq: Long, chunkBudget: Int): Double = {
+    import graft.similarity.Similarity
+    val emb = Tables(spark, dir, "embeddings")
+    val nChunks = math.max(1L, (nq + chunkBudget - 1) / chunkBudget).toInt
+    val t0 = System.nanoTime()
+    Similarity.chunkedByQuery(col("vec_id") < nq, nChunks)(qf =>
+      Similarity.ivfPqTopK(ivf, pq, emb, qf, topK = 10))
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private val QueryAxisEntry = "s15q_chunked"
+
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_replay10")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val entries = args.lift(3).map(_.split(',').toSeq).getOrElse(defaultEntries)
+    val allEntries = args.lift(3).map(_.split(',').toSeq).getOrElse(defaultEntries)
+    val entries = allEntries.filterNot(_ == QueryAxisEntry)
     val spark = Engine.session("graft-scale-replay")
-    replicate(spark, base, out, factor)
+    if (entries.nonEmpty) replicate(spark, base, out, factor)
+
+    if (allEntries.contains(QueryAxisEntry)) {
+      import graft.similarity.Similarity
+      val emb = Tables(spark, base, "embeddings")
+      val corpusN = emb.count()
+      val chunkBudget = 20
+      val nqBig = math.min(chunkBudget.toLong * factor, corpusN)
+      // indexes built ONCE, untimed — production is build-once/
+      // probe-many and this rung measures the probe's query axis
+      val ivf = Similarity.buildIvfIndex(emb)
+      val pq = Similarity.buildPqIndex(emb)
+      chunkedQueryOnce(spark, base, ivf, pq, chunkBudget.toLong,
+        chunkBudget) // warmup (classload/codegen), not timed
+      val tBase = chunkedQueryOnce(spark, base, ivf, pq,
+        chunkBudget.toLong, chunkBudget)
+      val tBig = chunkedQueryOnce(spark, base, ivf, pq, nqBig, chunkBudget)
+      ivf.release(); pq.release()
+      val f = tBig / tBase
+      println(f"[replay] $QueryAxisEntry%-24s base=$tBase%7.1f s  " +
+        f"x${nqBig / chunkBudget}=$tBig%7.1f s  factor=$f%5.1f " +
+        f"(QUERY axis: $chunkBudget -> $nqBig queries, fixed corpus " +
+        f"$corpusN, ${math.max(1L, nqBig / chunkBudget)} chunks)")
+    }
 
     // warmup (classload/codegen) on the smallest SF, like Bench
     entries.foreach { e =>
@@ -208,9 +258,11 @@ object ScaleReplay {
       println(f"[replay] $e%-24s base=$tBase%7.1f s  x$factor=$tBig%7.1f s  factor=$f%5.1f")
       (e, tBase, tBig, f)
     }
-    val worst = rows.maxBy(_._4)
-    println(f"[replay] worst factor: ${worst._1} ${worst._4}%.1f " +
-      f"(budget ${factor * 1.5}%.0f = factor×1.5 for shuffle growth)")
+    if (rows.nonEmpty) {
+      val worst = rows.maxBy(_._4)
+      println(f"[replay] worst factor: ${worst._1} ${worst._4}%.1f " +
+        f"(budget ${factor * 1.5}%.0f = factor×1.5 for shuffle growth)")
+    }
     spark.stop()
   }
 }

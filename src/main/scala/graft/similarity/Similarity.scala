@@ -57,10 +57,43 @@ object Similarity {
         concat(lit(s"$what broadcasts the query side, and queryFilter selects "),
           col("__nq"),
           lit(s" rows > graft.similarity.maxBroadcastQueries = $cap — " +
-            "chunk the query batch (run per-chunk and union the results) " +
-            "or raise the conf if the cluster's broadcast budget allows"))
+            "chunk the query batch (Similarity.chunkedByQuery runs " +
+            "per-chunk and unions the results) or raise the conf if the " +
+            "cluster's broadcast budget allows"))
       ).isNull)
       .drop("__nq")
+  }
+
+  /** The executor for the advice every [[guardedQueries]] refusal
+    * prints (r10 verdict #3 — the cap told the user to "run per-chunk
+    * and union" but made them build it): split the query set into
+    * `nChunks` hash-disjoint chunks, run the wrapped entry point once
+    * per chunk, union the results.
+    *
+    * Correct for any PER-QUERY-DECOMPOSABLE operator — one whose output
+    * rows for query q depend only on q and the corpus, never on other
+    * queries — which is every qid-keyed shortlist/top-k entry point
+    * here ([[bruteForceTopK]], [[IvfIndex.topK]], [[pqProbe]],
+    * [[ivfPqTopK]], …): the pmod(xxhash64) split is disjoint and
+    * complete over the filtered query rows, so the union equals the
+    * unchunked call row-for-row (up to row order). Tuners that
+    * aggregate ACROSS queries (dialSweep, gridSweep) are NOT in scope:
+    * their per-chunk curves would need a weighted merge, not a union.
+    *
+    * Scale shape: each chunk broadcasts ≤ |queries|/nChunks rows — size
+    * nChunks so that fits the broadcast cap — and pays the operator's
+    * corpus-side probe once, so total cost is O(nChunks) probe passes
+    * with BOUNDED memory: exactly the time-for-memory trade a query
+    * batch beyond the 8 GB broadcast budget has to make. The chunks run
+    * sequentially in plan order; on a real cluster each is itself fully
+    * parallel, so this bounds memory without idling executors. */
+  def chunkedByQuery(queryFilter: Column, nChunks: Int,
+      idCol: String = "vec_id")(run: Column => DataFrame): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1 (got $nChunks)")
+    (0 until nChunks).map { i =>
+      run(queryFilter &&
+        pmod(xxhash64(col(idCol)), lit(nChunks)) === i)
+    }.reduce(_.unionByName(_))
   }
 
   /** All (query, corpus) cosine pairs for a broadcast query subset. Norms
