@@ -64,6 +64,23 @@ object IndexMaintenance {
       maxCellSkew: Double = 4.0,
       maxEmptyFrac: Double = 0.5)
 
+  /** The caller's retrieval SLA for the post-retrain dial
+    * recommendation (r10 verdict #4): after [[maintain]] retrains, the
+    * PQ twin at `pqDir` retrains too (the shared-topology trigger the
+    * scaladoc documents) and ONE [[Similarity.gridSweep]] over the
+    * retrained pair is read into the Pareto-minimal (nprobe, rerank)
+    * meeting Recall@`k` ≥ `minRecall` for the probe queries
+    * `queryFilter` selects — so the report hands back servable dials
+    * instead of leaving the re-tune by hand. */
+  final case class DialSla(
+      pqDir: String,
+      queryFilter: org.apache.spark.sql.Column,
+      k: Int = 10,
+      minRecall: Double = 0.9,
+      ladder: Seq[Int] = Seq(10, 50, 200, Int.MaxValue),
+      m: Int = 8,
+      pqK: Int = 16)
+
   private val BaselineName = "_drift_baseline"
 
   private def fs(spark: SparkSession, path: String) =
@@ -115,7 +132,8 @@ object IndexMaintenance {
     * stopped. */
   def maintain(spark: SparkSession, indexDir: String,
       th: Thresholds = Thresholds(), execute: Boolean = true,
-      targetPartitionBytes: Long = 128L * 1024 * 1024): DataFrame = {
+      targetPartitionBytes: Long = 128L * 1024 * 1024,
+      recommend: Option[DialSla] = None): DataFrame = {
     require(!Compaction.inProgress(spark, s"$indexDir/assigned"),
       s"compaction leftovers exist beside $indexDir/assigned — run " +
         "Compaction.recoverTable first")
@@ -148,6 +166,7 @@ object IndexMaintenance {
       if (base.isEmpty && decision == "noop")
         pinBaseline(spark, indexDir, msd)
 
+      var rec: Option[(Int, Int, Double)] = None
       if (execute) decision match {
         case "reassign" =>
           val fixed = Similarity.assignToCells(
@@ -195,15 +214,84 @@ object IndexMaintenance {
           try pinBaseline(spark, indexDir,
             retrained.driftReport().head().getAs[Double]("mean_sq_dist"))
           finally retrained.release()
+          // post-retrain dial recommendation (r10 verdict #4): the
+          // drift that refit the coarse quantizer also invalidated the
+          // PQ twin's codebooks (the shared-topology trigger this
+          // scaladoc documents), so retrain them from this store's
+          // retrained rows, re-pin that store's baseline on its own
+          // fresh fit, and read ONE gridSweep over the retrained pair
+          // into servable dials — no corpus passes beyond the sweep's
+          // own three
+          recommend.foreach { sla =>
+            val post = IndexStore.loadIvf(spark, indexDir)
+            try {
+              val vecs = post.assigned.select("vec_id", "embedding")
+              retrainPq(spark, sla.pqDir, vecs, sla.m, sla.pqK,
+                targetPartitionBytes)
+              spark.catalog.refreshByPath(s"${sla.pqDir}/codes")
+              val pqFresh = IndexStore.loadPq(spark, sla.pqDir)
+              try pinBaseline(spark, sla.pqDir,
+                Similarity.pqDriftReport(pqFresh, vecs).head()
+                  .getAs[Double]("mean_sq_err"))
+              finally pqFresh.release()
+            } finally post.release()
+            rec = recommendDials(spark, indexDir, sla.pqDir,
+              sla.queryFilter, sla.k, sla.minRecall, sla.ladder)
+              .collect().headOption
+              .map(r => (r.getAs[Int]("nprobe"), r.getAs[Int]("rerank"),
+                r.getAs[Double]("recall_at_k")))
+          }
         case _ => ()
       }
 
       import spark.implicits._
-      Seq((decision, execute, misassigned, msd,
+      val out = Seq((decision, execute, misassigned, msd,
         base.getOrElse(Double.NaN), skew, emptyFrac, nVectors))
         .toDF("decision", "executed", "misassigned", "mean_sq_dist",
           "baseline_msd", "cell_skew", "empty_frac", "n_vectors")
+      // rec_* columns appear only when a DialSla was passed: the
+      // scan-lean endpoint of the Pareto frontier (smallest nprobe; the
+      // rescore-lean end and everything between come from
+      // recommendDials), NULL when no executed retrain happened or no
+      // swept cell attains the SLA (widen the grid or relax the target)
+      recommend match {
+        case None => out
+        case Some(_) => rec match {
+          case Some((p, s2, r2)) => out
+            .withColumn("rec_nprobe", lit(p))
+            .withColumn("rec_rerank", lit(s2))
+            .withColumn("rec_recall", lit(r2))
+          case None => out
+            .withColumn("rec_nprobe", lit(null).cast("int"))
+            .withColumn("rec_rerank", lit(null).cast("int"))
+            .withColumn("rec_recall", lit(null).cast("double"))
+        }
+      }
     } finally idx.release()
+  }
+
+  /** The on-demand form of the post-retrain recommendation (r10 verdict
+    * #4): ONE [[Similarity.gridSweep]] over the two stores' shared
+    * corpus — three corpus passes total, the sweep's own — read by
+    * [[Similarity.gridFrontierFor]] into every Pareto-minimal
+    * (nprobe, rerank) meeting Recall@`k` ≥ `minRecall`, ordered by
+    * nprobe (scan-lean endpoint first). Empty = no swept cell attains
+    * the SLA. Materialized eagerly (grid-sized) so the result outlives
+    * the released indexes. */
+  def recommendDials(spark: SparkSession, ivfDir: String, pqDir: String,
+      queryFilter: org.apache.spark.sql.Column, k: Int = 10,
+      minRecall: Double = 0.9,
+      ladder: Seq[Int] = Seq(10, 50, 200, Int.MaxValue)): DataFrame = {
+    val ivf = IndexStore.loadIvf(spark, ivfDir)
+    val pq = IndexStore.loadPq(spark, pqDir)
+    try {
+      val emb = ivf.assigned.select("vec_id", "embedding")
+      val maxNprobe = ivf.centroids.count().toInt
+      Similarity.gridFrontierFor(
+        Similarity.gridSweep(ivf, pq, emb, queryFilter, k, maxNprobe,
+          ladder), minRecall)
+        .localCheckpoint()
+    } finally { ivf.release(); pq.release() }
   }
 
   /** The PQ twin of [[maintain]] (giving the code store its OWN

@@ -454,6 +454,61 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(trend.length == 1 && !trend.head.getAs[Boolean]("retrain_due"))
   }
 
+  test("post-retrain dial recommendation: rec dials meet the SLA on the retrained pair's own grid") {
+    val vecDir = Files.createTempDirectory("graft_maint_dial_v").toString
+    val pqDir = Files.createTempDirectory("graft_maint_dial_p").toString
+    ingest(vecDir, (toDf(seedRows), 0L))
+    val pm = new PqIngest.Merger(spark, pqDir, m = 4, k = 8)
+    pm.mergeBatch(toDf(seedRows), 0L)
+    // clean first cycles pin both baselines
+    assert(IndexMaintenance.maintain(spark, vecDir).head()
+      .getAs[String]("decision") == "noop")
+    assert(IndexMaintenance.maintainPq(spark, pqDir, toDf(seedRows),
+      m = 4, k = 8).head().getAs[String]("decision") == "noop")
+    // drift arrives through both doors
+    ingest(vecDir, (toDf(driftRows), 1L))
+    pm.mergeBatch(toDf(driftRows), 1L)
+    val qf = col("vec_id") >= 1000L && col("vec_id") % 25 === 0
+    val sla = IndexMaintenance.DialSla(pqDir, qf, k = 5,
+      minRecall = 0.9, ladder = Seq(5, 20, 80, Int.MaxValue),
+      m = 4, pqK = 8)
+    val r = IndexMaintenance.maintain(spark, vecDir,
+      recommend = Some(sla)).head()
+    assert(r.getAs[String]("decision") == "retrain")
+    val recN = r.getAs[Int]("rec_nprobe")
+    val recS = r.getAs[Int]("rec_rerank")
+    val recR = r.getAs[Double]("rec_recall")
+    assert(recR >= 0.9, s"recommended cell must meet the SLA: $recR")
+    // the recommendation must hold on the retrained pair's OWN curve
+    // (an independent sweep over the two stores as persisted), and be
+    // Pareto-minimal among compliant cells
+    val ivf = graft.similarity.IndexStore.loadIvf(spark, vecDir)
+    val pq = graft.similarity.IndexStore.loadPq(spark, pqDir)
+    try {
+      val grid = Similarity.gridSweep(ivf, pq,
+        ivf.assigned.select("vec_id", "embedding"), qf, 5,
+        maxNprobe = ivf.centroids.count().toInt,
+        ladder = Seq(5, 20, 80, Int.MaxValue)).collect()
+        .map(r2 => (r2.getAs[Int]("nprobe"), r2.getAs[Int]("rerank")) ->
+          r2.getAs[Double]("recall_at_k")).toMap
+      assert(grid((recN, recS)) >= 0.9,
+        s"grid cell ($recN, $recS) reads ${grid((recN, recS))}")
+      val dominates = grid.exists { case ((p, s2), rc) =>
+        rc >= 0.9 && p <= recN && s2 <= recS && (p < recN || s2 < recS)
+      }
+      assert(!dominates, "the recommended cell must be Pareto-minimal")
+    } finally { ivf.release(); pq.release() }
+    // the PQ store was retrained and re-pinned along the way: clean now
+    assert(IndexMaintenance.maintainPq(spark, pqDir,
+      toDf(seedRows ++ driftRows), m = 4, k = 8).head()
+      .getAs[String]("decision") == "noop")
+    // a noop cycle with recommend set reports NULL dials (no retrain ran)
+    val r2 = IndexMaintenance.maintain(spark, vecDir,
+      recommend = Some(sla)).head()
+    assert(r2.getAs[String]("decision") == "noop")
+    assert(r2.isNullAt(r2.fieldIndex("rec_nprobe")))
+  }
+
   test("retrainPq re-seeds codebooks+codes from the vector twin; probe stays consistent") {
     val vecDir = Files.createTempDirectory("graft_maint_vec").toString
     val pqDir = Files.createTempDirectory("graft_maint_pq").toString
