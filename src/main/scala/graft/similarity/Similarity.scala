@@ -1535,11 +1535,18 @@ object Similarity {
     * report also carries the coverage counts (`n_vectors`, `n_coded`):
     * a vector without a code is invisible to every ADC probe, so a
     * divergence is itself the [[gridSweep]] corpora alarm. */
-  def pqDriftReport(idx: PqIndex, vectors: DataFrame): DataFrame = {
-    val m = idx.codebooks.length
-    val dsub = idx.codebooks(0)(0).length
-    val cb = typedlit(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    val sq = aggregate(sequence(lit(1), lit(m)), lit(0.0d), (acc, i) =>
+  /** Per-row squared reconstruction error ‖x − decode(code(x))‖² as a
+    * native fold expression over the codebook literal (reads the row's
+    * `embedding` and `code` columns) — the PQ training objective per
+    * vector, shared by [[pqDriftReport]] and the
+    * [[graft.streaming.PqIngest]] door telemetry so the corpus-cycle
+    * and per-batch measurements can never drift. */
+  private[graft] def sqReconstructionError(
+      codebooks: Array[Array[Array[Float]]]): Column = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val cb = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    aggregate(sequence(lit(1), lit(m)), lit(0.0d), (acc, i) =>
       acc + aggregate(sequence(lit(1), lit(dsub)), lit(0.0d), (a2, d) => {
         val x = element_at(col("embedding"), (i - lit(1)) * dsub + d)
           .cast("double")
@@ -1548,6 +1555,10 @@ object Similarity {
           .cast("double")
         a2 + (x - c) * (x - c)
       }))
+  }
+
+  def pqDriftReport(idx: PqIndex, vectors: DataFrame): DataFrame = {
+    val sq = sqReconstructionError(idx.codebooks)
     val joined = vectors.select(col("vec_id"), col("embedding"))
       .join(idx.codes, Seq("vec_id"), "left")
       .select(col("vec_id"),

@@ -465,6 +465,19 @@ object IndexMaintenance {
       th: Thresholds = Thresholds()): DataFrame =
     trendOver(spark, indexDir, VectorIngest.driftLog(spark, indexDir), th)
 
+  /** [[driftTrend]]'s PQ twin over [[PqIngest.driftLog]] (r10 verdict
+    * #5): the same anchor discipline and growth flag, with the metric
+    * under its honest name — per-batch RECONSTRUCTION error against the
+    * standing codebooks, the same number [[maintainPq]] measures
+    * corpus-wide and pins as this store's `_drift_baseline`, so the
+    * trend and the cycle read one threshold against one anchor. */
+  def driftTrendPq(spark: SparkSession, indexDir: String,
+      th: Thresholds = Thresholds()): DataFrame =
+    trendOver(spark, indexDir,
+      PqIngest.driftLog(spark, indexDir)
+        .withColumnRenamed("mean_sq_err", "mean_sq_dist"), th)
+      .withColumnRenamed("mean_sq_dist", "mean_sq_err")
+
   /** The shared trend arithmetic, explicit about WHICH number anchors
     * the ratios (r10 advice #5 — normalizing against whatever row
     * happens to be earliest silently rebases onto an already-drifted

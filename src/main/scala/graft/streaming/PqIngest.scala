@@ -49,8 +49,8 @@ import graft.similarity.{IndexStore, Similarity}
 object PqIngest {
 
   final class Merger(spark: SparkSession, indexDir: String,
-      m: Int = 8, k: Int = 16, logStats: Boolean = false)
-    extends Serializable {
+      m: Int = 8, k: Int = 16, logStats: Boolean = false,
+      logDrift: Boolean = false) extends Serializable {
 
     private def part(sub: String) = s"$indexDir/$sub"
     private def fs(path: String) = new Path(path)
@@ -116,6 +116,29 @@ object PqIngest {
       if (logStats)
         IngestLog.writeStages(spark, indexDir, batchId, batch, banStage,
           sliceDir)
+      // opt-in PER-BATCH drift telemetry, the [[VectorIngest]] logDrift
+      // twin (r10 verdict #5 — the PQ door was the one ingest without
+      // its own per-batch health number): the reconstruction error of
+      // THIS batch's rows against the standing codebooks — O(batch)
+      // (one batch-sized join of the just-written codes back onto the
+      // arriving embeddings, per-row decode via the SHARED
+      // sqReconstructionError fold), never the O(corpus) report, so
+      // stream telemetry stays linear. Batch 0's row is the codebooks'
+      // own training fit — the natural baseline. Replay-idempotent:
+      // keyed batch=<N> and overwritten like the slice.
+      if (logDrift) {
+        val books = IndexStore.readCodebooks(spark, indexDir)
+        spark.read.parquet(sliceDir)
+          .join(batch.select("vec_id", "embedding"), "vec_id")
+          .agg(count(lit(1)).as("n_vectors"),
+            round(coalesce(
+              sum(Similarity.sqReconstructionError(books)), lit(0.0)) /
+              greatest(count(lit(1)).cast("double"), lit(1.0)), 6)
+              .as("mean_sq_err"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"${part("_drift_log")}/batch=$batchId")
+      }
 
       val f = fs(indexDir)
       if (!f.exists(new Path(s"$indexDir/_graft_index.json")))
@@ -138,6 +161,16 @@ object PqIngest {
   def ingestLog(spark: SparkSession, indexDir: String): DataFrame =
     IngestLog.read(spark, indexDir)
 
+  /** The per-batch drift log (one row per committed batch: batch,
+    * n_vectors, mean_sq_err) — present only when the merger ran with
+    * `logDrift = true`. Batch 0 is the codebooks' training fit; see
+    * [[IndexMaintenance.driftTrendPq]] for the baseline-normalized
+    * read. */
+  def driftLog(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.option("basePath", s"$indexDir/_drift_log")
+      .parquet(s"$indexDir/_drift_log")
+      .select(col("batch"), col("n_vectors"), col("mean_sq_err"))
+
   /** Fold the streamed index's per-batch `codes/batch=<N>` slices into
     * one consolidated slice; the stream must be STOPPED. ADC results and
     * `loadPq` are unchanged (content moves, rows don't), and replays
@@ -151,8 +184,8 @@ object PqIngest {
   /** Start the ingest over a drop-directory of parquet embedding files. */
   def start(spark: SparkSession, dropDir: String, indexDir: String,
       checkpointDir: String, m: Int = 8, k: Int = 16,
-      logStats: Boolean = false): StreamingQuery = {
-    val merger = new Merger(spark, indexDir, m, k, logStats)
+      logStats: Boolean = false, logDrift: Boolean = false): StreamingQuery = {
+    val merger = new Merger(spark, indexDir, m, k, logStats, logDrift)
     spark.readStream
       .schema(graft.etl.Schemas.embeddings)
       .parquet(dropDir)

@@ -271,6 +271,38 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(again.length == 3)
   }
 
+  test("PQ per-batch drift log: door-priced reconstruction error, trend flags before any corpus scan") {
+    val dir = Files.createTempDirectory("graft_pq_drift_log").toString
+    val m = new PqIngest.Merger(spark, dir, m = 4, k = 8, logDrift = true)
+    m.mergeBatch(toDf(seedRows), 0L)
+    m.mergeBatch(toDf(cluster(500L, 20, center(1, 1.0), 0.05, 55L)), 1L)
+    m.mergeBatch(toDf(driftRows), 2L)
+    val trend = IndexMaintenance.driftTrendPq(spark, dir).collect()
+      .map(r => r.getAs[Long]("batch") -> r).toMap
+    assert(trend.keySet == Set(0L, 1L, 2L))
+    // batch 0 IS the codebooks' training fit: ratio exactly 1
+    assert(trend(0L).getAs[Double]("ratio_vs_seed") == 1.0)
+    assert(!trend(0L).getAs[Boolean]("retrain_due"))
+    assert(!trend(1L).getAs[Boolean]("retrain_due"),
+      s"undrifted batch flagged: ${trend(1L)}")
+    // the drifted batch is flagged AT THE DOOR, before any maintainPq
+    // cycle pays the corpus-wide report
+    assert(trend(2L).getAs[Boolean]("retrain_due"))
+    assert(trend(2L).getAs[Double]("ratio_vs_seed") >
+      trend(1L).getAs[Double]("ratio_vs_seed") * 10)
+    // the per-batch number is the SAME metric the cycle measures: a
+    // corpus-wide pqDriftReport over just batch 2's rows agrees
+    val idx = graft.similarity.IndexStore.loadPq(spark, dir)
+    try {
+      val rep = Similarity.pqDriftReport(idx, toDf(driftRows)).head()
+      assert(math.abs(rep.getAs[Double]("mean_sq_err") -
+        trend(2L).getAs[Double]("mean_sq_err")) < 1e-6)
+    } finally idx.release()
+    // replay idempotence: re-delivering batch 2 overwrites its row
+    m.mergeBatch(toDf(driftRows), 2L)
+    assert(IndexMaintenance.driftTrendPq(spark, dir).count() == 3)
+  }
+
   test("maintainCorpus: coverage decides reindex; admissions repaired; clean store noop") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
       "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
