@@ -556,7 +556,7 @@ object Bench {
       "d02", "d03r", "d07", "d08", "d10r", "t12", "t15", "q17", "q48",
       "d03", "d10", "d21", "t23", "q35", "q57", "q60", "q16",
       "s04", "s07", "s15", "s16", "s18", "s18r", "s20", "s20r",
-      "s21", "s21r", "s17", "s19",
+      "s21", "s21r", "s22", "s22r", "s17", "s19",
       "a00", "d01", "m01", "q01", "q02", "s01", "t01", "t48", "t49",
       "t50", "t51", "t52", "t52r")
     val compactLine = render(

@@ -33,7 +33,7 @@ object Goldens {
     "d10r_manifest_lsh", "s03r_srp_topk", "s04r_ivf_topk",
     "s07r_pq_topk", "s15r_ivfpq_topk", "s16r_mmr_ann",
     "s13r_hardneg_ann", "s18r_dial_sweep", "s20r_rerank_sweep",
-    "s21r_grid_sweep", "t52r_hybrid_ann") ++
+    "s21r_grid_sweep", "s22r_grid_frontier", "t52r_hybrid_ann") ++
     graft.multimodal.MultimodalFixtures.queries.keys.toSeq.sorted
 
   /** Contract + bench-only entry points, for golden resolution. */

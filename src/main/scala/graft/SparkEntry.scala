@@ -142,6 +142,7 @@ object SparkEntry {
     "s19_ivf_drift" -> (TrainingData.s19IvfDriftReport _),
     "s20_pq_rerank_sweep" -> (TrainingData.s20PqRerankSweep _),
     "s21_grid_sweep" -> (TrainingData.s21GridSweep _),
+    "s22_grid_frontier" -> (TrainingData.s22GridFrontier _),
     "q61_longest_streak" -> (Relational.q61LongestStreak _),
     "d22_dup_span_coverage" -> (TrainingData.d22DupSpanCoverage _),
     "t48_bm25_topk" -> (TrainingData.t48Bm25TopK _),
@@ -219,6 +220,7 @@ object SparkEntry {
     "s18r_dial_sweep" -> (TrainingData.s18RawDialSweep _),
     "s20r_rerank_sweep" -> (TrainingData.s20RawRerankSweep _),
     "s21r_grid_sweep" -> (TrainingData.s21RawGridSweep _),
+    "s22r_grid_frontier" -> (TrainingData.s22RawGridFrontier _),
     "t52r_hybrid_ann" -> (TrainingData.t52RawHybridAnn _)) ++
     // the m-family golden queries: real-codec decode paths over the
     // committed deterministic fixture corpus — no SQL oracle can decode
@@ -2741,6 +2743,14 @@ object SparkEntry {
         |FROM (SELECT unnest(range(1, 5)) AS p),
         |     (SELECT unnest([5, 20, 320, 2147483647]) AS s)
         |ORDER BY nprobe, rerank""".stripMargin,
+    // s22: invariant row — every boolean is independently re-derived in
+    // plain Scala over the collected 16-cell grid before it is emitted,
+    // so a TRUE here certifies frontier = definition, not frontier =
+    // itself; the actual frontier CELLS are pinned by the s22r golden
+    "s22_grid_frontier" ->
+      """SELECT TRUE AS frontier_nonempty, TRUE AS matches_rederivation,
+        |  TRUE AS all_meet_sla, TRUE AS subset_of_grid,
+        |  TRUE AS antichain_order""".stripMargin,
     "s08_knn_label_agreement" ->
       """WITH q AS (SELECT vec_id AS qid, label AS q_label,
         |             CAST(embedding AS DOUBLE[]) qv

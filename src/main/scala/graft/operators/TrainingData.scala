@@ -1549,6 +1549,70 @@ object TrainingData {
       ladder = Seq(5, 10, 20, 80, 320, Int.MaxValue))
   }
 
+  /** Pareto frontier over the s21 grid (r10 verdict #6 — the number a
+    * deployment actually reads, promoted to a driver-visible row): the
+    * SLA-compliant undominated (nprobe, rerank) cells at minRecall 0.9.
+    * The verdict form emits INVARIANTS (one row of booleans, so the
+    * oracle is exact regardless of how many cells the frontier holds on
+    * a regenerated corpus), each checked against an INDEPENDENT plain-
+    * Scala re-derivation over the collected grid — 16 rows, bounded by
+    * construction:
+    *  - `frontier_nonempty`: the (nlist, ∞) corner has recall 1 ≥ any
+    *    SLA, so a correct frontier can never be empty;
+    *  - `matches_rederivation`: the frontier set equals the definition
+    *    replayed in Scala (compliant ∧ no compliant cell ≤/< it);
+    *  - `all_meet_sla`, `subset_of_grid`: every emitted cell is a real
+    *    compliant grid cell;
+    *  - `antichain_order`: sorted by nprobe the reranks strictly
+    *    decrease — the 2-D antichain shape a Pareto frontier must have. */
+  def s22GridFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val qf = col("vec_id") < 50
+    val minRecall = 0.9
+    val ladder = Seq(5, 20, 320, Int.MaxValue)
+    val ivf = Similarity.buildIvfIndex(emb, nlist = 4)
+    val pq = Similarity.buildPqIndex(emb)
+    val grid = Similarity.gridSweep(ivf, pq, emb, qf, 5,
+      maxNprobe = ivf.centroids.count().toInt, ladder).localCheckpoint()
+    val frontier = Similarity.gridFrontierFor(grid, minRecall)
+      .collect().map(r =>
+        (r.getAs[Int]("nprobe"), r.getAs[Int]("rerank"),
+          r.getAs[Double]("recall_at_k")))
+    val cells = grid.collect().map(r =>
+      (r.getAs[Int]("nprobe"), r.getAs[Int]("rerank"),
+        r.getAs[Double]("recall_at_k")))
+    val compliant = cells.filter(_._3 >= minRecall)
+    val want = compliant.filter(c => !compliant.exists(d =>
+      d._1 <= c._1 && d._2 <= c._2 && (d._1 < c._1 || d._2 < c._2)))
+      .map(c => (c._1, c._2)).toSet
+    val got = frontier.map(f => (f._1, f._2)).toSet
+    val byNprobe = frontier.sortBy(_._1)
+    import spark.implicits._
+    Seq((
+      frontier.nonEmpty,
+      got == want,
+      frontier.forall(_._3 >= minRecall),
+      got.subsetOf(compliant.map(c => (c._1, c._2)).toSet),
+      byNprobe.map(_._1).distinct.length == byNprobe.length &&
+        byNprobe.map(_._2).toSeq.sliding(2).forall(w =>
+          w.length < 2 || w(0) > w(1))))
+      .toDF("frontier_nonempty", "matches_rederivation", "all_meet_sla",
+        "subset_of_grid", "antichain_order")
+  }
+
+  /** The frontier at the production geometry over the s21r grid —
+    * bench + golden entry pinning the actual recommended cells. */
+  def s22RawGridFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val ivf = Similarity.buildIvfIndex(emb, nlist = 16)
+    Similarity.gridFrontierFor(
+      Similarity.gridSweep(ivf, Similarity.buildPqIndex(emb), emb,
+        col("vec_id") < 50, k = 5,
+        maxNprobe = ivf.centroids.count().toInt,
+        ladder = Seq(5, 10, 20, 80, 320, Int.MaxValue)),
+      minRecall = 0.9)
+  }
+
   /** Per-document duplicated-3-gram span coverage (see
     * [[graft.dedup.Dedup.dupSpanCoverage]]); rides the session's cached
     * corpus shingle table so the sweep shares d02's one explode pass. */
