@@ -46,20 +46,43 @@ import org.apache.spark.sql.functions._
   *    `c<i>_` token tag does for shingles, so their factors would mix
   *    operator cost with replication noise.
   *
-  * Usage: runMain graft.ScaleReplay [baseSfDir] [outDir] [factor] [entries]
-  * Writes the replicated tables once (skipped when `_READY` exists) and
-  * prints one `[replay]` line per (entry, input) plus a factor summary.
+  * Usage: runMain graft.ScaleReplay [baseSfDir] [outDir] [factor] [entries] [tables]
+  * Writes the replicated tables once (skipped when `_READY` exists; the
+  * marker records which tables the replica holds) and prints one
+  * `[replay]` line per (entry, input) plus a factor summary. The optional
+  * `tables` list restricts the replica to what the timed entries read —
+  * the 1000× documents rung has no reason to write 600 M lineitem rows.
   */
 object ScaleReplay {
 
   /** Tables replicated with key offsets; everything else copies as-is.
-    * `private[graft]` so ScaleReplaySpec can exercise the builder without
-    * going through main() (which owns and stops its own session). */
+    * `only` restricts the build to the named tables (default: all) — the
+    * 1000× rung times three documents-only entries and has no reason to
+    * write a 600 M-row lineitem alongside them; the `_READY` marker
+    * records which tables the replica holds so a narrower replica can't
+    * silently serve a broader request. `private[graft]` so
+    * ScaleReplaySpec can exercise the builder without going through
+    * main() (which owns and stops its own session). */
+  private[graft] val allTables = Seq("lineitem", "orders", "customer",
+    "part", "documents", "embeddings", "nation", "region", "supplier",
+    "events")
+
   private[graft] def replicate(spark: SparkSession, base: String, out: String,
-      factor: Int): Unit = {
+      factor: Int, only: Option[Set[String]] = None): Unit = {
     import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val wanted = only.getOrElse(allTables.toSet)
+    val unknown = wanted -- allTables.toSet
+    require(unknown.isEmpty, s"unknown tables requested: $unknown")
     val ready = Paths.get(out, "_READY")
     if (Files.exists(ready)) {
+      // an empty marker predates the table filter and means "full"
+      val recorded = new String(Files.readAllBytes(ready), UTF_8)
+        .split(',').map(_.trim).filter(_.nonEmpty).toSet
+      val have = if (recorded.isEmpty) allTables.toSet else recorded
+      require(wanted.subsetOf(have),
+        s"replica at $out holds only $have; requested $wanted — " +
+          "point at a fresh outDir to build the missing tables")
       System.err.println(s"[replay] reusing $out")
       return
     }
@@ -77,32 +100,56 @@ object ScaleReplay {
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
       System.err.println(s"[replay] wrote $t")
     }
-    def copies(df: DataFrame)(rekey: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until factor).map(i => rekey(df, i)).reduce(_ unionByName _)
+    // The copy axis is a crossJoin against range(factor), NOT a
+    // factor-way unionByName reduce: the union builds a depth-`factor`
+    // plan tree that Catalyst re-analyzes level by level — at the 1000×
+    // rung the PLAN, not the data, becomes the bottleneck. The crossJoin
+    // form is one fixed-size plan for any factor, with the copy index as
+    // a column feeding the same rekey arithmetic. (Embeddings below keep
+    // the per-copy union: each copy is rotated by a DIFFERENT literal
+    // orthogonal matrix, which cannot be expressed as a column.)
+    // The copy AXIS carries the parallelism: left side = range(factor)
+    // repartitioned across the cluster, right side = the BASE table
+    // broadcast (it is the small input by construction — the replica is
+    // what's big). Left to its own devices Spark would broadcast the
+    // tiny range and stream the base table, inheriting its input
+    // partitioning — one ~11 MB parquet = ONE task writing the whole
+    // 1000× expansion.
+    def fanout(df: DataFrame): DataFrame =
+      spark.range(factor).toDF("copy_i")
+        .repartition(math.min(factor, 32))
+        .crossJoin(broadcast(df))
 
-    val (li, o, c, p) = (read("lineitem"), read("orders"), read("customer"), read("part"))
-    val (oOff, cOff, pOff) = (off(o, "o_orderkey"), off(c, "c_custkey"), off(p, "p_partkey"))
-    write("lineitem", copies(li)((df, i) => df
-      .withColumn("l_orderkey", col("l_orderkey") + i * oOff)
-      .withColumn("l_partkey", col("l_partkey") + i * pOff)))
-    write("orders", copies(o)((df, i) => df
-      .withColumn("o_orderkey", col("o_orderkey") + i * oOff)
-      .withColumn("o_custkey", col("o_custkey") + i * cOff)))
-    write("customer", copies(c)((df, i) => df
-      .withColumn("c_custkey", col("c_custkey") + i * cOff)))
-    write("part", copies(p)((df, i) => df
-      .withColumn("p_partkey", col("p_partkey") + i * pOff)))
+    lazy val oOff = off(read("orders"), "o_orderkey")
+    lazy val cOff = off(read("customer"), "c_custkey")
+    lazy val pOff = off(read("part"), "p_partkey")
+    if (wanted("lineitem")) write("lineitem", fanout(read("lineitem"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("copy_i") * oOff)
+      .withColumn("l_partkey", col("l_partkey") + col("copy_i") * pOff)
+      .drop("copy_i"))
+    if (wanted("orders")) write("orders", fanout(read("orders"))
+      .withColumn("o_orderkey", col("o_orderkey") + col("copy_i") * oOff)
+      .withColumn("o_custkey", col("o_custkey") + col("copy_i") * cOff)
+      .drop("copy_i"))
+    if (wanted("customer")) write("customer", fanout(read("customer"))
+      .withColumn("c_custkey", col("c_custkey") + col("copy_i") * cOff)
+      .drop("copy_i"))
+    if (wanted("part")) write("part", fanout(read("part"))
+      .withColumn("p_partkey", col("p_partkey") + col("copy_i") * pOff)
+      .drop("copy_i"))
 
-    val docs = read("documents")
-    val dOff = off(docs, "doc_id")
     // delimited copy tag: a bare `c$i` prefix is ambiguous once factor
     // reaches 11 (copy 1 of token "1abc" = copy 11 of token "abc"),
     // which would let cross-copy shingles collide and break the
     // shard-disjointness the scale factors rely on
-    write("documents", copies(docs)((df, i) => df
-      .withColumn("doc_id", col("doc_id") + i * dOff)
-      .withColumn("text",
-        regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))))
+    if (wanted("documents")) {
+      val dOff = off(read("documents"), "doc_id")
+      write("documents", fanout(read("documents"))
+        .withColumn("doc_id", col("doc_id") + col("copy_i") * dOff)
+        .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("c"), col("copy_i"), lit("_$1"))))
+        .drop("copy_i"))
+    }
 
     // Embeddings: each copy i>0 is ROTATED by a deterministic random
     // orthogonal matrix Q_i. Cosine is rotation-invariant, so the
@@ -114,26 +161,29 @@ object ScaleReplay {
     // vector — the embedding-space analog of the c<i>_ token tag. The
     // pinned query set (vec_id < 5) lives in the unrotated copy 0, so
     // per-query work stays comparable to the base run.
-    val emb = read("embeddings")
-    val vOff = off(emb, "vec_id")
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    def rotated(df: DataFrame, i: Int): DataFrame =
-      if (i == 0) df
-      else {
-        val q = typedlit(orthogonal(dim, seed = 0xC0FFEE + i).map(_.toSeq).toSeq)
-        df.withColumn("embedding",
-          transform(sequence(lit(1), lit(dim)), j =>
-            aggregate(sequence(lit(1), lit(dim)), lit(0.0d), (acc, d) =>
-              acc + element_at(element_at(q, j), d) *
-                element_at(col("embedding"), d).cast("double"))
-              .cast("float")))
-      }
-    write("embeddings", copies(emb)((df, i) =>
-      rotated(df, i).withColumn("vec_id", col("vec_id") + i * vOff)))
+    if (wanted("embeddings")) {
+      val emb = read("embeddings")
+      val vOff = off(emb, "vec_id")
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      def rotated(df: DataFrame, i: Int): DataFrame =
+        if (i == 0) df
+        else {
+          val q = typedlit(orthogonal(dim, seed = 0xC0FFEE + i).map(_.toSeq).toSeq)
+          df.withColumn("embedding",
+            transform(sequence(lit(1), lit(dim)), j =>
+              aggregate(sequence(lit(1), lit(dim)), lit(0.0d), (acc, d) =>
+                acc + element_at(element_at(q, j), d) *
+                  element_at(col("embedding"), d).cast("double"))
+                .cast("float")))
+        }
+      write("embeddings", (0 until factor)
+        .map(i => rotated(emb, i).withColumn("vec_id", col("vec_id") + i * vOff))
+        .reduce(_ unionByName _))
+    }
 
-    Seq("nation", "region", "supplier", "events").foreach(t =>
+    Seq("nation", "region", "supplier", "events").filter(wanted).foreach(t =>
       write(t, read(t)))
-    Files.createFile(ready)
+    Files.write(ready, wanted.toSeq.sorted.mkString(",").getBytes(UTF_8))
   }
 
   /** Deterministic random orthogonal dim×dim matrix: Gram-Schmidt over a
@@ -214,9 +264,12 @@ object ScaleReplay {
     val out = args.lift(1).getOrElse("/tmp/graft_replay10")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val allEntries = args.lift(3).map(_.split(',').toSeq).getOrElse(defaultEntries)
+    // optional 5th arg: restrict the replica to these tables (the timed
+    // entries must not touch anything outside the list)
+    val tables = args.lift(4).map(_.split(',').map(_.trim).toSet)
     val entries = allEntries.filterNot(_ == QueryAxisEntry)
     val spark = Engine.session("graft-scale-replay")
-    if (entries.nonEmpty) replicate(spark, base, out, factor)
+    if (entries.nonEmpty) replicate(spark, base, out, factor, tables)
 
     if (allEntries.contains(QueryAxisEntry)) {
       import graft.similarity.Similarity

@@ -71,6 +71,23 @@ class ScaleReplaySpec extends SparkTestBase {
     }
   }
 
+  test("partial replica records its tables; a broader reuse request refuses") {
+    val dir = Files.createTempDirectory("graft_replay_spec").toString + "/docs_only"
+    ScaleReplay.replicate(spark, sf("sf0.001"), dir, factor = 2,
+      only = Some(Set("documents")))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "documents.parquet")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "lineitem.parquet")),
+      "filtered replica must not write unrequested tables")
+    // same-or-narrower request reuses the standing replica …
+    ScaleReplay.replicate(spark, sf("sf0.001"), dir, factor = 2,
+      only = Some(Set("documents")))
+    // … a broader one must refuse loudly, not silently time missing tables
+    val e = intercept[IllegalArgumentException] {
+      ScaleReplay.replicate(spark, sf("sf0.001"), dir, factor = 2)
+    }
+    assert(e.getMessage.contains("holds only"))
+  }
+
   test("embedding copies: rotation matrix orthonormal; within-copy cosine structure preserved") {
     // orthonormality of the per-copy rotation (cosine invariance hinges on it)
     val q = ScaleReplay.orthogonal(16, seed = 7)
