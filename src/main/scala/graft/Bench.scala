@@ -395,6 +395,34 @@ object Bench {
       } finally rmTree(store)
     }
 
+    // ---- hybrid-serve split (round 11, the q60/bm25 discipline): the
+    // fully-persisted serving path's two costs timed apart — hyb_build
+    // pays every corpus-sized cost once (BM25 tokenize+publish, IVF and
+    // PQ fits, all three stores saved), hyb_serve answers the probe-
+    // query batch off the LOADED stores alone (the t53 contract entry
+    // keeps timing build+serve as one shot)
+    {
+      import graft.similarity.{IndexStore, Similarity}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bench_hyb").toString
+      try {
+        timed("hyb_build") {
+          graft.text.Retrieval.buildIndex(spark,
+            Tables(spark, sfDir, "documents"), s"$root/corpus")
+          val ivf = Similarity.buildIvfIndex(Tables(spark, sfDir, "embeddings"))
+          val pq = Similarity.buildPqIndex(Tables(spark, sfDir, "embeddings"))
+          IndexStore.saveIvf(ivf, s"$root/ivf")
+          IndexStore.savePq(pq, s"$root/pq")
+          ivf.release(); pq.release()
+        }
+        timed("hyb_serve")(materialize(
+          graft.text.Retrieval.hybridTopKFromStores(spark, s"$root/corpus",
+            s"$root/ivf", s"$root/pq",
+            graft.text.Retrieval.probeQueriesFromStore(spark, s"$root/corpus"),
+            col("vec_id") < 3, nprobe = 4, rerank = 50)))
+      } finally rmTree(root)
+    }
+
     // ---- late re-sample (r10 advice #2): the >10 s outlier re-run above
     // covers only the main-suite loop; the held-index, ETL/ingest and q60
     // entries recorded after it get the same treatment here, each through
@@ -510,6 +538,8 @@ object Bench {
       case "q60_query"     => "q60q"
       case "bm25_build"    => "bm25b"
       case "bm25_query"    => "bm25q"
+      case "hyb_build"     => "hybb"
+      case "hyb_serve"     => "hybs"
       // calibration keys stay full: they are short already, and the
       // first-token rule would collapse them all to "cal"
       case n if n.startsWith("cal_") => n
@@ -556,9 +586,9 @@ object Bench {
       "d02", "d03r", "d07", "d08", "d10r", "t12", "t15", "q17", "q48",
       "d03", "d10", "d21", "t23", "q35", "q57", "q60", "q16",
       "s04", "s07", "s15", "s16", "s18", "s18r", "s20", "s20r",
-      "s21", "s21r", "s22", "s22r", "s17", "s19",
+      "s21", "s21r", "s22", "s22r", "s23", "s23r", "s17", "s19",
       "a00", "d01", "m01", "q01", "q02", "s01", "t01", "t48", "t49",
-      "t50", "t51", "t52", "t52r")
+      "t50", "t51", "t52", "t52r", "t53", "hybb", "hybs")
     val compactLine = render(
       k => k.startsWith("cal_") || headline(shortKey(k)), shortKey, 2,
       ""","keys":"fixed headline subset + cal_* box-noise probes; FULL map in bench_result.json, committed as BENCH_LOCAL_r<N>.json"""")

@@ -185,6 +185,7 @@ object SparkEntry {
     "s07a_pq_rerank_exact" -> (TrainingData.s07aPqRerankExact _),
     "s08_knn_label_agreement" -> (TrainingData.s08KnnLabelAgreement _),
     "s09_centroid_distance" -> (TrainingData.s09CentroidDistance _),
+    "s23_external_topk" -> (TrainingData.s23ExternalTopK _),
     "a00_star_fact" -> (AnalyticsSuite.a00StarFact _),
     "a01_exec_summary" -> (AnalyticsSuite.a01ExecutiveSummary _),
     "a02_growth_year_sport" -> (AnalyticsSuite.a02GrowthYearSport _),
@@ -221,7 +222,9 @@ object SparkEntry {
     "s20r_rerank_sweep" -> (TrainingData.s20RawRerankSweep _),
     "s21r_grid_sweep" -> (TrainingData.s21RawGridSweep _),
     "s22r_grid_frontier" -> (TrainingData.s22RawGridFrontier _),
-    "t52r_hybrid_ann" -> (TrainingData.t52RawHybridAnn _)) ++
+    "t52r_hybrid_ann" -> (TrainingData.t52RawHybridAnn _),
+    "t53_hybrid_store" -> (TrainingData.t53HybridStoreServe _),
+    "s23r_external_ivfpq" -> (TrainingData.s23RawExternalIvfPq _)) ++
     // the m-family golden queries: real-codec decode paths over the
     // committed deterministic fixture corpus — no SQL oracle can decode
     // a PPM/WAV/BMFF payload, so they are golden-pinned like the
@@ -283,6 +286,24 @@ object SparkEntry {
       |FROM s)
       |SELECT qid, rank, nid, round(cos, 4) AS cos FROM r
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** s23: the brute oracle for an EXTERNAL query batch — ids offset into
+    * a disjoint space and NO `qid <> nid` self-exclusion (there is no
+    * self; each query's rank-1 hit is its source row at cos 1). */
+  private val externalTopkSql: String =
+    """WITH q AS (SELECT vec_id + 10000 AS qid, CAST(embedding AS DOUBLE[]) qv
+      |           FROM embeddings WHERE vec_id < 3),
+      |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+      |s AS (SELECT qid, nid,
+      |  list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
+      |   / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+      |    * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))) AS cos
+      |FROM c, q),
+      |r AS (SELECT qid, nid, cos,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+      |FROM s)
+      |SELECT qid, rank, nid, round(cos, 4) AS cos FROM r
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   private val ngramCtes: String =
     """toks AS (SELECT doc_id,
@@ -2658,6 +2679,7 @@ object SparkEntry {
         |    * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))), 4) AS cos
         |FROM c, q ORDER BY qid, nid""".stripMargin,
     "s02_topk_brute_force" -> bruteTopkSql,
+    "s23_external_topk" -> externalTopkSql,
     // IVF with every cell probed is exact by construction → the SAME
     // brute-force oracle hash-verifies the full IVF pipeline (quantizer,
     // routing, per-cell scan); s04 keeps the production nprobe setting

@@ -1714,6 +1714,76 @@ object TrainingData {
     graft.text.Retrieval.rrfFuse(dense, sparse, k = 10)
   }
 
+  /** The t52r hybrid served ENTIRELY from persisted stores (round 11) —
+    * the end state the whole index discipline builds toward: the BM25
+    * tf/dl frames, the IVF assignment, and the PQ codes/codebooks are
+    * all built ONCE and saved ([[graft.text.Retrieval.buildIndex]],
+    * [[graft.similarity.IndexStore]]), then one
+    * [[graft.text.Retrieval.hybridTopKFromStores]] call serves the
+    * probe-query batch off the loaded stores alone — no raw text, no
+    * embeddings table, no quantizer fit at query time. Golden-pinned
+    * (the dense half is a seeded-KMeans product no SQL oracle can
+    * reproduce); HybridStoreSpec additionally pins it EQUAL to the
+    * in-memory t52r composition, so the persisted serve can never
+    * drift from the plans the goldens and the t52 oracle already
+    * vouch for. */
+  def t53HybridStoreServe(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hybrid_store").toString
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    graft.text.Retrieval.buildIndex(spark, docs, s"$root/corpus")
+    val (ivf, pq) = buildIvfPqConcurrently(emb)
+    graft.similarity.IndexStore.saveIvf(ivf, s"$root/ivf")
+    graft.similarity.IndexStore.savePq(pq, s"$root/pq")
+    ivf.release(); pq.release()
+    val out = graft.text.Retrieval.hybridTopKFromStores(spark,
+      s"$root/corpus", s"$root/ivf", s"$root/pq",
+      graft.text.Retrieval.probeQueriesFromStore(spark, s"$root/corpus"),
+      col("vec_id") < 3, nprobe = 4, rerank = 50)
+    // q60 temp-store discipline: materialize the bounded result, then
+    // drop the stores it was served from
+    val rows = out.collect().toSeq
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  /** External-query retrieval contract (s23, round 11): until now every
+    * ANN/exact entry point queried the corpus with ITSELF (`queryFilter`
+    * over the indexed rows) — but a deployed retrieval system's queries
+    * arrive from an encoder, not from the corpus. Fixture: corpus
+    * vectors 0–2 re-labeled into a DISJOINT id space (+10000), served
+    * through [[graft.similarity.Similarity.bruteForceTopKQueries]] with
+    * no self-exclusion — so each query's rank-1 hit is its own source
+    * row at cos 1.0, proving (a) nothing couples a qid to corpus
+    * membership and (b) the member-form's self-exclusion really is a
+    * semantic choice, not an accident of the plan. DuckDB replays the
+    * whole thing (the s02 oracle minus the `qid <> nid` filter, ids
+    * offset). */
+  def s23ExternalTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    Similarity.bruteForceTopKQueries(emb, queries, k = 10)
+      .orderBy("qid", "rank")
+  }
+
+  /** The production-geometry raw form (bench + golden): the same
+    * external query batch through the persisted-topology composite probe
+    * ([[graft.similarity.Similarity.ivfPqTopKQueries]] — cell routing,
+    * ADC tables, banded shortlist, exact rerank — with ONE external
+    * frame feeding both the probe and rerank sides). */
+  def s23RawExternalIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val (ivf, pq) = buildIvfPqConcurrently(emb)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    Similarity.ivfPqTopKQueries(ivf, pq, emb, queries, topK = 10,
+      nprobe = 4, rerank = 50).orderBy("qid", "rank")
+  }
+
   /** Per-label centroid-distance outlier profile (see
     * [[graft.similarity.Similarity.centroidDistanceProfile]]). */
   def s09CentroidDistance(spark: SparkSession, dir: String): DataFrame =

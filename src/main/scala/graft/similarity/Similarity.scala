@@ -96,19 +96,49 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
+  /** [[chunkedByQuery]] for an EXTERNAL query frame (s23): the same
+    * hash-disjoint split and union, applied to the frame the
+    * `…Queries` entry points take instead of a member filter — so a
+    * query batch past the broadcast cap chunks identically whether it
+    * lives in the corpus or arrived from an encoder. Same
+    * per-query-decomposability contract and O(nChunks)-passes trade. */
+  def chunkedByQueryFrame(queries: DataFrame, nChunks: Int,
+      idCol: String = "vec_id")(run: DataFrame => DataFrame): DataFrame = {
+    require(nChunks >= 1, s"nChunks must be >= 1 (got $nChunks)")
+    (0 until nChunks).map { i =>
+      run(queries.filter(
+        pmod(xxhash64(col(idCol)), lit(nChunks)) === i))
+    }.reduce(_.unionByName(_))
+  }
+
   /** All (query, corpus) cosine pairs for a broadcast query subset. Norms
     * are computed once per ROW (not once per pair) before the join. */
-  def cosinePairs(emb: DataFrame, queryFilter: Column): DataFrame = {
-    val q = guardedQueries(emb.filter(queryFilter)
+  def cosinePairs(emb: DataFrame, queryFilter: Column): DataFrame =
+    cosinePairsOver(emb, guardedQueries(emb.filter(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(dot(col("embedding"), col("embedding"))).as("qn")),
-      "cosinePairs")
+      "cosinePairs"))
+
+  /** The pair scan shared by the corpus-member and EXTERNAL query forms:
+    * `q` is an already-guarded `(qid, qv, qn)` frame. */
+  private def cosinePairsOver(emb: DataFrame, q: DataFrame): DataFrame =
     emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
       .join(broadcast(q))
       .select(col("qid"), col("nid"),
         (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
-  }
+
+  /** An EXTERNAL query frame `(idCol, vecCol)` normalized to the guarded
+    * broadcast shape every query path consumes — the serving-side twin
+    * of the `emb.filter(queryFilter)` corpus-member convention. Shared
+    * by [[bruteForceTopKQueries]] / [[ivfPqTopKQueries]] /
+    * [[IvfIndex.topKQueries]], so the guard (and its chunked-execution
+    * advice) applies to external batches identically. */
+  private def externalQueries(queries: DataFrame, idCol: String,
+      vecCol: String, what: String): DataFrame =
+    guardedQueries(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("qn")), what)
 
   /** Semantic decontamination against a benchmark set: every non-benchmark
     * vector's single nearest benchmark vector by exact cosine, flagged at
@@ -328,10 +358,31 @@ object Similarity {
   }
 
   /** Exact top-k nearest neighbours (excluding self) for each query. */
-  def bruteForceTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame =
+    rankPairs(cosinePairs(emb, queryFilter), k, excludeSelf = true)
+
+  /** [[bruteForceTopK]] for an EXTERNAL query batch — query vectors that
+    * are NOT corpus rows (the actual serving shape: a RAG system's query
+    * embeddings arrive from an encoder, not from the indexed corpus).
+    * `queries` carries `(idCol, vecCol)` in its own id space; nothing
+    * couples a qid to corpus membership, so there is no self row to
+    * exclude by default (`excludeSelf = true` restores the corpus-member
+    * semantics when the caller's id spaces deliberately coincide —
+    * ExternalQuerySpec pins that setting row-equal to the filter form).
+    * Same scale shape as the filter form: queries broadcast through the
+    * shared guard, the corpus streams through one codegen'd dot scan. */
+  def bruteForceTopKQueries(emb: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = false, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    rankPairs(cosinePairsOver(emb,
+      externalQueries(queries, idCol, vecCol, "bruteForceTopKQueries")),
+      k, excludeSelf)
+
+  /** The shared (cos DESC, nid ASC) per-query ranking over a pair frame. */
+  private def rankPairs(pairs: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
-    cosinePairs(emb, queryFilter)
-      .filter(col("qid") =!= col("nid"))
+    (if (excludeSelf) pairs.filter(col("qid") =!= col("nid")) else pairs)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 4).as("cos"))
@@ -592,11 +643,15 @@ object Similarity {
       * the probe it vouches for: each query's `nprobe` nearest cells by
       * euclidean distance (KMeans' metric), ||q−c||² = q·q + c·c − 2 q·c,
       * all via the codegen'd dot, ties to the smaller cell id. */
-    private[similarity] def probedCells(queryFilter: Column, nprobe: Int): DataFrame = {
-      val q = guardedQueries(assigned.filter(queryFilter)
+    private[similarity] def probedCells(queryFilter: Column, nprobe: Int): DataFrame =
+      probedCellsOver(guardedQueries(assigned.filter(queryFilter)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           sqrt(dot(col("embedding"), col("embedding"))).as("qn")),
-        "IvfIndex.topK")
+        "IvfIndex.topK"), nprobe)
+
+    /** The routing over an already-guarded `(qid, qv, qn)` frame —
+      * shared by the corpus-member and external-query probes. */
+    private[similarity] def probedCellsOver(q: DataFrame, nprobe: Int): DataFrame = {
       val wCells = Window.partitionBy("qid").orderBy(asc("d2"), asc("cell"))
       q.crossJoin(broadcast(centroids))
         .withColumn("d2",
@@ -624,13 +679,31 @@ object Similarity {
 
     /** Approximate top-k for the filtered query rows, probing each
       * query's `nprobe` nearest cells. */
-    def topK(queryFilter: Column, k: Int, nprobe: Int = 4): DataFrame = {
-      val probed = probedCells(queryFilter, nprobe)
-      val cand = assigned
+    def topK(queryFilter: Column, k: Int, nprobe: Int = 4): DataFrame =
+      topKFromProbed(probedCells(queryFilter, nprobe), k,
+        excludeSelf = true)
+
+    /** [[topK]] for an EXTERNAL query batch `(idCol, vecCol)` — vectors
+      * that are not index rows route to their `nprobe` nearest cells
+      * exactly like members (the routing never consulted the assignment
+      * on the query side); no self row exists, so nothing is excluded
+      * unless the caller's id spaces deliberately coincide
+      * (`excludeSelf = true`). */
+    def topKQueries(queries: DataFrame, k: Int, nprobe: Int = 4,
+        excludeSelf: Boolean = false, idCol: String = "vec_id",
+        vecCol: String = "embedding"): DataFrame =
+      topKFromProbed(probedCellsOver(
+        externalQueries(queries, idCol, vecCol, "IvfIndex.topKQueries"),
+        nprobe), k, excludeSelf)
+
+    private def topKFromProbed(probed: DataFrame, k: Int,
+        excludeSelf: Boolean): DataFrame = {
+      val cand0 = assigned
         .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cell"),
           sqrt(dot(col("embedding"), col("embedding"))).as("nn"))
         .join(broadcast(probed), "cell")
-        .filter(col("qid") =!= col("nid"))
+      val cand = if (excludeSelf) cand0.filter(col("qid") =!= col("nid"))
+        else cand0
       val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
       cand
         .select(col("qid"), col("nid"),
@@ -1594,16 +1667,52 @@ object Similarity {
     * cross-engine oracle. */
   def ivfPqTopK(ivf: IvfIndex, pq: PqIndex, emb: DataFrame,
       queryFilter: Column, topK: Int, nprobe: Int = 4,
-      rerank: Int = 50): DataFrame = {
+      rerank: Int = 50): DataFrame =
+    ivfPqTopKOver(ivf, pq, emb,
+      qProbe = guardedQueries(ivf.assigned.filter(queryFilter)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "ivfPqTopK"),
+      // the rerank's query-vector broadcast is the same filtered frame —
+      // guarded too, so whichever exchange the scheduler builds first
+      // carries the loud refusal rather than the generic broadcast error
+      qRerank = guardedQueries(emb.filter(queryFilter)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "ivfPqTopK"),
+      excludeSelf = true, topK = topK, nprobe = nprobe, rerank = rerank)
+
+  /** [[ivfPqTopK]] for an EXTERNAL query batch — the production serving
+    * shape: query embeddings that are NOT corpus rows probe the same
+    * composite plan (cell routing → per-subspace ADC tables → banded
+    * shortlist → exact rerank), with one `(idCol, vecCol)` frame feeding
+    * both the probe and the rerank sides. No self row exists, so nothing
+    * is excluded unless the caller's id spaces deliberately coincide
+    * (`excludeSelf = true` restores member semantics — ExternalQuerySpec
+    * pins that setting row-equal to the filter form). */
+  def ivfPqTopKQueries(ivf: IvfIndex, pq: PqIndex, emb: DataFrame,
+      queries: DataFrame, topK: Int, nprobe: Int = 4, rerank: Int = 50,
+      excludeSelf: Boolean = false, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = guardedQueries(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      "ivfPqTopKQueries")
+    ivfPqTopKOver(ivf, pq, emb, qProbe = q, qRerank = q,
+      excludeSelf = excludeSelf, topK = topK, nprobe = nprobe,
+      rerank = rerank)
+  }
+
+  /** The composite probe over already-guarded `(qid, qv)` query frames
+    * (`qProbe` routes + builds ADC tables, `qRerank` feeds the exact
+    * rescore — the filter form derives them from the assignment and
+    * `emb` respectively; the external form passes one frame twice). */
+  private def ivfPqTopKOver(ivf: IvfIndex, pq: PqIndex, emb: DataFrame,
+      qProbe: DataFrame, qRerank: DataFrame, excludeSelf: Boolean,
+      topK: Int, nprobe: Int, rerank: Int): DataFrame = {
     // geometry from the index, never the caller (see pqProbe)
     val m = pq.codebooks.length
     val dsub = pq.codebooks(0)(0).length
     val cb = typedlit(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    val q = guardedQueries(ivf.assigned.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-      "ivfPqTopK")
     val wCells = Window.partitionBy("qid").orderBy(asc("d2"), asc("cell"))
-    val probed = q.crossJoin(broadcast(ivf.centroids))
+    val probed = qProbe.crossJoin(broadcast(ivf.centroids))
       .withColumn("d2",
         dot(col("qv"), col("qv")) + dot(col("centroid"), col("centroid"))
           - lit(2.0) * dot(col("qv"), col("centroid")))
@@ -1617,8 +1726,10 @@ object Similarity {
       .select("qid", "cell", "qtab")
     val codesWithCell = pq.codes
       .join(ivf.assigned.select(col("vec_id"), col("cell")), "vec_id")
-    val scored = codesWithCell.join(broadcast(probed), "cell")
-      .filter(col("qid") =!= col("vec_id"))
+    val scored0 = codesWithCell.join(broadcast(probed), "cell")
+    val scored = (if (excludeSelf)
+        scored0.filter(col("qid") =!= col("vec_id"))
+      else scored0)
       .withColumn("approx_dot",
         aggregate(sequence(lit(1), lit(m)), lit(0.0d), (acc, i) =>
           acc + element_at(
@@ -1629,15 +1740,9 @@ object Similarity {
       .withColumn("arank", row_number().over(w).cast("int"))
       .filter(col("arank") <= rerank)
       .select(col("qid"), col("vec_id").as("nid"))
-    // the rerank's query-vector broadcast is the same filtered frame —
-    // guarded too, so whichever exchange the scheduler builds first
-    // carries the loud refusal rather than the generic broadcast error
-    val qv = guardedQueries(emb.filter(queryFilter)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-      "ivfPqTopK")
     val exact = shortlist
       .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
-      .join(broadcast(qv), "qid")
+      .join(broadcast(qRerank), "qid")
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
     val we = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     exact.withColumn("rank", row_number().over(we).cast("int"))

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -307,6 +307,81 @@ object Retrieval {
         round(col("rrf"), 6).as("rrf"), col("dense_rank"),
         col("sparse_rank"), col("n_lists"))
       .orderBy("query_id", "rank")
+  }
+
+  /** One-call hybrid retrieval off PERSISTED stores only — the serving
+    * path a deployment actually runs once its indexes are built: the
+    * dense shortlist probes a saved IVF-PQ pair loaded through
+    * [[graft.similarity.IndexStore]] (the rerank's exact pass reads the
+    * loaded assignment's own embeddings, so no separate embeddings
+    * table is touched), the sparse shortlist scores from the persisted
+    * BM25 frames, and the two fuse with [[rrfFuse]]. `queries` carries
+    * the lexical side `(query_id, query_text)`; `denseQueryFilter`
+    * picks the aligned query vectors out of the stored assignment (the
+    * t52 fixture convention — production passes an aligned id space).
+    *
+    * Scale shape: NOTHING here re-derives from raw text or re-fits a
+    * quantizer — query-time work is the IVF-PQ probe over the stored
+    * codes, term-keyed integer aggregates over the stored tf/dl, and a
+    * shortlist-sized fusion. The corpus-sized costs (tokenize, KMeans
+    * fits) were paid once at build/ingest time.
+    *
+    * Deletion semantics: tombstones on EITHER store mask here with no
+    * rebuild — [[graft.similarity.IndexStore.loadIvf]] and the stored
+    * BM25 frames both read through their `_tombstones` logs, and the
+    * sparse side's df/N re-derive from the masked tf/dl at read, so an
+    * opted-out document vanishes from both halves of the serve AND
+    * stops deflating other documents' idf. HybridStoreSpec pins the
+    * cascade end to end, including physical purge leaving results
+    * bit-identical. */
+  def hybridTopKFromStores(spark: SparkSession, corpusDir: String,
+      ivfDir: String, pqDir: String, queries: DataFrame,
+      denseQueryFilter: Column, k: Int = 10, nprobe: Int = 4,
+      rerank: Int = 50, kRrf: Int = 60, k1: Double = 1.2,
+      b: Double = 0.75, queryCol: String = "query_text"): DataFrame = {
+    import graft.similarity.{IndexStore, Similarity}
+    val ivf = IndexStore.loadIvf(spark, ivfDir)
+    val pq = IndexStore.loadPq(spark, pqDir)
+    val dense = Similarity.ivfPqTopK(ivf, pq,
+        ivf.assigned.select("vec_id", "embedding"), denseQueryFilter,
+        topK = k, nprobe = nprobe, rerank = rerank)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("doc_id"))
+    val sparse = bm25QueryTopKFromStore(spark, corpusDir, queries, k, k1,
+        b, queryCol)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    rrfFuse(dense, sparse, k, kRrf)
+  }
+
+  /** [[hybridTopKFromStores]] for an EXTERNAL request batch — the real
+    * serving signature: `queries` carries `(query_id, query_text,
+    * embedding)`, a text and a vector representation of the SAME
+    * request in its own id space (produced by whatever encoder the
+    * deployment runs — outside this engine's scope), neither of which
+    * need exist in the stores. The dense half rides
+    * [[graft.similarity.Similarity.ivfPqTopKQueries]] (no self row to
+    * exclude), the sparse half tokenizes only the request text; both
+    * fuse on the shared query_id. Same zero-corpus-cost query-time
+    * shape and tombstone semantics as the member form. */
+  def hybridTopKFromStoresExternal(spark: SparkSession, corpusDir: String,
+      ivfDir: String, pqDir: String, queries: DataFrame, k: Int = 10,
+      nprobe: Int = 4, rerank: Int = 50, kRrf: Int = 60, k1: Double = 1.2,
+      b: Double = 0.75, queryCol: String = "query_text",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.similarity.{IndexStore, Similarity}
+    val ivf = IndexStore.loadIvf(spark, ivfDir)
+    val pq = IndexStore.loadPq(spark, pqDir)
+    val dense = Similarity.ivfPqTopKQueries(ivf, pq,
+        ivf.assigned.select("vec_id", "embedding"),
+        queries.select(col("query_id"), col(vecCol)),
+        topK = k, nprobe = nprobe, rerank = rerank,
+        idCol = "query_id", vecCol = vecCol)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("doc_id"))
+    val sparse = bm25QueryTopKFromStore(spark, corpusDir,
+        queries.select("query_id", queryCol), k, k1, b, queryCol)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    rrfFuse(dense, sparse, k, kRrf)
   }
 
   /** Deterministic multi-term probe queries derived from the corpus

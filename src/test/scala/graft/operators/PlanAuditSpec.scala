@@ -227,6 +227,7 @@ class PlanAuditSpec extends SparkTestBase {
     "t37_weighted_sample", // keys over the TakeOrderedAndProject top-k sample
     "t43_budget_waterfill", // rank/cumsum over the per-source token AGGREGATE (≤ #sources rows — a catalog, not data)
     "t49_bm25_multiterm",  // probeQueries' rank over the LIMITed top-df fixture (≤ nQueries·termsPerQuery = 9 rows)
+    "t52_hybrid_rrf",      // the same probeQueries fixture rank on the sparse half (t50/t51/t53 hide theirs behind the temp-store collect; t52 returns the live plan)
     "q58_heavy_hitters"    // rank over the TakeOrderedAndProject top-10 ⨯ 1-row sketch
   )
 
