@@ -28,6 +28,14 @@ object Schemas {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  /** Hybrid retrieval request stream ([[graft.streaming.QueryServe]]):
+    * text AND vector representation of the same request, in the
+    * caller's own id space. */
+  val queryRequests: StructType = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("query_text", StringType),
+    StructField("embedding", ArrayType(FloatType))))
+
   val streamingTxns: StructType = StructType(Seq(
     StructField("transaction_id", LongType),
     StructField("user_id", StringType),
