@@ -259,6 +259,54 @@ object ScaleReplay {
 
   private val QueryAxisEntry = "s15q_chunked"
 
+  /** The REQUEST-axis rung for the round-11 serving path: stores built
+    * once untimed (production is build-once/serve-many), then one
+    * hybrid serve of a 20-request batch vs one of 20·factor requests —
+    * the axis a deployed serving tier actually scales on. Requests are
+    * member text+vector pairs relabeled into their own id space (the
+    * external signature). A strongly sub-linear factor validates that
+    * per-request cost falls as the batch amortizes the fixed probe
+    * plan; the request count caps at the joined corpus size. */
+  private val ServeAxisEntry = "t53q_serve"
+
+  private def serveAxis(spark: SparkSession, base: String, factor: Int): Unit = {
+    import graft.similarity.{IndexStore, Similarity}
+    val docs = Tables(spark, base, "documents")
+    val emb = Tables(spark, base, "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_replay_serve").toString
+    graft.text.Retrieval.buildIndex(spark, docs, s"$root/corpus")
+    val ivf = Similarity.buildIvfIndex(emb)
+    val pq = Similarity.buildPqIndex(emb)
+    IndexStore.saveIvf(ivf, s"$root/ivf")
+    IndexStore.savePq(pq, s"$root/pq")
+    ivf.release(); pq.release()
+    val requests = docs
+      .select((col("doc_id") + 900000L).as("query_id"),
+        col("text").as("query_text"))
+      .join(emb.select((col("vec_id") + 900000L).as("query_id"),
+        col("embedding")), "query_id")
+    val corpusN = requests.count()
+    def serveOnce(nq: Long): Double = {
+      val t0 = System.nanoTime()
+      graft.text.Retrieval.hybridTopKFromStoresExternal(spark,
+        s"$root/corpus", s"$root/ivf", s"$root/pq",
+        requests.filter(col("query_id") < 900000L + nq))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val nqBase = 20L
+    val nqBig = math.min(nqBase * factor, corpusN)
+    serveOnce(nqBase) // warmup (classload/codegen + store load), untimed
+    val tBase = serveOnce(nqBase)
+    val tBig = serveOnce(nqBig)
+    val f = tBig / tBase
+    println(f"[replay] $ServeAxisEntry%-24s base=$tBase%7.1f s  " +
+      f"x${nqBig / nqBase}=$tBig%7.1f s  factor=$f%5.1f " +
+      f"(REQUEST axis: $nqBase -> $nqBig requests, fixed stores over " +
+      f"$corpusN joined rows)")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_replay10")
@@ -267,9 +315,12 @@ object ScaleReplay {
     // optional 5th arg: restrict the replica to these tables (the timed
     // entries must not touch anything outside the list)
     val tables = args.lift(4).map(_.split(',').map(_.trim).toSet)
-    val entries = allEntries.filterNot(_ == QueryAxisEntry)
+    val entries = allEntries
+      .filterNot(e => e == QueryAxisEntry || e == ServeAxisEntry)
     val spark = Engine.session("graft-scale-replay")
     if (entries.nonEmpty) replicate(spark, base, out, factor, tables)
+
+    if (allEntries.contains(ServeAxisEntry)) serveAxis(spark, base, factor)
 
     if (allEntries.contains(QueryAxisEntry)) {
       import graft.similarity.Similarity
