@@ -83,6 +83,45 @@ class HybridStoreSpec extends SparkTestBase {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  test("external serve plan shape: no cartesian, every window query-partitioned") {
+    val root = Files.createTempDirectory("graft_hybrid_plan").toString
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    Retrieval.buildIndex(spark, docs, s"$root/corpus")
+    val ivfB = Similarity.buildIvfIndex(emb)
+    val pqB = Similarity.buildPqIndex(emb)
+    IndexStore.saveIvf(ivfB, s"$root/ivf")
+    IndexStore.savePq(pqB, s"$root/pq")
+    ivfB.release(); pqB.release()
+    val queries = docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 500L).as("query_id"),
+        col("text").as("query_text"))
+      .join(emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 500L).as("query_id"), col("embedding")),
+        "query_id")
+    val plan = Retrieval.hybridTopKFromStoresExternal(spark,
+      s"$root/corpus", s"$root/ivf", s"$root/pq", queries)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case p => p
+      }
+    // a shuffle-side cross join in the SERVE path would scale with
+    // requests × corpus — the one shape a serving tier cannot carry
+    // (the deliberate 1-row/centroid broadcasts plan as
+    // BroadcastNestedLoopJoin, which is allowed)
+    assert(!plan.toString.contains("CartesianProduct"),
+      "cartesian product in the serve plan")
+    val unpart = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty,
+      s"unpartitioned window in the serve plan: $unpart")
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   test("deletion cascade: a tombstoned doc leaves both halves, df/N follow, purge is invisible") {
     val root = Files.createTempDirectory("graft_hybrid_rtbf").toString
     val docs = graft.Tables(spark, sf("sf0.001"), "documents")
