@@ -85,4 +85,39 @@ object QueryServe {
       s"$p does not exist — no serving batch has committed here yet")
     spark.read.option("basePath", p).parquet(p)
   }
+
+  /** Fold the per-trigger result slices into one byte-sized consolidated
+    * slice (the [[Compaction.compactTable]] discipline — a long-lived
+    * serving stream otherwise accumulates one small-file slice per
+    * trigger). The per-row content is unchanged; compacted history reads
+    * as `batch = -1`, so consumers resuming by batch watermark should
+    * consume (or [[prune]]) before compacting. The replay guard is
+    * untouched — the high water lives in the `_max_batch` marker, not
+    * the column. The stream must be STOPPED. */
+  def compact(spark: SparkSession, resultsDir: String,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit =
+    Compaction.compactTable(spark, s"$resultsDir/served",
+      targetPartitionBytes)
+
+  /** Retention: drop the served slices of batches BELOW `keepFrom` —
+    * results are a delivery log, not a system of record, and consumed
+    * history is dead weight a serving tier prunes on a schedule. Only
+    * real per-batch slices (`batch >= 0`) are pruned; a consolidated
+    * `batch=-1` slice holds mixed history and never matches. The
+    * high-water marker survives, so a crash-replay of a pruned batch is
+    * still REFUSED rather than resurrected. The stream must be
+    * STOPPED. */
+  def prune(spark: SparkSession, resultsDir: String, keepFrom: Long): Unit = {
+    require(keepFrom >= 0, s"keepFrom must be >= 0 (got $keepFrom)")
+    val p = new org.apache.hadoop.fs.Path(s"$resultsDir/served")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return
+    f.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .filter { d =>
+        val id = d.getName.stripPrefix("batch=").toLong
+        id >= 0 && id < keepFrom
+      }
+      .foreach(d => f.delete(d, true))
+  }
 }

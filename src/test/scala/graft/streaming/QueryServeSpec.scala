@@ -73,6 +73,37 @@ class QueryServeSpec extends SparkTestBase {
     assert(direct.nonEmpty && served(resultsDir) == direct)
   }
 
+  test("compaction folds slices content-identically; prune drops consumed history without resurrection") {
+    val resultsDir = Files.createTempDirectory("graft_qserve_cp").toString
+    val server = new QueryServe.Server(spark, s"$root/corpus",
+      s"$root/ivf", s"$root/pq", resultsDir)
+    val b0 = requests.filter(col("query_id") < 903L)
+    val b1 = requests.filter(col("query_id") >= 903L)
+    server.serveBatch(b0, 0L)
+    server.serveBatch(b1, 1L)
+    // retention first: consumed batch 0 drops, batch 1 stays, and the
+    // high-water marker still refuses a replay of the pruned batch
+    val batch1 = QueryServe.results(spark, resultsDir)
+      .filter(col("batch") === 1L)
+      .select("query_id", "rank", "doc_id", "rrf")
+      .collect().map(_.toSeq).toSet
+    QueryServe.prune(spark, resultsDir, keepFrom = 1L)
+    assert(served(resultsDir) == batch1, "prune must drop exactly batch 0")
+    intercept[IllegalArgumentException](server.serveBatch(b0, 0L))
+    // compaction: content identical, slices folded to the consolidated one
+    val before = served(resultsDir)
+    QueryServe.compact(spark, resultsDir)
+    assert(served(resultsDir) == before)
+    val slices = new org.apache.hadoop.fs.Path(s"$resultsDir/served")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$resultsDir/served"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSet
+    assert(slices == Set("batch=-1"), s"expected one consolidated slice, got $slices")
+    // and the store still serves: the guard survived the fold
+    server.serveBatch(b0.limit(1), 2L)
+    assert(served(resultsDir).size > before.size)
+  }
+
   test("replay rewrites its own slice byte-identically; high-water refuses a fresh stream") {
     val resultsDir = Files.createTempDirectory("graft_qserve_rp").toString
     val server = new QueryServe.Server(spark, s"$root/corpus",
