@@ -244,6 +244,32 @@ object Similarity {
     mmrGreedy(cand, k, lambda)
   }
 
+  /** [[mmrDiverseTopKAnn]] for an EXTERNAL query batch (s23) — diverse
+    * SERVING: relevant-and-different results for requests that are not
+    * corpus rows, the retrieval pattern a RAG deployment runs right
+    * after plain top-k. The shortlist comes from
+    * [[IvfIndex.topKQueries]], relevance recomputes unrounded against
+    * the external vector, and the executor-side greedy is the shared
+    * [[mmrGreedy]] — the external path cannot drift from the
+    * oracle-checked member form because everything after the query
+    * frame is the same code. */
+  def mmrDiverseTopKAnnQueries(idx: IvfIndex, emb: DataFrame,
+      queries: DataFrame, k: Int = 5, shortlist: Int = 20,
+      lambda: Double = 0.5, nprobe: Int = 4, excludeSelf: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sl = idx.topKQueries(queries, shortlist, nprobe, excludeSelf,
+      idCol, vecCol).select("qid", "nid")
+    val q = guardedQueries(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      "mmrDiverseTopKAnnQueries")
+    val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .join(broadcast(sl), "nid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        cosine(col("qv"), col("nv")).as("rel"), col("nv"))
+    mmrGreedy(cand, k, lambda)
+  }
+
   /** The executor-side MMR greedy over a prepared candidate frame
     * `(qid, nid, rel, nv)` — shared verbatim by the brute-force and
     * ANN-shortlist front ends so the two paths cannot drift. */

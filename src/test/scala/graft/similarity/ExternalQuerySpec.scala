@@ -84,6 +84,31 @@ class ExternalQuerySpec extends SparkTestBase {
     } finally ivf.release()
   }
 
+  test("mmr ann: external form with excludeSelf equals the filter form; external query hand-checked") {
+    val ivf = Similarity.buildIvfIndex(emb)
+    try {
+      val ext = Similarity.mmrDiverseTopKAnnQueries(ivf, emb, member,
+        k = 5, excludeSelf = true)
+      val filt = Similarity.mmrDiverseTopKAnn(ivf, emb, col("vec_id") < 3,
+        k = 5)
+      assert(rows(ext).nonEmpty && rows(ext) == rows(filt))
+    } finally ivf.release()
+    // hand fixture: axes corpus, query (3,4); rels 0.6 / 0.8 / 0.9899.
+    // greedy: rank1 = v2 (best rel); rank2 scores at λ=0.5 are
+    // v0: 0.3−0.5·cos(v0,v2)=−0.0536, v1: 0.4−0.3536=0.0464 → v1
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((99L, Array(3f, 4f))).toDF("vec_id", "embedding")
+    val tiny = Similarity.buildIvfIndex(corpus, nlist = 2)
+    try {
+      val got = Similarity.mmrDiverseTopKAnnQueries(tiny, corpus, q,
+        k = 2, nprobe = 2).orderBy("rank").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == Seq((1, 2L, 0.9899), (2, 1L, 0.8)))
+    } finally tiny.release()
+  }
+
   test("chunkedByQueryFrame equals the direct external call and clears a lowered cap") {
     val qs = emb.filter(col("vec_id") < 20)
       .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
