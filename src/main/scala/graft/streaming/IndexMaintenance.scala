@@ -82,9 +82,38 @@ object IndexMaintenance {
       pqK: Int = 16)
 
   private val BaselineName = "_drift_baseline"
+  private val DialsName = "_dials"
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Persist a dial recommendation beside the IVF index as a 1-row
+    * `_dials` table (through the same staged swap as the baseline, so
+    * [[recoverSwap]] repairs a crash here too) — the handoff that closes
+    * the maintenance→serving loop (r11 verdict #2): [[maintain]] writes
+    * it after an executed retrain with a [[DialSla]], and
+    * [[graft.streaming.QueryServe]] reads it at stream start. */
+  private[graft] def writeDials(spark: SparkSession, indexDir: String,
+      nprobe: Int, rerank: Int, recall: Double): Unit = {
+    import spark.implicits._
+    replaceDir(spark, s"$indexDir/$DialsName",
+      Seq((nprobe, rerank, recall)).toDF("nprobe", "rerank", "recall_at_k"))
+  }
+
+  /** The persisted dial recommendation, if any: (nprobe, rerank,
+    * recall_at_k). Repairs a crashed swap first, the [[maintain]]
+    * entry discipline. */
+  def readDials(spark: SparkSession,
+      indexDir: String): Option[(Int, Int, Double)] = {
+    val p = s"$indexDir/$DialsName"
+    recoverSwap(spark, p)
+    if (!fs(spark, p).exists(new Path(p))) None
+    else {
+      val r = spark.read.parquet(p).head()
+      Some((r.getAs[Int]("nprobe"), r.getAs[Int]("rerank"),
+        r.getAs[Double]("recall_at_k")))
+    }
+  }
 
   private def baselineMsd(spark: SparkSession,
       indexDir: String): Option[Double] = {
@@ -222,6 +251,11 @@ object IndexMaintenance {
           // fresh fit, and read ONE gridSweep over the retrained pair
           // into servable dials — no corpus passes beyond the sweep's
           // own three
+          // any standing _dials were tuned for the quantizer this
+          // retrain just replaced — stale dials must not outlive it,
+          // whether or not a DialSla re-derives fresh ones below
+          recoverSwap(spark, s"$indexDir/$DialsName")
+          fs(spark, indexDir).delete(new Path(s"$indexDir/$DialsName"), true)
           recommend.foreach { sla =>
             val post = IndexStore.loadIvf(spark, indexDir)
             try {
@@ -240,6 +274,11 @@ object IndexMaintenance {
               .collect().headOption
               .map(r => (r.getAs[Int]("nprobe"), r.getAs[Int]("rerank"),
                 r.getAs[Double]("recall_at_k")))
+            // persist the recommendation where the serving tier reads
+            // it (QueryServe.start) — nothing attained the SLA → no
+            // table, and the server falls back to its defaults
+            rec.foreach { case (p2, s2, r2) =>
+              writeDials(spark, indexDir, p2, s2, r2) }
           }
         case _ => ()
       }

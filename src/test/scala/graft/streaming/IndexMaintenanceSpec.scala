@@ -131,9 +131,14 @@ class IndexMaintenanceSpec extends SparkTestBase {
       .getAs[String]("decision") == "noop")
     // drift arrives through the door: assigned to the STALE centroids
     ingest(dir, (toDf(driftRows), 1L))
+    // dials tuned for the pre-retrain quantizer must not outlive it,
+    // even when no DialSla re-derives fresh ones (round 12)
+    IndexMaintenance.writeDials(spark, dir, 2, 10, 0.95)
     val recallBefore = probeRecall(dir)
     val dialBefore = dialRecall(dir)
     val r = IndexMaintenance.maintain(spark, dir).head()
+    assert(IndexMaintenance.readDials(spark, dir).isEmpty,
+      "an executed retrain without a DialSla must clear stale _dials")
     assert(r.getAs[String]("decision") == "retrain",
       s"drifted store must retrain (msd ${r.getAs[Double]("mean_sq_dist")} " +
         s"vs baseline ${r.getAs[Double]("baseline_msd")})")
@@ -530,6 +535,11 @@ class IndexMaintenanceSpec extends SparkTestBase {
       }
       assert(!dominates, "the recommended cell must be Pareto-minimal")
     } finally { ivf.release(); pq.release() }
+    // round 12 (r11 verdict #2): the recommendation is PERSISTED beside
+    // the IVF index where the serving tier (QueryServe.start) reads it
+    assert(IndexMaintenance.readDials(spark, vecDir)
+      == Some((recN, recS, recR)),
+      "_dials must hold the report's recommendation after the retrain")
     // the PQ store was retrained and re-pinned along the way: clean now
     assert(IndexMaintenance.maintainPq(spark, pqDir,
       toDf(seedRows ++ driftRows), m = 4, k = 8).head()

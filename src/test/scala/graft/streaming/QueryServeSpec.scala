@@ -99,9 +99,111 @@ class QueryServeSpec extends SparkTestBase {
       .listStatus(new org.apache.hadoop.fs.Path(s"$resultsDir/served"))
       .map(_.getPath.getName).filter(_.startsWith("batch=")).toSet
     assert(slices == Set("batch=-1"), s"expected one consolidated slice, got $slices")
-    // and the store still serves: the guard survived the fold
+    // provenance survives the fold: the consolidated slice still says
+    // which request batch delivered each row (round 12)
+    assert(QueryServe.results(spark, resultsDir).select("req_batch")
+      .distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+    // a crash-replay of the FOLDED high-water batch must refuse — its
+    // rows live in batch=-1 now, and a rewrite would duplicate them
+    // (ADVICE r11: the replay-convergence invariant across a compaction)
+    val straddle = intercept[IllegalArgumentException](server.serveBatch(b1, 1L))
+    assert(straddle.getMessage.contains("batch=-1"))
+    // and the store still serves NEW batches: the guard survived the fold
     server.serveBatch(b0.limit(1), 2L)
     assert(served(resultsDir).size > before.size)
+  }
+
+  test("results() on a store nothing has reached is an empty typed frame, not an error") {
+    val resultsDir = Files.createTempDirectory("graft_qserve_empty").toString
+    // missing entirely
+    val r0 = QueryServe.results(spark, resultsDir)
+    assert(r0.isEmpty && r0.columns.contains("req_batch"))
+    // only an EMPTY batch committed: marker published, no slice written
+    val server = new QueryServe.Server(spark, s"$root/corpus",
+      s"$root/ivf", s"$root/pq", resultsDir)
+    server.serveBatch(requests.limit(0), 0L)
+    assert(BatchMarker.maxCommitted(spark, resultsDir) == 0L)
+    assert(QueryServe.results(spark, resultsDir).isEmpty)
+    // pruned to zero slices: still an empty frame, still no resurrection
+    server.serveBatch(requests.filter(col("query_id") === 900L), 1L)
+    QueryServe.prune(spark, resultsDir, keepFrom = 2L)
+    assert(QueryServe.results(spark, resultsDir).isEmpty)
+    intercept[IllegalArgumentException](
+      server.serveBatch(requests.filter(col("query_id") === 900L), 0L))
+  }
+
+  test("maintainResults: a serve loop with scheduled retention keeps storage bounded by the window") {
+    val resultsDir = Files.createTempDirectory("graft_qserve_ret").toString
+    val server = new QueryServe.Server(spark, s"$root/corpus",
+      s"$root/ivf", s"$root/pq", resultsDir)
+    def oneReq(i: Long) = requests.filter(col("query_id") === 900L + i)
+    var bid = 0L
+    (0 until 3).foreach { _ =>
+      // serve session: two one-request batches, then the scheduled
+      // maintenance window (stream stopped, like every maintenance op)
+      server.serveBatch(oneReq(bid % 6), bid); bid += 1
+      server.serveBatch(oneReq(bid % 6), bid); bid += 1
+      val rep = QueryServe.maintainResults(spark, resultsDir,
+        retainLast = 2).head()
+      assert(rep.getAs[Boolean]("executed"))
+      assert(rep.getAs[Long]("high_water") == bid - 1)
+      assert(rep.getAs[Long]("slices_after") == 1L,
+        "the cycle must leave ONE consolidated slice")
+      // BOUNDED: the consolidated slice holds only the retention
+      // window's request batches — prior folds' rows aged out by
+      // req_batch, not carried forever
+      val kept = QueryServe.results(spark, resultsDir)
+        .select("req_batch").distinct().collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(bid - 2, bid - 1),
+        s"retention window must be the last 2 batches, got $kept")
+    }
+    // replay discipline intact across the cycles: the folded high-water
+    // batch refuses (straddle), an aged-out batch refuses (high water)
+    val e1 = intercept[IllegalArgumentException](
+      server.serveBatch(oneReq((bid - 1) % 6), bid - 1))
+    assert(e1.getMessage.contains("batch=-1"))
+    val e2 = intercept[IllegalArgumentException](
+      server.serveBatch(oneReq(0), 0L))
+    assert(e2.getMessage.contains("high-water mark"))
+    // and the loop continues: the next real batch serves normally
+    server.serveBatch(oneReq(3), bid)
+    assert(QueryServe.results(spark, resultsDir)
+      .filter(col("req_batch") === bid).count() > 0)
+  }
+
+  test("dial precedence: explicit args beat the persisted _dials, which beat the defaults") {
+    def servedDials(rd: String): (Int, Int) = {
+      val r = QueryServe.results(spark, rd).select("nprobe", "rerank")
+        .distinct().collect()
+      assert(r.length == 1, s"expected one dial pair, got ${r.length}")
+      (r(0).getInt(0), r(0).getInt(1))
+    }
+    val oneReq = requests.filter(col("query_id") === 900L)
+    // no _dials table: the (4, 50) defaults
+    val rd1 = Files.createTempDirectory("graft_qserve_d1").toString
+    new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
+      s"$root/pq", rd1).serveBatch(oneReq, 0L)
+    assert(servedDials(rd1) == (4, 50))
+    // a maintenance recommendation persisted beside the IVF index is
+    // read at server construction (= stream start)
+    IndexMaintenance.writeDials(spark, s"$root/ivf", 6, 80, 0.93)
+    try {
+      val rd2 = Files.createTempDirectory("graft_qserve_d2").toString
+      new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
+        s"$root/pq", rd2).serveBatch(oneReq, 0L)
+      assert(servedDials(rd2) == (6, 80))
+      // explicit args always win
+      val rd3 = Files.createTempDirectory("graft_qserve_d3").toString
+      new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
+        s"$root/pq", rd3, nprobe = Some(2), rerank = Some(10))
+        .serveBatch(oneReq, 0L)
+      assert(servedDials(rd3) == (2, 10))
+    } finally {
+      // the suite's other servers must keep resolving the defaults
+      val p = new org.apache.hadoop.fs.Path(s"$root/ivf/_dials")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   test("replay rewrites its own slice byte-identically; high-water refuses a fresh stream") {
