@@ -76,10 +76,61 @@ object Retrieval {
   /** The BM25 index tables under a corpus store. */
   private[graft] val IndexTables = Seq("tf", "dl")
 
+  /** Fingerprint of the store state the BM25 read path depends on: the
+    * leaf files of tf/, dl/ and the live tombstone slices. Spark part
+    * files carry a per-write-job UUID in their names, so ANY mutation —
+    * a new ingest slice, a compaction/reindex swap (same dir name, new
+    * files), a tombstone append, a physical purge — changes the set;
+    * an unchanged store always re-derives the same key. O(index files)
+    * driver-side listing, the same cost the parquet read's own file
+    * listing pays. */
+  private def storeState(spark: SparkSession, corpusDir: String): String = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (IndexTables.map(t => s"$corpusDir/$t") :+
+      s"$corpusDir/_tombstones").foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = p.getFileSystem(hconf)
+      if (f.exists(p)) {
+        val it = f.listFiles(p, true)
+        while (it.hasNext) {
+          val s = it.next()
+          parts += s"${s.getPath}:${s.getLen}"
+        }
+      }
+    }
+    // order-independent 64-bit mix of the sorted listing
+    java.lang.Long.toHexString(parts.sorted.foldLeft(0xcbf29ce484222325L) {
+      (h, s) => s.foldLeft(h)((a, c) => (a ^ c) * 0x100000001b3L)
+    })
+  }
+
+  // last seen store state per corpusDir: when it CHANGES we refresh the
+  // session's cached file-source entries under the store before
+  // re-deriving, so a plan-equal read can never be silently served the
+  // predecessor state's materialized cache (the IndexMaintenance
+  // refreshByPath discipline, applied at the read seam)
+  private val lastState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The stored corpus frames: tf/dl from the store's per-batch slices
     * (batch column dropped, tombstoned docs masked — the store's read
     * discipline), df/stats derived through the same [[framesFrom]] the
-    * from-scratch path uses. */
+    * from-scratch path uses.
+    *
+    * AMORTIZED across calls (round 12, r11 verdict #1): the derived
+    * frames — tf, dl, the per-term df and the 1-row (N, Σdl) constant —
+    * register in the [[graft.Caches]] plan-keyed registry keyed on the
+    * STORE STATE ([[storeState]]), so an unchanged store serves every
+    * query batch from the materialized frames: a `QueryServe` trigger
+    * pays O(request) + the cached lookups, not a fresh O(index)
+    * aggregate per call (the last recompute-the-world shape on the
+    * sparse serve path). A mutated store — ingest slice, tombstone,
+    * purge, reindex — changes the state key, the stale entries age out
+    * of the bounded family, and the df/N re-derivation runs once
+    * against the fresh listing, which is exactly what keeps deletion
+    * semantics free: a masked doc's contributions vanish from df and
+    * the corpus constant at the first read after the delete. */
   private def storedFrames(spark: SparkSession, corpusDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     def table(sub: String): DataFrame = {
@@ -93,7 +144,21 @@ object Retrieval {
         spark.read.option("basePath", p).parquet(p).drop("batch"),
         "doc_id")
     }
-    framesFrom(table("tf"), table("dl"))
+    val state = storeState(spark, corpusDir)
+    val prev = lastState.put(corpusDir, state)
+    if (prev != null && prev != state)
+      // drop the predecessor state's cached file-source entries: the new
+      // reads below are PLAN-equal to the old ones (same root paths), so
+      // without this the session cache would substitute the stale
+      // materialization into them
+      spark.catalog.refreshByPath(corpusDir)
+    def keyed(what: String, df: DataFrame): DataFrame =
+      graft.Caches.persistReplacingBounded(
+        s"bm25_${what}::$corpusDir", state, df, maxVariants = 2)
+    val tf = keyed("tf", table("tf"))
+    val dl = keyed("dl", table("dl"))
+    val (_, df0, _, stats0) = framesFrom(tf, dl)
+    (tf, keyed("df", df0), dl, keyed("stats", stats0))
   }
 
   /** Build (or rebuild) the persisted BM25 index for `docs` under

@@ -127,6 +127,33 @@ class RetrievalSpec extends SparkTestBase {
       Retrieval.bm25TopK(grown).collect().toSeq)
   }
 
+  test("stored frames amortize: a repeat query call reads the registered cache; a mutated store re-keys") {
+    // round 12 (r11 verdict #1): storedFrames registers tf/dl/df/stats
+    // in the plan-keyed cache registry keyed on the store STATE, so an
+    // unchanged store serves query batches from the materialized frames
+    // instead of re-aggregating df/(N, Σdl) over the full index per call
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_cache").toString
+    Retrieval.buildIndex(spark, docs, dir)
+    val queries = Seq((0, "x y"), (1, "z")).toDF("query_id", "query_text")
+    val first = Retrieval.bm25QueryTopKFromStore(spark, dir, queries)
+    val want = first.collect().toSeq // materializes the registered frames
+    val second = Retrieval.bm25QueryTopKFromStore(spark, dir, queries)
+    assert(second.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"),
+      "an unchanged store must serve from the registered frames")
+    assert(second.collect().toSeq == want)
+    // ANY store mutation re-keys: the rebuilt index must serve fresh
+    // content, never the predecessor state's materialized cache
+    val grown = docs.unionByName(
+      Seq((9L, "z z q q q q q q")).toDF("doc_id", "text"))
+    Retrieval.buildIndex(spark, grown, dir)
+    assert(Retrieval.bm25QueryTopKFromStore(spark, dir, queries)
+      .collect().toSeq ==
+      Retrieval.bm25QueryTopK(grown, queries).collect().toSeq,
+      "a mutated store served stale cached frames")
+  }
+
   test("a store without BM25 tables refuses loudly with the repair op named") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_bm25_none").toString
