@@ -186,6 +186,7 @@ object SparkEntry {
     "s08_knn_label_agreement" -> (TrainingData.s08KnnLabelAgreement _),
     "s09_centroid_distance" -> (TrainingData.s09CentroidDistance _),
     "s23_external_topk" -> (TrainingData.s23ExternalTopK _),
+    "s24_external_srp" -> (TrainingData.s24ExternalSrp _),
     "a00_star_fact" -> (AnalyticsSuite.a00StarFact _),
     "a01_exec_summary" -> (AnalyticsSuite.a01ExecutiveSummary _),
     "a02_growth_year_sport" -> (AnalyticsSuite.a02GrowthYearSport _),
@@ -2680,6 +2681,11 @@ object SparkEntry {
         |FROM c, q ORDER BY qid, nid""".stripMargin,
     "s02_topk_brute_force" -> bruteTopkSql,
     "s23_external_topk" -> externalTopkSql,
+    // SRP's external form at the zero-plane dial is exact the same way
+    // s03a is (one bucket = whole-corpus candidates), and external
+    // queries have no self row to exclude — so the external brute oracle
+    // hash-verifies the round-12 srpBucketTopKQueries pipeline verbatim
+    "s24_external_srp" -> externalTopkSql,
     // IVF with every cell probed is exact by construction → the SAME
     // brute-force oracle hash-verifies the full IVF pipeline (quantizer,
     // routing, per-cell scan); s04 keeps the production nprobe setting

@@ -1770,6 +1770,23 @@ object TrainingData {
       .orderBy("qid", "rank")
   }
 
+  /** s24 (round 12, r11 verdict #5): the SRP external-query pipeline —
+    * the one ANN family still member-only after s23 — at the ZERO-plane
+    * dial: one bucket, so the candidate equi-join visits the whole
+    * corpus and the result is exact by construction (the s03a audit
+    * applied to [[graft.similarity.Similarity.srpBucketTopKQueries]]).
+    * DuckDB's external brute oracle hash-checks the external side's
+    * bucket hashing, candidate join, and ranking end to end; the
+    * production 8-plane setting is pinned by ExternalQuerySpec's
+    * row-equality against the golden-covered member form. */
+  def s24ExternalSrp(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    Similarity.srpBucketTopKQueries(emb, queries, k = 10, numPlanes = 0)
+      .orderBy("qid", "rank")
+  }
+
   /** The production-geometry raw form (bench + golden): the same
     * external query batch through the persisted-topology composite probe
     * ([[graft.similarity.Similarity.ivfPqTopKQueries]] — cell routing,

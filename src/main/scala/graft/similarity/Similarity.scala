@@ -644,10 +644,41 @@ object Similarity {
     val q = guardedQueries(bucketed.filter(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket")),
       "srpBucketTopK")
-    val cand = bucketed
+    srpTopKOver(bucketed, q, k, excludeSelf = true)
+  }
+
+  /** [[srpBucketTopK]] for an EXTERNAL query batch (round 12, r11
+    * verdict #5 — the one ANN family still member-only after s23):
+    * query vectors hash to their sign-pattern bucket with the SAME
+    * seeded planes the corpus side uses, so an encoder-produced vector
+    * lands in exactly the bucket its corpus twin would — membership was
+    * never consulted on the query side, only the plane convention. Same
+    * broadcast guard, same candidate equi-join; no self row exists
+    * unless the caller's id spaces deliberately coincide. */
+  def srpBucketTopKQueries(emb: DataFrame, queries: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64, excludeSelf: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      srpBucket(col("embedding"), ps).as("bucket"))
+    val q = guardedQueries(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        srpBucket(col(vecCol), ps).as("bucket")),
+      "srpBucketTopKQueries")
+    srpTopKOver(bucketed, q, k, excludeSelf)
+  }
+
+  /** The bucket-join + rank shared by the corpus-member and external
+    * SRP forms — one plan body, so the member form's golden-pinned plan
+    * cannot drift from the serving twin (the s23 extracted-core
+    * discipline). `q` is an already-guarded `(qid, qv, bucket)` frame. */
+  private def srpTopKOver(bucketed: DataFrame, q: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val cand0 = bucketed
       .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("bucket"))
       .join(broadcast(q), "bucket")
-      .filter(col("qid") =!= col("nid"))
+    val cand = if (excludeSelf) cand0.filter(col("qid") =!= col("nid"))
+      else cand0
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
     cand
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))

@@ -54,6 +54,23 @@ class ExternalQuerySpec extends SparkTestBase {
     } finally { ivf.release(); pq.release() }
   }
 
+  test("srp: external form with excludeSelf equals the filter form; relabeled member self-retrieves") {
+    // round 12 (r11 verdict #5): the last member-only ANN family
+    val ext = Similarity.srpBucketTopKQueries(emb, member, k = 10,
+      excludeSelf = true)
+    val filt = Similarity.srpBucketTopK(emb, col("vec_id") < 3, k = 10)
+    assert(rows(ext).nonEmpty && rows(ext) == rows(filt))
+    // a relabeled member hashes to ITS OWN bucket (the plane convention
+    // is shared, not membership), so it must retrieve its source row
+    val relabeled = member
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val got = Similarity.srpBucketTopKQueries(emb, relabeled, k = 3)
+      .filter(col("rank") === 1).orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((10000L, 0L, 1.0), (10001L, 1L, 1.0),
+      (10002L, 2L, 1.0)))
+  }
+
   test("a relabeled member retrieves its source row at rank 1, cos 1") {
     val relabeled = member
       .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
