@@ -105,20 +105,18 @@ object ScaleReplay {
     // plan tree that Catalyst re-analyzes level by level — at the 1000×
     // rung the PLAN, not the data, becomes the bottleneck. The crossJoin
     // form is one fixed-size plan for any factor, with the copy index as
-    // a column feeding the same rekey arithmetic. (Embeddings below keep
-    // the per-copy union: each copy is rotated by a DIFFERENT literal
-    // orthogonal matrix, which cannot be expressed as a column.)
-    // The copy AXIS carries the parallelism: left side = range(factor)
-    // repartitioned across the cluster, right side = the BASE table
-    // broadcast (it is the small input by construction — the replica is
-    // what's big). Left to its own devices Spark would broadcast the
-    // tiny range and stream the base table, inheriting its input
-    // partitioning — one ~11 MB parquet = ONE task writing the whole
-    // 1000× expansion.
+    // a column feeding the same rekey arithmetic.
+    // Orientation (ADVICE r11): the BASE streams and the tiny
+    // range(factor) broadcasts — the earlier form broadcast the base,
+    // which dies on Spark's broadcast limits for a row-heavy base
+    // (lineitem at sf1+ is past 512 M rows × factor sooner than you
+    // think). The explicit repartition of the base is what carries the
+    // write parallelism: left alone, the crossJoin inherits the base's
+    // input partitioning — one ~11 MB parquet = ONE task writing the
+    // whole 1000× expansion.
     def fanout(df: DataFrame): DataFrame =
-      spark.range(factor).toDF("copy_i")
-        .repartition(math.min(factor, 32))
-        .crossJoin(broadcast(df))
+      df.repartition(32)
+        .crossJoin(broadcast(spark.range(factor).toDF("copy_i")))
 
     lazy val oOff = off(read("orders"), "o_orderkey")
     lazy val cOff = off(read("customer"), "c_custkey")
@@ -165,20 +163,39 @@ object ScaleReplay {
       val emb = read("embeddings")
       val vOff = off(emb, "vec_id")
       val dim = emb.select(size(col("embedding"))).head.getInt(0)
-      def rotated(df: DataFrame, i: Int): DataFrame =
-        if (i == 0) df
-        else {
-          val q = typedlit(orthogonal(dim, seed = 0xC0FFEE + i).map(_.toSeq).toSeq)
-          df.withColumn("embedding",
-            transform(sequence(lit(1), lit(dim)), j =>
-              aggregate(sequence(lit(1), lit(dim)), lit(0.0d), (acc, d) =>
-                acc + element_at(element_at(q, j), d) *
-                  element_at(col("embedding"), d).cast("double"))
-                .cast("float")))
-        }
-      write("embeddings", (0 until factor)
-        .map(i => rotated(emb, i).withColumn("vec_id", col("vec_id") + i * vOff))
-        .reduce(_ unionByName _))
+      // Rotations ride the same fixed-size crossJoin plan as every
+      // other table (the per-copy unionByName form was a depth-`factor`
+      // plan carrying one dim×dim literal PER COPY — at the 1000× rung
+      // that is 4 M literal doubles and a plan Catalyst chokes on long
+      // before the data). The copy picks its matrix from a literal BANK
+      // of min(factor, 32) distinct orthogonal matrices by copy_i mod
+      // 32, with matrix 0 the IDENTITY so copy 0 — where the pinned
+      // query set (vec_id < 5) lives — is bit-unchanged (float→double→
+      // ×1.0→float is exact). Copies sharing a matrix (i ≡ j mod 32 at
+      // factor > 32) are exact duplicates of each other modulo vec_id;
+      // that is sound for every replay entry that reads the replica —
+      // the ANN/probe/serve entries time routed candidate volume against
+      // a FIXED copy-0 query set, and candidate volume scales ×factor
+      // identically whether cross-copy mass is decorrelated or
+      // duplicated. The pair-producing embedding entries (d05, d15) stay
+      // out of the replay list for exactly this class of reason (see the
+      // class doc) — 32 rotations bound cross-copy collision structure
+      // for everything that IS listed.
+      val nRot = math.max(1, math.min(factor, 32))
+      val bank = typedlit((0 until nRot).map { i =>
+        if (i == 0) Seq.tabulate(dim, dim)((r, c) => if (r == c) 1.0d else 0.0d)
+        else orthogonal(dim, seed = 0xC0FFEE + i).map(_.toSeq).toSeq
+      })
+      write("embeddings", fanout(emb)
+        .withColumn("vec_id", col("vec_id") + col("copy_i") * vOff)
+        .withColumn("embedding",
+          transform(sequence(lit(1), lit(dim)), j =>
+            aggregate(sequence(lit(1), lit(dim)), lit(0.0d), (acc, d) =>
+              acc + element_at(element_at(element_at(bank,
+                  (pmod(col("copy_i"), lit(nRot)) + 1).cast("int")), j), d) *
+                element_at(col("embedding"), d).cast("double"))
+              .cast("float")))
+        .drop("copy_i"))
     }
 
     Seq("nation", "region", "supplier", "events").filter(wanted).foreach(t =>
@@ -281,17 +298,26 @@ object ScaleReplay {
     IndexStore.saveIvf(ivf, s"$root/ivf")
     IndexStore.savePq(pq, s"$root/pq")
     ivf.release(); pq.release()
+    // request selection by ROW RANK, not by id arithmetic (ADVICE r11:
+    // `query_id < 900000 + nq` silently assumed doc/vec ids start at 0 —
+    // a base dir whose ids start elsewhere yields fewer than nq, or
+    // zero, base requests and a meaningless factor). The unpartitioned
+    // window is bounded: it ranks the joined request fixture, never a
+    // replica-scaled frame.
+    val wReq = org.apache.spark.sql.expressions.Window.orderBy("query_id")
     val requests = docs
       .select((col("doc_id") + 900000L).as("query_id"),
         col("text").as("query_text"))
       .join(emb.select((col("vec_id") + 900000L).as("query_id"),
         col("embedding")), "query_id")
+      .withColumn("req_rank", row_number().over(wReq))
     val corpusN = requests.count()
     def serveOnce(nq: Long): Double = {
       val t0 = System.nanoTime()
       graft.text.Retrieval.hybridTopKFromStoresExternal(spark,
         s"$root/corpus", s"$root/ivf", s"$root/pq",
-        requests.filter(col("query_id") < 900000L + nq))
+        requests.filter(col("req_rank") <= nq)
+          .drop("req_rank"))
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
