@@ -276,6 +276,72 @@ object ScaleReplay {
 
   private val QueryAxisEntry = "s15q_chunked"
 
+  /** The BM25 stored-serve decomposition rung (round 12): builds the
+    * persisted index over the given dir's documents ONCE (untimed —
+    * production is build-once/serve-many), then measures the sparse
+    * serve's two round-12 levers separately on the SAME store:
+    *
+    *  - `cold_full`: frame caching off, term-bucket pruning off — every
+    *    cost visible: the df/(N, Σdl) derivation (one full tf scan) plus
+    *    the scoring join's full tf scan;
+    *  - `cold_pruned`: caching off, pruning on — the scoring scan reads
+    *    only the query terms' buckets (≈ nTerms/64 of a bucket-clustered
+    *    index), leaving the df derivation as the remaining corpus-sized
+    *    term;
+    *  - `warm`: defaults (caching on, pruning on), repeat call at the
+    *    same store state — the QueryServe trigger shape: df/stats served
+    *    from the registry, cost O(request) + cached lookups.
+    *
+    * cold_full − cold_pruned isolates the pruning win; cold_pruned −
+    * warm isolates the amortization win; together they are the round-12
+    * serve story measured on one store. */
+  private val Bm25AxisEntry = "bm25p_axis"
+
+  private def bm25PruneAxis(spark: SparkSession, dir: String): Unit = {
+    import graft.text.Retrieval
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.count()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_replay_bm25").toString
+    Retrieval.buildIndex(spark, docs, s"$root/corpus")
+    val queries = Retrieval
+      .probeQueriesFromStore(spark, s"$root/corpus").localCheckpoint()
+    def serve(cacheOn: Boolean, pruneOn: Boolean): Double = {
+      Caches.releaseAll(blocking = true)
+      spark.catalog.clearCache()
+      spark.conf.set("graft.retrieval.cacheStoredFrames", cacheOn.toString)
+      spark.conf.set("graft.retrieval.pruneTermBuckets", pruneOn.toString)
+      val t0 = System.nanoTime()
+      Retrieval.bm25QueryTopKFromStore(spark, s"$root/corpus", queries)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      serve(cacheOn = false, pruneOn = false) // warmup, untimed
+      val coldFull = serve(cacheOn = false, pruneOn = false)
+      val coldPruned = serve(cacheOn = false, pruneOn = true)
+      // warm = repeat call with defaults at the same store state; the
+      // first (cold) call materializes the registered frames untimed
+      spark.conf.unset("graft.retrieval.cacheStoredFrames")
+      spark.conf.unset("graft.retrieval.pruneTermBuckets")
+      Caches.releaseAll(blocking = true)
+      spark.catalog.clearCache()
+      Retrieval.bm25QueryTopKFromStore(spark, s"$root/corpus", queries)
+        .write.mode("overwrite").format("noop").save()
+      val t0 = System.nanoTime()
+      Retrieval.bm25QueryTopKFromStore(spark, s"$root/corpus", queries)
+        .write.mode("overwrite").format("noop").save()
+      val warm = (System.nanoTime() - t0) / 1e9
+      println(f"[replay] $Bm25AxisEntry%-24s cold_full=$coldFull%7.1f s  " +
+        f"cold_pruned=$coldPruned%7.1f s  warm=$warm%7.2f s  " +
+        f"(index over $nDocs docs; pruning saves ${coldFull - coldPruned}%.1f s " +
+        f"of scoring scan, caching saves ${coldPruned - warm}%.1f s of df derivation)")
+    } finally {
+      spark.conf.unset("graft.retrieval.cacheStoredFrames")
+      spark.conf.unset("graft.retrieval.pruneTermBuckets")
+    }
+  }
+
   /** The REQUEST-axis rung for the round-11 serving path: stores built
     * once untimed (production is build-once/serve-many), then one
     * hybrid serve of a 20-request batch vs one of 20·factor requests —
@@ -342,11 +408,17 @@ object ScaleReplay {
     // entries must not touch anything outside the list)
     val tables = args.lift(4).map(_.split(',').map(_.trim).toSet)
     val entries = allEntries
-      .filterNot(e => e == QueryAxisEntry || e == ServeAxisEntry)
+      .filterNot(e =>
+        e == QueryAxisEntry || e == ServeAxisEntry || e == Bm25AxisEntry)
     val spark = Engine.session("graft-scale-replay")
-    if (entries.nonEmpty) replicate(spark, base, out, factor, tables)
+    if (entries.nonEmpty || allEntries.contains(Bm25AxisEntry))
+      replicate(spark, base, out, factor, tables)
 
     if (allEntries.contains(ServeAxisEntry)) serveAxis(spark, base, factor)
+
+    // the BM25 decomposition rung runs against the REPLICATED corpus —
+    // its whole point is index-sized cold costs
+    if (allEntries.contains(Bm25AxisEntry)) bm25PruneAxis(spark, out)
 
     if (allEntries.contains(QueryAxisEntry)) {
       import graft.similarity.Similarity

@@ -113,7 +113,8 @@ object Compaction {
     * (anti-joining ids that are already gone is a no-op). */
   def compactTable(spark: SparkSession, tableDir: String,
       targetPartitionBytes: Long = 128L * 1024 * 1024,
-      dropIds: Option[(org.apache.spark.sql.DataFrame, String)] = None): Unit = {
+      dropIds: Option[(org.apache.spark.sql.DataFrame, String)] = None,
+      sortBy: Seq[String] = Nil): Unit = {
     require(targetPartitionBytes > 0,
       s"targetPartitionBytes must be positive, got $targetPartitionBytes")
     val f = fsFor(spark, tableDir)
@@ -141,7 +142,10 @@ object Compaction {
         ids.select(idCol).distinct(), Seq(idCol), "left_anti")
       case None => all
     }
-    publishSlice(spark, tableDir, kept, nParts)
+    // a sort request over a column the table predates (an old-layout
+    // store being compacted by new code) degrades to the unshaped write
+    publishSlice(spark, tableDir, kept, nParts,
+      sortBy.filter(kept.columns.contains))
   }
 
   /** Publish `df` as `tableDir`'s single consolidated `batch=-1` slice
@@ -154,14 +158,23 @@ object Compaction {
     * legal: the swap degrades to a single publish rename. The caller
     * must have stopped any stream writing to this table. */
   def publishSlice(spark: SparkSession, tableDir: String,
-      df: org.apache.spark.sql.DataFrame, nParts: Int): Unit = {
+      df: org.apache.spark.sql.DataFrame, nParts: Int,
+      sortBy: Seq[String] = Nil): Unit = {
     require(nParts > 0, s"nParts must be positive, got $nParts")
     val f = fsFor(spark, tableDir)
     recoverTable(spark, tableDir)
     val live = new Path(tableDir)
     val tmp = tmpDir(tableDir)
-    df
-      .repartition(nParts)
+    // `sortBy` clusters the consolidated slice (hash-repartition on the
+    // sort key + sort within each file), so each file's row groups cover
+    // narrow key ranges and a pushed IN/range filter on the key skips
+    // files and row groups at the scan — the layout that makes the BM25
+    // tf table's term-bucket pruning an IO saving, not just a row filter
+    val shaped =
+      if (sortBy.isEmpty) df.repartition(nParts)
+      else df.repartition(nParts, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    shaped
       .write.mode(SaveMode.Overwrite)
       .parquet(new Path(tmp, "batch=-1").toString)
     require(tmpComplete(f, tableDir),

@@ -144,7 +144,12 @@ object CorpusIngest {
       // Same replay-idempotent slice discipline; a store created before
       // these tables existed repairs through maintainCorpus → reindex.
       val (tfRows, dlRows) = graft.text.Retrieval.indexRows(committed)
-      tfRows.write.mode(SaveMode.Overwrite)
+      // bucket-clustered like every consolidated tf slice (Retrieval.
+      // TfSortCols), so the scorers' pushed term-bucket filter skips row
+      // groups in per-batch slices too, not only after a compaction
+      tfRows.sortWithinPartitions(
+          graft.text.Retrieval.TfSortCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode(SaveMode.Overwrite)
         .parquet(s"${part("tf")}/batch=$batchId")
       dlRows.write.mode(SaveMode.Overwrite)
         .parquet(s"${part("dl")}/batch=$batchId")
@@ -203,7 +208,8 @@ object CorpusIngest {
   def compact(spark: SparkSession, corpusDir: String,
       targetPartitionBytes: Long = 128L * 1024 * 1024): Unit =
     Tables.foreach(sub => Compaction.compactTable(spark,
-      s"$corpusDir/$sub", targetPartitionBytes))
+      s"$corpusDir/$sub", targetPartitionBytes,
+      sortBy = if (sub == "tf") graft.text.Retrieval.TfSortCols else Nil))
 
   /** Rebuild the corpus's DERIVED tables — fingerprints and shingle
     * postings — from the standing documents: the recovery/maintenance op
@@ -255,7 +261,7 @@ object CorpusIngest {
     // UPGRADE path for a store created before the engine kept them
     val (tfRows, dlRows) = graft.text.Retrieval.indexRows(docs)
     Compaction.publishSlice(spark, s"$corpusDir/tf", tfRows,
-      nParts(s"$corpusDir/tf"))
+      nParts(s"$corpusDir/tf"), sortBy = graft.text.Retrieval.TfSortCols)
     Compaction.publishSlice(spark, s"$corpusDir/dl", dlRows,
       nParts(s"$corpusDir/dl"))
   }
@@ -290,7 +296,8 @@ object CorpusIngest {
       case Some(ids) =>
         Tables.foreach(sub => Compaction.compactTable(spark,
           s"$corpusDir/$sub", targetPartitionBytes,
-          dropIds = Some((ids, "doc_id"))))
+          dropIds = Some((ids, "doc_id")),
+          sortBy = if (sub == "tf") graft.text.Retrieval.TfSortCols else Nil))
         graft.etl.Tombstones.retire(spark, corpusDir, slices,
           BatchMarker.maxCommitted(spark, corpusDir))
     }

@@ -40,12 +40,58 @@ object Retrieval {
       : (DataFrame, DataFrame) = {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    // tb = the term's bucket (round 12): a fixed 64-way hash of the term
+    // carried as a DATA column, so it survives every slice layout the
+    // store can reach (door writes, buildIndex, compaction, purge) and
+    // old stores without it simply read as unprunable. Slice writers
+    // cluster rows by it, and the FromStore scorers push `tb IN (query
+    // buckets)` onto the scan — the posting-list read: query cost scales
+    // with the QUERY's terms' postings, not the index (see [[prunedTf]]).
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", termBucket(col("term")))
     // dl comes from a projection of the docs, NOT from tf: a zero-token
     // document has no tf rows but still counts in N and Σdl
     val dl = docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
     (tf, dl)
+  }
+
+  /** Fixed bucket count for the tf term hash — 64, the repo's salt
+    * convention; a 3-term query then touches ≤ 3/64 of a
+    * bucket-clustered index. */
+  private[graft] val TermBuckets = 64
+
+  private[graft] def termBucket(term: Column): Column =
+    pmod(xxhash64(term), lit(TermBuckets)).cast("int")
+
+  /** The tf shaping every consolidated slice writer uses: cluster and
+    * sort by (tb, term) so each written file's row groups cover narrow
+    * bucket ranges and the scorers' pushed `tb IN (...)` skips whole
+    * files/row groups at the scan. */
+  private[graft] val TfSortCols = Seq("tb", "term")
+
+  /** Restrict the stored tf to the buckets of `termFrame`'s terms —
+    * the posting-list read (round 12): the term buckets collect to the
+    * driver ONCE per call (request-sized by construction — distinct
+    * terms of a query batch or the nTerms probe list; the overBm25Store
+    * bounded-collect discipline) so the IN lands on the scan as a
+    * pushable literal over the `tb` data column, and bucket-clustered
+    * slices skip everything outside the query's buckets. Rows pruned
+    * here could only ever be dropped by the scorer's equi-join on
+    * `term`, so the result is provably unchanged; df/(N, Σdl) keep
+    * deriving from the FULL tables. A store written before the `tb`
+    * column existed reads unprunable and serves the unpruned scan;
+    * `graft.retrieval.pruneTermBuckets = false` is the escape hatch. */
+  private[graft] def prunedTf(tf: DataFrame, termFrame: DataFrame): DataFrame = {
+    val enabled = tf.sparkSession.conf
+      .get("graft.retrieval.pruneTermBuckets", "true").toBoolean
+    if (!enabled || !tf.columns.contains("tb")) tf
+    else {
+      val buckets = termFrame.select(termBucket(col("term")).as("tb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (buckets.isEmpty) tf.filter(lit(false))
+      else tf.filter(col("tb").isin(buckets: _*))
+    }
   }
 
   /** df and the corpus constant derive from the per-doc tables — term-
@@ -152,8 +198,14 @@ object Retrieval {
       // without this the session cache would substitute the stale
       // materialization into them
       spark.catalog.refreshByPath(corpusDir)
+    // escape hatch (and the measurement dial the scale replay's
+    // bm25-prune axis reads): a one-off batch job over a huge store may
+    // not want index-sized frames pinned in executor storage
+    val cache = spark.conf
+      .get("graft.retrieval.cacheStoredFrames", "true").toBoolean
     def keyed(what: String, df: DataFrame): DataFrame =
-      graft.Caches.persistReplacingBounded(
+      if (!cache) df
+      else graft.Caches.persistReplacingBounded(
         s"bm25_${what}::$corpusDir", state, df, maxVariants = 2)
     val tf = keyed("tf", table("tf"))
     val dl = keyed("dl", table("dl"))
@@ -180,7 +232,7 @@ object Retrieval {
         (bytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
     }
     graft.streaming.Compaction.publishSlice(spark, s"$corpusDir/tf", tf,
-      nParts("tf"))
+      nParts("tf"), sortBy = TfSortCols)
     graft.streaming.Compaction.publishSlice(spark, s"$corpusDir/dl", dl,
       nParts("dl"))
   }
@@ -236,11 +288,17 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame =
     topKOver(corpusFrames(docs, textCol), nTerms, k, k1, b)
 
-  /** [[bm25TopK]] over the persisted index — no text is touched. */
+  /** [[bm25TopK]] over the persisted index — no text is touched, and
+    * the scoring scan prunes to the probe terms' buckets (the probe
+    * list re-derives from the cached df exactly as [[topKOver]] does,
+    * so the pruned and scored term sets cannot disagree). */
   def bm25TopKFromStore(spark: SparkSession, corpusDir: String,
       nTerms: Int = 3, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    topKOver(storedFrames(spark, corpusDir), nTerms, k, k1, b)
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, df, dl, stats) = storedFrames(spark, corpusDir)
+    val topTerms = df.orderBy(desc("df"), asc("term")).limit(nTerms)
+    topKOver((prunedTf(tf, topTerms), df, dl, stats), nTerms, k, k1, b)
+  }
 
   private def topKOver(
       frames: (DataFrame, DataFrame, DataFrame, DataFrame),
@@ -290,12 +348,17 @@ object Retrieval {
 
   /** [[bm25QueryTopK]] over the persisted index — the production RAG
     * read path: the query batch tokenizes (request-sized), the corpus
-    * does not. */
+    * does not, and the scoring scan prunes to the buckets of the
+    * batch's distinct terms ([[prunedTf]]). */
   def bm25QueryTopKFromStore(spark: SparkSession, corpusDir: String,
       queries: DataFrame, k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-      queryCol: String = "query_text"): DataFrame =
-    queryTopKOver(storedFrames(spark, corpusDir), queries, k, k1, b,
+      queryCol: String = "query_text"): DataFrame = {
+    val (tf, df, dl, stats) = storedFrames(spark, corpusDir)
+    val qTerms = queries.select(
+      explode(array_distinct(TextAnalysis.tokens(col(queryCol)))).as("term"))
+    queryTopKOver((prunedTf(tf, qTerms), df, dl, stats), queries, k, k1, b,
       queryCol)
+  }
 
   private def queryTopKOver(
       frames: (DataFrame, DataFrame, DataFrame, DataFrame),

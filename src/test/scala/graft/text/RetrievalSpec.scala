@@ -1,5 +1,7 @@
 package graft.text
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 
 /** [[Retrieval.bm25TopK]] (t48): probe-term choice, ranking, and one
@@ -152,6 +154,51 @@ class RetrievalSpec extends SparkTestBase {
       .collect().toSeq ==
       Retrieval.bm25QueryTopK(grown, queries).collect().toSeq,
       "a mutated store served stale cached frames")
+  }
+
+  test("term-bucket pruning: pruned scan keeps exactly the query buckets; results equal the unpruned plan; old-layout stores serve unpruned") {
+    // round 12: the posting-list read — the stored scoring scan prunes
+    // to the buckets of the query's terms via a pushed IN on the tb
+    // data column written by indexRows
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_tb").toString
+    // enough distinct terms that the probe terms cannot cover every
+    // bucket (50 fillers + the scored x/y/z spread over 64 buckets)
+    val wide = docs.unionByName(
+      (0 until 50).map(i => (100L + i, s"filler$i")).toDF("doc_id", "text"))
+    Retrieval.buildIndex(spark, wide, dir)
+    val queries = Seq((0, "x y"), (1, "z")).toDF("query_id", "query_text")
+    val want = Retrieval.bm25QueryTopK(wide, queries).collect().toSeq
+    assert(Retrieval.bm25QueryTopKFromStore(spark, dir, queries)
+      .collect().toSeq == want)
+    // the pruned frame holds exactly the query terms' buckets, and
+    // strictly fewer rows than the full table (the fillers pruned away)
+    val tf = spark.read.option("basePath", s"$dir/tf")
+      .parquet(s"$dir/tf").drop("batch")
+    val qTerms = Seq("x", "y", "z").toDF("term")
+    val wantBuckets = qTerms
+      .select(Retrieval.termBucket(col("term")).as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val pruned = Retrieval.prunedTf(tf, qTerms)
+    assert(pruned.select("tb").distinct().collect()
+      .map(_.getInt(0)).toSet.subsetOf(wantBuckets))
+    assert(pruned.count() < tf.count(),
+      "pruning must actually drop the other buckets' postings")
+    // the escape hatch serves the identical result unpruned
+    spark.conf.set("graft.retrieval.pruneTermBuckets", "false")
+    try assert(Retrieval.bm25QueryTopKFromStore(spark, dir, queries)
+      .collect().toSeq == want)
+    finally spark.conf.unset("graft.retrieval.pruneTermBuckets")
+    // a store written before the tb column existed reads unprunable and
+    // serves the same answers (the upgrade path is maintainCorpus →
+    // reindex, which rewrites tf with the column)
+    val oldTf = tf.drop("tb").localCheckpoint()
+    val f = new org.apache.hadoop.fs.Path(s"$dir/tf")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/tf"), true)
+    oldTf.write.parquet(s"$dir/tf/batch=-1")
+    assert(Retrieval.bm25QueryTopKFromStore(spark, dir, queries)
+      .collect().toSeq == want)
   }
 
   test("a store without BM25 tables refuses loudly with the repair op named") {
