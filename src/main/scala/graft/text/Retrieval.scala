@@ -360,14 +360,44 @@ object Retrieval {
       queryCol)
   }
 
+  /** The dense side's broadcast-regime guard applied to the SPARSE
+    * query side (round 12 — the one query-shaped broadcast that was
+    * still uncapped): the exploded (query_id, term) frame broadcasts
+    * onto the corpus tf table, and a batch past
+    * `graft.similarity.maxBroadcastQueries` (the serving-wide cap the
+    * s-family reads, default 1 M) must refuse LOUDLY with the chunking
+    * advice — not die deep inside the exchange on the 8 GB broadcast
+    * limit. Same lazy shape as `Similarity.guardedQueries`: a 1-row
+    * count rides the broadcast side itself and detonates on the first
+    * row the broadcast build materializes, zero extra jobs at call
+    * time. BM25 retrieval is per-query decomposable (df/N/dl never
+    * depend on the query batch), so `Similarity.chunkedByQueryFrame`
+    * on `query_id` is the prescribed executor. */
+  private def guardedQueryBatch(q: DataFrame): DataFrame = {
+    val cap = q.sparkSession.conf
+      .get("graft.similarity.maxBroadcastQueries", "1000000").toLong
+    val n = q.agg(count(lit(1)).as("__nq"))
+    q.crossJoin(broadcast(n))
+      .filter(assert_true(col("__nq") <= cap,
+        concat(lit("bm25 query retrieval broadcasts the batch's exploded " +
+            "(query, term) rows, and this batch holds "),
+          col("__nq"),
+          lit(s" rows > graft.similarity.maxBroadcastQueries = $cap — " +
+            "chunk the batch (Similarity.chunkedByQueryFrame on query_id " +
+            "runs per-chunk and unions the results; BM25 scoring is " +
+            "per-query decomposable) or raise the conf if the cluster's " +
+            "broadcast budget allows"))).isNull)
+      .drop("__nq")
+  }
+
   private def queryTopKOver(
       frames: (DataFrame, DataFrame, DataFrame, DataFrame),
       queries: DataFrame, k: Int, k1: Double, b: Double,
       queryCol: String): DataFrame = {
     val (tf, df, dl, stats) = frames
     val wSlot = Window.partitionBy("query_id").orderBy("term")
-    val qterms = queries.select(col("query_id"),
-        explode(array_distinct(TextAnalysis.tokens(col(queryCol)))).as("term"))
+    val qterms = guardedQueryBatch(queries.select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(queryCol)))).as("term")))
       .withColumn("slot", row_number().over(wSlot))
       .join(df, "term") // absent-from-corpus terms drop out here
     val scored = tf.join(broadcast(qterms), "term")
@@ -434,6 +464,42 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("rrf"), 6).as("rrf"), col("dense_rank"),
         col("sparse_rank"), col("n_lists"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[rrfFuse]] generalized to N ranked lists (round 12) — production
+    * stacks fuse more than two (dense + sparse + recency + a reranker's
+    * shortlist…). Each input carries `(query_id, doc_id, rank)`; a doc
+    * absent from a list contributes nothing from it, `n_lists` counts
+    * the lists that ranked it. Same rank-fusion rationale and small-
+    * integer IEEE arithmetic as the 2-list form; the per-doc sum folds
+    * the contributions in LIST order (an explicit array fold over the
+    * list index, the t49 fixed-association discipline), so for two
+    * lists this is bit-identical to [[rrfFuse]]'s dense-then-sparse
+    * fold — spec-pinned. Scale shape: inputs are shortlists, so the
+    * union + per-(query, doc) combine is request-sized work. */
+  def rrfFuseAll(lists: Seq[DataFrame], k: Int = 10,
+      kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseAll needs at least one ranked list")
+    require(kRrf >= 1, s"kRrf must be positive (got $kRrf)")
+    val tagged = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("int").as("lrank"), lit(i).as("li"))
+    }
+    val fused = tagged.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(collect_list(struct(col("li"), col("lrank"))).as("cs"),
+        count(lit(1)).cast("int").as("n_lists"))
+      // fixed association: contributions fold in list order
+      .withColumn("rrf", aggregate(array_sort(col("cs")), lit(0.0d),
+        (acc, x) => acc + lit(1.0d) / (lit(kRrf) + x.getField("lrank"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("rrf"), asc("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"), col("n_lists"))
       .orderBy("query_id", "rank")
   }
 

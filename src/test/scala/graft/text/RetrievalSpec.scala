@@ -201,6 +201,42 @@ class RetrievalSpec extends SparkTestBase {
       .collect().toSeq == want)
   }
 
+  test("the sparse query broadcast is capped like the dense one, and chunked execution equals the direct call") {
+    // round 12: the one query-shaped broadcast that was still uncapped
+    val queries = Seq((0, "x y"), (1, "z"), (2, "x z"), (3, "y"))
+      .toDF("query_id", "query_text")
+    val want = Retrieval.bm25QueryTopK(docs, queries)
+      .collect().map(_.toSeq).toSet
+    // cap = the biggest chunk's EXPLODED row count under the hash split
+    // (the guard prices exploded (query, term) rows): every chunk fits
+    // while the unchunked 6-row batch does not — the ChunkedQuerySpec
+    // sizing discipline
+    import org.apache.spark.sql.functions.{explode, array_distinct, pmod, xxhash64, lit}
+    val maxChunk = queries.select(
+        pmod(xxhash64(col("query_id")), lit(4)).as("c"),
+        explode(array_distinct(TextAnalysis.tokens(col("query_text")))).as("t"))
+      .groupBy("c").count().agg(org.apache.spark.sql.functions.max("count"))
+      .head().getLong(0)
+    val total = queries.select(
+        explode(array_distinct(TextAnalysis.tokens(col("query_text")))))
+      .count()
+    assert(maxChunk < total, "fixture sanity: the split must actually split")
+    spark.conf.set("graft.similarity.maxBroadcastQueries", maxChunk.toString)
+    try {
+      val e = intercept[Exception] {
+        Retrieval.bm25QueryTopK(docs, queries).collect()
+      }
+      assert(e.getMessage.contains("maxBroadcastQueries"),
+        s"expected the loud cap refusal, got: ${e.getMessage}")
+      // the prescribed executor clears the cap and equals the direct call
+      val chunked = graft.similarity.Similarity.chunkedByQueryFrame(
+        queries, nChunks = 4, idCol = "query_id")(c =>
+        Retrieval.bm25QueryTopK(docs, c))
+        .collect().map(_.toSeq).toSet
+      assert(chunked == want)
+    } finally spark.conf.unset("graft.similarity.maxBroadcastQueries")
+  }
+
   test("a store without BM25 tables refuses loudly with the repair op named") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_bm25_none").toString
@@ -234,6 +270,31 @@ class RetrievalSpec extends SparkTestBase {
     // exactly -> smaller doc_id first
     assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)).toSeq ==
       Seq((1, 300L), (2, 301L)))
+  }
+
+  test("rrfFuseAll: two lists bit-match rrfFuse; three lists fuse a hand fixture") {
+    val dense = Seq((0L, 1, 100L), (0L, 2, 101L), (1L, 1, 300L))
+      .toDF("query_id", "rank", "doc_id")
+    val sparse = Seq((0L, 1, 101L), (0L, 2, 200L), (1L, 1, 301L))
+      .toDF("query_id", "rank", "doc_id")
+    val two = Retrieval.rrfFuseAll(Seq(dense, sparse), k = 10)
+      .select("query_id", "rank", "doc_id", "rrf", "n_lists")
+      .collect().map(_.toSeq).toSeq
+    val ref = Retrieval.rrfFuse(dense, sparse, k = 10)
+      .select("query_id", "rank", "doc_id", "rrf", "n_lists")
+      .collect().map(_.toSeq).toSeq
+    assert(two == ref, "two-list rrfFuseAll must bit-match rrfFuse")
+    // three lists: doc 101 ranked by all three at ranks 2/1/1 →
+    // 1/62 + 1/61 + 1/61 = .048916; doc 100 by dense rank 1 + recency
+    // rank 2 → 1/61 + 1/62 = .032522; doc 200 sparse-only at 1/62
+    val recency = Seq((0L, 1, 101L), (0L, 2, 100L)).toDF("query_id", "rank", "doc_id")
+    val three = Retrieval.rrfFuseAll(Seq(dense, sparse, recency), k = 10)
+      .filter($"query_id" === 0L).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(three.toSeq == Seq(
+      (1, 101L, 0.048916, 3),
+      (2, 100L, 0.032522, 2),
+      (3, 200L, 0.016129, 1)))
   }
 
   test("rrfFuse is rank-driven: score scales never matter, k caps per query") {
