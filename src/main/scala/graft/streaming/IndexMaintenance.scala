@@ -567,9 +567,12 @@ object IndexMaintenance {
     * store predating the BM25 index reads as all-docs-missing, making
     * reindex the upgrade path. A zero-token doc legitimately has no tf
     * rows, so tf coverage measures against dl-eligible docs (dl > 0).
-    * Returns `(decision, executed, n_docs, fps_missing,
-    * shingles_missing, tf_missing, dl_missing)`. The stream must be
-    * stopped. */
+    * A tf table predating the term-bucket column (round 12) is flagged
+    * `tf_unbucketed` and gates the same reindex — correct-but-
+    * index-sized query scans are a measured health signal, not a
+    * latent surprise. Returns `(decision, executed, n_docs,
+    * fps_missing, shingles_missing, tf_missing, dl_missing,
+    * tf_unbucketed)`. The stream must be stopped. */
   def maintainCorpus(spark: SparkSession, corpusDir: String,
       execute: Boolean = true,
       targetPartitionBytes: Long = 128L * 1024 * 1024): DataFrame = {
@@ -598,16 +601,26 @@ object IndexMaintenance {
     }
     val tfMissing = missingFrom(tfExpected, "tf")
     val dlMissing = missingFrom(docs, "dl")
+    // a tf table written before the term-bucket column existed (round
+    // 12) serves CORRECT but unprunable scans — every query pays an
+    // index-sized read a reindex would make postings-sized. That is a
+    // health signal, not a latent surprise: the cycle measures it and
+    // the same reindex that repairs coverage rewrites tf bucketed.
+    val tfDir = s"$corpusDir/tf"
+    val tfUnbucketed = fs(spark, tfDir).exists(new Path(tfDir)) &&
+      !spark.read.option("basePath", tfDir).parquet(tfDir)
+        .columns.contains("tb")
     val decision =
       if (fpsMissing > 0L || shMissing > 0L ||
-        tfMissing > 0L || dlMissing > 0L) "reindex" else "noop"
+        tfMissing > 0L || dlMissing > 0L || tfUnbucketed) "reindex"
+      else "noop"
     if (execute && decision == "reindex")
       CorpusIngest.reindex(spark, corpusDir, targetPartitionBytes)
     import spark.implicits._
     Seq((decision, execute, nDocs, fpsMissing, shMissing, tfMissing,
-      dlMissing))
+      dlMissing, tfUnbucketed))
       .toDF("decision", "executed", "n_docs", "fps_missing",
-        "shingles_missing", "tf_missing", "dl_missing")
+        "shingles_missing", "tf_missing", "dl_missing", "tf_unbucketed")
   }
 
   /** Byte-sized partition count for a consolidated rewrite — the

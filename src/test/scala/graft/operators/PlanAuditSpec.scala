@@ -29,6 +29,28 @@ class PlanAuditSpec extends SparkTestBase {
       case p => p
     }
 
+  test("bm25 stored serve: the term-bucket IN reaches the tf parquet scan") {
+    // round 12: the posting-list read must be a SCAN property, not a
+    // post-decode row filter — assert with frame caching off so the
+    // parquet scan (not an InMemoryTableScan) is what the plan shows
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_audit_bm25").toString
+    import spark.implicits._
+    graft.text.Retrieval.buildIndex(spark,
+      Seq((0L, "x x y"), (1L, "x z"), (2L, "y z"), (3L, "z z q"))
+        .toDF("doc_id", "text"), dir)
+    spark.conf.set("graft.retrieval.cacheStoredFrames", "false")
+    try {
+      val p = graft.text.Retrieval.bm25QueryTopKFromStore(spark, dir,
+          Seq((0, "x y")).toDF("query_id", "query_text"))
+        .queryExecution.executedPlan.toString
+      val scanLine = p.linesIterator.find(l =>
+        l.contains("PushedFilters") && l.contains("In(tb")).getOrElse("")
+      assert(scanLine.nonEmpty,
+        s"term-bucket IN not pushed to the tf scan:\n$p")
+    } finally spark.conf.unset("graft.retrieval.cacheStoredFrames")
+  }
+
   test("q01: filter and projection reach the parquet scan") {
     val p = plan("q01_scan_filter")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),

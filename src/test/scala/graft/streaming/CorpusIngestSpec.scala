@@ -114,6 +114,24 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(graft.text.Retrieval.bm25TopKFromStore(spark, corpusDir)
       .collect().toSeq ==
       graft.text.Retrieval.bm25TopK(m.corpus()).collect().toSeq)
+    // an UN-BUCKETED tf (round-12 upgrade path: a store written before
+    // the term-bucket column) is covered but unprunable — the cycle
+    // flags it and the same reindex rewrites tf bucketed
+    val tfDir = s"$corpusDir/tf"
+    val flat = spark.read.option("basePath", tfDir).parquet(tfDir)
+      .drop("batch").drop("tb").localCheckpoint()
+    f.delete(new org.apache.hadoop.fs.Path(tfDir), true)
+    flat.write.parquet(s"$tfDir/batch=-1")
+    val r4 = IndexMaintenance.maintainCorpus(spark, corpusDir).head()
+    assert(r4.getAs[Boolean]("tf_unbucketed") &&
+      r4.getAs[String]("decision") == "reindex")
+    assert(r4.getAs[Long]("tf_missing") == 0L,
+      "coverage itself was whole — only the bucket column was missing")
+    val r5 = IndexMaintenance.maintainCorpus(spark, corpusDir).head()
+    assert(r5.getAs[String]("decision") == "noop" &&
+      !r5.getAs[Boolean]("tf_unbucketed"))
+    assert(spark.read.option("basePath", tfDir).parquet(tfDir)
+      .columns.contains("tb"), "reindex must rewrite tf bucketed")
   }
 
   test("within-batch near-duplicates collapse to the smaller doc id") {
