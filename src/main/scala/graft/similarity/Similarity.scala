@@ -111,6 +111,38 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
+  /** [[chunkedByQueryFrame]] with the chunk count DERIVED from the cap
+    * (round 12 — the refusal told users to chunk but left the sizing
+    * arithmetic to them): nChunks starts at ceil(n / cap) against the
+    * SAME conf the guard reads (an optional `capOverride` tightens it,
+    * e.g. to budget for per-query expansion like BM25's term explode),
+    * then — because hash chunks are balanced only in expectation —
+    * the ACTUAL split's biggest chunk is measured and nChunks doubles
+    * until every chunk clears the cap, so the executor clears by
+    * construction the exact cap whose refusal named it. Sizing costs a
+    * couple of aggregate jobs over the request-sized frame (never the
+    * corpus). A batch already under the cap runs as ONE chunk — the
+    * direct call, no split overhead. Ids must be distinct (the
+    * `…Queries` contract): duplicates can make a chunk irreducible and
+    * the sizing refuses loudly rather than looping. */
+  def chunkedByQueryFrameAuto(queries: DataFrame,
+      idCol: String = "vec_id", capOverride: Option[Long] = None)(
+      run: DataFrame => DataFrame): DataFrame = {
+    val cap = capOverride.getOrElse(queries.sparkSession.conf
+      .get("graft.similarity.maxBroadcastQueries", "1000000").toLong)
+    require(cap >= 1, s"cap must be >= 1 (got $cap)")
+    val n = queries.count()
+    def maxChunk(nc: Int): Long = queries
+      .groupBy(pmod(xxhash64(col(idCol)), lit(nc)).as("__c"))
+      .agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
+    var nChunks = math.max(1L, (n + cap - 1) / cap).toInt
+    while (nChunks < n && maxChunk(nChunks) > cap) nChunks = nChunks * 2
+    require(nChunks < n || n <= cap || maxChunk(nChunks) <= cap,
+      s"cannot split $n query rows into chunks of <= $cap by hashing " +
+        s"$idCol — are the ids distinct?")
+    chunkedByQueryFrame(queries, nChunks, idCol)(run)
+  }
+
   /** All (query, corpus) cosine pairs for a broadcast query subset. Norms
     * are computed once per ROW (not once per pair) before the join. */
   def cosinePairs(emb: DataFrame, queryFilter: Column): DataFrame =

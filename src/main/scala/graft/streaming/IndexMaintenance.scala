@@ -115,7 +115,7 @@ object IndexMaintenance {
     }
   }
 
-  private def baselineMsd(spark: SparkSession,
+  private[streaming] def baselineMsd(spark: SparkSession,
       indexDir: String): Option[Double] = {
     val p = s"$indexDir/$BaselineName"
     if (!fs(spark, p).exists(new Path(p))) None

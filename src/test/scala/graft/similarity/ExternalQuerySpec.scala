@@ -155,6 +155,29 @@ class ExternalQuerySpec extends SparkTestBase {
     } finally spark.conf.unset("graft.similarity.maxBroadcastQueries")
   }
 
+  test("chunkedByQueryFrameAuto sizes the split off the cap and clears it by construction") {
+    val qs = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val want = Similarity.bruteForceTopKQueries(emb, qs, k = 5)
+      .collect().map(_.toSeq).toSet
+    // under the cap: runs as one chunk, equals the direct call
+    assert(Similarity.chunkedByQueryFrameAuto(qs)(c =>
+      Similarity.bruteForceTopKQueries(emb, c, k = 5))
+      .collect().map(_.toSeq).toSet == want)
+    // over a tight cap: auto doubles past hash skew until every chunk
+    // fits, and the union still equals the direct call — no hand-sized
+    // nChunks anywhere
+    spark.conf.set("graft.similarity.maxBroadcastQueries", "3")
+    try {
+      intercept[Throwable] {
+        Similarity.bruteForceTopKQueries(emb, qs, k = 5).collect()
+      }
+      assert(Similarity.chunkedByQueryFrameAuto(qs)(c =>
+        Similarity.bruteForceTopKQueries(emb, c, k = 5))
+        .collect().map(_.toSeq).toSet == want)
+    } finally spark.conf.unset("graft.similarity.maxBroadcastQueries")
+  }
+
   test("the broadcast guard prices external batches too") {
     spark.conf.set("graft.similarity.maxBroadcastQueries", "2")
     try {

@@ -172,6 +172,42 @@ class QueryServeSpec extends SparkTestBase {
       .filter(col("req_batch") === bid).count() > 0)
   }
 
+  test("ServingStatus: one metadata-only report over all four stores") {
+    val resultsDir = Files.createTempDirectory("graft_qserve_stat").toString
+    val server = new QueryServe.Server(spark, s"$root/corpus",
+      s"$root/ivf", s"$root/pq", resultsDir)
+    server.serveBatch(requests.filter(col("query_id") < 903L), 0L)
+    server.serveBatch(requests.filter(col("query_id") >= 903L), 1L)
+    val r = ServingStatus.report(spark, s"$root/corpus", s"$root/ivf",
+      s"$root/pq", resultsDir).head()
+    assert(r.getAs[Boolean]("corpus_exists") &&
+      r.getAs[Boolean]("tf_present") && r.getAs[Boolean]("dl_present"))
+    assert(r.getAs[Boolean]("tf_bucketed"),
+      "a round-12 buildIndex store must read as bucketed")
+    assert(r.getAs[Boolean]("ivf_exists") && r.getAs[Boolean]("pq_exists"))
+    assert(!r.getAs[Boolean]("pq_retrain_inflight"))
+    // saveIvf/savePq stores are not streamed: high water −1
+    assert(r.getAs[Long]("ivf_high_water") == -1L)
+    assert(r.isNullAt(r.fieldIndex("dials_nprobe")),
+      "no recommendation persisted for this fixture")
+    assert(r.getAs[Long]("results_high_water") == 1L &&
+      r.getAs[Int]("results_slices") == 2 &&
+      !r.getAs[Boolean]("results_consolidated"))
+    // after a maintenance fold the footprint reads consolidated
+    QueryServe.maintainResults(spark, resultsDir, retainLast = 2)
+    val r2 = ServingStatus.report(spark, s"$root/corpus", s"$root/ivf",
+      s"$root/pq", resultsDir).head()
+    assert(r2.getAs[Int]("results_slices") == 0 &&
+      r2.getAs[Boolean]("results_consolidated"))
+    // a deletion shows up as a live tombstone slice until purged
+    import graft.similarity.IndexStore
+    IndexStore.delete(spark, s"$root/ivf", Seq(9999L).toDF("vec_id"))
+    try {
+      assert(ServingStatus.report(spark, s"$root/corpus", s"$root/ivf",
+        s"$root/pq", resultsDir).head().getAs[Int]("ivf_tombstones") == 1)
+    } finally IndexStore.purgeDeletes(spark, s"$root/ivf")
+  }
+
   test("dial precedence: explicit args beat the persisted _dials, which beat the defaults") {
     def servedDials(rd: String): (Int, Int) = {
       val r = QueryServe.results(spark, rd).select("nprobe", "rerank")
