@@ -399,6 +399,81 @@ object ScaleReplay {
       f"$corpusN joined rows)")
   }
 
+  /** The STREAMED-server request rung (round 13, r12 verdict #6 — the
+    * request axis measured to ×100 linear through the direct library
+    * call; this closes it at the ladder's limit THROUGH the server):
+    * stores built once untimed, then a [[graft.streaming.QueryServe]]
+    * stream drains a 20-request drop (the t53q base convention) vs a
+    * `20·factor`-request drop, wall-clocked end to end — stream
+    * startup, the high-water/straddle guards, the chunked executor,
+    * slice writes and marker publishes included. The big drop runs
+    * under a LOWERED broadcast cap so the batch provably rides the
+    * degraded chunked path (r11 verdict #1): the rung measures the
+    * server a deployment actually gets when a poison-sized request
+    * file lands, not just the happy path. */
+  private val StreamServeAxisEntry = "t53s_stream_serve"
+
+  private def streamServeAxis(spark: SparkSession, base: String,
+      factor: Int): Unit = {
+    import graft.similarity.{IndexStore, Similarity}
+    import graft.streaming.QueryServe
+    val docs = Tables(spark, base, "documents")
+    val emb = Tables(spark, base, "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_replay_sserve").toString
+    graft.text.Retrieval.buildIndex(spark, docs, s"$root/corpus")
+    val ivf = Similarity.buildIvfIndex(emb)
+    val pq = Similarity.buildPqIndex(emb)
+    IndexStore.saveIvf(ivf, s"$root/ivf")
+    IndexStore.savePq(pq, s"$root/pq")
+    ivf.release(); pq.release()
+    val wReq = org.apache.spark.sql.expressions.Window.orderBy("query_id")
+    val requests = docs
+      .select((col("doc_id") + 900000L).as("query_id"),
+        col("text").as("query_text"))
+      .join(emb.select((col("vec_id") + 900000L).as("query_id"),
+        col("embedding")), "query_id")
+      .withColumn("req_rank", row_number().over(wReq))
+    val corpusN = requests.count()
+    def drain(nq: Long, tag: String): Double = {
+      val dropDir = java.nio.file.Files
+        .createTempDirectory(s"graft_sserve_drop_$tag").toString
+      val resultsDir = java.nio.file.Files
+        .createTempDirectory(s"graft_sserve_res_$tag").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_sserve_ck_$tag").toString
+      requests.filter(col("req_rank") <= nq).drop("req_rank")
+        .write.mode("append").parquet(dropDir)
+      val t0 = System.nanoTime()
+      val q = QueryServe.start(spark, dropDir, s"$root/corpus",
+        s"$root/ivf", s"$root/pq", resultsDir, ckpt)
+      q.processAllAvailable(); q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val served = QueryServe.results(spark, resultsDir)
+        .select("query_id").distinct().count()
+      require(served == math.min(nq, corpusN),
+        s"stream served $served of $nq requests")
+      sec
+    }
+    val nqBase = 20L
+    val nqBig = math.min(nqBase * factor, corpusN)
+    drain(nqBase, "warm") // warmup (classload/codegen + store load), untimed
+    val tBase = drain(nqBase, "base")
+    // the big drop serves under a cap that forces the CHUNKED path —
+    // the degraded mode an oversized request file lands the server in
+    spark.conf.set("graft.similarity.maxBroadcastQueries",
+      math.max(1L, nqBig / 5).toString)
+    val tBig =
+      try drain(nqBig, "big")
+      finally spark.conf.unset("graft.similarity.maxBroadcastQueries")
+    val f = tBig / tBase
+    println(f"[replay] $StreamServeAxisEntry%-24s base=$tBase%7.1f s  " +
+      f"x${nqBig / nqBase}=$tBig%7.1f s  factor=$f%5.1f " +
+      f"(STREAMED-SERVER request axis: $nqBase -> $nqBig requests, " +
+      f"big drop chunked 5-way under a lowered cap, fixed stores over " +
+      f"$corpusN joined rows)")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_replay10")
@@ -409,12 +484,16 @@ object ScaleReplay {
     val tables = args.lift(4).map(_.split(',').map(_.trim).toSet)
     val entries = allEntries
       .filterNot(e =>
-        e == QueryAxisEntry || e == ServeAxisEntry || e == Bm25AxisEntry)
+        e == QueryAxisEntry || e == ServeAxisEntry || e == Bm25AxisEntry ||
+          e == StreamServeAxisEntry)
     val spark = Engine.session("graft-scale-replay")
     if (entries.nonEmpty || allEntries.contains(Bm25AxisEntry))
       replicate(spark, base, out, factor, tables)
 
     if (allEntries.contains(ServeAxisEntry)) serveAxis(spark, base, factor)
+
+    if (allEntries.contains(StreamServeAxisEntry))
+      streamServeAxis(spark, base, factor)
 
     // the BM25 decomposition rung runs against the REPLICATED corpus —
     // its whole point is index-sized cold costs

@@ -150,6 +150,7 @@ object SparkEntry {
     "t50_bm25_store_topk" -> (TrainingData.t50Bm25StoreTopK _),
     "t51_bm25_store_multiterm" -> (TrainingData.t51Bm25StoreMultiTerm _),
     "t52_hybrid_rrf" -> (TrainingData.t52HybridRrf _),
+    "t54_sparse_serve" -> (TrainingData.t54SparseServe _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
     "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
@@ -2907,6 +2908,21 @@ object SparkEntry {
     "t50_bm25_store_topk" -> bm25TopkOracle,
     "t51_bm25_store_multiterm" -> bm25MultiOracle,
     "t52_hybrid_rrf" -> rrfOracle,
+    // t54 (round 13): the sparse-only serve MODE — the t49/t51 shortlist
+    // reshaped by the monotone RRF transform into the unified serving
+    // schema; rank is preserved exactly (1/(60+r) is strictly
+    // decreasing), so the oracle is the shared multi-term text plus a
+    // projection
+    "t54_sparse_serve" ->
+      ("""WITH sparse AS (
+         |""".stripMargin + bm25MultiOracle + """
+         |)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, rank,
+         |  CAST(doc_id AS BIGINT) AS doc_id,
+         |  ROUND(CAST(1 AS DOUBLE) / (60 + rank), 6) AS rrf,
+         |  CAST(NULL AS INT) AS dense_rank, rank AS sparse_rank,
+         |  CAST(1 AS INT) AS n_lists
+         |FROM sparse ORDER BY query_id, rank""".stripMargin),
     "s09_centroid_distance" ->
       """WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS i,
         |    embedding AS e FROM embeddings),

@@ -1695,6 +1695,22 @@ object TrainingData {
     graft.text.Retrieval.rrfFuse(dense, sparse, k = 10)
   }
 
+  /** t54 (round 13, r12 verdict #4): the SPARSE-ONLY serve mode — the
+    * same [[graft.text.Retrieval.hybridTopKFromStoresExternal]] entry
+    * the server runs, with `lists = Seq("sparse")`: only the BM25
+    * retriever executes (the IVF/PQ store paths are passed but never
+    * touched — deliberately non-existent here, pinning that a
+    * sparse-only deployment needs no dense stores), and the shortlist
+    * reshapes through the monotone RRF transform into the unified
+    * serving schema (dense_rank null, n_lists 1). SQL-expressible end
+    * to end, so DuckDB replays the whole mode. */
+  def t54SparseServe(spark: SparkSession, dir: String): DataFrame =
+    overBm25Store(spark, dir)(store =>
+      graft.text.Retrieval.hybridTopKFromStoresExternal(spark, store,
+        ivfDir = s"$store/no_ivf", pqDir = s"$store/no_pq",
+        graft.text.Retrieval.probeQueriesFromStore(spark, store),
+        lists = Seq("sparse")))
+
   /** The production-geometry raw form (bench + golden): the dense side
     * is the real IVF-PQ composite probe over the built indexes, the
     * sparse side the multi-term BM25 scorer — the hybrid a deployment

@@ -119,12 +119,16 @@ object Similarity {
     * then — because hash chunks are balanced only in expectation —
     * the ACTUAL split's biggest chunk is measured and nChunks doubles
     * until every chunk clears the cap, so the executor clears by
-    * construction the exact cap whose refusal named it. Sizing costs a
-    * couple of aggregate jobs over the request-sized frame (never the
-    * corpus). A batch already under the cap runs as ONE chunk — the
-    * direct call, no split overhead. Ids must be distinct (the
-    * `…Queries` contract): duplicates can make a chunk irreducible and
-    * the sizing refuses loudly rather than looping. */
+    * construction the exact cap whose refusal named it. Doubling may
+    * legitimately pass n: at a tiny cap a singleton-chunk split is a
+    * birthday problem needing MORE buckets than ids (round 13 — the
+    * old `nChunks < n` stop refused batches it could have split), so
+    * the search runs to a generous 64·n before declaring the ids
+    * irreducible (duplicate ids pin the biggest chunk at their
+    * multiplicity and can never clear a smaller cap — the refusal's
+    * actual target). Sizing costs a few aggregate jobs over the
+    * request-sized frame (never the corpus). A batch already under the
+    * cap runs as ONE chunk — the direct call, no sizing jobs at all. */
   def chunkedByQueryFrameAuto(queries: DataFrame,
       idCol: String = "vec_id", capOverride: Option[Long] = None)(
       run: DataFrame => DataFrame): DataFrame = {
@@ -132,12 +136,17 @@ object Similarity {
       .get("graft.similarity.maxBroadcastQueries", "1000000").toLong)
     require(cap >= 1, s"cap must be >= 1 (got $cap)")
     val n = queries.count()
+    if (n <= cap) return chunkedByQueryFrame(queries, 1, idCol)(run)
     def maxChunk(nc: Int): Long = queries
       .groupBy(pmod(xxhash64(col(idCol)), lit(nc)).as("__c"))
       .agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
-    var nChunks = math.max(1L, (n + cap - 1) / cap).toInt
-    while (nChunks < n && maxChunk(nChunks) > cap) nChunks = nChunks * 2
-    require(nChunks < n || n <= cap || maxChunk(nChunks) <= cap,
+    var nChunks = ((n + cap - 1) / cap).toInt
+    var biggest = maxChunk(nChunks)
+    while (biggest > cap && nChunks <= 64L * n) {
+      nChunks = nChunks * 2
+      biggest = maxChunk(nChunks)
+    }
+    require(biggest <= cap,
       s"cannot split $n query rows into chunks of <= $cap by hashing " +
         s"$idCol — are the ids distinct?")
     chunkedByQueryFrame(queries, nChunks, idCol)(run)

@@ -79,7 +79,21 @@ object IndexMaintenance {
       minRecall: Double = 0.9,
       ladder: Seq[Int] = Seq(10, 50, 200, Int.MaxValue),
       m: Int = 8,
-      pqK: Int = 16)
+      pqK: Int = 16,
+      kRrf: Option[Int] = None)
+
+  /** The persisted dial row a serving tier resolves (round 13): the
+    * dense half's swept recommendation plus the SPARSE half's one real
+    * dial — `kRrf`, the RRF fusion constant, a pass-through from
+    * [[DialSla.kRrf]] (the sweep optimizes the dense geometry; fusion
+    * damping is an operator policy, so it persists verbatim when set).
+    * BM25's k1/b are deliberately EXCLUDED from the dial path: they are
+    * scoring SEMANTICS — changing them changes what "relevance" means
+    * for the deployment, not how much it costs to attain — so they are
+    * fixed by contract at the API defaults (overridable per call, never
+    * swept or persisted). */
+  final case class Dials(nprobe: Int, rerank: Int, recallAtK: Double,
+      kRrf: Option[Int] = None)
 
   private val BaselineName = "_drift_baseline"
   private val DialsName = "_dials"
@@ -94,24 +108,32 @@ object IndexMaintenance {
     * it after an executed retrain with a [[DialSla]], and
     * [[graft.streaming.QueryServe]] reads it at stream start. */
   private[graft] def writeDials(spark: SparkSession, indexDir: String,
-      nprobe: Int, rerank: Int, recall: Double): Unit = {
+      nprobe: Int, rerank: Int, recall: Double,
+      kRrf: Option[Int] = None): Unit = {
     import spark.implicits._
     replaceDir(spark, s"$indexDir/$DialsName",
-      Seq((nprobe, rerank, recall)).toDF("nprobe", "rerank", "recall_at_k"))
+      Seq((nprobe, rerank, recall, kRrf))
+        .toDF("nprobe", "rerank", "recall_at_k", "k_rrf"))
   }
 
-  /** The persisted dial recommendation, if any: (nprobe, rerank,
-    * recall_at_k). Repairs a crashed swap first, the [[maintain]]
-    * entry discipline. */
+  /** The persisted dial recommendation, if any. Repairs a crashed swap
+    * first, the [[maintain]] entry discipline. A pre-round-13 `_dials`
+    * table has no `k_rrf` column and reads with `kRrf = None` (the
+    * server then serves the fusion default). */
   def readDials(spark: SparkSession,
-      indexDir: String): Option[(Int, Int, Double)] = {
+      indexDir: String): Option[Dials] = {
     val p = s"$indexDir/$DialsName"
     recoverSwap(spark, p)
     if (!fs(spark, p).exists(new Path(p))) None
     else {
-      val r = spark.read.parquet(p).head()
-      Some((r.getAs[Int]("nprobe"), r.getAs[Int]("rerank"),
-        r.getAs[Double]("recall_at_k")))
+      val df = spark.read.parquet(p)
+      val r = df.head()
+      val kRrf =
+        if (df.columns.contains("k_rrf") && !r.isNullAt(r.fieldIndex("k_rrf")))
+          Some(r.getAs[Int]("k_rrf"))
+        else None
+      Some(Dials(r.getAs[Int]("nprobe"), r.getAs[Int]("rerank"),
+        r.getAs[Double]("recall_at_k"), kRrf))
     }
   }
 
@@ -278,7 +300,11 @@ object IndexMaintenance {
             // it (QueryServe.start) — nothing attained the SLA → no
             // table, and the server falls back to its defaults
             rec.foreach { case (p2, s2, r2) =>
-              writeDials(spark, indexDir, p2, s2, r2) }
+              // the sparse half's dial rides along verbatim (round 13):
+              // the sweep recommends the dense geometry; kRrf is the
+              // SLA author's fusion policy, persisted with it so the
+              // server resolves BOTH halves from one _dials row
+              writeDials(spark, indexDir, p2, s2, r2, sla.kRrf) }
           }
         case _ => ()
       }
@@ -606,10 +632,19 @@ object IndexMaintenance {
     // index-sized read a reindex would make postings-sized. That is a
     // health signal, not a latent surprise: the cycle measures it and
     // the same reindex that repairs coverage rewrites tf bucketed.
+    // MIXED layouts count too (round 13, the r12 ADVICE hole): a
+    // pre-bucket store that received bucketed door commits holds both —
+    // its old slices read `tb = null` under the merged schema, so the
+    // probe is a null count over the merged read (one tf scan, the same
+    // cost class as the coverage anti-joins above), not a whole-table
+    // schema guess that a single new slice could flip to "bucketed".
     val tfDir = s"$corpusDir/tf"
-    val tfUnbucketed = fs(spark, tfDir).exists(new Path(tfDir)) &&
-      !spark.read.option("basePath", tfDir).parquet(tfDir)
-        .columns.contains("tb")
+    val tfUnbucketed = fs(spark, tfDir).exists(new Path(tfDir)) && {
+      val tf = spark.read.option("basePath", tfDir)
+        .option("mergeSchema", "true").parquet(tfDir)
+      !tf.columns.contains("tb") ||
+        tf.filter(col("tb").isNull).count() > 0L
+    }
     val decision =
       if (fpsMissing > 0L || shMissing > 0L ||
         tfMissing > 0L || dlMissing > 0L || tfUnbucketed) "reindex"

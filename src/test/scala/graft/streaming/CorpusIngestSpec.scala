@@ -132,6 +132,20 @@ class CorpusIngestSpec extends SparkTestBase {
       !r5.getAs[Boolean]("tf_unbucketed"))
     assert(spark.read.option("basePath", tfDir).parquet(tfDir)
       .columns.contains("tb"), "reindex must rewrite tf bucketed")
+    // MIXED layout (round 13, r12 ADVICE): an un-bucketed slice beside
+    // bucketed ones — the old whole-table schema probe read "bucketed"
+    // and never triggered the repair; the merged-schema null count
+    // catches it, and the same reindex unifies the layout
+    val oldSlice = spark.read.option("basePath", tfDir).parquet(tfDir)
+      .drop("batch").drop("tb").limit(1).localCheckpoint()
+    oldSlice.write.parquet(s"$tfDir/batch=7")
+    val r6 = IndexMaintenance.maintainCorpus(spark, corpusDir).head()
+    assert(r6.getAs[Boolean]("tf_unbucketed") &&
+      r6.getAs[String]("decision") == "reindex",
+      "a mixed-layout tf store must still read as un-bucketed")
+    val r7 = IndexMaintenance.maintainCorpus(spark, corpusDir).head()
+    assert(r7.getAs[String]("decision") == "noop" &&
+      !r7.getAs[Boolean]("tf_unbucketed"))
   }
 
   test("within-batch near-duplicates collapse to the smaller doc id") {

@@ -538,7 +538,7 @@ class IndexMaintenanceSpec extends SparkTestBase {
     // round 12 (r11 verdict #2): the recommendation is PERSISTED beside
     // the IVF index where the serving tier (QueryServe.start) reads it
     assert(IndexMaintenance.readDials(spark, vecDir)
-      == Some((recN, recS, recR)),
+      == Some(IndexMaintenance.Dials(recN, recS, recR)),
       "_dials must hold the report's recommendation after the retrain")
     // the PQ store was retrained and re-pinned along the way: clean now
     assert(IndexMaintenance.maintainPq(spark, pqDir,

@@ -193,12 +193,23 @@ class QueryServeSpec extends SparkTestBase {
     assert(r.getAs[Long]("results_high_water") == 1L &&
       r.getAs[Int]("results_slices") == 2 &&
       !r.getAs[Boolean]("results_consolidated"))
+    // round 13 footprint fields: the corpus tf slice count the serve
+    // path reasons about, and the delivery log's retained rows +
+    // req_batch resume window
+    assert(r.getAs[Int]("tf_slices") >= 1)
+    assert(r.getAs[Long]("results_retained_rows") ==
+      QueryServe.results(spark, resultsDir).count())
+    assert(r.getAs[Long]("results_req_batch_min") == 0L &&
+      r.getAs[Long]("results_req_batch_max") == 1L)
     // after a maintenance fold the footprint reads consolidated
     QueryServe.maintainResults(spark, resultsDir, retainLast = 2)
     val r2 = ServingStatus.report(spark, s"$root/corpus", s"$root/ivf",
       s"$root/pq", resultsDir).head()
     assert(r2.getAs[Int]("results_slices") == 0 &&
       r2.getAs[Boolean]("results_consolidated"))
+    assert(r2.getAs[Long]("results_retained_rows") > 0L &&
+      r2.getAs[Long]("results_req_batch_max") == 1L,
+      "the fold must not change the retained req_batch window")
     // a deletion shows up as a live tombstone slice until purged
     import graft.similarity.IndexStore
     IndexStore.delete(spark, s"$root/ivf", Seq(9999L).toDF("vec_id"))
@@ -209,37 +220,145 @@ class QueryServeSpec extends SparkTestBase {
   }
 
   test("dial precedence: explicit args beat the persisted _dials, which beat the defaults") {
-    def servedDials(rd: String): (Int, Int) = {
-      val r = QueryServe.results(spark, rd).select("nprobe", "rerank")
+    def servedDials(rd: String): (Int, Int, Int) = {
+      val r = QueryServe.results(spark, rd)
+        .select("nprobe", "rerank", "k_rrf")
         .distinct().collect()
-      assert(r.length == 1, s"expected one dial pair, got ${r.length}")
-      (r(0).getInt(0), r(0).getInt(1))
+      assert(r.length == 1, s"expected one dial tuple, got ${r.length}")
+      (r(0).getInt(0), r(0).getInt(1), r(0).getInt(2))
     }
     val oneReq = requests.filter(col("query_id") === 900L)
-    // no _dials table: the (4, 50) defaults
+    // no _dials table: the (4, 50, 60) defaults
     val rd1 = Files.createTempDirectory("graft_qserve_d1").toString
     new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
       s"$root/pq", rd1).serveBatch(oneReq, 0L)
-    assert(servedDials(rd1) == (4, 50))
+    assert(servedDials(rd1) == (4, 50, 60))
     // a maintenance recommendation persisted beside the IVF index is
-    // read at server construction (= stream start)
+    // read at server construction (= stream start); one WITHOUT a kRrf
+    // (a dense-only SLA, or a pre-round-13 table) leaves the fusion
+    // default standing
     IndexMaintenance.writeDials(spark, s"$root/ivf", 6, 80, 0.93)
     try {
       val rd2 = Files.createTempDirectory("graft_qserve_d2").toString
       new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
         s"$root/pq", rd2).serveBatch(oneReq, 0L)
-      assert(servedDials(rd2) == (6, 80))
+      assert(servedDials(rd2) == (6, 80, 60))
+      // a recommendation carrying the sparse half's dial serves it
+      // (round 13: the _dials row resolves BOTH halves)
+      IndexMaintenance.writeDials(spark, s"$root/ivf", 6, 80, 0.93,
+        kRrf = Some(30))
+      val rd2b = Files.createTempDirectory("graft_qserve_d2b").toString
+      new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
+        s"$root/pq", rd2b).serveBatch(oneReq, 0L)
+      assert(servedDials(rd2b) == (6, 80, 30))
       // explicit args always win
       val rd3 = Files.createTempDirectory("graft_qserve_d3").toString
       new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
-        s"$root/pq", rd3, nprobe = Some(2), rerank = Some(10))
+        s"$root/pq", rd3, nprobe = Some(2), rerank = Some(10),
+        kRrf = Some(90))
         .serveBatch(oneReq, 0L)
-      assert(servedDials(rd3) == (2, 10))
+      assert(servedDials(rd3) == (2, 10, 90))
     } finally {
       // the suite's other servers must keep resolving the defaults
       val p = new org.apache.hadoop.fs.Path(s"$root/ivf/_dials")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
+  }
+
+  test("an over-cap request batch serves CHUNKED — degraded, not dead — byte-identical to the direct serve") {
+    // round 13, r11 verdict #1 (top item): a request file past the
+    // broadcast cap used to detonate the guard inside serveBatch and
+    // crash-loop the stream on the same poison batch at every restart;
+    // the server now degrades to the auto-chunked executor
+    val rdA = Files.createTempDirectory("graft_qserve_ckA").toString
+    val rdB = Files.createTempDirectory("graft_qserve_ckB").toString
+    new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
+      s"$root/pq", rdA).serveBatch(requests, 0L)
+    val want = QueryServe.results(spark, rdA).drop("batch")
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("graft.similarity.maxBroadcastQueries", "2")
+    try {
+      // 6 requests > cap 2: the direct library call refuses loudly...
+      intercept[Throwable] {
+        Retrieval.hybridTopKFromStoresExternal(spark, s"$root/corpus",
+          s"$root/ivf", s"$root/pq", requests).collect()
+      }
+      // ...but the SERVER chunks and the slice is byte-identical
+      val server = new QueryServe.Server(spark, s"$root/corpus",
+        s"$root/ivf", s"$root/pq", rdB)
+      server.serveBatch(requests, 0L)
+      assert(QueryServe.results(spark, rdB).drop("batch")
+        .collect().map(_.toSeq).toSet == want)
+      // replay idempotence survives the chunked path
+      server.serveBatch(requests, 0L)
+      assert(QueryServe.results(spark, rdB).drop("batch")
+        .collect().map(_.toSeq).toSet == want)
+    } finally spark.conf.unset("graft.similarity.maxBroadcastQueries")
+  }
+
+  test("maintenance refuses to fold a slice the stream never committed") {
+    // round 13, r12 ADVICE (medium): crash AFTER the slice write but
+    // BEFORE the marker publish, then a compaction — folding the orphan
+    // would duplicate its rows against the replay's rewrite
+    val rd = Files.createTempDirectory("graft_qserve_orph").toString
+    val server = new QueryServe.Server(spark, s"$root/corpus",
+      s"$root/ivf", s"$root/pq", rd)
+    server.serveBatch(requests.filter(col("query_id") < 903L), 0L)
+    server.serveBatch(requests.filter(col("query_id") >= 903L), 1L)
+    // simulate the crash window: a written-but-unpublished batch=2
+    val orphan = spark.read.parquet(s"$rd/served/batch=1")
+    orphan.write.parquet(s"$rd/served/batch=2")
+    assert(BatchMarker.maxCommitted(spark, rd) == 1L)
+    val e1 = intercept[IllegalArgumentException](QueryServe.compact(spark, rd))
+    assert(e1.getMessage.contains("high-water"))
+    val e2 = intercept[IllegalArgumentException](
+      QueryServe.maintainResults(spark, rd, retainLast = 10))
+    assert(e2.getMessage.contains("high-water"))
+    // the stream's own replay rewrites AND COMMITS the batch; then
+    // maintenance folds normally with no duplication
+    server.serveBatch(requests.filter(col("query_id") >= 903L), 2L)
+    val before = served(rd)
+    QueryServe.compact(spark, rd)
+    assert(served(rd) == before)
+    val dup = QueryServe.results(spark, rd)
+      .groupBy("query_id", "doc_id", "req_batch").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0L, "the fold duplicated served rows")
+  }
+
+  test("serve modes: dense-only and sparse-only off the same stores, one result schema") {
+    // round 13, r12 verdict #4 — rrfFuseAll's serving consumers
+    val rdD = Files.createTempDirectory("graft_qserve_md").toString
+    val rdS = Files.createTempDirectory("graft_qserve_ms").toString
+    new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
+      s"$root/pq", rdD, lists = Seq("dense")).serveBatch(requests, 0L)
+    new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
+      s"$root/pq", rdS, lists = Seq("sparse")).serveBatch(requests, 0L)
+    val d = QueryServe.results(spark, rdD)
+    val s = QueryServe.results(spark, rdS)
+    // provenance names the list set; the absent list's rank is null
+    assert(d.select("fused_lists").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("dense"))
+    assert(s.select("fused_lists").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("sparse"))
+    assert(d.filter(col("sparse_rank").isNotNull).count() == 0L &&
+      d.filter(col("n_lists") =!= 1).count() == 0L)
+    assert(s.filter(col("dense_rank").isNotNull).count() == 0L)
+    // a single list's RRF transform is monotone: the served ranks ARE
+    // the retriever's ranks
+    assert(d.filter(col("rank") =!= col("dense_rank")).count() == 0L)
+    assert(s.filter(col("rank") =!= col("sparse_rank")).count() == 0L)
+    // and each mode equals the library's direct single-list serve
+    val dWant = Retrieval.hybridTopKFromStoresExternal(spark,
+      s"$root/corpus", s"$root/ivf", s"$root/pq", requests,
+      lists = Seq("dense")).collect().map(_.toSeq).toSet
+    assert(d.select("query_id", "rank", "doc_id", "rrf", "dense_rank",
+      "sparse_rank", "n_lists").collect().map(_.toSeq).toSet == dWant)
+    val sWant = Retrieval.hybridTopKFromStoresExternal(spark,
+      s"$root/corpus", s"$root/ivf", s"$root/pq", requests,
+      lists = Seq("sparse")).collect().map(_.toSeq).toSet
+    assert(s.select("query_id", "rank", "doc_id", "rrf", "dense_rank",
+      "sparse_rank", "n_lists").collect().map(_.toSeq).toSet == sWant)
   }
 
   test("replay rewrites its own slice byte-identically; high-water refuses a fresh stream") {

@@ -199,38 +199,44 @@ class RetrievalSpec extends SparkTestBase {
     oldTf.write.parquet(s"$dir/tf/batch=-1")
     assert(Retrieval.bm25QueryTopKFromStore(spark, dir, queries)
       .collect().toSeq == want)
+    // MIXED layout (round 13, the r12 ADVICE hole): the old-layout
+    // store then receives a BUCKETED commit — one directory, both
+    // layouts. Under the merged schema the old slices read tb = null,
+    // and a bare IN would silently drop every one of their postings;
+    // the null-safe predicate must keep them, so the store still
+    // matches the from-scratch scorer over the union corpus.
+    val extra = Seq((200L, "z y z extra")).toDF("doc_id", "text")
+    val (tfNew, dlNew) = Retrieval.indexRows(extra)
+    tfNew.write.parquet(s"$dir/tf/batch=0")
+    dlNew.write.parquet(s"$dir/dl/batch=0")
+    val mixedWant = Retrieval.bm25QueryTopK(wide.unionByName(extra), queries)
+      .collect().toSeq
+    assert(Retrieval.bm25QueryTopKFromStore(spark, dir, queries)
+      .collect().toSeq == mixedWant,
+      "a mixed-layout tf store dropped old-slice postings under pruning")
   }
 
-  test("the sparse query broadcast is capped like the dense one, and chunked execution equals the direct call") {
-    // round 12: the one query-shaped broadcast that was still uncapped
+  test("the sparse query broadcast is capped like the dense one, in QUERY-row units, and the auto-chunker clears it") {
+    // round 12: the one query-shaped broadcast that was still uncapped.
+    // Round 13 (r12 ADVICE): the guard prices QUERY rows — the same
+    // unit every other consumer of the conf uses — so a batch the
+    // auto-chunker sized to the cap clears this guard by construction,
+    // with no capOverride arithmetic.
     val queries = Seq((0, "x y"), (1, "z"), (2, "x z"), (3, "y"))
       .toDF("query_id", "query_text")
     val want = Retrieval.bm25QueryTopK(docs, queries)
       .collect().map(_.toSeq).toSet
-    // cap = the biggest chunk's EXPLODED row count under the hash split
-    // (the guard prices exploded (query, term) rows): every chunk fits
-    // while the unchunked 6-row batch does not — the ChunkedQuerySpec
-    // sizing discipline
-    import org.apache.spark.sql.functions.{explode, array_distinct, pmod, xxhash64, lit}
-    val maxChunk = queries.select(
-        pmod(xxhash64(col("query_id")), lit(4)).as("c"),
-        explode(array_distinct(TextAnalysis.tokens(col("query_text")))).as("t"))
-      .groupBy("c").count().agg(org.apache.spark.sql.functions.max("count"))
-      .head().getLong(0)
-    val total = queries.select(
-        explode(array_distinct(TextAnalysis.tokens(col("query_text")))))
-      .count()
-    assert(maxChunk < total, "fixture sanity: the split must actually split")
-    spark.conf.set("graft.similarity.maxBroadcastQueries", maxChunk.toString)
+    spark.conf.set("graft.similarity.maxBroadcastQueries", "1")
     try {
       val e = intercept[Exception] {
         Retrieval.bm25QueryTopK(docs, queries).collect()
       }
       assert(e.getMessage.contains("maxBroadcastQueries"),
         s"expected the loud cap refusal, got: ${e.getMessage}")
-      // the prescribed executor clears the cap and equals the direct call
-      val chunked = graft.similarity.Similarity.chunkedByQueryFrame(
-        queries, nChunks = 4, idCol = "query_id")(c =>
+      // the prescribed executor sizes itself off the SAME conf the
+      // guard reads, so each chunk holds <= 1 query and clears the cap
+      val chunked = graft.similarity.Similarity.chunkedByQueryFrameAuto(
+        queries, idCol = "query_id")(c =>
         Retrieval.bm25QueryTopK(docs, c))
         .collect().map(_.toSeq).toSet
       assert(chunked == want)
