@@ -624,8 +624,20 @@ object Bench {
           System.gc()
           try {
             val iso = run()
+            // the isolated sample is only trusted on the FAST side when
+            // it lands at prior's scale: isolation drops the session's
+            // shared caches first, so an entry whose plan legitimately
+            // amortizes a family-wide build across the suite can read
+            // FAR ABOVE prior in isolation (round 13: d10a in-suite
+            // 0.23 s, isolated 13.4 s vs prior 0.48 — the isolated run
+            // paid the whole manifest build). Recording that would
+            // manufacture the very phantom swing the instrument exists
+            // to remove, so a blown-up isolated reading keeps the
+            // in-suite value instead.
             val recorded =
-              if (first < prior(name) / 2) iso else math.min(first, iso)
+              if (first < prior(name) / 2)
+                (if (iso <= 2 * prior(name)) iso else first)
+              else math.min(first, iso)
             System.err.println(f"[bench] placement $name " +
               f"insuite=$first%.2f s isolated=$iso%.2f s " +
               f"prior=${prior(name)}%.2f s recorded=$recorded%.2f s")

@@ -151,6 +151,9 @@ object SparkEntry {
     "t51_bm25_store_multiterm" -> (TrainingData.t51Bm25StoreMultiTerm _),
     "t52_hybrid_rrf" -> (TrainingData.t52HybridRrf _),
     "t54_sparse_serve" -> (TrainingData.t54SparseServe _),
+    "t55_prf_expansion" -> (TrainingData.t55PrfExpansion _),
+    "t56_prf_store" -> (TrainingData.t56PrfStore _),
+    "t57_rank_eval" -> (TrainingData.t57RankEval _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
     "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
@@ -534,6 +537,80 @@ object SparkEntry {
         |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM agg)
         |SELECT query_id, rank, doc_id, ROUND(score, 4) AS bm25, n_terms_hit
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** t55/t56: the two-pass PRF pipeline replayed by DuckDB — stage-1
+    * scoring is the t49 arithmetic verbatim; the feedback shortlist,
+    * expansion-term weights (within-document rate folded in
+    * feedback-rank order), and the union-set requery all mirror the
+    * Spark plan's fixed-association folds token for token. Slots
+    * number the terms AFTER the df join (both engines), so the fold
+    * order is over scored terms only. */
+  private val prfOracle: String =
+    """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |top9 AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+        |         FROM df ORDER BY df DESC, term LIMIT 9),
+        |qs0 AS (SELECT CAST(floor((rn - 1) / 3) AS INT) AS query_id, term
+        |        FROM top9),
+        |dl AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |qs1 AS (SELECT query_id, qs0.term, f.df,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qs0.term)
+        |      AS INT) AS slot
+        |  FROM qs0 JOIN df f ON qs0.term = f.term),
+        |s1 AS (SELECT q.query_id, q.slot, t.doc_id,
+        |    ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+        |      * (t.tf * CAST(1.2 + 1 AS DOUBLE)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+        |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
+        |  FROM tf t JOIN qs1 q ON t.term = q.term JOIN dl d USING (doc_id)
+        |  CROSS JOIN st),
+        |agg1 AS (SELECT query_id, doc_id,
+        |    list_aggregate(list(score ORDER BY slot), 'sum') AS score
+        |  FROM s1 GROUP BY 1, 2),
+        |fb0 AS (SELECT query_id, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM agg1),
+        |fb AS (SELECT query_id, doc_id, rank FROM fb0 WHERE rank <= 3),
+        |wgt AS (SELECT f.query_id, t.term,
+        |    list_aggregate(list(CAST(t.tf AS DOUBLE) / d.dl ORDER BY f.rank),
+        |      'sum') AS w
+        |  FROM fb f JOIN tf t ON t.doc_id = f.doc_id
+        |  JOIN dl d ON d.doc_id = f.doc_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM qs0 q
+        |    WHERE q.query_id = f.query_id AND q.term = t.term)
+        |  GROUP BY 1, 2),
+        |exp0 AS (SELECT query_id, term,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY w DESC, term)
+        |      AS erank FROM wgt),
+        |expt AS (SELECT query_id, term FROM exp0 WHERE erank <= 2),
+        |allt AS (SELECT query_id, term FROM qs0
+        |         UNION SELECT query_id, term FROM expt),
+        |qs2 AS (SELECT query_id, allt.term, f.df,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY allt.term)
+        |      AS INT) AS slot
+        |  FROM allt JOIN df f ON allt.term = f.term),
+        |s2 AS (SELECT q.query_id, q.slot, t.doc_id,
+        |    ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+        |      * (t.tf * CAST(1.2 + 1 AS DOUBLE)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+        |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
+        |  FROM tf t JOIN qs2 q ON t.term = q.term JOIN dl d USING (doc_id)
+        |  CROSS JOIN st),
+        |agg2 AS (SELECT query_id, doc_id,
+        |    list_aggregate(list(score ORDER BY slot), 'sum') AS score,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        |  FROM s2 GROUP BY 1, 2),
+        |r2 AS (SELECT query_id, doc_id, score, n_terms_hit,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM agg2)
+        |SELECT query_id, rank, doc_id, ROUND(score, 4) AS bm25, n_terms_hit
+        |FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** t52: the whole hybrid composition replayed by DuckDB — the dense
     * side is the SQL-expressible exact-cosine top-10 (the s02 oracle
@@ -2908,6 +2985,76 @@ object SparkEntry {
     "t50_bm25_store_topk" -> bm25TopkOracle,
     "t51_bm25_store_multiterm" -> bm25MultiOracle,
     "t52_hybrid_rrf" -> rrfOracle,
+    // t55/t56: the PRF pipeline, shared text for scratch + store (the
+    // t50/t51 discipline)
+    "t55_prf_expansion" -> prfOracle,
+    "t56_prf_store" -> prfOracle,
+    // t57: the t49 run evaluated against term-containment judgments —
+    // both DCG folds in explicit rank order, linear integer gains, one
+    // double division per discount (the bm25 determinism discipline)
+    "t57_rank_eval" ->
+      ("""WITH toks AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |top9 AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+         |         FROM df ORDER BY df DESC, term LIMIT 9),
+         |qs0 AS (SELECT CAST(floor((rn - 1) / 3) AS INT) AS query_id, term
+         |        FROM top9),
+         |qs AS (SELECT query_id, qs0.term, f.df,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qs0.term)
+         |      AS INT) AS slot
+         |  FROM qs0 JOIN df f ON qs0.term = f.term),
+         |dl AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS dl
+         |  FROM documents),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+         |s AS (SELECT q.query_id, q.slot, t.doc_id,
+         |    ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+         |      * (t.tf * CAST(1.2 + 1 AS DOUBLE)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+         |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
+         |  FROM tf t JOIN qs q ON t.term = q.term JOIN dl d USING (doc_id)
+         |  CROSS JOIN st),
+         |agg AS (SELECT query_id, doc_id,
+         |    list_aggregate(list(score ORDER BY slot), 'sum') AS score
+         |  FROM s GROUP BY 1, 2),
+         |rr AS (SELECT query_id, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM agg),
+         |run AS (SELECT query_id, doc_id, rank FROM rr WHERE rank <= 10),
+         |qrels AS (SELECT q.query_id, t.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS grade
+         |  FROM qs0 q JOIN tf t ON t.term = q.term GROUP BY 1, 2),
+         |hit AS (SELECT r.query_id, r.rank, COALESCE(l.grade, 0) AS grade
+         |  FROM run r LEFT JOIN qrels l
+         |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id),
+         |d AS (SELECT query_id,
+         |    list_aggregate(list(CAST(grade AS DOUBLE)
+         |      / log2(rank + CAST(1 AS DOUBLE)) ORDER BY rank), 'sum') AS dcg,
+         |    MIN(CASE WHEN grade > 0 THEN rank END) AS first_rel,
+         |    CAST(SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS rel_in_k
+         |  FROM hit GROUP BY 1),
+         |ideal0 AS (SELECT query_id, grade,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY grade DESC, doc_id) AS irank FROM qrels),
+         |i AS (SELECT query_id,
+         |    list_aggregate(list(CAST(grade AS DOUBLE)
+         |      / log2(irank + CAST(1 AS DOUBLE)) ORDER BY irank), 'sum') AS idcg
+         |  FROM ideal0 WHERE irank <= 10 GROUP BY 1),
+         |nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |       FROM qrels GROUP BY 1)
+         |SELECT CAST(d.query_id AS BIGINT) AS query_id,
+         |  ROUND(d.dcg / i.idcg, 6) AS ndcg_at_k,
+         |  ROUND(COALESCE(CAST(1 AS DOUBLE) / d.first_rel,
+         |    CAST(0 AS DOUBLE)), 6) AS mrr,
+         |  ROUND(CAST(d.rel_in_k AS DOUBLE) / nr.n_rel, 6) AS recall_at_k,
+         |  COALESCE(nr.n_rel, 0) AS n_rel
+         |FROM d LEFT JOIN i USING (query_id) LEFT JOIN nr USING (query_id)
+         |ORDER BY query_id""".stripMargin),
     // t54 (round 13): the sparse-only serve MODE — the t49/t51 shortlist
     // reshaped by the monotone RRF transform into the unified serving
     // schema; rank is preserved exactly (1/(60+r) is strictly

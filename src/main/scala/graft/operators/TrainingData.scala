@@ -1695,6 +1695,50 @@ object TrainingData {
     graft.text.Retrieval.rrfFuse(dense, sparse, k = 10)
   }
 
+  /** t55 (round 13): BM25 with pseudo-relevance-feedback query
+    * expansion — each probe query's top-3 documents nominate expansion
+    * terms (within-document rate, the query's own terms excluded, top
+    * 2 per query), and the union term set re-scores through the same
+    * Okapi arithmetic ([[graft.text.Retrieval.bm25PrfTopK]]). Every
+    * step is exact integer/double arithmetic, so DuckDB replays the
+    * whole two-pass pipeline. */
+  def t55PrfExpansion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    graft.text.Retrieval.bm25PrfTopK(docs,
+      graft.text.Retrieval.probeQueries(docs))
+  }
+
+  /** t55 through the persisted index (the t50/t51 discipline: same
+    * oracle text, so stored-vs-scratch divergence is structurally
+    * impossible); the two scoring passes prune to their term sets'
+    * buckets. */
+  def t56PrfStore(spark: SparkSession, dir: String): DataFrame =
+    overBm25Store(spark, dir)(store =>
+      graft.text.Retrieval.bm25PrfTopKFromStore(spark, store,
+        graft.text.Retrieval.probeQueriesFromStore(spark, store)))
+
+  /** t57 (round 13): ranked-list evaluation
+    * ([[graft.text.Retrieval.rankEval]]) — nDCG@10 / MRR / Recall@10 of
+    * the t49 BM25 run against graded judgments derived from the corpus
+    * itself (grade = how many of the query's terms the document
+    * contains — deterministic on any regenerated corpus, exactly
+    * recomputable in SQL). The offline eval a retrieval deployment
+    * runs on every index or dial change. */
+  def t57RankEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Retrieval, TextAnalysis}
+    val docs = Tables(spark, dir, "documents")
+    val queries = Retrieval.probeQueries(docs)
+    val run = Retrieval.bm25QueryTopK(docs, queries)
+      .select("query_id", "rank", "doc_id")
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("query_text"))))
+        .as("term"))
+    val (tf, _) = Retrieval.indexRows(docs)
+    val qrels = qterms.join(tf, "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("grade"))
+    Retrieval.rankEval(run, qrels, k = 10)
+  }
+
   /** t54 (round 13, r12 verdict #4): the SPARSE-ONLY serve mode — the
     * same [[graft.text.Retrieval.hybridTopKFromStoresExternal]] entry
     * the server runs, with `lists = Seq("sparse")`: only the BM25

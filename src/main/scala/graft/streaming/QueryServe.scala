@@ -176,22 +176,44 @@ object QueryServe {
     * `nprobe`/`rerank`/`kRrf` omitted → the `_dials` recommendation
     * beside the IVF index (when the maintenance loop has persisted
     * one), else the (4, 50, 60) defaults. `lists` picks the serve mode
-    * (hybrid / dense-only / sparse-only — see [[Server]]). */
+    * (hybrid / dense-only / sparse-only — see [[Server]]).
+    *
+    * `maxFilesPerTrigger` (round 13) bounds how many request FILES one
+    * trigger folds into a batch — the admission control in front of
+    * the chunked executor: the chunker bounds a single batch's
+    * broadcast memory by time-slicing it, but a cold start over a
+    * backlog of thousands of dropped files would still build one giant
+    * batch whose every chunk pass replays at a crash; a file bound
+    * turns the backlog into normal-sized, individually-committed
+    * batches instead. None = Spark's default (all available files). */
   def start(spark: SparkSession, dropDir: String, corpusDir: String,
       ivfDir: String, pqDir: String, resultsDir: String,
       checkpointDir: String, k: Int = 10, nprobe: Option[Int] = None,
       rerank: Option[Int] = None, kRrf: Option[Int] = None,
-      lists: Seq[String] = Seq("dense", "sparse")): StreamingQuery = {
+      lists: Seq[String] = Seq("dense", "sparse"),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val server = new Server(spark, corpusDir, ivfDir, pqDir, resultsDir,
       k, nprobe, rerank, kRrf, lists)
-    spark.readStream
+    val reader = spark.readStream
       .schema(graft.etl.Schemas.queryRequests)
-      .parquet(dropDir)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(dropDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) => server.serveBatch(b, id))
       .start()
   }
+
+  /** The consumer's RESUME read (round 13): all served rows with
+    * `req_batch > sinceReqBatch` — the watermark a downstream consumer
+    * persists is the max `req_batch` it has processed, because unlike
+    * the `batch` partition column it survives compaction and retention
+    * folds. Reading an untouched store returns the empty typed frame,
+    * like [[results]]. */
+  def resultsSince(spark: SparkSession, resultsDir: String,
+      sinceReqBatch: Long): DataFrame =
+    results(spark, resultsDir).filter(col("req_batch") > sinceReqBatch)
 
   /** All served results, `batch` partition column included. A store
     * where no non-empty batch has committed yet — `served/` missing

@@ -470,6 +470,205 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** Score a resolved per-query TERM SET (round 13) — the shared core
+    * of the second PRF pass: `qterms0` carries `(query_id, term)` with
+    * every term present in the corpus df (absent terms must be dropped
+    * by the caller — slots number the SCORED terms, mirroring the
+    * DuckDB oracle's slot-after-df-join shape); slots assign by term
+    * ASC within the query, the per-document sum folds in slot order
+    * (fixed association, the t49 discipline), and the per-query top-k
+    * is the two-phase [[saltedTopK]]. */
+  private def termSetTopKOver(
+      frames: (DataFrame, DataFrame, DataFrame, DataFrame),
+      qterms0: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    val (tf, df, dl, stats) = frames
+    val wSlot = Window.partitionBy("query_id").orderBy("term")
+    val qterms = qterms0.join(df, "term")
+      .withColumn("slot", row_number().over(wSlot))
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", okapiScore(k1, b))
+    val combined = scored
+      .groupBy("query_id", "doc_id")
+      .agg(collect_list(struct(col("slot"), col("score"))).as("scs"),
+        count(lit(1)).as("n_terms_hit"))
+      .withColumn("score", aggregate(array_sort(col("scs")), lit(0.0d),
+        (acc, x) => acc + x.getField("score")))
+    saltedTopK(combined, "query_id", k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("bm25"), col("n_terms_hit"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** BM25 retrieval with PSEUDO-RELEVANCE-FEEDBACK query expansion
+    * (round 13) — the classic second-pass recall lever of a lexical
+    * retrieval stack (Rocchio 1971; the relevance-model family of
+    * Lavrenko & Croft 2001, here with uniform feedback-document weights
+    * and union-at-equal-boost requery — the Lucene `BooleanQuery`
+    * expansion shape — so every step stays exact integer/double
+    * arithmetic a SQL oracle replays bit-for-bit):
+    *
+    *  1. score the original queries ([[bm25QueryTopK]]'s plan) and take
+    *     each query's top `fbDocs` documents as pseudo-relevant;
+    *  2. weight every term of those documents by
+    *     `Σ_d tf(term, d) / dl(d)` (its average within-document rate,
+    *     folded in feedback-rank order — fixed association), drop the
+    *     query's own terms, keep the top `fbTerms` per query
+    *     (weight DESC, term ASC);
+    *  3. re-score with the UNION term set through the same Okapi
+    *     arithmetic and per-query top-k.
+    *
+    * Scale shape: stage 1 is the standard broadcast-query scoring pass;
+    * stage 2 joins the request-sized feedback shortlist (q·fbDocs rows,
+    * broadcast) onto tf — ONE postings scan filtered map-side, no
+    * shuffle on the corpus side, then a per-(query, term) aggregate
+    * over feedback-doc terms only; stage 3 is another scoring pass over
+    * q·(|query|+fbTerms) terms. Cost: two postings passes + one scan,
+    * all request-bounded joins. (A term-bucketed index cannot seek by
+    * doc_id — stage 2's scan is the price of the layout; a deployment
+    * doing heavy PRF would add a doc-keyed forward index, noted as
+    * future work.) */
+  def bm25PrfTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      fbDocs: Int = 3, fbTerms: Int = 2, k1: Double = 1.2,
+      b: Double = 0.75, textCol: String = "text",
+      queryCol: String = "query_text"): DataFrame =
+    prfTopKOver(corpusFrames(docs, textCol), queries, k, fbDocs, fbTerms,
+      k1, b, queryCol)
+
+  /** [[bm25PrfTopK]] over the persisted index: stage 1 and stage 3
+    * prune the scoring scans to their term sets' buckets
+    * ([[prunedTf]]); stage 2's feedback-document term fetch reads the
+    * unpruned tf (doc-keyed access over a term-bucketed layout — see
+    * [[bm25PrfTopK]]'s scale note). */
+  def bm25PrfTopKFromStore(spark: SparkSession, corpusDir: String,
+      queries: DataFrame, k: Int = 10, fbDocs: Int = 3, fbTerms: Int = 2,
+      k1: Double = 1.2, b: Double = 0.75,
+      queryCol: String = "query_text"): DataFrame =
+    prfTopKOver(storedFrames(spark, corpusDir), queries, k, fbDocs,
+      fbTerms, k1, b, queryCol)
+
+  private def prfTopKOver(
+      frames: (DataFrame, DataFrame, DataFrame, DataFrame),
+      queries: DataFrame, k: Int, fbDocs: Int, fbTerms: Int, k1: Double,
+      b: Double, queryCol: String): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 0,
+      s"need fbDocs >= 1 and fbTerms >= 0 (got $fbDocs, $fbTerms)")
+    val (tf, df, dl, stats) = frames
+    val qterms0 = guardedQueryBatch(queries.select(col("query_id"),
+        col(queryCol)))
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(queryCol))))
+          .as("term"))
+    // stage 1: base scoring pass over the original terms (pruned to
+    // their buckets on a stored index), feedback shortlist = top fbDocs
+    val wSlot = Window.partitionBy("query_id").orderBy("term")
+    val baseTerms = qterms0.join(df, "term")
+      .withColumn("slot", row_number().over(wSlot))
+    val scored = prunedTf(tf, qterms0).join(broadcast(baseTerms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", okapiScore(k1, b))
+    val combined = scored
+      .groupBy("query_id", "doc_id")
+      .agg(collect_list(struct(col("slot"), col("score"))).as("scs"))
+      .withColumn("score", aggregate(array_sort(col("scs")), lit(0.0d),
+        (acc, x) => acc + x.getField("score")))
+    val fb = saltedTopK(combined, "query_id", fbDocs)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    // stage 2: expansion-term weights over the feedback docs — the
+    // shortlist broadcasts onto tf (map-side filter, one scan), the
+    // per-(query, term) sum folds in feedback-rank order
+    val contrib = tf.join(broadcast(fb), "doc_id")
+      .join(dl, "doc_id")
+      .withColumn("c", col("tf").cast("double") / col("dl"))
+    val weights = contrib.groupBy("query_id", "term")
+      .agg(collect_list(struct(col("rank"), col("c"))).as("cs"))
+      .withColumn("w", aggregate(array_sort(col("cs")), lit(0.0d),
+        (acc, x) => acc + x.getField("c")))
+      .join(qterms0, Seq("query_id", "term"), "left_anti")
+    val wExp = Window.partitionBy("query_id")
+      .orderBy(desc("w"), asc("term"))
+    val expTerms = weights
+      .withColumn("erank", row_number().over(wExp))
+      .filter(col("erank") <= fbTerms)
+      .select("query_id", "term")
+    // stage 3: requery with the union term set (original ∪ expansion —
+    // disjoint by the anti-join, distinct by construction)
+    val allTerms = qterms0.unionByName(expTerms)
+    termSetTopKOver((prunedTf(tf, allTerms), df, dl, stats), allTerms,
+      k, k1, b)
+  }
+
+  /** Ranked-list evaluation (round 13): nDCG@k, MRR and Recall@k of a
+    * retrieval RUN against graded relevance judgments — the offline
+    * eval every retrieval deployment runs on every index/dial change
+    * (Järvelin & Kekäläinen's nDCG; linear gain).
+    *
+    * `run` carries `(query_id, doc_id, rank)` (any shortlist this
+    * module or the dense side emits); `qrels` carries
+    * `(query_id, doc_id, grade)` with grade > 0 meaning relevant.
+    * Per query: `ndcg_at_k` = DCG/IDCG with the `1/log2(rank+1)`
+    * discount (IDCG over the query's own judgments, grade DESC then
+    * doc_id ASC, top k; NULL when the query has no positive judgment —
+    * reported, not silently 0, the A7/A8 distinct-semantics
+    * discipline), `mrr` = 1/first-relevant-rank (0 when none),
+    * `recall_at_k` = relevant-in-top-k / relevant (NULL when none).
+    *
+    * Scale shape: both inputs are request-sized (shortlists and
+    * judgment sets); everything here is equi-joins and per-query
+    * aggregates on query_id — no corpus pass. Cross-engine
+    * determinism: gains are exact integers, each discount is one
+    * double division, and both DCG folds run in explicit rank order
+    * (fixed association), so a DuckDB oracle replays the metrics
+    * bit-for-bit. */
+  def rankEval(run: DataFrame, qrels: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"rankEval needs k >= 1 (got $k)")
+    val r = run.select(col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("int").as("rank"))
+      .filter(col("rank") <= k)
+    val q = qrels.select(col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("grade").cast("long").as("grade"))
+      .filter(col("grade") > 0)
+    // DCG over the run: graded docs contribute grade/log2(rank+1),
+    // folded in rank order; ungraded docs contribute nothing
+    val hit = r.join(q, Seq("query_id", "doc_id"), "left")
+      .withColumn("grade", coalesce(col("grade"), lit(0L)))
+    val dcg = hit.groupBy("query_id")
+      .agg(collect_list(struct(col("rank"), col("grade"))).as("gs"),
+        min(when(col("grade") > 0, col("rank"))).as("first_rel"),
+        sum((col("grade") > 0).cast("long")).as("rel_in_k"))
+      .withColumn("dcg", aggregate(array_sort(col("gs")), lit(0.0d),
+        (acc, x) => acc + x.getField("grade").cast("double") /
+          log2(x.getField("rank") + lit(1.0d))))
+    // IDCG over the query's own judgments: ideal order = grade DESC,
+    // doc_id ASC, top k, same discount and fold
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(desc("grade"), asc("doc_id"))
+    val ideal = q.withColumn("irank", row_number().over(wIdeal))
+      .filter(col("irank") <= k)
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("irank"), col("grade"))).as("igs"),
+        count(lit(1)).as("__n_topk"))
+      .withColumn("idcg", aggregate(array_sort(col("igs")), lit(0.0d),
+        (acc, x) => acc + x.getField("grade").cast("double") /
+          log2(x.getField("irank") + lit(1.0d))))
+      .select("query_id", "idcg")
+    val nRel = q.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    dcg.join(ideal, Seq("query_id"), "left")
+      .join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg_at_k"),
+        round(coalesce(lit(1.0d) / col("first_rel"), lit(0.0d)), 6)
+          .as("mrr"),
+        round(col("rel_in_k").cast("double") / col("n_rel"), 6)
+          .as("recall_at_k"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"))
+      .orderBy("query_id")
+  }
+
   /** Reciprocal-rank fusion of a DENSE and a SPARSE shortlist — the
     * composition the two retrieval halves end in for every production
     * RAG stack (r10 verdict #2): Cormack, Clarke & Büttcher's RRF,

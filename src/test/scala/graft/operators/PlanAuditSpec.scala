@@ -266,6 +266,8 @@ class PlanAuditSpec extends SparkTestBase {
     "t43_budget_waterfill", // rank/cumsum over the per-source token AGGREGATE (≤ #sources rows — a catalog, not data)
     "t49_bm25_multiterm",  // probeQueries' rank over the LIMITed top-df fixture (≤ nQueries·termsPerQuery = 9 rows)
     "t52_hybrid_rrf",      // the same probeQueries fixture rank on the sparse half (t50/t51/t53 hide theirs behind the temp-store collect; t52 returns the live plan)
+    "t55_prf_expansion",   // the same probeQueries fixture rank (t56's store twin hides it behind the temp-store collect)
+    "t57_rank_eval",       // the same probeQueries fixture rank feeding the evaluated run
     "q58_heavy_hitters"    // rank over the TakeOrderedAndProject top-10 ⨯ 1-row sketch
   )
 

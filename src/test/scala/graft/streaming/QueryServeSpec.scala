@@ -359,6 +359,50 @@ class QueryServeSpec extends SparkTestBase {
       lists = Seq("sparse")).collect().map(_.toSeq).toSet
     assert(s.select("query_id", "rank", "doc_id", "rrf", "dense_rank",
       "sparse_rank", "n_lists").collect().map(_.toSeq).toSet == sWant)
+    // a single-list deployment needs only ITS stores: dense-only never
+    // touches the corpus store (t54 pins the mirror: sparse-only never
+    // touches the IVF/PQ stores)
+    val rdD2 = Files.createTempDirectory("graft_qserve_md2").toString
+    new QueryServe.Server(spark, s"$root/absent_corpus", s"$root/ivf",
+      s"$root/pq", rdD2, lists = Seq("dense")).serveBatch(requests, 0L)
+    assert(QueryServe.results(spark, rdD2)
+      .select("query_id", "rank", "doc_id", "rrf").collect().map(_.toSeq)
+      .toSet ==
+      d.select("query_id", "rank", "doc_id", "rrf").collect().map(_.toSeq)
+        .toSet)
+  }
+
+  test("maxFilesPerTrigger bounds the batch; resultsSince resumes on the req_batch watermark") {
+    val dropDir = Files.createTempDirectory("graft_qserve_mft").toString
+    val resultsDir = Files.createTempDirectory("graft_qserve_mftr").toString
+    val ckpt = Files.createTempDirectory("graft_qserve_mftc").toString
+    requests.filter(col("query_id") < 903L).coalesce(1)
+      .write.mode("append").parquet(dropDir)
+    requests.filter(col("query_id") >= 903L).coalesce(1)
+      .write.mode("append").parquet(dropDir)
+    // a 1-file trigger bound turns the 2-file backlog into 2 committed
+    // batches instead of one giant one (the cold-start admission
+    // control in front of the chunked executor)
+    val q = QueryServe.start(spark, dropDir, s"$root/corpus", s"$root/ivf",
+      s"$root/pq", resultsDir, ckpt, maxFilesPerTrigger = Some(1))
+    q.processAllAvailable()
+    q.stop()
+    assert(BatchMarker.maxCommitted(spark, resultsDir) >= 1L,
+      "two files under maxFilesPerTrigger=1 must commit >= 2 batches")
+    val direct = Retrieval.hybridTopKFromStoresExternal(spark,
+      s"$root/corpus", s"$root/ivf", s"$root/pq", requests)
+      .select("query_id", "rank", "doc_id", "rrf")
+      .collect().map(_.toSeq).toSet
+    assert(served(resultsDir) == direct)
+    // the consumer resume read: everything after its persisted
+    // req_batch watermark, nothing before it, and the union of the
+    // watermarked read and the consumed prefix is the whole store
+    val hw = BatchMarker.maxCommitted(spark, resultsDir)
+    val since = QueryServe.resultsSince(spark, resultsDir, hw - 1)
+    assert(since.count() > 0 &&
+      since.filter(col("req_batch") <= hw - 1).count() == 0L)
+    assert(QueryServe.resultsSince(spark, resultsDir, -1L).count() ==
+      QueryServe.results(spark, resultsDir).count())
   }
 
   test("replay rewrites its own slice byte-identically; high-water refuses a fresh stream") {

@@ -243,6 +243,59 @@ class RetrievalSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.similarity.maxBroadcastQueries")
   }
 
+  test("PRF expansion: feedback docs nominate a new term, the requery reaches docs the query never matched, store equals scratch") {
+    // round 13: query "a" matches d0/d1 only; their top terms nominate
+    // "b" (rate 2/3 from d0 beats "c" at 1/2 from d1), and the
+    // expanded query {a, b} reaches d2 ("b b b") — recall the original
+    // query structurally cannot have
+    val corpus = Seq(
+      (0L, "a b b"), (1L, "a c"), (2L, "b b b"), (3L, "c c q"))
+      .toDF("doc_id", "text")
+    val q = Seq((0, "a")).toDF("query_id", "query_text")
+    val base = Retrieval.bm25QueryTopK(corpus, q).collect()
+    assert(!base.map(_.getLong(2)).contains(2L),
+      "fixture sanity: the unexpanded query must not reach d2")
+    val prf = Retrieval.bm25PrfTopK(corpus, q, fbDocs = 2, fbTerms = 1)
+    val rows = prf.collect()
+    assert(rows.map(_.getLong(2)).contains(2L),
+      "the expanded query must reach the b-only document")
+    // d0 hits both terms of the expanded query, d2 only the expansion
+    val hits = rows.map(r => r.getLong(2) -> r.getLong(4)).toMap
+    assert(hits(0L) == 2L && hits(2L) == 1L)
+    // the query's own term is excluded from expansion: with "a" the
+    // only candidate term in d1 besides a is c — had "a" been eligible
+    // it would win on weight 1/2 + 1/3; reaching d2 proves b won
+    // fbTerms = 0 degrades to the plain multi-term scorer exactly
+    assert(Retrieval.bm25PrfTopK(corpus, q, fbDocs = 2, fbTerms = 0)
+      .collect().toSeq == Retrieval.bm25QueryTopK(corpus, q).collect().toSeq)
+    // the persisted-index twin is bit-identical (shared arithmetic)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_prf").toString
+    Retrieval.buildIndex(spark, corpus, dir)
+    assert(Retrieval.bm25PrfTopKFromStore(spark, dir, q, fbDocs = 2,
+      fbTerms = 1).collect().toSeq == rows.toSeq)
+  }
+
+  test("rankEval: hand-computed nDCG/MRR/recall; judgment-free queries report NULL, not fake zeros") {
+    val run = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3),
+      (1L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((0L, 20L, 2L), (0L, 40L, 1L))
+      .toDF("query_id", "doc_id", "grade")
+    val rows = Retrieval.rankEval(run, qrels, k = 3).collect()
+    val q0 = rows.find(_.getLong(0) == 0L).get
+    // DCG = 2/log2(3); IDCG = 2/log2(2) + 1/log2(3)
+    val dcg = 2.0 / (math.log(3) / math.log(2))
+    val idcg = 2.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(math.abs(q0.getDouble(1) - dcg / idcg) < 1e-5)
+    assert(q0.getDouble(2) == 0.5) // first relevant at rank 2
+    assert(q0.getDouble(3) == 0.5 && q0.getLong(4) == 2L) // 1 of 2 rel in k
+    // a query with no positive judgment: metrics that would divide by
+    // zero read NULL (reported, not silently 0); MRR is honestly 0
+    val q1 = rows.find(_.getLong(0) == 1L).get
+    assert(q1.isNullAt(1) && q1.getDouble(2) == 0.0 && q1.isNullAt(3) &&
+      q1.getLong(4) == 0L)
+  }
+
   test("a store without BM25 tables refuses loudly with the repair op named") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_bm25_none").toString
