@@ -154,6 +154,8 @@ object SparkEntry {
     "t55_prf_expansion" -> (TrainingData.t55PrfExpansion _),
     "t56_prf_store" -> (TrainingData.t56PrfStore _),
     "t57_rank_eval" -> (TrainingData.t57RankEval _),
+    "t58_lm_dirichlet" -> (TrainingData.t58LmDirichlet _),
+    "t59_lm_store" -> (TrainingData.t59LmStore _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
     "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
@@ -611,6 +613,50 @@ object SparkEntry {
         |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM agg2)
         |SELECT query_id, rank, doc_id, ROUND(score, 4) AS bm25, n_terms_hit
         |FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** t58/t59: the Dirichlet query-likelihood scorer — the same probe
+    * fixture and fold discipline as the BM25 oracles; `CAST(2000 AS
+    * DOUBLE)` everywhere a μ literal appears (the t48 DECIMAL gotcha). */
+  private val lmOracle: String =
+    """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |top9 AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+        |         FROM df ORDER BY df DESC, term LIMIT 9),
+        |qs0 AS (SELECT CAST(floor((rn - 1) / 3) AS INT) AS query_id, term
+        |        FROM top9),
+        |ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+        |qs AS (SELECT query_id, qs0.term, c.ctf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qs0.term)
+        |      AS INT) AS slot
+        |  FROM qs0 JOIN ctf c ON qs0.term = c.term),
+        |qn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nq
+        |       FROM qs GROUP BY 1),
+        |dl AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+        |s AS (SELECT q.query_id, q.slot, t.doc_id,
+        |    ln(1 + (t.tf * CAST(sum_dl AS DOUBLE))
+        |      / (CAST(2000 AS DOUBLE) * q.ctf)) AS c
+        |  FROM tf t JOIN qs q ON t.term = q.term CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id,
+        |    list_aggregate(list(c ORDER BY slot), 'sum') AS tsum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        |  FROM s GROUP BY 1, 2),
+        |sc AS (SELECT a.query_id, a.doc_id, a.n_terms_hit,
+        |    a.tsum + n.nq * ln(CAST(2000 AS DOUBLE)
+        |      / (d.dl + CAST(2000 AS DOUBLE))) AS score
+        |  FROM agg a JOIN dl d USING (doc_id) JOIN qn n USING (query_id)),
+        |r AS (SELECT query_id, doc_id, score, n_terms_hit,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
+        |SELECT query_id, rank, doc_id, ROUND(score, 4) AS ql, n_terms_hit
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** t52: the whole hybrid composition replayed by DuckDB — the dense
     * side is the SQL-expressible exact-cosine top-10 (the s02 oracle
@@ -2992,6 +3038,8 @@ object SparkEntry {
     // t57: the t49 run evaluated against term-containment judgments —
     // both DCG folds in explicit rank order, linear integer gains, one
     // double division per discount (the bm25 determinism discipline)
+    "t58_lm_dirichlet" -> lmOracle,
+    "t59_lm_store" -> lmOracle,
     "t57_rank_eval" ->
       ("""WITH toks AS (SELECT doc_id,
          |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term

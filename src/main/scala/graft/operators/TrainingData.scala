@@ -1739,6 +1739,23 @@ object TrainingData {
     Retrieval.rankEval(run, qrels, k = 10)
   }
 
+  /** t58 (round 13): query-likelihood retrieval with Dirichlet
+    * smoothing over the probe queries
+    * ([[graft.text.Retrieval.lmTopK]]) — the second lexical scoring
+    * family next to BM25, same fixture, same determinism discipline. */
+  def t58LmDirichlet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    graft.text.Retrieval.lmTopK(docs,
+      graft.text.Retrieval.probeQueries(docs))
+  }
+
+  /** t58 through the persisted index (shared oracle text, the t50/t51
+    * discipline); ctf amortizes in the state-keyed cache like df. */
+  def t59LmStore(spark: SparkSession, dir: String): DataFrame =
+    overBm25Store(spark, dir)(store =>
+      graft.text.Retrieval.lmTopKFromStore(spark, store,
+        graft.text.Retrieval.probeQueriesFromStore(spark, store)))
+
   /** t54 (round 13, r12 verdict #4): the SPARSE-ONLY serve mode — the
     * same [[graft.text.Retrieval.hybridTopKFromStoresExternal]] entry
     * the server runs, with `lists = Seq("sparse")`: only the BM25

@@ -600,6 +600,95 @@ object Retrieval {
       k, k1, b)
   }
 
+  /** Query-likelihood retrieval with DIRICHLET smoothing (round 13) —
+    * the second classical lexical scoring family next to Okapi BM25
+    * (Zhai & Lafferty 2001; Lucene's `LMDirichletSimilarity`
+    * parameterization, μ = 2000 default):
+    *
+    * `score(q, d) = Σ_{t ∈ q, tf > 0} ln(1 + tf·|C| / (μ·ctf_t))
+    *               + |q ∩ C| · ln(μ / (dl + μ))`
+    *
+    * — the rank-equivalent decomposition of `log p(q|d)` whose
+    * per-term sum runs over posting hits only, so candidates come off
+    * the same posting-list join BM25 uses (a document matching NO
+    * query term is excluded by convention — its score is a pure
+    * length prior, meaningless as a retrieval result, and scoring it
+    * would make every query corpus-sized). `ctf` is the collection
+    * term frequency (Σ tf per term), |C| the total token count; both
+    * derive from the same tf/dl tables, so the stored and scratch
+    * forms share arithmetic the way the BM25 twins do.
+    *
+    * Cross-engine determinism: integer tf/ctf/dl/|C|, one fixed
+    * expression per term mirrored token-for-token in the DuckDB
+    * oracle, per-document fold in slot order, the dl prior added once
+    * after the fold; ranks order on the unrounded double. */
+  def lmTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      mu: Double = 2000.0, textCol: String = "text",
+      queryCol: String = "query_text"): DataFrame = {
+    val frames = corpusFrames(docs, textCol)
+    lmTopKOver(frames, frames._1.groupBy("term")
+      .agg(sum("tf").as("ctf")), queries, k, mu, queryCol)
+  }
+
+  /** [[lmTopK]] over the persisted index: the scoring scan prunes to
+    * the query terms' buckets; ctf (like df) derives from the FULL tf
+    * and registers in the state-keyed cache so an unchanged store
+    * amortizes it across query batches. */
+  def lmTopKFromStore(spark: SparkSession, corpusDir: String,
+      queries: DataFrame, k: Int = 10, mu: Double = 2000.0,
+      queryCol: String = "query_text"): DataFrame = {
+    val frames = storedFrames(spark, corpusDir)
+    val ctf0 = frames._1.groupBy("term").agg(sum("tf").as("ctf"))
+    val cache = spark.conf
+      .get("graft.retrieval.cacheStoredFrames", "true").toBoolean
+    val ctf =
+      if (!cache) ctf0
+      else graft.Caches.persistReplacingBounded(
+        s"bm25_ctf::$corpusDir", storeState(spark, corpusDir), ctf0,
+        maxVariants = 2)
+    val qTerms = queries.select(
+      explode(array_distinct(TextAnalysis.tokens(col(queryCol)))).as("term"))
+    lmTopKOver((prunedTf(frames._1, qTerms), frames._2, frames._3,
+      frames._4), ctf, queries, k, mu, queryCol)
+  }
+
+  private def lmTopKOver(
+      frames: (DataFrame, DataFrame, DataFrame, DataFrame),
+      ctf: DataFrame, queries: DataFrame, k: Int, mu: Double,
+      queryCol: String): DataFrame = {
+    require(mu > 0, s"mu must be positive (got $mu)")
+    val (tf, _, dl, stats) = frames
+    val qterms0 = guardedQueryBatch(queries.select(col("query_id"),
+        col(queryCol)))
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(queryCol))))
+          .as("term"))
+    // collection-present query terms, slots after the presence join
+    // (the termSetTopKOver discipline); nq = their count per query
+    val wSlot = Window.partitionBy("query_id").orderBy("term")
+    val qterms = qterms0.join(ctf, "term")
+      .withColumn("slot", row_number().over(wSlot))
+    val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("nq"))
+    val scored = tf.join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", log(lit(1.0d) +
+        col("tf") * col("sum_dl").cast("double") / (lit(mu) * col("ctf"))))
+    val combined = scored
+      .groupBy("query_id", "doc_id")
+      .agg(collect_list(struct(col("slot"), col("c"))).as("cs"),
+        count(lit(1)).as("n_terms_hit"))
+      .withColumn("tsum", aggregate(array_sort(col("cs")), lit(0.0d),
+        (acc, x) => acc + x.getField("c")))
+      .join(dl, "doc_id")
+      .join(broadcast(nq), "query_id")
+      .withColumn("score", col("tsum") +
+        col("nq") * log(lit(mu) / (col("dl") + lit(mu))))
+    saltedTopK(combined, "query_id", k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("ql"), col("n_terms_hit"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Ranked-list evaluation (round 13): nDCG@k, MRR and Recall@k of a
     * retrieval RUN against graded relevance judgments — the offline
     * eval every retrieval deployment runs on every index/dial change

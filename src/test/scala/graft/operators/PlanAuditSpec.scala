@@ -268,6 +268,7 @@ class PlanAuditSpec extends SparkTestBase {
     "t52_hybrid_rrf",      // the same probeQueries fixture rank on the sparse half (t50/t51/t53 hide theirs behind the temp-store collect; t52 returns the live plan)
     "t55_prf_expansion",   // the same probeQueries fixture rank (t56's store twin hides it behind the temp-store collect)
     "t57_rank_eval",       // the same probeQueries fixture rank feeding the evaluated run
+    "t58_lm_dirichlet",    // the same probeQueries fixture rank (t59's store twin hides it behind the temp-store collect)
     "q58_heavy_hitters"    // rank over the TakeOrderedAndProject top-10 ⨯ 1-row sketch
   )
 

@@ -276,6 +276,28 @@ class RetrievalSpec extends SparkTestBase {
       fbTerms = 1).collect().toSeq == rows.toSeq)
   }
 
+  test("Dirichlet query likelihood: hand-computed score, ranking, store equals scratch") {
+    // query "z" over the suite corpus: N=4, |C|=11, ctf_z=6, mu=2000.
+    // d3 (tf 4, dl 4): ln(1 + 44/12000) + ln(2000/2004) = 0.0016620...
+    // d1/d2 (tf 1, dl 2) tie at ln(1 + 11/12000) + ln(2000/2002) < 0
+    // -> ranking d3, d1, d2 (tie to the smaller doc_id)
+    val q = Seq((0, "z")).toDF("query_id", "query_text")
+    val rows = Retrieval.lmTopK(docs, q).collect()
+    assert(rows.map(r => (r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1, 3L), (2, 1L), (3, 2L)))
+    val expect = math.log(1 + 44.0 / 12000.0) + math.log(2000.0 / 2004.0)
+    assert(math.abs(rows(0).getDouble(3) -
+      math.rint(expect * 1e4) / 1e4) < 1e-9)
+    // a doc with NO query term is not a candidate (documented convention)
+    assert(rows.length == 3)
+    // the persisted-index twin is bit-identical
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lm_store").toString
+    Retrieval.buildIndex(spark, docs, dir)
+    assert(Retrieval.lmTopKFromStore(spark, dir, q).collect().toSeq ==
+      rows.toSeq)
+  }
+
   test("rankEval: hand-computed nDCG/MRR/recall; judgment-free queries report NULL, not fake zeros") {
     val run = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3),
       (1L, 10L, 1)).toDF("query_id", "doc_id", "rank")
