@@ -156,6 +156,7 @@ object SparkEntry {
     "t57_rank_eval" -> (TrainingData.t57RankEval _),
     "t58_lm_dirichlet" -> (TrainingData.t58LmDirichlet _),
     "t59_lm_store" -> (TrainingData.t59LmStore _),
+    "t60_tri_fusion" -> (TrainingData.t60TriFusion _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
     "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
@@ -3040,6 +3041,47 @@ object SparkEntry {
     // double division per discount (the bm25 determinism discipline)
     "t58_lm_dirichlet" -> lmOracle,
     "t59_lm_store" -> lmOracle,
+    // t60: N-list RRF — the three shortlists are the dense CTE from the
+    // t52 oracle, the t49 BM25 text, and the t58 LM text, fused with
+    // the contributions folded in LIST order (rrfFuseAll's fixed
+    // association)
+    "t60_tri_fusion" ->
+      ("""WITH dense AS (
+         |  WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv
+         |             FROM embeddings WHERE vec_id < 3),
+         |  c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) nv FROM embeddings),
+         |  sc AS (SELECT qid, nid,
+         |    list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i]), 'sum')
+         |     / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), 'sum'))
+         |      * sqrt(list_aggregate(list_transform(range(1, len(nv)+1), i -> nv[i]*nv[i]), 'sum'))) AS cos
+         |  FROM c, q WHERE qid <> nid),
+         |  rr AS (SELECT qid, nid, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+         |  FROM sc)
+         |  SELECT qid AS query_id, rank, nid AS doc_id FROM rr WHERE rank <= 10),
+         |sparse AS (
+         |""".stripMargin + bm25MultiOracle + """
+         |),
+         |lm AS (
+         |""".stripMargin + lmOracle + """
+         |),
+         |u AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+         |    CAST(doc_id AS BIGINT) AS doc_id, rank AS lrank, 0 AS li
+         |  FROM dense
+         |  UNION ALL SELECT CAST(query_id AS BIGINT),
+         |    CAST(doc_id AS BIGINT), rank, 1 FROM sparse
+         |  UNION ALL SELECT CAST(query_id AS BIGINT),
+         |    CAST(doc_id AS BIGINT), rank, 2 FROM lm),
+         |f AS (SELECT query_id, doc_id,
+         |    list_aggregate(list(CAST(1 AS DOUBLE) / (60 + lrank)
+         |      ORDER BY li), 'sum') AS rrf,
+         |    CAST(COUNT(*) AS INT) AS n_lists
+         |  FROM u GROUP BY 1, 2),
+         |r2 AS (SELECT query_id, doc_id, rrf, n_lists,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM f)
+         |SELECT query_id, rank, doc_id, ROUND(rrf, 6) AS rrf, n_lists
+         |FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
     "t57_rank_eval" ->
       ("""WITH toks AS (SELECT doc_id,
          |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
@@ -3079,13 +3121,20 @@ object SparkEntry {
          |hit AS (SELECT r.query_id, r.rank, COALESCE(l.grade, 0) AS grade
          |  FROM run r LEFT JOIN qrels l
          |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id),
+         |hit2 AS (SELECT query_id, rank, grade,
+         |    SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY query_id ORDER BY rank) AS cum_rel
+         |  FROM hit),
          |d AS (SELECT query_id,
          |    list_aggregate(list(CAST(grade AS DOUBLE)
          |      / log2(rank + CAST(1 AS DOUBLE)) ORDER BY rank), 'sum') AS dcg,
+         |    list_aggregate(list(CASE WHEN grade > 0
+         |      THEN CAST(cum_rel AS DOUBLE) / rank
+         |      ELSE CAST(0 AS DOUBLE) END ORDER BY rank), 'sum') AS ap_sum,
          |    MIN(CASE WHEN grade > 0 THEN rank END) AS first_rel,
          |    CAST(SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
          |      AS rel_in_k
-         |  FROM hit GROUP BY 1),
+         |  FROM hit2 GROUP BY 1),
          |ideal0 AS (SELECT query_id, grade,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY grade DESC, doc_id) AS irank FROM qrels),
@@ -3100,6 +3149,7 @@ object SparkEntry {
          |  ROUND(COALESCE(CAST(1 AS DOUBLE) / d.first_rel,
          |    CAST(0 AS DOUBLE)), 6) AS mrr,
          |  ROUND(CAST(d.rel_in_k AS DOUBLE) / nr.n_rel, 6) AS recall_at_k,
+         |  ROUND(d.ap_sum / nr.n_rel, 6) AS ap_at_k,
          |  COALESCE(nr.n_rel, 0) AS n_rel
          |FROM d LEFT JOIN i USING (query_id) LEFT JOIN nr USING (query_id)
          |ORDER BY query_id""".stripMargin),

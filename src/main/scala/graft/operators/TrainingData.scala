@@ -1756,6 +1756,26 @@ object TrainingData {
       graft.text.Retrieval.lmTopKFromStore(spark, store,
         graft.text.Retrieval.probeQueriesFromStore(spark, store)))
 
+  /** t60 (round 13): THREE-list reciprocal-rank fusion — exact-cosine
+    * dense + BM25 + Dirichlet query likelihood through
+    * [[graft.text.Retrieval.rrfFuseAll]], the N-list generalization's
+    * oracle-checkable form (its 2-list bit-equality to rrfFuse is
+    * spec-pinned; this row makes the N>2 path itself a DuckDB-replayed
+    * contract). Same aligned-id fixture convention as t52. */
+  def t60TriFusion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val docs = Tables(spark, dir, "documents")
+    val queries = graft.text.Retrieval.probeQueries(docs)
+    val dense = Similarity.bruteForceTopK(emb, col("vec_id") < 3, 10)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("doc_id"))
+    val sparse = graft.text.Retrieval.bm25QueryTopK(docs, queries)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val lm = graft.text.Retrieval.lmTopK(docs, queries)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    graft.text.Retrieval.rrfFuseAll(Seq(dense, sparse, lm), k = 10)
+  }
+
   /** t54 (round 13, r12 verdict #4): the SPARSE-ONLY serve mode — the
     * same [[graft.text.Retrieval.hybridTopKFromStoresExternal]] entry
     * the server runs, with `lists = Seq("sparse")`: only the BM25

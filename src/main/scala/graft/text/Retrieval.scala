@@ -702,7 +702,11 @@ object Retrieval {
     * doc_id ASC, top k; NULL when the query has no positive judgment —
     * reported, not silently 0, the A7/A8 distinct-semantics
     * discipline), `mrr` = 1/first-relevant-rank (0 when none),
-    * `recall_at_k` = relevant-in-top-k / relevant (NULL when none).
+    * `recall_at_k` = relevant-in-top-k / relevant (NULL when none),
+    * and `ap_at_k` = average precision (Σ precision@r over relevant
+    * ranks r ≤ k, / relevant; NULL when none — the MAP numerator;
+    * precision counts come off an exact integer running sum, the
+    * division contributions fold in rank order).
     *
     * Scale shape: both inputs are request-sized (shortlists and
     * judgment sets); everything here is equi-joins and per-query
@@ -725,13 +729,22 @@ object Retrieval {
     // folded in rank order; ungraded docs contribute nothing
     val hit = r.join(q, Seq("query_id", "doc_id"), "left")
       .withColumn("grade", coalesce(col("grade"), lit(0L)))
+      // exact integer running relevance count — precision@r's numerator
+      .withColumn("cum_rel", sum((col("grade") > 0).cast("long"))
+        .over(Window.partitionBy("query_id").orderBy("rank")))
     val dcg = hit.groupBy("query_id")
       .agg(collect_list(struct(col("rank"), col("grade"))).as("gs"),
+        collect_list(struct(col("rank"),
+          when(col("grade") > 0,
+            col("cum_rel").cast("double") / col("rank"))
+            .otherwise(lit(0.0d)).as("p"))).as("ps"),
         min(when(col("grade") > 0, col("rank"))).as("first_rel"),
         sum((col("grade") > 0).cast("long")).as("rel_in_k"))
       .withColumn("dcg", aggregate(array_sort(col("gs")), lit(0.0d),
         (acc, x) => acc + x.getField("grade").cast("double") /
           log2(x.getField("rank") + lit(1.0d))))
+      .withColumn("ap_sum", aggregate(array_sort(col("ps")), lit(0.0d),
+        (acc, x) => acc + x.getField("p")))
     // IDCG over the query's own judgments: ideal order = grade DESC,
     // doc_id ASC, top k, same discount and fold
     val wIdeal = Window.partitionBy("query_id")
@@ -754,6 +767,7 @@ object Retrieval {
           .as("mrr"),
         round(col("rel_in_k").cast("double") / col("n_rel"), 6)
           .as("recall_at_k"),
+        round(col("ap_sum") / col("n_rel"), 6).as("ap_at_k"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"))
       .orderBy("query_id")
   }

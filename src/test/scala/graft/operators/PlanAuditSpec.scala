@@ -269,6 +269,7 @@ class PlanAuditSpec extends SparkTestBase {
     "t55_prf_expansion",   // the same probeQueries fixture rank (t56's store twin hides it behind the temp-store collect)
     "t57_rank_eval",       // the same probeQueries fixture rank feeding the evaluated run
     "t58_lm_dirichlet",    // the same probeQueries fixture rank (t59's store twin hides it behind the temp-store collect)
+    "t60_tri_fusion",      // the same probeQueries fixture rank on the two lexical lists
     "q58_heavy_hitters"    // rank over the TakeOrderedAndProject top-10 ⨯ 1-row sketch
   )
 

@@ -310,12 +310,14 @@ class RetrievalSpec extends SparkTestBase {
     val idcg = 2.0 + 1.0 / (math.log(3) / math.log(2))
     assert(math.abs(q0.getDouble(1) - dcg / idcg) < 1e-5)
     assert(q0.getDouble(2) == 0.5) // first relevant at rank 2
-    assert(q0.getDouble(3) == 0.5 && q0.getLong(4) == 2L) // 1 of 2 rel in k
+    assert(q0.getDouble(3) == 0.5 && q0.getLong(5) == 2L) // 1 of 2 rel in k
+    // AP: one relevant hit at rank 2 -> precision 1/2; / n_rel 2 = 0.25
+    assert(q0.getDouble(4) == 0.25)
     // a query with no positive judgment: metrics that would divide by
     // zero read NULL (reported, not silently 0); MRR is honestly 0
     val q1 = rows.find(_.getLong(0) == 1L).get
     assert(q1.isNullAt(1) && q1.getDouble(2) == 0.0 && q1.isNullAt(3) &&
-      q1.getLong(4) == 0L)
+      q1.isNullAt(4) && q1.getLong(5) == 0L)
   }
 
   test("a store without BM25 tables refuses loudly with the repair op named") {
