@@ -67,6 +67,23 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.retrieval.cacheTfMaxBytes")
   }
 
+  test("lm stored serve: the query-likelihood scan rides the same term-bucket pruning at the defaults") {
+    // round 13: the second lexical scorer must inherit the posting-list
+    // read — same pushed IN, same uncached-tf default as the bm25 audit
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_audit_lm").toString
+    import spark.implicits._
+    graft.text.Retrieval.buildIndex(spark,
+      Seq((0L, "x x y"), (1L, "x z"), (2L, "y z"), (3L, "z z q"))
+        .toDF("doc_id", "text"), dir)
+    val p = graft.text.Retrieval.lmTopKFromStore(spark, dir,
+        Seq((0, "x y")).toDF("query_id", "query_text"))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(tb")),
+      s"term-bucket IN not pushed to the LM scoring scan:\n$p")
+  }
+
   test("q01: filter and projection reach the parquet scan") {
     val p = plan("q01_scan_filter")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
