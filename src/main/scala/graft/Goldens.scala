@@ -34,7 +34,7 @@ object Goldens {
     "s07r_pq_topk", "s15r_ivfpq_topk", "s16r_mmr_ann",
     "s13r_hardneg_ann", "s18r_dial_sweep", "s20r_rerank_sweep",
     "s21r_grid_sweep", "s22r_grid_frontier", "t52r_hybrid_ann",
-    "t53_hybrid_store", "s23r_external_ivfpq") ++
+    "t53_hybrid_store", "t63_tri_store", "s23r_external_ivfpq") ++
     graft.multimodal.MultimodalFixtures.queries.keys.toSeq.sorted
 
   /** Contract + bench-only entry points, for golden resolution. */
@@ -49,7 +49,8 @@ object Goldens {
   def inputTable(query: String): String =
     // the hybrid fusion reads BOTH corpora — fingerprint both, so a
     // regeneration of either cancels (refresh prompt) instead of failing
-    if (query == "t52r_hybrid_ann" || query == "t53_hybrid_store")
+    if (query == "t52r_hybrid_ann" || query == "t53_hybrid_store" ||
+      query == "t63_tri_store")
       "documents+embeddings"
     else if (query.startsWith("s")) "embeddings"
     else if (query.startsWith("m")) MultimodalInput

@@ -157,6 +157,9 @@ object SparkEntry {
     "t58_lm_dirichlet" -> (TrainingData.t58LmDirichlet _),
     "t59_lm_store" -> (TrainingData.t59LmStore _),
     "t60_tri_fusion" -> (TrainingData.t60TriFusion _),
+    "t61_lm_serve" -> (TrainingData.t61LmServe _),
+    "t62_sparse_lm_serve" -> (TrainingData.t62SparseLmServe _),
+    "t64_rank_eval_holdout" -> (TrainingData.t64RankEvalHoldout _),
     "d20_prefix_boilerplate" -> (TrainingData.d20PrefixBoilerplate _),
     "d21_minhash_calibration" -> (TrainingData.d21MinhashCalibration _),
     "t46_threshold_sweep" -> (TrainingData.t46ThresholdSweep _),
@@ -232,6 +235,7 @@ object SparkEntry {
     "s22r_grid_frontier" -> (TrainingData.s22RawGridFrontier _),
     "t52r_hybrid_ann" -> (TrainingData.t52RawHybridAnn _),
     "t53_hybrid_store" -> (TrainingData.t53HybridStoreServe _),
+    "t63_tri_store" -> (TrainingData.t63TriStoreServe _),
     "s23r_external_ivfpq" -> (TrainingData.s23RawExternalIvfPq _)) ++
     // the m-family golden queries: real-codec decode paths over the
     // committed deterministic fixture corpus — no SQL oracle can decode
@@ -658,6 +662,89 @@ object SparkEntry {
         |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
         |SELECT query_id, rank, doc_id, ROUND(score, 4) AS ql, n_terms_hit
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** t57/t64: the ranked-list eval replayed by DuckDB — the t49 run
+    * (optionally restricted by `runFilter`, t64's holdout) against
+    * term-containment judgments; both DCG folds in explicit rank order,
+    * linear integer gains, one double division per discount (the bm25
+    * determinism discipline). The final join is FULL OUTER against the
+    * judgment side (round 14, the Spark side's contract): a judged
+    * query absent from the run emits a zero-metric row with its true
+    * n_rel, a run-only unjudged query keeps NULL ndcg/recall/ap. */
+  private def rankEvalOracle(runFilter: String): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |top9 AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+       |         FROM df ORDER BY df DESC, term LIMIT 9),
+       |qs0 AS (SELECT CAST(floor((rn - 1) / 3) AS INT) AS query_id, term
+       |        FROM top9),
+       |qs AS (SELECT query_id, qs0.term, f.df,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qs0.term)
+       |      AS INT) AS slot
+       |  FROM qs0 JOIN df f ON qs0.term = f.term),
+       |dl AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(trim(text)), '\\S+')) AS BIGINT) AS dl
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |s AS (SELECT q.query_id, q.slot, t.doc_id,
+       |    ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+       |      * (t.tf * CAST(1.2 + 1 AS DOUBLE)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
+       |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
+       |  FROM tf t JOIN qs q ON t.term = q.term JOIN dl d USING (doc_id)
+       |  CROSS JOIN st),
+       |agg AS (SELECT query_id, doc_id,
+       |    list_aggregate(list(score ORDER BY slot), 'sum') AS score
+       |  FROM s GROUP BY 1, 2),
+       |rr AS (SELECT query_id, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM agg),
+       |run AS (SELECT query_id, doc_id, rank FROM rr
+       |        WHERE rank <= 10$runFilter),
+       |qrels AS (SELECT q.query_id, t.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS grade
+       |  FROM qs0 q JOIN tf t ON t.term = q.term GROUP BY 1, 2),
+       |hit AS (SELECT r.query_id, r.rank, COALESCE(l.grade, 0) AS grade
+       |  FROM run r LEFT JOIN qrels l
+       |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id),
+       |hit2 AS (SELECT query_id, rank, grade,
+       |    SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY query_id ORDER BY rank) AS cum_rel
+       |  FROM hit),
+       |d AS (SELECT query_id,
+       |    list_aggregate(list(CAST(grade AS DOUBLE)
+       |      / log2(rank + CAST(1 AS DOUBLE)) ORDER BY rank), 'sum') AS dcg,
+       |    list_aggregate(list(CASE WHEN grade > 0
+       |      THEN CAST(cum_rel AS DOUBLE) / rank
+       |      ELSE CAST(0 AS DOUBLE) END ORDER BY rank), 'sum') AS ap_sum,
+       |    MIN(CASE WHEN grade > 0 THEN rank END) AS first_rel,
+       |    CAST(SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS rel_in_k
+       |  FROM hit2 GROUP BY 1),
+       |ideal0 AS (SELECT query_id, grade,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY grade DESC, doc_id) AS irank FROM qrels),
+       |i AS (SELECT query_id,
+       |    list_aggregate(list(CAST(grade AS DOUBLE)
+       |      / log2(irank + CAST(1 AS DOUBLE)) ORDER BY irank), 'sum') AS idcg
+       |  FROM ideal0 WHERE irank <= 10 GROUP BY 1),
+       |nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+       |       FROM qrels GROUP BY 1)
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  ROUND(COALESCE(d.dcg, CAST(0 AS DOUBLE)) / i.idcg, 6) AS ndcg_at_k,
+       |  ROUND(COALESCE(CAST(1 AS DOUBLE) / d.first_rel,
+       |    CAST(0 AS DOUBLE)), 6) AS mrr,
+       |  ROUND(CAST(COALESCE(d.rel_in_k, 0) AS DOUBLE) / nr.n_rel, 6)
+       |    AS recall_at_k,
+       |  ROUND(COALESCE(d.ap_sum, CAST(0 AS DOUBLE)) / nr.n_rel, 6)
+       |    AS ap_at_k,
+       |  COALESCE(nr.n_rel, 0) AS n_rel
+       |FROM d FULL OUTER JOIN i USING (query_id) LEFT JOIN nr USING (query_id)
+       |ORDER BY query_id""".stripMargin
 
   /** t52: the whole hybrid composition replayed by DuckDB — the dense
     * side is the SQL-expressible exact-cosine top-10 (the s02 oracle
@@ -3082,77 +3169,12 @@ object SparkEntry {
          |      ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM f)
          |SELECT query_id, rank, doc_id, ROUND(rrf, 6) AS rrf, n_lists
          |FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
-    "t57_rank_eval" ->
-      ("""WITH toks AS (SELECT doc_id,
-         |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS term
-         |  FROM documents),
-         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-         |       FROM toks GROUP BY 1, 2),
-         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |top9 AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
-         |         FROM df ORDER BY df DESC, term LIMIT 9),
-         |qs0 AS (SELECT CAST(floor((rn - 1) / 3) AS INT) AS query_id, term
-         |        FROM top9),
-         |qs AS (SELECT query_id, qs0.term, f.df,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qs0.term)
-         |      AS INT) AS slot
-         |  FROM qs0 JOIN df f ON qs0.term = f.term),
-         |dl AS (SELECT doc_id,
-         |    CAST(len(regexp_extract_all(lower(trim(text)), '\S+')) AS BIGINT) AS dl
-         |  FROM documents),
-         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
-         |s AS (SELECT q.query_id, q.slot, t.doc_id,
-         |    ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
-         |      * (t.tf * CAST(1.2 + 1 AS DOUBLE)) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl
-         |        / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
-         |  FROM tf t JOIN qs q ON t.term = q.term JOIN dl d USING (doc_id)
-         |  CROSS JOIN st),
-         |agg AS (SELECT query_id, doc_id,
-         |    list_aggregate(list(score ORDER BY slot), 'sum') AS score
-         |  FROM s GROUP BY 1, 2),
-         |rr AS (SELECT query_id, doc_id,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM agg),
-         |run AS (SELECT query_id, doc_id, rank FROM rr WHERE rank <= 10),
-         |qrels AS (SELECT q.query_id, t.doc_id,
-         |    CAST(COUNT(*) AS BIGINT) AS grade
-         |  FROM qs0 q JOIN tf t ON t.term = q.term GROUP BY 1, 2),
-         |hit AS (SELECT r.query_id, r.rank, COALESCE(l.grade, 0) AS grade
-         |  FROM run r LEFT JOIN qrels l
-         |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id),
-         |hit2 AS (SELECT query_id, rank, grade,
-         |    SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY query_id ORDER BY rank) AS cum_rel
-         |  FROM hit),
-         |d AS (SELECT query_id,
-         |    list_aggregate(list(CAST(grade AS DOUBLE)
-         |      / log2(rank + CAST(1 AS DOUBLE)) ORDER BY rank), 'sum') AS dcg,
-         |    list_aggregate(list(CASE WHEN grade > 0
-         |      THEN CAST(cum_rel AS DOUBLE) / rank
-         |      ELSE CAST(0 AS DOUBLE) END ORDER BY rank), 'sum') AS ap_sum,
-         |    MIN(CASE WHEN grade > 0 THEN rank END) AS first_rel,
-         |    CAST(SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS rel_in_k
-         |  FROM hit2 GROUP BY 1),
-         |ideal0 AS (SELECT query_id, grade,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY grade DESC, doc_id) AS irank FROM qrels),
-         |i AS (SELECT query_id,
-         |    list_aggregate(list(CAST(grade AS DOUBLE)
-         |      / log2(irank + CAST(1 AS DOUBLE)) ORDER BY irank), 'sum') AS idcg
-         |  FROM ideal0 WHERE irank <= 10 GROUP BY 1),
-         |nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
-         |       FROM qrels GROUP BY 1)
-         |SELECT CAST(d.query_id AS BIGINT) AS query_id,
-         |  ROUND(d.dcg / i.idcg, 6) AS ndcg_at_k,
-         |  ROUND(COALESCE(CAST(1 AS DOUBLE) / d.first_rel,
-         |    CAST(0 AS DOUBLE)), 6) AS mrr,
-         |  ROUND(CAST(d.rel_in_k AS DOUBLE) / nr.n_rel, 6) AS recall_at_k,
-         |  ROUND(d.ap_sum / nr.n_rel, 6) AS ap_at_k,
-         |  COALESCE(nr.n_rel, 0) AS n_rel
-         |FROM d LEFT JOIN i USING (query_id) LEFT JOIN nr USING (query_id)
-         |ORDER BY query_id""".stripMargin),
+    "t57_rank_eval" -> rankEvalOracle(runFilter = ""),
+    // t64 (round 14): the judged-but-unserved contract — the t57 eval
+    // with the run RESTRICTED to queries 0–1; judged query 2 must
+    // surface as a zero-metric full-outer row, not vanish
+    "t64_rank_eval_holdout" ->
+      rankEvalOracle(runFilter = " AND query_id < 2"),
     // t54 (round 13): the sparse-only serve MODE — the t49/t51 shortlist
     // reshaped by the monotone RRF transform into the unified serving
     // schema; rank is preserved exactly (1/(60+r) is strictly
@@ -3166,8 +3188,58 @@ object SparkEntry {
          |  CAST(doc_id AS BIGINT) AS doc_id,
          |  ROUND(CAST(1 AS DOUBLE) / (60 + rank), 6) AS rrf,
          |  CAST(NULL AS INT) AS dense_rank, rank AS sparse_rank,
+         |  CAST(NULL AS INT) AS lm_rank,
          |  CAST(1 AS INT) AS n_lists
          |FROM sparse ORDER BY query_id, rank""".stripMargin),
+    // t61 (round 14): the LM-only serve mode — the t54 argument applied
+    // to the Dirichlet list: the single-list RRF reshape is strictly
+    // monotone, so the oracle is the shared LM text plus a projection
+    "t61_lm_serve" ->
+      ("""WITH lm AS (
+         |""".stripMargin + lmOracle + """
+         |)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, rank,
+         |  CAST(doc_id AS BIGINT) AS doc_id,
+         |  ROUND(CAST(1 AS DOUBLE) / (60 + rank), 6) AS rrf,
+         |  CAST(NULL AS INT) AS dense_rank, CAST(NULL AS INT) AS sparse_rank,
+         |  rank AS lm_rank, CAST(1 AS INT) AS n_lists
+         |FROM lm ORDER BY query_id, rank""".stripMargin),
+    // t62 (round 14): the sparse+lm 2-list serve — both shortlists are
+    // the shared oracle texts, fused with contributions folded in
+    // canonical list order (sparse before lm — rrfFuseNamed's fixed
+    // association) and each list's own rank joined back as provenance
+    "t62_sparse_lm_serve" ->
+      ("""WITH sparse AS (
+         |""".stripMargin + bm25MultiOracle + """
+         |),
+         |lm AS (
+         |""".stripMargin + lmOracle + """
+         |),
+         |u AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+         |    CAST(doc_id AS BIGINT) AS doc_id, rank AS lrank, 0 AS li
+         |  FROM sparse
+         |  UNION ALL SELECT CAST(query_id AS BIGINT),
+         |    CAST(doc_id AS BIGINT), rank, 1 FROM lm),
+         |f AS (SELECT query_id, doc_id,
+         |    list_aggregate(list(CAST(1 AS DOUBLE) / (60 + lrank)
+         |      ORDER BY li), 'sum') AS rrf,
+         |    CAST(COUNT(*) AS INT) AS n_lists
+         |  FROM u GROUP BY 1, 2),
+         |r2 AS (SELECT query_id, doc_id, rrf, n_lists,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM f),
+         |sr AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+         |    CAST(doc_id AS BIGINT) AS doc_id, rank AS sparse_rank
+         |  FROM sparse),
+         |lr AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+         |    CAST(doc_id AS BIGINT) AS doc_id, rank AS lm_rank FROM lm)
+         |SELECT r2.query_id, r2.rank, r2.doc_id, ROUND(rrf, 6) AS rrf,
+         |  CAST(NULL AS INT) AS dense_rank, sr.sparse_rank, lr.lm_rank,
+         |  n_lists
+         |FROM r2
+         |LEFT JOIN sr ON sr.query_id = r2.query_id AND sr.doc_id = r2.doc_id
+         |LEFT JOIN lr ON lr.query_id = r2.query_id AND lr.doc_id = r2.doc_id
+         |WHERE r2.rank <= 10 ORDER BY r2.query_id, r2.rank""".stripMargin),
     "s09_centroid_distance" ->
       """WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS i,
         |    embedding AS e FROM embeddings),

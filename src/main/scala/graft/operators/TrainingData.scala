@@ -1792,6 +1792,92 @@ object TrainingData {
         graft.text.Retrieval.probeQueriesFromStore(spark, store),
         lists = Seq("sparse")))
 
+  /** t61 (round 14, r13 verdict #2): the LM-ONLY serve mode — the same
+    * serving entry with `lists = Seq("lm")`: only the Dirichlet
+    * query-likelihood retriever runs (dense store paths deliberately
+    * non-existent, the t54 property), and the shortlist reshapes
+    * through the monotone RRF transform into the unified serving schema
+    * (dense/sparse ranks null, `lm_rank` = rank, n_lists 1). */
+  def t61LmServe(spark: SparkSession, dir: String): DataFrame =
+    overBm25Store(spark, dir)(store =>
+      graft.text.Retrieval.hybridTopKFromStoresExternal(spark, store,
+        ivfDir = s"$store/no_ivf", pqDir = s"$store/no_pq",
+        graft.text.Retrieval.probeQueriesFromStore(spark, store),
+        lists = Seq("lm")))
+
+  /** t62 (round 14): the SPARSE+LM 2-list serve — a genuinely FUSED
+    * N-list mode with no dense half at all (the store paths are never
+    * touched): BM25 and Dirichlet QL shortlists off ONE persisted
+    * postings store, fused through [[graft.text.Retrieval.rrfFuseNamed]]
+    * in canonical list order with both ranks carried as provenance.
+    * SQL-expressible end to end, so DuckDB replays the entire mode —
+    * the oracle-checkable form of the N-list serving path whose 3-list
+    * shape t63 golden-pins with a real ANN dense list. */
+  def t62SparseLmServe(spark: SparkSession, dir: String): DataFrame =
+    overBm25Store(spark, dir)(store =>
+      graft.text.Retrieval.hybridTopKFromStoresExternal(spark, store,
+        ivfDir = s"$store/no_ivf", pqDir = s"$store/no_pq",
+        graft.text.Retrieval.probeQueriesFromStore(spark, store),
+        lists = Seq("sparse", "lm")))
+
+  /** t63 (round 14, bench + golden): the full THREE-list serve off
+    * persisted stores — IVF-PQ dense + BM25 + Dirichlet QL fused
+    * through the one serving fusion path — the t53 discipline extended
+    * to the round's widened `lists`. External requests are the probe
+    * queries paired with the aligned query vectors (the t52 fixture
+    * convention). Golden-pinned because the dense shortlist is a
+    * seeded-KMeans product no SQL oracle reproduces; QueryServeSpec
+    * additionally pins the served rows EQUAL to the rrfFuseNamed
+    * composition of the three store-served shortlists. */
+  def t63TriStoreServe(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tri_store").toString
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    graft.text.Retrieval.buildIndex(spark, docs, s"$root/corpus")
+    val (ivf, pq) = buildIvfPqConcurrently(emb)
+    graft.similarity.IndexStore.saveIvf(ivf, s"$root/ivf")
+    graft.similarity.IndexStore.savePq(pq, s"$root/pq")
+    ivf.release(); pq.release()
+    val queries = graft.text.Retrieval
+      .probeQueriesFromStore(spark, s"$root/corpus")
+      .join(emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id")
+    val out = graft.text.Retrieval.hybridTopKFromStoresExternal(spark,
+      s"$root/corpus", s"$root/ivf", s"$root/pq", queries,
+      nprobe = 4, rerank = 50, lists = Seq("dense", "sparse", "lm"))
+    // q60 temp-store discipline: materialize the bounded result, then
+    // drop the stores it was served from
+    val rows = out.collect().toSeq
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
+  /** t64 (round 14, r13 ADVICE): [[graft.text.Retrieval.rankEval]]'s
+    * judged-but-unserved contract — the t57 eval with the RUN restricted
+    * to queries 0–1 while the judgments still cover all three probe
+    * queries, so query 2 is judged yet absent from the run and must
+    * surface as a zero-metric row (its true n_rel attached) instead of
+    * vanishing and inflating every mean a consumer takes. */
+  def t64RankEvalHoldout(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Retrieval, TextAnalysis}
+    val docs = Tables(spark, dir, "documents")
+    val queries = Retrieval.probeQueries(docs)
+    val run = Retrieval.bm25QueryTopK(docs, queries)
+      .filter(col("query_id") < 2)
+      .select("query_id", "rank", "doc_id")
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("query_text"))))
+        .as("term"))
+    val (tf, _) = Retrieval.indexRows(docs)
+    val qrels = qterms.join(tf, "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("grade"))
+    Retrieval.rankEval(run, qrels, k = 10)
+  }
+
   /** The production-geometry raw form (bench + golden): the dense side
     * is the real IVF-PQ composite probe over the built indexes, the
     * sparse side the multi-term BM25 scorer — the hybrid a deployment

@@ -137,19 +137,26 @@ object Similarity {
     require(cap >= 1, s"cap must be >= 1 (got $cap)")
     val n = queries.count()
     if (n <= cap) return chunkedByQueryFrame(queries, 1, idCol)(run)
-    def maxChunk(nc: Int): Long = queries
+    def maxChunk(nc: Long): Long = queries
       .groupBy(pmod(xxhash64(col(idCol)), lit(nc)).as("__c"))
       .agg(count(lit(1)).as("n")).agg(max("n")).head().getLong(0)
-    var nChunks = ((n + cap - 1) / cap).toInt
+    // the search tracks nChunks as a LONG bounded by `limit` (round 14,
+    // r13 ADVICE): at a tiny cap over a huge batch the doubling past an
+    // Int could overflow negative and feed pmod a non-positive modulus;
+    // the bound keeps the loop finite, the final count Int-safe for
+    // chunkedByQueryFrame's 0-until loop, and the 64·n birthday budget
+    // intact wherever it is the smaller term
+    val limit = math.min(64L * n, Int.MaxValue.toLong / 2)
+    var nChunks: Long = math.min((n + cap - 1) / cap, limit)
     var biggest = maxChunk(nChunks)
-    while (biggest > cap && nChunks <= 64L * n) {
-      nChunks = nChunks * 2
+    while (biggest > cap && nChunks < limit) {
+      nChunks = math.min(nChunks * 2, limit)
       biggest = maxChunk(nChunks)
     }
     require(biggest <= cap,
       s"cannot split $n query rows into chunks of <= $cap by hashing " +
         s"$idCol — are the ids distinct?")
-    chunkedByQueryFrame(queries, nChunks, idCol)(run)
+    chunkedByQueryFrame(queries, nChunks.toInt, idCol)(run)
   }
 
   /** All (query, corpus) cosine pairs for a broadcast query subset. Norms

@@ -135,7 +135,16 @@ object Compaction {
     val nParts = math.max(1L,
       (bytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
 
-    val all = spark.read.option("basePath", tableDir).parquet(tableDir)
+    // mergeSchema (round 14): a MIXED-layout table — slices written
+    // before a data column existed (tf's `tb`, served results'
+    // round-13/14 provenance) beside slices that carry it — must fold
+    // to the UNION of columns, not to whichever single footer Spark
+    // happens to infer from (which could silently drop the column from
+    // every row). Old-slice rows read null for the columns they
+    // predate; the footer sweep is O(slice files), the same cost class
+    // as the compaction's own listing.
+    val all = spark.read.option("basePath", tableDir)
+      .option("mergeSchema", "true").parquet(tableDir)
       .drop("batch")
     val kept = dropIds match {
       case Some((ids, idCol)) => all.join(

@@ -153,6 +153,17 @@ object CorpusIngest {
         .parquet(s"${part("tf")}/batch=$batchId")
       dlRows.write.mode(SaveMode.Overwrite)
         .parquet(s"${part("dl")}/batch=$batchId")
+      // the doc-keyed FORWARD index (round 14) rides the same admitted
+      // batch: derived from the COMMITTED tf/dl slices (one batch-sized
+      // join, no third tokenize) and doc-bucket-clustered so PRF's
+      // feedback fetch seeks in per-batch slices too
+      graft.text.Retrieval.fwdRows(
+          spark.read.parquet(s"${part("tf")}/batch=$batchId"),
+          spark.read.parquet(s"${part("dl")}/batch=$batchId"))
+        .sortWithinPartitions(
+          graft.text.Retrieval.FwdSortCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"${part("fwd")}/batch=$batchId")
       // 5. optional admission-funnel telemetry: the per-batch numbers an
       // operator actually pages on (did the quality gate spike? is one
       // source suddenly 90% duplicates?), written as a replay-idempotent
@@ -184,10 +195,20 @@ object CorpusIngest {
   }
 
   /** The corpus's per-batch component tables, in compaction order: the
-    * docs themselves, the dedup index (fps, shingles), and the BM25
-    * index (tf, dl) — all doc_id-keyed, so compaction, tombstone
-    * masking, and physical purge treat them uniformly. */
-  private[streaming] val Tables = Seq("docs", "fps", "shingles", "tf", "dl")
+    * docs themselves, the dedup index (fps, shingles), and the lexical
+    * index (tf, dl, and the doc-keyed fwd — round 14) — all
+    * doc_id-keyed, so compaction, tombstone masking, and physical purge
+    * treat them uniformly. */
+  private[streaming] val Tables =
+    Seq("docs", "fps", "shingles", "tf", "dl", "fwd")
+
+  /** Each table's consolidated-slice clustering (the pushed-filter
+    * file-skip layout): tf by term bucket, fwd by doc bucket. */
+  private def sortColsFor(sub: String): Seq[String] = sub match {
+    case "tf"  => graft.text.Retrieval.TfSortCols
+    case "fwd" => graft.text.Retrieval.FwdSortCols
+    case _     => Nil
+  }
 
   /** The admission-funnel log (one row per committed batch, underscore
     * dir so no table scan or compaction ever sweeps it up) — present
@@ -209,7 +230,7 @@ object CorpusIngest {
       targetPartitionBytes: Long = 128L * 1024 * 1024): Unit =
     Tables.foreach(sub => Compaction.compactTable(spark,
       s"$corpusDir/$sub", targetPartitionBytes,
-      sortBy = if (sub == "tf") graft.text.Retrieval.TfSortCols else Nil))
+      sortBy = sortColsFor(sub)))
 
   /** Rebuild the corpus's DERIVED tables — fingerprints and shingle
     * postings — from the standing documents: the recovery/maintenance op
@@ -264,6 +285,18 @@ object CorpusIngest {
       nParts(s"$corpusDir/tf"), sortBy = graft.text.Retrieval.TfSortCols)
     Compaction.publishSlice(spark, s"$corpusDir/dl", dlRows,
       nParts(s"$corpusDir/dl"))
+    // the forward index rebuilds from the freshly PUBLISHED tf/dl (one
+    // index-sized join, no third tokenize) — also the upgrade path for
+    // a pre-round-14 store (maintainCorpus flags the missing table)
+    spark.catalog.refreshByPath(s"$corpusDir/tf")
+    spark.catalog.refreshByPath(s"$corpusDir/dl")
+    def published(sub: String) =
+      spark.read.option("basePath", s"$corpusDir/$sub")
+        .parquet(s"$corpusDir/$sub").drop("batch")
+    Compaction.publishSlice(spark, s"$corpusDir/fwd",
+      graft.text.Retrieval.fwdRows(published("tf"), published("dl")),
+      math.max(nParts(s"$corpusDir/fwd"), nParts(s"$corpusDir/tf")),
+      sortBy = graft.text.Retrieval.FwdSortCols)
   }
 
   /** Logically delete `ids` (a frame carrying `doc_id`) from the corpus —
@@ -297,7 +330,7 @@ object CorpusIngest {
         Tables.foreach(sub => Compaction.compactTable(spark,
           s"$corpusDir/$sub", targetPartitionBytes,
           dropIds = Some((ids, "doc_id")),
-          sortBy = if (sub == "tf") graft.text.Retrieval.TfSortCols else Nil))
+          sortBy = sortColsFor(sub)))
         graft.etl.Tombstones.retire(spark, corpusDir, slices,
           BatchMarker.maxCommitted(spark, corpusDir))
     }

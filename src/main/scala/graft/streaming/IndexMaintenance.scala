@@ -80,7 +80,8 @@ object IndexMaintenance {
       ladder: Seq[Int] = Seq(10, 50, 200, Int.MaxValue),
       m: Int = 8,
       pqK: Int = 16,
-      kRrf: Option[Int] = None)
+      kRrf: Option[Int] = None,
+      qrels: Option[org.apache.spark.sql.DataFrame] = None)
 
   /** The persisted dial row a serving tier resolves (round 13): the
     * dense half's swept recommendation plus the SPARSE half's one real
@@ -91,9 +92,24 @@ object IndexMaintenance {
     * scoring SEMANTICS — changing them changes what "relevance" means
     * for the deployment, not how much it costs to attain — so they are
     * fixed by contract at the API defaults (overridable per call, never
-    * swept or persisted). */
+    * swept or persisted). The same ruling covers the LM scorer's
+    * Dirichlet `mu` and PRF's `fbDocs`/`fbTerms` (round 14, r13 verdict
+    * #7): all three redefine what the deployment MEANS by relevance
+    * (how much smoothing, how aggressive the expansion), not what a
+    * given relevance level costs, so they are contract defaults —
+    * per-call overridable, never persisted, never recommended.
+    *
+    * `ndcg`/`ap` (round 14, r13 verdict #4): when the retrain's
+    * [[DialSla]] carried a `qrels` judgment set, the recommendation was
+    * EVAL-GATED — [[graft.text.Retrieval.rankEval]] ran over the
+    * recommended dials' own serve and its mean nDCG@k / AP@k persist
+    * beside the sweep's recall proxy, so the handoff records what the
+    * deployment's judgments (not just the geometric recall ladder)
+    * said about the dials it is about to serve. None = no judgments
+    * supplied (pre-round-14 tables read None too). */
   final case class Dials(nprobe: Int, rerank: Int, recallAtK: Double,
-      kRrf: Option[Int] = None)
+      kRrf: Option[Int] = None, ndcg: Option[Double] = None,
+      ap: Option[Double] = None)
 
   private val BaselineName = "_drift_baseline"
   private val DialsName = "_dials"
@@ -109,17 +125,19 @@ object IndexMaintenance {
     * [[graft.streaming.QueryServe]] reads it at stream start. */
   private[graft] def writeDials(spark: SparkSession, indexDir: String,
       nprobe: Int, rerank: Int, recall: Double,
-      kRrf: Option[Int] = None): Unit = {
+      kRrf: Option[Int] = None, ndcg: Option[Double] = None,
+      ap: Option[Double] = None): Unit = {
     import spark.implicits._
     replaceDir(spark, s"$indexDir/$DialsName",
-      Seq((nprobe, rerank, recall, kRrf))
-        .toDF("nprobe", "rerank", "recall_at_k", "k_rrf"))
+      Seq((nprobe, rerank, recall, kRrf, ndcg, ap))
+        .toDF("nprobe", "rerank", "recall_at_k", "k_rrf", "ndcg_at_k",
+          "ap_at_k"))
   }
 
   /** The persisted dial recommendation, if any. Repairs a crashed swap
-    * first, the [[maintain]] entry discipline. A pre-round-13 `_dials`
-    * table has no `k_rrf` column and reads with `kRrf = None` (the
-    * server then serves the fusion default). */
+    * first, the [[maintain]] entry discipline. Columns a table predates
+    * read as None — a pre-round-13 `_dials` has no `k_rrf` (the server
+    * serves the fusion default), a pre-round-14 one no eval columns. */
   def readDials(spark: SparkSession,
       indexDir: String): Option[Dials] = {
     val p = s"$indexDir/$DialsName"
@@ -128,12 +146,13 @@ object IndexMaintenance {
     else {
       val df = spark.read.parquet(p)
       val r = df.head()
-      val kRrf =
-        if (df.columns.contains("k_rrf") && !r.isNullAt(r.fieldIndex("k_rrf")))
-          Some(r.getAs[Int]("k_rrf"))
+      def opt[T](name: String): Option[T] =
+        if (df.columns.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+          Some(r.getAs[T](name))
         else None
       Some(Dials(r.getAs[Int]("nprobe"), r.getAs[Int]("rerank"),
-        r.getAs[Double]("recall_at_k"), kRrf))
+        r.getAs[Double]("recall_at_k"), opt[Int]("k_rrf"),
+        opt[Double]("ndcg_at_k"), opt[Double]("ap_at_k")))
     }
   }
 
@@ -300,11 +319,41 @@ object IndexMaintenance {
             // it (QueryServe.start) — nothing attained the SLA → no
             // table, and the server falls back to its defaults
             rec.foreach { case (p2, s2, r2) =>
+              // eval gate (round 14, r13 verdict #4): with judgments in
+              // hand, the handoff grades the recommended dials' OWN
+              // serve against them — one rankEval over a probe run at
+              // (p2, s2) — and persists mean nDCG/AP beside the sweep's
+              // recall proxy: the sweep's geometric recall PICKED the
+              // dials, the deployment's judgments GRADE them, and both
+              // land in the one _dials row the server resolves.
+              val eval: Option[(Option[Double], Option[Double])] =
+                sla.qrels.map { qr =>
+                  val post2 = IndexStore.loadIvf(spark, indexDir)
+                  val pq2 = IndexStore.loadPq(spark, sla.pqDir)
+                  try {
+                    val run = Similarity.ivfPqTopK(post2, pq2,
+                        post2.assigned.select("vec_id", "embedding"),
+                        sla.queryFilter, topK = sla.k, nprobe = p2,
+                        rerank = s2)
+                      .select(col("qid").as("query_id"), col("rank"),
+                        col("nid").as("doc_id"))
+                    // means over JUDGED queries: rankEval emits
+                    // zero-metric rows for judged queries the run
+                    // missed entirely (round 14), so the averages
+                    // cannot overstate; no-positive-judgment queries
+                    // carry NULL metrics and avg() skips them
+                    val m = graft.text.Retrieval.rankEval(run, qr, sla.k)
+                      .agg(avg("ndcg_at_k"), avg("ap_at_k")).head()
+                    (if (m.isNullAt(0)) None else Some(m.getDouble(0)),
+                      if (m.isNullAt(1)) None else Some(m.getDouble(1)))
+                  } finally { post2.release(); pq2.release() }
+                }
               // the sparse half's dial rides along verbatim (round 13):
               // the sweep recommends the dense geometry; kRrf is the
               // SLA author's fusion policy, persisted with it so the
               // server resolves BOTH halves from one _dials row
-              writeDials(spark, indexDir, p2, s2, r2, sla.kRrf) }
+              writeDials(spark, indexDir, p2, s2, r2, sla.kRrf,
+                eval.flatMap(_._1), eval.flatMap(_._2)) }
           }
         case _ => ()
       }
@@ -596,9 +645,13 @@ object IndexMaintenance {
     * A tf table predating the term-bucket column (round 12) is flagged
     * `tf_unbucketed` and gates the same reindex — correct-but-
     * index-sized query scans are a measured health signal, not a
-    * latent surprise. Returns `(decision, executed, n_docs,
-    * fps_missing, shingles_missing, tf_missing, dl_missing,
-    * tf_unbucketed)`. The stream must be stopped. */
+    * latent surprise. The doc-keyed forward index (fwd — round 14) is
+    * covered like tf: a missing doc would silently shrink a stored-PRF
+    * serve's feedback-term fetch, and a pre-fwd store reads as
+    * all-missing, making this reindex its upgrade path. Returns
+    * `(decision, executed, n_docs, fps_missing, shingles_missing,
+    * tf_missing, dl_missing, fwd_missing, tf_unbucketed)`. The stream
+    * must be stopped. */
   def maintainCorpus(spark: SparkSession, corpusDir: String,
       execute: Boolean = true,
       targetPartitionBytes: Long = 128L * 1024 * 1024): DataFrame = {
@@ -627,6 +680,13 @@ object IndexMaintenance {
     }
     val tfMissing = missingFrom(tfExpected, "tf")
     val dlMissing = missingFrom(docs, "dl")
+    // the doc-keyed forward index (round 14) covers the same docs tf
+    // does (zero-token docs legitimately have no rows in either); a doc
+    // missing from it silently degrades every stored-PRF serve's stage
+    // 2 back to a partial fetch, and a store predating fwd/ reads as
+    // all-missing — making the same reindex the upgrade path, exactly
+    // as tf/dl entered in r10
+    val fwdMissing = missingFrom(tfExpected, "fwd")
     // a tf table written before the term-bucket column existed (round
     // 12) serves CORRECT but unprunable scans — every query pays an
     // index-sized read a reindex would make postings-sized. That is a
@@ -647,15 +707,17 @@ object IndexMaintenance {
     }
     val decision =
       if (fpsMissing > 0L || shMissing > 0L ||
-        tfMissing > 0L || dlMissing > 0L || tfUnbucketed) "reindex"
+        tfMissing > 0L || dlMissing > 0L || fwdMissing > 0L ||
+        tfUnbucketed) "reindex"
       else "noop"
     if (execute && decision == "reindex")
       CorpusIngest.reindex(spark, corpusDir, targetPartitionBytes)
     import spark.implicits._
     Seq((decision, execute, nDocs, fpsMissing, shMissing, tfMissing,
-      dlMissing, tfUnbucketed))
+      dlMissing, fwdMissing, tfUnbucketed))
       .toDF("decision", "executed", "n_docs", "fps_missing",
-        "shingles_missing", "tf_missing", "dl_missing", "tf_unbucketed")
+        "shingles_missing", "tf_missing", "dl_missing", "fwd_missing",
+        "tf_unbucketed")
   }
 
   /** Byte-sized partition count for a consolidated rewrite — the

@@ -63,13 +63,19 @@ object QueryServe {
 
   /** The on-disk schema of every served slice (data columns in write
     * order, then the `batch` partition column parquet discovery
-    * appends) — also the schema of the empty frame [[results]] returns
-    * for a store no non-empty batch has reached. */
+    * appends) — also the schema every [[results]] read IMPOSES (round
+    * 14, r13 ADVICE): a long-lived results store accumulates slices
+    * from several engine rounds (round 13 added `fused_lists`, round 14
+    * `lm_rank`), and a schema inferred from ONE footer would make which
+    * columns resolve depend on file order. Imposing this schema makes
+    * every mixed store read deterministically — columns a slice
+    * predates are null on its rows. */
   private[graft] val servedSchema: StructType = StructType(Seq(
     StructField("query_id", LongType), StructField("rank", IntegerType),
     StructField("doc_id", LongType), StructField("rrf", DoubleType),
     StructField("dense_rank", IntegerType),
     StructField("sparse_rank", IntegerType),
+    StructField("lm_rank", IntegerType),
     StructField("n_lists", IntegerType),
     StructField("req_batch", LongType),
     StructField("nprobe", IntegerType), StructField("rerank", IntegerType),
@@ -95,12 +101,16 @@ object QueryServe {
     * default to the maintenance loop's persisted `_dials`
     * recommendation beside the IVF index when one exists, else
     * (4, 50, 60); explicit arguments always win. BM25's k1/b are NOT
-    * dials (see [[IndexMaintenance.Dials]]): they define the
-    * deployment's scoring semantics and stay at the API contract
-    * defaults. `lists` picks the serve mode — `Seq("dense", "sparse")`
-    * (the default 2-list hybrid, byte-identical to every prior round's
-    * slices), `Seq("dense")`, or `Seq("sparse")` — recorded per row in
-    * the `fused_lists` provenance column. */
+    * dials (see [[IndexMaintenance.Dials]]; the LM list's Dirichlet μ
+    * and PRF's fbDocs/fbTerms fall under the same ruling): they define
+    * the deployment's scoring semantics and stay at the API contract
+    * defaults. `lists` picks the serve mode — any non-empty subset of
+    * [[graft.text.Retrieval.ServeLists]] (round 14 added "lm" and
+    * N-list fusions): `Seq("dense", "sparse")` (the default 2-list
+    * hybrid, value-identical to every prior round's slices),
+    * single-list modes, `Seq("sparse", "lm")` (no dense stores
+    * touched), or all three — recorded per row in the `fused_lists`
+    * provenance column in canonical order. */
   final class Server(spark: SparkSession, corpusDir: String,
       ivfDir: String, pqDir: String, resultsDir: String,
       k: Int = 10, nprobe: Option[Int] = None, rerank: Option[Int] = None,
@@ -161,7 +171,8 @@ object QueryServe {
         .withColumn("nprobe", lit(resolvedNprobe))
         .withColumn("rerank", lit(resolvedRerank))
         .withColumn("k_rrf", lit(resolvedKRrf))
-        .withColumn("fused_lists", lit(lists.mkString("+")))
+        .withColumn("fused_lists", lit(graft.text.Retrieval.ServeLists
+          .filter(lists.contains).mkString("+")))
         .withColumn("corpus_watermark",
           lit(BatchMarker.maxCommitted(spark, corpusDir)))
         .withColumn("index_watermark",
@@ -227,7 +238,11 @@ object QueryServe {
     if (batchDirs(spark, resultsDir).isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], servedSchema)
-    else spark.read.option("basePath", p).parquet(p)
+    // schema IMPOSED, not inferred (round 14, r13 ADVICE): a store
+    // holding pre-round-13/14 slices beside new ones reads the same
+    // columns in any file order — old rows carry null for the columns
+    // their slice predates
+    else spark.read.schema(servedSchema).option("basePath", p).parquet(p)
   }
 
   /** Refuse maintenance over a slice the stream never COMMITTED (round
@@ -345,8 +360,12 @@ object QueryServe {
           "slices_after", "rows_retained")
     // fold survivors, aging consolidated history out by req_batch; the
     // frame reads the live dir lazily while publishSlice writes aside,
-    // so the swap discipline covers a crash at any point
-    val kept = spark.read.option("basePath", servedDir).parquet(servedDir)
+    // so the swap discipline covers a crash at any point. Schema
+    // IMPOSED (round 14): the fold of a mixed-round store must carry
+    // every column — inferring from one footer could silently drop a
+    // newer round's provenance columns from the consolidated slice
+    val kept = spark.read.schema(servedSchema)
+      .option("basePath", servedDir).parquet(servedDir)
       .drop("batch")
       .filter(col("req_batch") >= keepFrom)
     val f = fs(spark, resultsDir)

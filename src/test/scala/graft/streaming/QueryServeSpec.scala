@@ -184,6 +184,11 @@ class QueryServeSpec extends SparkTestBase {
       r.getAs[Boolean]("tf_present") && r.getAs[Boolean]("dl_present"))
     assert(r.getAs[Boolean]("tf_bucketed"),
       "a round-12 buildIndex store must read as bucketed")
+    assert(r.getAs[Boolean]("fwd_present"),
+      "a round-14 buildIndex store carries the doc-keyed forward index")
+    assert(r.isNullAt(r.fieldIndex("dials_ndcg")) &&
+      r.isNullAt(r.fieldIndex("dials_ap")),
+      "no judgments ran for this fixture — eval columns must read null")
     assert(r.getAs[Boolean]("ivf_exists") && r.getAs[Boolean]("pq_exists"))
     assert(!r.getAs[Boolean]("pq_retrain_inflight"))
     // saveIvf/savePq stores are not streamed: high water −1
@@ -353,12 +358,14 @@ class QueryServeSpec extends SparkTestBase {
       s"$root/corpus", s"$root/ivf", s"$root/pq", requests,
       lists = Seq("dense")).collect().map(_.toSeq).toSet
     assert(d.select("query_id", "rank", "doc_id", "rrf", "dense_rank",
-      "sparse_rank", "n_lists").collect().map(_.toSeq).toSet == dWant)
+      "sparse_rank", "lm_rank", "n_lists").collect().map(_.toSeq)
+      .toSet == dWant)
     val sWant = Retrieval.hybridTopKFromStoresExternal(spark,
       s"$root/corpus", s"$root/ivf", s"$root/pq", requests,
       lists = Seq("sparse")).collect().map(_.toSeq).toSet
     assert(s.select("query_id", "rank", "doc_id", "rrf", "dense_rank",
-      "sparse_rank", "n_lists").collect().map(_.toSeq).toSet == sWant)
+      "sparse_rank", "lm_rank", "n_lists").collect().map(_.toSeq)
+      .toSet == sWant)
     // a single-list deployment needs only ITS stores: dense-only never
     // touches the corpus store (t54 pins the mirror: sparse-only never
     // touches the IVF/PQ stores)
@@ -370,6 +377,119 @@ class QueryServeSpec extends SparkTestBase {
       .toSet ==
       d.select("query_id", "rank", "doc_id", "rrf").collect().map(_.toSeq)
         .toSet)
+  }
+
+  test("serve modes: lm-only and the full 3-list fusion; the tri serve equals the composition of its three store-served shortlists") {
+    // round 14, r13 verdict #2 — the LM scorer and N-list fusions get a
+    // serving consumer: t60 proved the 3-list fusion as an oracle
+    // contract; here the SERVER runs it end to end off the same stores
+    val rdL = Files.createTempDirectory("graft_qserve_ml").toString
+    val rdT = Files.createTempDirectory("graft_qserve_mt").toString
+    // lm-only needs only the corpus store — the dense paths are
+    // deliberately non-existent (the t54 property widened to lm)
+    new QueryServe.Server(spark, s"$root/corpus", s"$root/absent_ivf",
+      s"$root/absent_pq", rdL, lists = Seq("lm")).serveBatch(requests, 0L)
+    new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
+      s"$root/pq", rdT, lists = Seq("dense", "sparse", "lm"))
+      .serveBatch(requests, 0L)
+    val l = QueryServe.results(spark, rdL)
+    val t = QueryServe.results(spark, rdT)
+    assert(l.select("fused_lists").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("lm"))
+    assert(t.select("fused_lists").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("dense+sparse+lm"))
+    // lm-only: the other lists' provenance is null, the monotone RRF
+    // reshape preserves the retriever's own ranks exactly
+    assert(l.filter(col("dense_rank").isNotNull ||
+      col("sparse_rank").isNotNull).count() == 0L)
+    assert(l.filter(col("n_lists") =!= 1).count() == 0L &&
+      l.filter(col("rank") =!= col("lm_rank")).count() == 0L)
+    // and it equals the library's direct lm-only serve
+    val lWant = Retrieval.hybridTopKFromStoresExternal(spark,
+      s"$root/corpus", s"$root/absent_ivf", s"$root/absent_pq", requests,
+      lists = Seq("lm")).collect().map(_.toSeq).toSet
+    assert(l.select("query_id", "rank", "doc_id", "rrf", "dense_rank",
+      "sparse_rank", "lm_rank", "n_lists").collect().map(_.toSeq)
+      .toSet == lWant)
+    // the tri serve's rows fuse all three lists (docs two or three
+    // retrievers agree on carry multi-list provenance somewhere)
+    assert(t.filter(col("n_lists") > 1).count() > 0L)
+    // and equal the hand composition: the three shortlists served off
+    // the SAME stores, fused by rrfFuseNamed in canonical order (the
+    // t63 discipline, store-backed end to end)
+    val ivf = IndexStore.loadIvf(spark, s"$root/ivf")
+    val pq = IndexStore.loadPq(spark, s"$root/pq")
+    val dense = Similarity.ivfPqTopKQueries(ivf, pq,
+        ivf.assigned.select("vec_id", "embedding"),
+        requests.select("query_id", "embedding"), topK = 10,
+        nprobe = 4, rerank = 50, idCol = "query_id")
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("doc_id"))
+    val sparse = Retrieval.bm25QueryTopKFromStore(spark, s"$root/corpus",
+        requests.select("query_id", "query_text"))
+      .select("query_id", "rank", "doc_id")
+    val lm = Retrieval.lmTopKFromStore(spark, s"$root/corpus",
+        requests.select("query_id", "query_text"))
+      .select("query_id", "rank", "doc_id")
+    val tWant = Retrieval.rrfFuseNamed(
+      Seq("dense" -> dense, "sparse" -> sparse, "lm" -> lm))
+      .collect().map(_.toSeq).toSet
+    assert(tWant.nonEmpty &&
+      t.select("query_id", "rank", "doc_id", "rrf", "dense_rank",
+        "sparse_rank", "lm_rank", "n_lists").collect().map(_.toSeq)
+        .toSet == tWant)
+  }
+
+  test("a results store spanning engine rounds reads one imposed schema, in any file order") {
+    // round 14, r13 ADVICE (medium): a long-lived results store holds
+    // pre-round-14 slices (no lm_rank) beside new ones; results() and
+    // the maintenance fold must resolve the SAME columns regardless of
+    // which footer Spark would have inferred from — old rows read null
+    // for the columns their slice predates
+    val resultsDir = Files.createTempDirectory("graft_qserve_mix").toString
+    // batch 0 through the default 2-list server, batch 1 through the
+    // round-14 tri server (non-null lm_rank rows for contrast); both
+    // COMMITTED through the real door so maintenance accepts them
+    new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
+      s"$root/pq", resultsDir)
+      .serveBatch(requests.filter(col("query_id") < 903L), 0L)
+    new QueryServe.Server(spark, s"$root/corpus", s"$root/ivf",
+      s"$root/pq", resultsDir, lists = Seq("dense", "sparse", "lm"))
+      .serveBatch(requests.filter(col("query_id") >= 903L), 1L)
+    // rewrite batch 0's slice as a genuine pre-round-14 one: the same
+    // rows with NO lm_rank column in the footer at all
+    val servedDir = s"$resultsDir/served"
+    val oldRows = QueryServe.results(spark, resultsDir)
+      .filter(col("batch") === 0L).drop("batch", "lm_rank")
+      .localCheckpoint()
+    val fsys = new org.apache.hadoop.fs.Path(servedDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$servedDir/batch=0"), true)
+    oldRows.write.parquet(s"$servedDir/batch=0")
+    // the slice was rewritten outside the door — drop the session's
+    // cached file listing for the store before re-reading it
+    spark.catalog.refreshByPath(servedDir)
+    val mixed = QueryServe.results(spark, resultsDir)
+    // every row resolves every servedSchema column: the old slice's
+    // rows read a DETERMINISTIC null lm_rank, the new slice keeps its
+    // non-null provenance — in ANY file order
+    assert(mixed.filter(col("batch") === 0L).count() == oldRows.count())
+    assert(mixed.filter(col("batch") === 0L)
+      .filter(col("lm_rank").isNotNull).count() == 0L)
+    assert(mixed.filter(col("batch") === 1L)
+      .filter(col("lm_rank").isNotNull).count() > 0L)
+    val mixedCount = mixed.count() // before the fold replaces the files
+    // the maintenance fold carries the union schema: after compaction
+    // the consolidated slice still has the column, old-row nulls and
+    // new-row values both preserved
+    QueryServe.compact(spark, resultsDir)
+    val folded = QueryServe.results(spark, resultsDir)
+    assert(folded.columns.contains("lm_rank"))
+    assert(folded.filter(col("req_batch") === 0L)
+      .filter(col("lm_rank").isNotNull).count() == 0L)
+    assert(folded.filter(col("req_batch") === 1L)
+      .filter(col("lm_rank").isNotNull).count() > 0L)
+    assert(folded.count() == mixedCount)
   }
 
   test("maxFilesPerTrigger bounds the batch; resultsSince resumes on the req_batch watermark") {

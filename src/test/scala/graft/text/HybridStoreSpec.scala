@@ -56,12 +56,19 @@ class HybridStoreSpec extends SparkTestBase {
     val qVec = emb.filter(col("vec_id") < 3)
       .select((col("vec_id") + 500L).as("query_id"), col("embedding"))
     val queries = qText.join(qVec, "query_id")
-    val got = Retrieval.hybridTopKFromStoresExternal(spark,
+    val gotDf = Retrieval.hybridTopKFromStoresExternal(spark,
       s"$root/corpus", s"$root/ivf", s"$root/pq", queries)
-      .collect().map(_.toSeq).toSeq
+    // round 14: the serving fusion carries EVERY possible list's rank —
+    // the LM list was not requested, so its column is all-null
+    assert(gotDf.columns.toSeq == Seq("query_id", "rank", "doc_id",
+      "rrf", "dense_rank", "sparse_rank", "lm_rank", "n_lists"))
+    assert(gotDf.filter(col("lm_rank").isNotNull).count() == 0L)
+    val got = gotDf.drop("lm_rank").collect().map(_.toSeq).toSeq
     // expectation: the two halves composed by hand — dense through the
     // loaded pair's external probe, sparse FROM SCRATCH over the raw
-    // docs (already proven ≡ the stored frames), fused by rrfFuse
+    // docs (already proven ≡ the stored frames), fused by rrfFuse (the
+    // round-12 fusion — the serving path must stay VALUE-identical to
+    // it on the default 2-list mode)
     val ivf = IndexStore.loadIvf(spark, s"$root/ivf")
     val pq = IndexStore.loadPq(spark, s"$root/pq")
     val dense = Similarity.ivfPqTopKQueries(ivf, pq,

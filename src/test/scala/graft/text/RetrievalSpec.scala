@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, countDistinct, max, min}
 
 import graft.SparkTestBase
 
@@ -274,6 +274,67 @@ class RetrievalSpec extends SparkTestBase {
     Retrieval.buildIndex(spark, corpus, dir)
     assert(Retrieval.bm25PrfTopKFromStore(spark, dir, q, fbDocs = 2,
       fbTerms = 1).collect().toSeq == rows.toSeq)
+  }
+
+  test("forward index: fwd is tf ⋈ dl doc-bucketed; PRF serves identically through fwd, the escape hatch, and a pre-fwd store") {
+    // round 14 (r13 verdict top item): the PRF fixture corpus again —
+    // three code paths for stage 2's feedback-term fetch must be
+    // bit-identical: the doc-keyed fwd seek (the default on a round-14
+    // store), the conf escape hatch, and the pre-fwd store's tf-scan
+    // fallback
+    val corpus = Seq(
+      (0L, "a b b"), (1L, "a c"), (2L, "b b b"), (3L, "c c q"))
+      .toDF("doc_id", "text")
+    val q = Seq((0, "a")).toDF("query_id", "query_text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fwd").toString
+    Retrieval.buildIndex(spark, corpus, dir)
+    // shape: one fwd row per tf posting, the doc's length denormalized
+    // in, the doc bucket a DATA column in the clustering range
+    val fwd = spark.read.option("basePath", s"$dir/fwd")
+      .parquet(s"$dir/fwd")
+    assert(fwd.columns.toSet ==
+      Set("doc_id", "term", "tf", "dl", "db", "batch"))
+    assert(fwd.count() ==
+      spark.read.option("basePath", s"$dir/tf").parquet(s"$dir/tf").count())
+    val dbRange = fwd.agg(min("db"), max("db")).head()
+    assert(dbRange.getInt(0) >= 0 && dbRange.getInt(1) < 64)
+    // one doc's rows all share one bucket (it IS a doc hash)
+    assert(fwd.groupBy("doc_id").agg(countDistinct("db").as("n"))
+      .filter(col("n") =!= 1).count() == 0L)
+    val withFwd = Retrieval.bm25PrfTopKFromStore(spark, dir, q,
+      fbDocs = 2, fbTerms = 1).collect().toSeq
+    assert(withFwd.nonEmpty)
+    // escape hatch: useForwardIndex=false forces the r13 scan path
+    spark.conf.set("graft.retrieval.useForwardIndex", "false")
+    try assert(Retrieval.bm25PrfTopKFromStore(spark, dir, q,
+      fbDocs = 2, fbTerms = 1).collect().toSeq == withFwd)
+    finally spark.conf.unset("graft.retrieval.useForwardIndex")
+    // a store predating fwd/ (round ≤ 13) falls back to the same scan
+    val p = new org.apache.hadoop.fs.Path(s"$dir/fwd")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    assert(Retrieval.bm25PrfTopKFromStore(spark, dir, q,
+      fbDocs = 2, fbTerms = 1).collect().toSeq == withFwd)
+  }
+
+  test("rankEval: a judged query the run never served surfaces as a zero-metric row, not a dropped one") {
+    // round 14 (r13 ADVICE): query 2 is judged (n_rel = 2) but absent
+    // from the run — averaging consumers must see its zeros, or every
+    // mean silently overstates. Query 0 stays the exact single-hit case.
+    val run = Seq((0L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((0L, 10L, 1L), (2L, 50L, 1L), (2L, 60L, 2L))
+      .toDF("query_id", "doc_id", "grade")
+    val rows = Retrieval.rankEval(run, qrels, k = 3).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L))
+    val q0 = rows(0)
+    assert(q0.getDouble(1) == 1.0 && q0.getDouble(2) == 1.0 &&
+      q0.getDouble(3) == 1.0 && q0.getDouble(4) == 1.0 &&
+      q0.getLong(5) == 1L)
+    val q2 = rows(1)
+    assert(q2.getDouble(1) == 0.0 && q2.getDouble(2) == 0.0 &&
+      q2.getDouble(3) == 0.0 && q2.getDouble(4) == 0.0,
+      s"judged-but-unserved query must read zero metrics: $q2")
+    assert(q2.getLong(5) == 2L, "with its TRUE judgment count attached")
   }
 
   test("Dirichlet query likelihood: hand-computed score, ranking, store equals scratch") {
