@@ -209,6 +209,27 @@ object Bench {
     * Parsed with a flat regex: the artifact is one JSON object whose
     * "queries" value is a flat name→seconds map. Missing/unparseable →
     * empty (the pass degrades to a no-op, never fails the bench). */
+  /** Per-key MINIMUM across every retained committed map — the
+    * cumulative-drift floor (round 14, r13 verdict #6): the best value
+    * a key ever shipped at is the honest "this cost is attainable"
+    * reference, so a reading >2× it re-times even when each single
+    * round's step stayed under the per-round gates. */
+  private def historicalMinMap(): Map[String, Double] = {
+    val files = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .filter(_.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
+    files.flatMap { f =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          "UTF-8")
+        val qStart = txt.indexOf("\"queries\":{")
+        if (qStart < 0) Nil
+        else """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(txt.substring(qStart + 11, txt.indexOf('}', qStart)))
+          .map(mm => mm.group(1) -> mm.group(2).toDouble).toSeq
+      } catch { case _: Throwable => Nil }
+    }.groupMapReduce(_._1)(_._2)(math.min)
+  }
+
   private def priorFullMap(): Map[String, Double] = {
     val path = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").orElse {
       val names = Option(new java.io.File(".").listFiles()).toSeq.flatten
@@ -616,7 +637,22 @@ object Bench {
       // quiet run still re-times nothing)
       val byAbs = deviants
         .filter { case (k, v) => math.abs(v - prior(k)) > 5.0 }
-      val suspects = (byRatio ++ byAbs).distinctBy(_._1)
+      // round 14 (r13 verdict #6): the two triggers above compare only
+      // against the IMMEDIATELY prior map, so a key drifting ×1.6 per
+      // round shipped twice un-retimed (d06: 2.22 → 2.80 → 4.64 s over
+      // r11→r13, under both gates each round). The cumulative trigger
+      // compares against the key's BEST committed value across ALL
+      // retained BENCH_LOCAL maps — any reading >2× that floor re-times
+      // in isolation, so multi-round creep cannot ship a third time
+      // unexamined. (Cost: one isolated sample per flagged key per
+      // round; a genuinely slower operator keeps min(first, iso) and
+      // the judge sees all three numbers in the placement record.)
+      val histMin = historicalMinMap()
+      val byCum = results.toSeq.filter { case (k, v) =>
+        !k.startsWith("cal_") && v > 0 && prior.contains(k) &&
+          histMin.get(k).exists(h => h > 0 && v > 2 * h)
+      }
+      val suspects = (byRatio ++ byAbs ++ byCum).distinctBy(_._1)
       suspects.foreach { case (name, first) =>
         isolated(name).foreach { run =>
           Caches.releaseAll(blocking = true)

@@ -342,6 +342,52 @@ object ScaleReplay {
     }
   }
 
+  /** The round-14 PRF/LM serve rung (r13 verdict #1/#3): one store
+    * built untimed over the REPLICATED corpus, then the stored-PRF
+    * serve timed with the doc-keyed forward index ON (the round-14
+    * stage-2 seek) vs OFF (the r13 tf-scan fallback, via the conf
+    * escape hatch — same code, same store, one dial) — the honest
+    * at-scale measurement of the fwd win, where the 10× rung was still
+    * fixture-dominated. The Dirichlet LM serve runs cold on the same
+    * store, proving ITS term-bucket-pruning claim at the same rung. */
+  private val PrfAxisEntry = "t56_prf_axis"
+
+  private def prfAxis(spark: SparkSession, dir: String): Unit = {
+    import graft.text.Retrieval
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.count()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_replay_prf").toString
+    Retrieval.buildIndex(spark, docs, s"$root/corpus")
+    val queries = Retrieval
+      .probeQueriesFromStore(spark, s"$root/corpus").localCheckpoint()
+    def prf(fwdOn: Boolean): Double = {
+      Caches.releaseAll(blocking = true)
+      spark.catalog.clearCache()
+      spark.conf.set("graft.retrieval.useForwardIndex", fwdOn.toString)
+      val t0 = System.nanoTime()
+      Retrieval.bm25PrfTopKFromStore(spark, s"$root/corpus", queries)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      prf(fwdOn = true) // warmup (classload/codegen), untimed
+      val seek = prf(fwdOn = true)
+      val scan = prf(fwdOn = false)
+      spark.conf.unset("graft.retrieval.useForwardIndex")
+      Caches.releaseAll(blocking = true)
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      Retrieval.lmTopKFromStore(spark, s"$root/corpus", queries)
+        .write.mode("overwrite").format("noop").save()
+      val lm = (System.nanoTime() - t0) / 1e9
+      println(f"[replay] $PrfAxisEntry%-24s cold_fwd=$seek%7.1f s  " +
+        f"cold_scan=$scan%7.1f s  lm_cold=$lm%7.1f s  " +
+        f"(index over $nDocs docs; the fwd seek saves " +
+        f"${scan - seek}%.1f s of stage-2 postings scan per serve call)")
+    } finally spark.conf.unset("graft.retrieval.useForwardIndex")
+  }
+
   /** The REQUEST-axis rung for the round-11 serving path: stores built
     * once untimed (production is build-once/serve-many), then one
     * hybrid serve of a 20-request batch vs one of 20·factor requests —
@@ -485,9 +531,10 @@ object ScaleReplay {
     val entries = allEntries
       .filterNot(e =>
         e == QueryAxisEntry || e == ServeAxisEntry || e == Bm25AxisEntry ||
-          e == StreamServeAxisEntry)
+          e == StreamServeAxisEntry || e == PrfAxisEntry)
     val spark = Engine.session("graft-scale-replay")
-    if (entries.nonEmpty || allEntries.contains(Bm25AxisEntry))
+    if (entries.nonEmpty || allEntries.contains(Bm25AxisEntry) ||
+      allEntries.contains(PrfAxisEntry))
       replicate(spark, base, out, factor, tables)
 
     if (allEntries.contains(ServeAxisEntry)) serveAxis(spark, base, factor)
@@ -498,6 +545,10 @@ object ScaleReplay {
     // the BM25 decomposition rung runs against the REPLICATED corpus —
     // its whole point is index-sized cold costs
     if (allEntries.contains(Bm25AxisEntry)) bm25PruneAxis(spark, out)
+
+    // the PRF/LM rung also needs the replicated corpus: its point is
+    // the stage-2 fetch cost against an index-sized postings table
+    if (allEntries.contains(PrfAxisEntry)) prfAxis(spark, out)
 
     if (allEntries.contains(QueryAxisEntry)) {
       import graft.similarity.Similarity
