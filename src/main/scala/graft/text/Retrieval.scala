@@ -148,14 +148,51 @@ object Retrieval {
     (tf, df, dl, stats)
   }
 
+  /** [[indexRows]] persisted once for the session (round 14 — the
+    * `Dedup.shingleTable` discipline applied to the lexical family):
+    * every from-scratch scorer references the tf frame several times in
+    * ONE plan (df derives from it, the scoring join reads it, PRF reads
+    * it in all three stages), and each reference is a separate
+    * tokenize+shuffle subtree — the pre-optimization t55 plan scanned
+    * the documents parquet 32 times. Pinning the (doc, term) integer
+    * table (MEMORY_AND_DISK — spills, never OOMs) makes the corpus
+    * tokenize ONCE per session per input, with every later reference an
+    * in-memory scan; `Caches.persistReplacing`'s plan-equality key means
+    * a different corpus (or textCol) simply replaces the cached frame,
+    * and family-boundary `releaseAll` frees it like every other cached
+    * intermediate. This deliberately differs from the STORED path's
+    * tf ruling (r12 verdict #3 — there the alternative read is a pruned
+    * parquet seek, so pinning loses): here the alternative is a full
+    * re-tokenize of raw text, strictly worse than an in-memory scan of
+    * the compact integer frame at any scale. Escape hatch:
+    * `graft.retrieval.cacheScratchFrames = false` (one-off batch jobs
+    * that want zero executor storage pinned). */
+  private[graft] def cachedIndexRows(docs: DataFrame,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val (tf0, dl0) = indexRows(docs, textCol)
+    if (!docs.sparkSession.conf
+        .get("graft.retrieval.cacheScratchFrames", "true").toBoolean)
+      (tf0, dl0)
+    else (graft.Caches.persistReplacing("bm25_scratch_tf", tf0),
+      graft.Caches.persistReplacing("bm25_scratch_dl", dl0))
+  }
+
   /** The corpus-side BM25 frames, built from ONE token explode: the
     * (doc, term) tf table, the per-term df, per-doc length, and the
     * 1-row corpus constant (N, Σdl) — shared by the single-term and
-    * multi-term scorers so the two paths cannot drift. */
+    * multi-term scorers so the two paths cannot drift. tf/dl pin via
+    * [[cachedIndexRows]]; df and the 1-row constant pin beside them
+    * (both are full passes over tf/dl that several scorer subtrees
+    * re-derive — the storedFrames granularity ruling, mirrored). */
   private def corpusFrames(docs: DataFrame, textCol: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (tf, dl) = indexRows(docs, textCol)
-    framesFrom(tf, dl)
+    val (tf, dl) = cachedIndexRows(docs, textCol)
+    val (_, df0, _, stats0) = framesFrom(tf, dl)
+    if (!docs.sparkSession.conf
+        .get("graft.retrieval.cacheScratchFrames", "true").toBoolean)
+      (tf, df0, dl, stats0)
+    else (tf, graft.Caches.persistReplacing("bm25_scratch_df", df0),
+      dl, graft.Caches.persistReplacing("bm25_scratch_stats", stats0))
   }
 
   /** Restrict the stored fwd table to the doc buckets of `docFrame`'s
@@ -343,10 +380,21 @@ object Retrieval {
     * per batch: one tokenize pass, published through the compaction
     * swap discipline (write-aside, `_SUCCESS`-gated, crash-recoverable)
     * as each table's consolidated `batch=-1` slice. Any stream writing
-    * the store must be stopped. */
+    * the store must be stopped.
+    *
+    * `withFwd` (round 14, optimization): the doc-keyed forward index is
+    * read by exactly one consumer — PRF stage 2's feedback-term fetch —
+    * so a THROWAWAY store built for a single non-PRF query (the
+    * one-shot contract entries: build, score once, delete) can skip its
+    * tf ⋈ dl join and sorted write outright; the skipped table is never
+    * scanned, so results are unchanged by construction. The default
+    * stays `true`: a PERSISTED store must be able to serve every mode,
+    * and `maintainCorpus` treats a missing fwd/ as the reindex-worthy
+    * coverage hole it is on any long-lived store. */
   def buildIndex(spark: SparkSession, docs: DataFrame, corpusDir: String,
       textCol: String = "text",
-      targetPartitionBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetPartitionBytes: Long = 128L * 1024 * 1024,
+      withFwd: Boolean = true): Unit = {
     val (tf, dl) = indexRows(docs, textCol)
     val f = new org.apache.hadoop.fs.Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -365,13 +413,15 @@ object Retrieval {
     // a third time, where tf ⋈ dl over the compact integer tables costs
     // one index-sized join (paid once per corpus change, like the build
     // itself). Sized off tf — same row count, one extra long column.
-    spark.catalog.refreshByPath(corpusDir)
-    def published(sub: String): DataFrame =
-      spark.read.option("basePath", s"$corpusDir/$sub")
-        .parquet(s"$corpusDir/$sub").drop("batch")
-    graft.streaming.Compaction.publishSlice(spark, s"$corpusDir/fwd",
-      fwdRows(published("tf"), published("dl")),
-      math.max(nParts("fwd"), nParts("tf")), sortBy = FwdSortCols)
+    if (withFwd) {
+      spark.catalog.refreshByPath(corpusDir)
+      def published(sub: String): DataFrame =
+        spark.read.option("basePath", s"$corpusDir/$sub")
+          .parquet(s"$corpusDir/$sub").drop("batch")
+      graft.streaming.Compaction.publishSlice(spark, s"$corpusDir/fwd",
+        fwdRows(published("tf"), published("dl")),
+        math.max(nParts("fwd"), nParts("tf")), sortBy = FwdSortCols)
+    }
   }
 
   /** The one per-(term, doc) Okapi score expression, shared by both
@@ -1103,43 +1153,74 @@ object Retrieval {
     * postings). */
   val ServeLists: Seq[String] = Seq("dense", "sparse", "lm")
 
-  /** [[rrfFuseAll]] shaped for SERVING (round 14): fuses the named
-    * shortlists (names from [[ServeLists]], canonical order — the
-    * caller guarantees it) and carries per-list rank PROVENANCE — one
-    * `<name>_rank` column per possible list, null where that list was
-    * absent or did not rank the doc — so every serve mode lands in one
-    * results schema and a consumer can always see which retriever(s)
-    * put a row where it is. For a single list the RRF transform
-    * `1/(kRrf + rank)` is strictly monotone, so the fused ranks equal
-    * the list's own; for (dense, sparse) the fold is bit-identical to
-    * [[rrfFuse]] (spec-pinned), so round-13 slices and round-14 slices
-    * carry the same numbers.
+  /** [[rrfFuseAll]]'s semantics shaped for SERVING (round 14): fuses
+    * the named shortlists (names from [[ServeLists]], canonical order —
+    * the caller guarantees it) and carries per-list rank PROVENANCE —
+    * one `<name>_rank` column per possible list, null where that list
+    * was absent or did not rank the doc — so every serve mode lands in
+    * one results schema and a consumer can always see which
+    * retriever(s) put a row where it is. For a single list the RRF
+    * transform `1/(kRrf + rank)` is strictly monotone, so the fused
+    * ranks equal the list's own; for (dense, sparse) the result is
+    * value-identical to [[rrfFuse]] (spec-pinned), so round-13 slices
+    * and round-14 slices carry the same numbers.
     *
-    * Scale shape: inputs are request-sized shortlists; each
-    * materializes ONCE (localCheckpoint — q·k rows) because it feeds
-    * both the fused union and its own rank join-back, and without the
-    * pin the scoring plan underneath would execute twice. */
+    * Plan shape (optimization round 14): ONE full-outer join chain on
+    * (query_id, doc_id) in canonical list order — each list's rank
+    * column IS its provenance, the fused score is the canonical-order
+    * sum of `coalesce(1/(kRrf + rank), 0)` terms, and `n_lists` counts
+    * the non-null ranks. This replaces the build round's
+    * union → groupBy → collect_list → array-fold → per-list rank
+    * join-backs, which needed every list localCheckpoint-materialized
+    * (each fed BOTH the union and its own join-back): here each
+    * retriever's plan feeds exactly one join input, so it executes
+    * once, lazily, with no checkpoint jobs, no request-sized
+    * re-shuffles per list, and whole-stage-codegen arithmetic instead
+    * of non-codegen higher-order array folds. Value identity with the
+    * fold form is exact: the fold ran `((0 + a) + b) + c` over the
+    * PRESENT lists' contributions in canonical order, and IEEE adding
+    * a leading 0.0 (or a coalesced absent 0.0) is bit-exact, so the
+    * join-chain's `(a + b) + c` over coalesced terms reproduces every
+    * sum bit-for-bit (RetrievalSpec/QueryServeSpec pin all modes).
+    *
+    * Scale shape: inputs are request-sized shortlists (q·k rows); the
+    * join chain and the per-query window are post-processing on
+    * bounded frames, never a corpus pass. */
   def rrfFuseNamed(lists: Seq[(String, DataFrame)], k: Int = 10,
       kRrf: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuseNamed needs at least one ranked list")
+    require(kRrf >= 1, s"kRrf must be positive (got $kRrf)")
     require(lists.map(_._1) == ServeLists.filter(lists.map(_._1).contains),
       s"list names must be distinct, drawn from $ServeLists, and in " +
         s"canonical order; got ${lists.map(_._1)}")
-    val mats = lists.map { case (name, l) =>
-      name -> l.select(col("query_id").cast("long").as("query_id"),
+    val named = lists.map { case (name, l) =>
+      l.select(col("query_id").cast("long").as("query_id"),
         col("doc_id").cast("long").as("doc_id"),
-        col("rank").cast("int").as("rank")).localCheckpoint()
+        col("rank").cast("int").as(s"${name}_rank"))
     }
-    val fused = rrfFuseAll(mats.map(_._2), k, kRrf)
-    val withRanks = mats.foldLeft(fused) { case (acc, (name, l)) =>
-      acc.join(l.withColumnRenamed("rank", s"${name}_rank"),
-        Seq("query_id", "doc_id"), "left")
-    }
+    val joined = named.reduce(
+      (a, b) => a.join(b, Seq("query_id", "doc_id"), "full_outer"))
+    val present = lists.map(_._1)
+    // fixed association: the canonical-order left-to-right sum is the
+    // fold's ((0+a)+b)+c with absent contributions an exact 0.0
+    val rrfExpr = present.map(n =>
+        coalesce(lit(1.0d) / (lit(kRrf) + col(s"${n}_rank")), lit(0.0d)))
+      .reduce(_ + _)
+    val nListsExpr = present.map(n =>
+      col(s"${n}_rank").isNotNull.cast("int")).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("rrf"), asc("doc_id"))
+    val fused = joined.withColumn("rrf", rrfExpr)
+      .withColumn("n_lists", nListsExpr)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
     val allRankCols = ServeLists.map(n => s"${n}_rank")
-    val filled = allRankCols.foldLeft(withRanks)((acc, c) =>
-      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null).cast("int")))
-    filled.select((Seq("query_id", "rank", "doc_id", "rrf") ++
-        allRankCols :+ "n_lists").map(col): _*)
+    val filled = allRankCols.foldLeft(fused)((acc, c) =>
+      if (acc.columns.contains(c)) acc
+      else acc.withColumn(c, lit(null).cast("int")))
+    filled.select((Seq(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf")) ++
+        allRankCols.map(col) :+ col("n_lists")): _*)
       .orderBy("query_id", "rank")
   }
 
