@@ -52,11 +52,20 @@ object Graph {
       dangling: String = "refuse"): DataFrame = {
     require(Set("refuse", "selfloop", "uniform")(dangling),
       s"unknown dangling policy '$dangling' (refuse | selfloop | uniform)")
-    val nodes = edges.select(col("src").as("id"))
-      .unionByName(edges.select(col("dst").as("id")))
+    // the edge list feeds EVERY one of the `iters` contribution joins
+    // AND the nodes/sinks derivations — left lazy, its derivation
+    // (often a windowed transition extraction or an ANN kNN list, far
+    // more expensive than an iteration itself) re-executes once per
+    // iteration between rank checkpoints plus twice at setup
+    // (optimization round 14: q57's events window ran 20×). Materialize
+    // it ONCE, first; every PageRank implementation holds the edge list
+    // resident across iterations — this is that, with disk spill.
+    val e0 = edges.localCheckpoint()
+    val nodes = e0.select(col("src").as("id"))
+      .unionByName(e0.select(col("dst").as("id")))
       .distinct().localCheckpoint()
     val n = nodes.count()
-    val sinks = nodes.join(edges.select("src").distinct(),
+    val sinks = nodes.join(e0.select("src").distinct(),
       col("id") === col("src"), "left_anti").localCheckpoint()
     val nSinks = sinks.count()
     if (dangling == "refuse") require(nSinks == 0,
@@ -65,9 +74,9 @@ object Graph {
         "(sinks hold their mass) or \"uniform\" (sink mass redistributed " +
         "over all nodes each iteration)")
     val e = if (dangling == "selfloop" && nSinks > 0)
-      edges.unionByName(sinks.select(col("id").as("src"),
+      e0.unionByName(sinks.select(col("id").as("src"),
         col("id").as("dst"), lit(1.0d).as("w"))).localCheckpoint()
-    else edges
+    else e0
     val redistribute = dangling == "uniform" && nSinks > 0
     val teleport = (1 - damping) / n
     var rank = nodes.withColumn("r", lit(1.0 / n))
@@ -115,8 +124,13 @@ object Graph {
     * never a window over the vote stream. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
       iters: Int, checkpointEvery: Int = 3): DataFrame = {
-    val nodes = edges.select(col("src").as("id"))
-      .unionByName(edges.select(col("dst").as("id")))
+    // same ruling as [[pageRank]]'s edge pin (optimization round 14):
+    // the lazy edge list re-derives once per round plus once for the
+    // node set — for s14 that was the full brute-force kNN six times
+    // over. Materialize it once, first.
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
       .unionByName(seeds.select(col("id")))
       .distinct().localCheckpoint()
     var lab = nodes
@@ -125,7 +139,7 @@ object Graph {
       .select(col("id"), col("seed_label"),
         col("seed_label").as("label"))
     for (i <- 1 to iters) {
-      val votes = edges
+      val votes = e
         .join(lab.select(col("id").as("dst0"), col("label").as("nbr_label")),
           col("dst") === col("dst0"))
         .filter(col("nbr_label").isNotNull)

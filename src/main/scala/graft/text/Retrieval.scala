@@ -173,8 +173,14 @@ object Retrieval {
     if (!docs.sparkSession.conf
         .get("graft.retrieval.cacheScratchFrames", "true").toBoolean)
       (tf0, dl0)
-    else (graft.Caches.persistReplacing("bm25_scratch_tf", tf0),
-      graft.Caches.persistReplacing("bm25_scratch_dl", dl0))
+    // EAGER: the scorer plans read tf/dl from several concurrent
+    // subtrees, and a lazily-cached frame makes the first call race its
+    // own cache build (each concurrent stage re-tokenizes before blocks
+    // land — the placement instrument measured the cold PRF call at the
+    // un-cached cost). One count() per NEW registration builds the
+    // cache exactly once; reuse is a no-op.
+    else (graft.Caches.persistReplacingEager("bm25_scratch_tf", tf0),
+      graft.Caches.persistReplacingEager("bm25_scratch_dl", dl0))
   }
 
   /** The corpus-side BM25 frames, built from ONE token explode: the
