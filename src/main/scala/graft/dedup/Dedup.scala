@@ -28,7 +28,15 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
-  // keyed replace-on-change persist — shared JVM-wide cache registry
+  // keyed replace-on-change persist — shared JVM-wide cache registry.
+  // LAZY deliberately (optimization round 14, measured): a lazily-
+  // registered cache lets independent consumer branches race the build,
+  // but on a wide executor those duplicated builds OVERLAP on idle
+  // cores — flipping this module wholesale to the eager form made d08
+  // (manifest) ~1.7× SLOWER fresh-JVM (serialized count() jobs replaced
+  // overlapped work) while helping only the one frame whose race sits
+  // on the critical path. That frame (minhash_sigs, ~5 concurrent
+  // consumers of a 64-hash aggregation) opts into eager individually.
   private def persistReplacing(key: String, df: DataFrame): DataFrame =
     graft.Caches.persistReplacing(key, df)
 
@@ -383,7 +391,15 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 32): DataFrame = {
     // bands=32 (r=2): collision prob at J=0.5 is 1-(1-0.25)^32 ≈ 1.0, at
     // J=0.2 ≈ 0.73 — recall-biased; the estimate filter prunes false hits.
-    val sigs = persistReplacing("minhash_sigs", minhashSignatures(docs, numHashes))
+    // EAGER (optimization round 14, measured): the signature table feeds
+    // ~5 concurrent subtrees (band explode → both self-join sides, plus
+    // both estimate re-attach joins), and its build — the full shingle
+    // explode/distinct + 64 min-hash aggregation — is the plan's
+    // critical path: lazily registered, the cold call raced it under
+    // every branch (fresh-JVM d03 15.6 s); built once eagerly it reads
+    // 9.3 s. The module default stays lazy (see persistReplacing).
+    val sigs = graft.Caches.persistReplacingEager("minhash_sigs",
+      minhashSignatures(docs, numHashes))
     val est = aggregate(
       zip_with(col("sig1"), col("sig2"), (a, b) =>
         when(a === b, 1).otherwise(0)),
